@@ -1,0 +1,131 @@
+"""Zonal goldens ported from reference xrspatial/tests/test_zonal.py.
+
+Fixtures: zones 3x8 (test_zonal.py:30-36), values_2d 3x8 (:39-47).
+Goldens: default stats (:62-74), zone_ids subset (:132-145), custom
+stats w/ nodata (:212-221), crosstab count (:241-250) and percentage
+(:254-263).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_spatial_spark.operators import zonal
+from xarray_spatial_spark.raster import df_from_numpy
+
+ZONES = np.array(
+    [
+        [0, 0, 1, 1, 2, 2, 3, 3],
+        [0, 0, 1, 1, 2, 2, 3, 3],
+        [0, 0, 1, 1, 2, np.nan, 3, 3],
+    ]
+)
+VALUES = np.array(
+    [
+        [0, 0, 1, 1, 2, 2, 3, np.inf],
+        [0, 0, 1, 1, 2, np.nan, 3, 0],
+        [np.inf, 0, 1, 1, 2, 2, 3, 3],
+    ]
+)
+
+
+@pytest.fixture()
+def zv(spark):
+    zones = df_from_numpy(spark, ZONES, value_col="zone")
+    values = df_from_numpy(spark, VALUES, value_col="value")
+    return zonal.align(zones, values)
+
+
+def _as_dict(df):
+    rows = sorted(df.collect(), key=lambda r: r["zone"])
+    return {c: [r[c] for r in rows] for c in df.columns}
+
+
+def test_default_stats(zv):
+    out = _as_dict(zonal.stats(zv))
+    assert out["zone"] == [0, 1, 2, 3]
+    np.testing.assert_allclose(out["mean"], [0, 1, 2, 2.4], rtol=1e-6)
+    np.testing.assert_allclose(out["max"], [0, 1, 2, 3])
+    np.testing.assert_allclose(out["min"], [0, 1, 2, 0])
+    np.testing.assert_allclose(out["sum"], [0, 6, 8, 12])
+    np.testing.assert_allclose(out["std"], [0, 0, 0, 1.2], rtol=1e-6)
+    np.testing.assert_allclose(out["var"], [0, 0, 0, 1.44], rtol=1e-6)
+    assert out["count"] == [5, 6, 4, 5]
+    np.testing.assert_allclose(out["majority"], [0, 1, 2, 3])
+
+
+def test_zone_ids_stats(zv):
+    out = _as_dict(zonal.stats(zv, zone_ids=[0, 3]))
+    assert out["zone"] == [0, 3]
+    np.testing.assert_allclose(out["mean"], [0, 2.4], rtol=1e-6)
+    np.testing.assert_allclose(out["sum"], [0, 12])
+    assert out["count"] == [5, 5]
+    np.testing.assert_allclose(out["majority"], [0, 3])
+
+
+def test_custom_stats_nodata(zv):
+    # reference test_zonal.py:205-221: custom double_sum/range, nodata=0
+    custom = {
+        "double_sum": F.sum("value") * 2,
+        "range": F.max("value") - F.min("value"),
+    }
+    out = _as_dict(
+        zonal.stats(zv, zone_ids=[1, 2], stats_funcs=custom, nodata_values=0)
+    )
+    assert out["zone"] == [1, 2]
+    np.testing.assert_allclose(out["double_sum"], [12, 16])
+    np.testing.assert_allclose(out["range"], [0, 0])
+
+
+def test_crosstab_2d_count(zv):
+    zv_cat = zv.withColumnRenamed("value", "cat")
+    out = _as_dict(
+        zonal.crosstab(zv_cat, zone_ids=[1, 2, 3], cat_ids=[0, 1, 2])
+    )
+    assert out["zone"] == [1, 2, 3]
+    assert out["0"] == [0, 0, 1]
+    assert out["1"] == [6, 0, 0]
+    assert out["2"] == [0, 4, 0]
+
+
+def test_crosstab_2d_percentage(zv):
+    zv_cat = zv.withColumnRenamed("value", "cat")
+    out = _as_dict(
+        zonal.crosstab(
+            zv_cat,
+            zone_ids=[1, 2],
+            cat_ids=[1, 2],
+            agg="percentage",
+            nodata_values=3,
+        )
+    )
+    assert out["zone"] == [1, 2]
+    np.testing.assert_allclose(out["1"], [100, 0])
+    np.testing.assert_allclose(out["2"], [0, 100])
+
+
+def test_zonal_apply(spark):
+    zones = df_from_numpy(spark, ZONES, value_col="zone")
+    values = df_from_numpy(spark, np.ones((3, 8)), value_col="value")
+    out = zonal.apply(zonal.align(zones, values), F.col("value") * 10, nodata=0)
+    got = {(r["y"], r["x"]): r["value"] for r in out.collect()}
+    # zone 0 cells (cols 0-1) pass through; other zones scaled
+    assert got[(0, 0)] == 1.0 and got[(0, 2)] == 10.0 and got[(2, 6)] == 10.0
+
+
+def test_trim(spark):
+    arr = np.full((5, 5), np.nan)
+    arr[1:4, 2:4] = 7.0
+    df = df_from_numpy(spark, arr)
+    out = zonal.trim(df).collect()
+    ys = {r["y"] for r in out}
+    xs = {r["x"] for r in out}
+    assert ys == {1, 2, 3} and xs == {2, 3}
+
+
+def test_crop(spark):
+    zones = df_from_numpy(spark, ZONES, value_col="zone")
+    values = df_from_numpy(spark, VALUES, value_col="value")
+    out = zonal.crop(zonal.align(zones, values), zones_ids=[1]).collect()
+    xs = {r["x"] for r in out}
+    assert xs == {2, 3}

@@ -1,0 +1,112 @@
+"""Tile / cell assignment — the raster<->vector bridge of the engine.
+
+Every document (point) is assigned to a fine ``cell_id`` (Morton-packed
+Web-Mercator quadtree, grid.py) and a coarse ``tile_id`` (its ancestor at
+``tile_zoom``).  ``tile_id`` is the engine's partition key: the analog of a
+dask chunk in the reference (SURVEY.md §1.3), and the unit of the halo
+exchange, manifests, and skew accounting.
+
+Two paths produce identical assignments:
+
+- ``assign_cells``       — Arrow-batched pandas UDF; vectorized numpy
+  bit-interleave (grid.morton_encode).  Used in production because the
+  packed id carries zoom + supports O(1) parent/ring ops downstream.
+- ``assign_cells_flat``  — pure Column expressions (``xt * 2^z + yt``),
+  JVM-side/codegen, SQL-parity with any ANSI oracle.  Same tile, no
+  Morton packing.
+
+Skew: geocoded web pages are zipfian (cities).  ``salt_column`` spreads a
+hot tile over ``n_salt`` sub-keys for the aggregation path; AQE skew-join
+handles the join path (session.py turns it on).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xarray_spatial_spark import grid
+
+
+def _check_zoom(zoom: int) -> None:
+    # validate on the driver: a lazy plan may prune the UDF entirely
+    # (count() never evaluates it), deferring the error to first use
+    if not 0 <= zoom <= grid.MAX_ZOOM:
+        raise ValueError(f"zoom must be in [0, {grid.MAX_ZOOM}], got {zoom}")
+
+
+def cell_udf(zoom: int):
+    _check_zoom(zoom)
+
+    @F.pandas_udf(T.LongType())
+    def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(grid.cell_of(lon.to_numpy(), lat.to_numpy(), zoom))
+
+    return _cell
+
+
+def parent_udf(parent_zoom: int):
+    _check_zoom(parent_zoom)
+
+    @F.pandas_udf(T.LongType())
+    def _parent(cell: pd.Series) -> pd.Series:
+        return pd.Series(grid.parent(cell.to_numpy(), parent_zoom))
+
+    return _parent
+
+
+def assign_cells(
+    df: DataFrame,
+    zoom: int,
+    tile_zoom: int | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Add ``cell_id`` (at ``zoom``) and, if requested, ``tile_id`` (ancestor
+    at ``tile_zoom``).  One Arrow batch pass, no shuffle."""
+    out = df.withColumn("cell_id", cell_udf(zoom)(F.col(lon_col), F.col(lat_col)))
+    if tile_zoom is not None:
+        out = out.withColumn("tile_id", parent_udf(tile_zoom)(F.col("cell_id")))
+    return out
+
+
+def assign_cells_flat(
+    df: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str = "lat",
+    out_col: str = "cell_flat",
+) -> DataFrame:
+    """Catalyst-native tile id ``xt * 2^zoom + yt`` (no Python at all)."""
+    expr = (
+        grid.tile_x_col(F.col(lon_col), zoom) * F.lit(1 << zoom)
+        + grid.tile_y_col(F.col(lat_col), zoom)
+    )
+    return df.withColumn(out_col, expr)
+
+
+def salt_column(key: Column, n_salt: int) -> Column:
+    """Deterministic salt in [0, n_salt) — spread a hot key across
+    ``n_salt`` reducers; aggregate twice (salted partial, then final)."""
+    return F.pmod(F.xxhash64(key), F.lit(n_salt))
+
+
+def salted_agg(df: DataFrame, key: str, aggs: list[Column], n_salt: int = 16) -> DataFrame:
+    """Two-level aggregation for skewed keys: groupBy(key, salt) partials,
+    then groupBy(key) finals.  Only associative aggs belong here (count/
+    sum/min/max); the caller composes means from sum+count."""
+    salted = df.withColumn("_salt", salt_column(F.col(key), n_salt))
+    partial = salted.groupBy(key, "_salt").agg(*aggs)
+    agg_cols = [c for c in partial.columns if c not in (key, "_salt")]
+    finals = []
+    for c in agg_cols:
+        if c.startswith("cnt_") or c.startswith("sum_"):
+            finals.append(F.sum(c).alias(c))
+        elif c.startswith("min_"):
+            finals.append(F.min(c).alias(c))
+        elif c.startswith("max_"):
+            finals.append(F.max(c).alias(c))
+        else:
+            raise ValueError(
+                f"salted_agg needs cnt_/sum_/min_/max_ prefixed aliases, got {c!r}"
+            )
+    return partial.groupBy(key).agg(*finals)

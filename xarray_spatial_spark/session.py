@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings mirror what we would set on a real cluster:
+AQE on (runtime re-plan + skew-join), Arrow on (every Python-side
+kernel is a vectorized pandas UDF), shuffle partitions sized to
+cores rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+_PKG_DIR = Path(__file__).resolve().parent
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors — the programmatic
+    equivalent of ``spark-submit --py-files pkg.zip`` (north rule's
+    deployment mode).  Local mode still needs it: Python workers are
+    separate processes that do not inherit the driver's sys.path."""
+    zpath = Path(tempfile.gettempdir()) / "xarray_spatial_spark_pyfiles.zip"
+    if not zpath.exists():
+        tmp = zpath.with_suffix(".tmp.zip")
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in sorted(_PKG_DIR.rglob("*.py")):
+                z.write(p, Path(_PKG_DIR.name) / p.relative_to(_PKG_DIR))
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(str(zpath))
+
+
+def get_spark(
+    app_name: str = "xarray_spatial_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] or local[*]
+        n = master[master.index("[") + 1: -1] if "[" in master else "32"
+        shuffle_partitions = os.cpu_count() if n == "*" else int(n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
+    return spark
