@@ -1,0 +1,195 @@
+"""Focal family — windowed reducers over halo tiles.
+
+Reference semantics: xrspatial/focal.py (mean :37-265, apply :306-473,
+focal_stats :476-878, hotspots :881-1125).
+
+Each op is one halo-tile pass (operators/halo.py) running a
+vectorized-numpy window reducer.  focal_stats computes all requested
+stats in a single pass over the shared sliding-window view — the
+reference runs one pass per stat (focal.py:792-796); fusing them is
+free here because the window view is materialization-free.
+
+hotspots is the reference's own two-job plan (focal.py:940-977): job 1
+aggregates global mean/std to two scalars; job 2 fuses convolve +
+z-score + classify inside one stencil, exactly `_hotspots_chunk`
+(focal.py:980-984).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xarray_spatial_spark.operators.convolution import convolve_numpy, custom_kernel
+from xarray_spatial_spark.operators.halo import apply_stencil, windows
+
+_STAT_FUNCS: dict[str, Callable] = {
+    "mean": np.nanmean,
+    "max": np.nanmax,
+    "min": np.nanmin,
+    "range": lambda a, axis: np.nanmax(a, axis=axis) - np.nanmin(a, axis=axis),
+    "std": np.nanstd,
+    "var": np.nanvar,
+    "sum": np.nansum,
+}
+
+
+def _masked_windows(padded: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """Window view with kernel==0 positions NaN'd (focal.py:306-326:
+    positions outside the kernel are NaN before the reducer)."""
+    kh, kw = kernel.shape
+    w = windows(padded, kh, kw)
+    mask = kernel == 1
+    out = np.where(mask[None, None, :, :], w, np.nan)
+    return out
+
+
+def mean(
+    df: DataFrame,
+    passes: int = 1,
+    excludes: Iterable[float] = (np.nan,),
+    value_col: str = "value",
+    tile_h: int = 256,
+    tile_w: int = 256,
+) -> DataFrame:
+    """3x3 nan-mean smoothing; ``excludes`` values pass through
+    unchanged; ``passes`` iterations = that many halo shuffles
+    (focal.py:37-265)."""
+    ex_finite = [float(e) for e in excludes if e == e]
+    ex_nan = any(e != e for e in excludes)
+
+    def _fn(arrs):
+        a = arrs[value_col]
+        w = windows(a, 3, 3)
+        sm = np.nanmean(w, axis=(-2, -1))
+        interior = a[1:-1, 1:-1]
+        excluded = np.zeros_like(interior, dtype=bool)
+        if ex_nan:
+            excluded |= np.isnan(interior)
+        for e in ex_finite:
+            excluded |= interior == e
+        return {value_col: np.where(excluded, interior, sm)}
+
+    out = df
+    for _ in range(max(1, passes)):
+        out = apply_stencil(
+            out, _fn, 1, value_cols=(value_col,), out_cols=(value_col,),
+            tile_h=tile_h, tile_w=tile_w,
+        )
+    return out
+
+
+def apply(
+    df: DataFrame,
+    kernel: np.ndarray,
+    func: Callable | str = "mean",
+    value_col: str = "value",
+    out_col: str | None = None,
+    tile_h: int = 256,
+    tile_w: int = 256,
+) -> DataFrame:
+    """Arbitrary nan-aware reducer over a 0/1 kernel window
+    (focal.py:306-473).  ``func`` is a builtin stat name or a callable
+    ``(windows, axis) -> reduced`` over the masked window view — the
+    Spark analog of the reference's custom @ngjit reducer
+    (focal.py:396-399)."""
+    kernel = custom_kernel(kernel)
+    r = max(kernel.shape) // 2
+    kh, kw = kernel.shape
+    if kh // 2 != r or kw // 2 != r:
+        ph, pw = r - kh // 2, r - kw // 2
+        kernel = np.pad(kernel, ((ph, ph), (pw, pw)))
+    reducer = _STAT_FUNCS[func] if isinstance(func, str) else func
+    out = out_col or value_col
+
+    def _fn(arrs):
+        mw = _masked_windows(arrs[value_col], kernel)
+        return {out: reducer(mw, axis=(-2, -1))}
+
+    return apply_stencil(
+        df, _fn, r, value_cols=(value_col,), out_cols=(out,),
+        tile_h=tile_h, tile_w=tile_w,
+    )
+
+
+def focal_stats(
+    df: DataFrame,
+    kernel: np.ndarray,
+    stats_funcs: Sequence[str] = ("mean", "max", "min", "range", "std", "var", "sum"),
+    value_col: str = "value",
+    tile_h: int = 256,
+    tile_w: int = 256,
+) -> DataFrame:
+    """All window stats in ONE halo pass, one output column per stat
+    (reference runs 7 separate passes, focal.py:792-796)."""
+    kernel = custom_kernel(kernel)
+    r = max(kernel.shape) // 2
+    kh, kw = kernel.shape
+    if kh // 2 != r or kw // 2 != r:
+        ph, pw = r - kh // 2, r - kw // 2
+        kernel = np.pad(kernel, ((ph, ph), (pw, pw)))
+    names = list(stats_funcs)
+
+    def _fn(arrs):
+        mw = _masked_windows(arrs[value_col], kernel)
+        return {n: _STAT_FUNCS[n](mw, axis=(-2, -1)) for n in names}
+
+    return apply_stencil(
+        df, _fn, r, value_cols=(value_col,), out_cols=names,
+        tile_h=tile_h, tile_w=tile_w,
+    )
+
+
+def hotspots(
+    df: DataFrame,
+    kernel: np.ndarray,
+    value_col: str = "value",
+    out_col: str | None = None,
+    tile_h: int = 256,
+    tile_w: int = 256,
+) -> DataFrame:
+    """Getis-Ord-style hot/cold classification (focal.py:881-1125).
+
+    Output classes {0, ±90, ±95, ±99} (reference emits int8; we emit
+    the same values as double with NULL where input was NULL is NOT
+    the case — classification of the z of the kernel mean is defined
+    wherever the convolution is, matching the reference which
+    classifies every cell incl. NaN -> z=NaN -> class 0 ... see
+    _calc_hotspots_numpy focal.py:882-915: NaN z-scores fail every
+    abs() test and yield 0)."""
+    kernel = custom_kernel(kernel)
+    ksum = kernel.sum()
+    row = df.agg(
+        F.avg(value_col).alias("m"), F.stddev_pop(value_col).alias("s")
+    ).collect()[0]
+    gmean, gstd = float(row["m"]), float(row["s"])
+    if gstd == 0:
+        raise ZeroDivisionError("Standard deviation of the input raster values is 0.")
+    norm_kernel = kernel / ksum
+    r = max(norm_kernel.shape) // 2
+    kh, kw = norm_kernel.shape
+    if kh // 2 != r or kw // 2 != r:
+        ph, pw = r - kh // 2, r - kw // 2
+        norm_kernel = np.pad(norm_kernel, ((ph, ph), (pw, pw)))
+    out = out_col or value_col
+
+    def _fn(arrs):
+        z = (convolve_numpy(arrs[value_col], norm_kernel) - gmean) / gstd
+        az = np.abs(z)
+        conf = np.zeros_like(z)
+        # z-threshold ladder, focal.py:882-915 (p-value checks collapse
+        # to the 2.58/1.96/1.65 thresholds)
+        conf = np.where((az > 1.65) & (az >= 1.29), 90.0, conf)
+        conf = np.where((az > 1.96) & (az >= 1.65), 95.0, conf)
+        conf = np.where((az > 2.58) & (az >= 2.33), 99.0, conf)
+        sign = np.sign(z)
+        cls = np.where(np.isnan(z), 0.0, sign * conf)
+        return {out: cls}
+
+    return apply_stencil(
+        df, _fn, r, value_cols=(value_col,), out_cols=(out,),
+        tile_h=tile_h, tile_w=tile_w,
+    )
