@@ -1,38 +1,764 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs an engine operator over the driver's
+parquet tables; the matching ``oracle_sql()`` string expresses the
+identical computation in ANSI SQL for DuckDB.  Column names and types
+are aligned on both sides; float-derived columns are rounded the same
+way on both sides so the order-insensitive value-hash compares clean.
+
+Deterministic geocode: ids map to (lat, lon) through pure int64
+arithmetic (functions/geo.py), so Spark and the SQL oracle geocode
+identically; Web-Mercator tiles use the identical floor/ln/tan
+formula (grid.tile_*_col vs the SQL fragment below).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xarray_spatial_spark import grid
+from xarray_spatial_spark.functions import text as tx
+from xarray_spatial_spark.functions import dedup, similarity
+from xarray_spatial_spark.functions.geo import geocode_lat, geocode_lon
+from xarray_spatial_spark.operators import (
+    classify,
+    focal,
+    local,
+    multispectral,
+    pip,
+    proximity,
+    surface,
+    zonal,
+)
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+SQL_LAT = "(((doc_id * 2654435761) % 1700000) / 10000.0 - 85.0)"
+SQL_LON = "(((doc_id * 2246822519) % 3600000) / 10000.0 - 180.0)"
+
+
+def _sql_tile_x(zoom: int, lon: str = SQL_LON) -> str:
+    n = 1 << zoom
+    return (
+        f"CAST(least(greatest(floor(({lon} + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    )
+
+
+def _sql_tile_y(zoom: int, lat: str = SQL_LAT) -> str:
+    n = 1 << zoom
+    latc = f"least(greatest({lat}, -85.05112878), 85.05112878)"
+    merc = f"(1 - ln(tan(radians({latc})) + 1.0/cos(radians({latc}))) / pi()) / 2 * {n}"
+    return f"CAST(least(greatest(floor({merc}), 0), {n - 1}) AS BIGINT)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("lat", geocode_lat(F.col("doc_id")))
+        .withColumn("lon", geocode_lon(F.col("doc_id")))
+    )
+
+
+def _doc_tiles(spark: SparkSession, sf_dir: str, zoom: int) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.withColumn("tile_x", grid.tile_x_col(F.col("lon"), zoom)).withColumn(
+        "tile_y", grid.tile_y_col(F.col("lat"), zoom)
+    )
+
+
+def _events_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense raster from the events table: ids are 0..N-1, W=100."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(F.col("event_id") / 100).cast("int").alias("y"),
+        (F.col("event_id") % 100).cast("int").alias("x"),
+        F.col("value").alias("value"),
+    )
+
+
+SQL_EVENTS_RASTER = (
+    "SELECT CAST(floor(event_id / 100) AS INT) AS y, "
+    "CAST(event_id % 100 AS INT) AS x, value FROM events"
+)
+
+CITY_LON = [-74.0060, -0.1278, 139.6503, -46.6333, 77.2090]
+CITY_LAT = [40.7128, 51.5074, 35.6762, -23.5505, 28.6139]
+
+# polygons with vertices off the 1e-4 geocode lattice (no boundary points)
+PIP_SQUARE = np.array(
+    [[-30.00005, -20.00005], [40.00005, -20.00005], [40.00005, 30.00005],
+     [-30.00005, 30.00005]]
+)
+PIP_TRIANGLE = np.array(
+    [[60.00005, 40.00005], [120.00005, 40.00005], [90.00005, 80.00005]]
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = 8
+    return (
+        _doc_tiles(spark, sf_dir, z)
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = 4
+    d = _doc_tiles(spark, sf_dir, z)
+    zv = d.select(
+        (F.col("tile_x") * F.lit(1 << z) + F.col("tile_y")).alias("zone"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    out = zonal.stats(zv)
+    return out.select(
+        "zone",
+        F.round("mean", 4).alias("mean"),
+        F.col("max"), F.col("min"),
+        F.col("sum"),
+        F.round("std", 4).alias("std"),
+        F.round("var", 4).alias("var"),
+        F.col("count"),
+        F.col("majority"),
+    )
+
+
+def q_zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = 3
+    d = _doc_tiles(spark, sf_dir, z)
+    zv = d.select(
+        (F.col("tile_x") * F.lit(1 << z) + F.col("tile_y")).alias("zone"),
+        F.col("lang").alias("cat"),
+    )
+    return zonal.crosstab(zv, cat_ids=["en", "de", "fr", "es", "zh"])
+
+
+def q_zonal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = 2
+    d = _doc_tiles(spark, sf_dir, z)
+    zv = d.select(
+        "doc_id",
+        (F.col("tile_x") * F.lit(1 << z) + F.col("tile_y")).alias("zone"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    return zonal.apply(zv, F.col("value") * 2, nodata=5).select("doc_id", "zone", "value")
+
+
+def q_zonal_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _events_raster(spark, sf_dir).withColumn(
+        "zone", (F.floor(F.col("y") / 20) * 5 + F.floor(F.col("x") / 20)).cast("long")
+    )
+    return zonal.crop(r, zones_ids=[7]).select("y", "x", "zone", "value")
+
+
+def q_classify_equal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _events_raster(spark, sf_dir)
+    out = classify.equal_interval(r, k=5, out_col="cls")
+    return out.groupBy("cls").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_classify_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _events_raster(spark, sf_dir)
+    out = classify.quantile(r, k=4, out_col="cls")
+    return out.groupBy("cls").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_classify_reclassify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_quantity").cast("double").alias("value")
+    )
+    out = classify.reclassify(li, bins=[10, 25, 50], new_values=[1, 2, 3], out_col="cls")
+    return out.groupBy("cls").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_classify_std_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _events_raster(spark, sf_dir)
+    out = classify.std_mean(r, out_col="cls")
+    return out.groupBy("cls").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_multispectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        (F.col("value") + 1.0).alias("nir"),
+        (F.col("value") / 2 + 2.0).alias("red"),
+        (F.col("value") / 3 + 3.0).alias("blue"),
+        (F.col("value") / 4 + 4.0).alias("green"),
+    )
+    return ev.select(
+        "event_id",
+        F.round(multispectral.normalized_ratio(F.col("nir"), F.col("red")), 6).alias("ndvi"),
+        F.round(multispectral.savi_expr(F.col("nir"), F.col("red")), 6).alias("savi"),
+        F.round(multispectral.arvi_expr(F.col("nir"), F.col("red"), F.col("blue")), 6).alias("arvi"),
+        F.round(multispectral.evi_expr(F.col("nir"), F.col("red"), F.col("blue")), 6).alias("evi"),
+        F.round(multispectral.gci_expr(F.col("nir"), F.col("green")), 6).alias("gci"),
+    )
+
+
+def q_local_cellstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("a"),
+        (F.col("l_discount") * 100).alias("b"),
+        (F.col("l_tax") * 100).alias("c"),
+    )
+    cols = ["a", "b", "c"]
+    out = local.cell_stats(li, cols, "median", out_col="med")
+    out = local.cell_stats(out, cols, "sum", out_col="total")
+    out = local.lowest_position(out, cols, out_col="lowpos")
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("med", 6).alias("med"),
+        F.round("total", 6).alias("total"),
+        F.col("lowpos"),
+    )
+
+
+def q_proximity_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    cities = spark.createDataFrame(
+        pd.DataFrame(
+            {"city": range(1, 6), "lon": CITY_LON, "lat": CITY_LAT}
+        ),
+        schema="city long, lon double, lat double",
+    ).select(F.col("city").cast("double").alias("city"), "lon", "lat")
+    out = proximity.nearest_broadcast(d, cities, target_payload="city")
+    return out.select(
+        "doc_id",
+        F.round("nearest_dist", 6).alias("dist"),
+        F.col("nearest_city").cast("long").alias("city"),
+    )
+
+
+def q_knn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    cities = spark.createDataFrame(
+        pd.DataFrame({"target_id": range(1, 6), "lon": CITY_LON, "lat": CITY_LAT}),
+        schema="target_id long, lon double, lat double",
+    )
+    # zoom 0 = one world cell: the ring join degenerates to exact kNN
+    out = proximity.knn_ring_join(d, cities, k=3, zoom=0, ring=0, point_id="doc_id")
+    return out.select(
+        "doc_id", "target_id", F.round("dist", 6).alias("dist"), "knn_rank"
+    )
+
+
+def q_surface_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _events_raster(spark, sf_dir)
+    out = surface.slope(r, 1.0, 1.0, compute_dtype=np.float64)
+    return out.filter(F.col("value").isNotNull()).select(
+        "y", "x", F.round("value", 6).alias("slope")
+    )
+
+
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _events_raster(spark, sf_dir)
+    out = focal.mean(r)
+    return out.select("y", "x", F.round("value", 6).alias("smoothed"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.token_count(t).alias("n_tokens"),
+        tx.word_token_count(t).alias("n_words"),
+        F.round(tx.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(tx.alpha_ratio(t), 6).alias("alpha_ratio"),
+        tx.fingerprint(t).alias("fingerprint"),
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(tx.langid(F.col("text")).alias("detected"))
+        .groupBy("detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # plant duplicates: re-add every 10th doc under a shifted id
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    groups = dedup.exact_duplicates(d.union(dup))
+    return groups.select(
+        F.element_at("doc_ids", 1).alias("first_id"),
+        F.element_at("doc_ids", -1).alias("last_id"),
+        "n_dups",
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    out = dedup.ngram_jaccard_pairs(d, k=5, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter("vec_id = 7").collect()[0]["embedding"]
+    out = similarity.cosine_topk_expr(emb, list(qvec), k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    out = pip.pip_join(d, {1: PIP_SQUARE, 2: PIP_TRIANGLE})
+    return out.select("doc_id", F.col("zone").cast("long").alias("zone"))
+
+
+# rows-only checks (non-SQL-expressible in a sane oracle): minhash LSH,
+# simhash, hotspots (class thresholds amplify 1-ulp into class flips)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dedup.minhash_dedup_pairs(
+        d.union(dup), threshold=0.8, num_hashes=64, bands=16
+    ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dedup.simhash_duplicates(d.union(dup)).select(
+        F.element_at("doc_ids", 1).alias("first_id"), "n_dups"
+    )
+
+
+def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _events_raster(spark, sf_dir)
+    kernel = np.array([[0.0, 1.0, 0.0], [1.0, 1.0, 1.0], [0.0, 1.0, 0.0]])
+    out = focal.hotspots(r, kernel, out_col="cls")
+    return out.groupBy("cls").agg(F.count(F.lit(1)).alias("n"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geocode + tile-assign the documents table, zonal stats
+    per tile joined with nearest-hot-city allocation counts."""
+    sf_dir = "/root/testdata/sf0.001"
+    tiles = q_tile_assign(spark, sf_dir)
+    return tiles.orderBy(F.desc("n_docs"), "tile_x", "tile_y")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tile_assign": q_tile_assign,
+        "zonal_stats": q_zonal_stats,
+        "zonal_crosstab": q_zonal_crosstab,
+        "zonal_apply": q_zonal_apply,
+        "zonal_crop": q_zonal_crop,
+        "classify_equal_interval": q_classify_equal_interval,
+        "classify_quantile": q_classify_quantile,
+        "classify_reclassify": q_classify_reclassify,
+        "classify_std_mean": q_classify_std_mean,
+        "multispectral": q_multispectral,
+        "local_cellstats": q_local_cellstats,
+        "proximity_nn": q_proximity_nn,
+        "knn3": q_knn3,
+        "surface_slope": q_surface_slope,
+        "focal_mean": q_focal_mean,
+        "text_stats": q_text_stats,
+        "langid": q_langid,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "window_events": q_window_events,
+        "similarity_topk": q_similarity_topk,
+        "pip_assign": q_pip_assign,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_groups": q_simhash_groups,
+        "hotspots": q_hotspots,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    z8x, z8y = _sql_tile_x(8), _sql_tile_y(8)
+    z4x, z4y = _sql_tile_x(4), _sql_tile_y(4)
+    z3x, z3y = _sql_tile_x(3), _sql_tile_y(3)
+    z2x, z2y = _sql_tile_x(2), _sql_tile_y(2)
+
+    docs_geo = f"SELECT doc_id, n_chars, lang, text, {SQL_LAT} AS lat, {SQL_LON} AS lon FROM documents"
+
+    city_dist = " , ".join(
+        f"sqrt((lon - ({CITY_LON[i]}))*(lon - ({CITY_LON[i]})) + "
+        f"(lat - ({CITY_LAT[i]}))*(lat - ({CITY_LAT[i]}))) AS d{i + 1}"
+        for i in range(5)
+    )
+
+    sq = PIP_SQUARE
+    tr = PIP_TRIANGLE
+
+    def _half_plane(p0, p1):
+        # cross((p1-p0), (pt-p0)) >= 0 for CCW interior
+        return (
+            f"(({p1[0]} - ({p0[0]})) * (lat - ({p0[1]})) - "
+            f"({p1[1]} - ({p0[1]})) * (lon - ({p0[0]}))) >= 0"
+        )
+
+    tri_test = " AND ".join(
+        _half_plane(tr[i], tr[(i + 1) % 3]) for i in range(3)
+    )
+
+    return {
+        "tile_assign": f"""
+            SELECT {z8x} AS tile_x, {z8y} AS tile_y,
+                   count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY 1, 2
+        """,
+        "zonal_stats": f"""
+            WITH zv AS (
+              SELECT ({z4x}) * 16 + ({z4y}) AS zone,
+                     CAST(n_chars AS DOUBLE) AS value
+              FROM documents
+            ),
+            stats AS (
+              SELECT zone, round(avg(value), 4) AS mean, max(value) AS max,
+                     min(value) AS min, sum(value) AS sum,
+                     round(stddev_pop(value), 4) AS std,
+                     round(var_pop(value), 4) AS var,
+                     count(value) AS count
+              FROM zv GROUP BY zone
+            ),
+            counts AS (
+              SELECT zone, value, count(*) AS c FROM zv GROUP BY 1, 2
+            ),
+            mj AS (
+              SELECT zone, value AS majority,
+                     row_number() OVER (PARTITION BY zone ORDER BY c DESC, value ASC) AS rn
+              FROM counts
+            )
+            SELECT s.zone, s.mean, s.max, s.min, s.sum, s.std, s.var, s.count,
+                   m.majority
+            FROM stats s JOIN mj m ON s.zone = m.zone AND m.rn = 1
+        """,
+        "zonal_crosstab": f"""
+            SELECT ({z3x}) * 8 + ({z3y}) AS zone,
+                   CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS "en",
+                   CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS "de",
+                   CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS "fr",
+                   CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS "es",
+                   CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS "zh"
+            FROM documents GROUP BY 1
+        """,
+        "zonal_apply": f"""
+            SELECT doc_id, ({z2x}) * 4 + ({z2y}) AS zone,
+                   CASE WHEN ({z2x}) * 4 + ({z2y}) <> 5
+                        THEN CAST(n_chars AS DOUBLE) * 2
+                        ELSE CAST(n_chars AS DOUBLE) END AS value
+            FROM documents
+        """,
+        "zonal_crop": f"""
+            WITH r AS ({SQL_EVENTS_RASTER}),
+            rz AS (
+              SELECT y, x,
+                     CAST(floor(y / 20) * 5 + floor(x / 20) AS BIGINT) AS zone,
+                     value
+              FROM r
+            ),
+            box AS (
+              SELECT min(y) y0, max(y) y1, min(x) x0, max(x) x1
+              FROM rz WHERE zone = 7
+            )
+            SELECT rz.y, rz.x, rz.zone, rz.value FROM rz, box
+            WHERE rz.y BETWEEN box.y0 AND box.y1 AND rz.x BETWEEN box.x0 AND box.x1
+        """,
+        "classify_equal_interval": """
+            WITH r AS (SELECT value FROM events),
+            mm AS (SELECT min(value) lo, max(value) hi,
+                          (max(value) - min(value)) / 5 AS w FROM r)
+            SELECT CASE WHEN value <= lo + w THEN 0.0
+                        WHEN value <= lo + 2*w THEN 1.0
+                        WHEN value <= lo + 3*w THEN 2.0
+                        WHEN value <= lo + 4*w THEN 3.0
+                        WHEN value <= hi THEN 4.0 END AS cls,
+                   count(*) AS n
+            FROM r, mm GROUP BY 1
+        """,
+        "classify_quantile": """
+            WITH r AS (SELECT value FROM events),
+            q AS (SELECT quantile_cont(value, 0.25) q1, quantile_cont(value, 0.5) q2,
+                         quantile_cont(value, 0.75) q3, quantile_cont(value, 1.0) q4
+                  FROM r)
+            SELECT CASE WHEN value <= q1 THEN 0.0
+                        WHEN value <= q2 THEN 1.0
+                        WHEN value <= q3 THEN 2.0
+                        WHEN value <= q4 THEN 3.0 END AS cls,
+                   count(*) AS n
+            FROM r, q GROUP BY 1
+        """,
+        "classify_reclassify": """
+            SELECT CASE WHEN l_quantity <= 10 THEN 1.0
+                        WHEN l_quantity <= 25 THEN 2.0
+                        WHEN l_quantity <= 50 THEN 3.0 END AS cls,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "classify_std_mean": """
+            WITH r AS (SELECT value FROM events),
+            s AS (SELECT avg(value) m, stddev_pop(value) sd, max(value) mx FROM r),
+            b AS (SELECT m - 2*sd AS b0, m - sd AS b1, m + sd AS b2,
+                         m + 2*sd AS b3, mx AS b4 FROM s)
+            SELECT CASE WHEN value <= b0 THEN 0.0
+                        WHEN value <= b1 THEN 1.0
+                        WHEN value <= b2 THEN 2.0
+                        WHEN value <= b3 THEN 3.0
+                        WHEN value <= b4 THEN 4.0 END AS cls,
+                   count(*) AS n
+            FROM r, b GROUP BY 1
+        """,
+        "multispectral": """
+            WITH b AS (
+              SELECT event_id, value + 1.0 AS nir, value/2 + 2.0 AS red,
+                     value/3 + 3.0 AS blue, value/4 + 4.0 AS green
+              FROM events
+            )
+            SELECT event_id,
+              round(CASE WHEN nir + red <> 0 THEN (nir - red)/(nir + red) END, 6) AS ndvi,
+              round(CASE WHEN (nir + red + 1.0) * 2.0 <> 0
+                         THEN (nir - red)/((nir + red + 1.0) * 2.0) END, 6) AS savi,
+              round(CASE WHEN nir + 2*red + blue <> 0
+                         THEN (nir - 2*red + blue)/(nir + 2*red + blue) END, 6) AS arvi,
+              round(CASE WHEN nir + 6.0*red - 7.5*blue + 1.0 <> 0
+                         THEN 2.5 * (nir - red)/(nir + 6.0*red - 7.5*blue + 1.0) END, 6) AS evi,
+              round(CASE WHEN green <> 0 THEN nir/green - 1.0 END, 6) AS gci
+            FROM b
+        """,
+        "local_cellstats": """
+            WITH t AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(l_quantity AS DOUBLE) AS a,
+                     l_discount * 100 AS b, l_tax * 100 AS c
+              FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   round(a + b + c - greatest(a, b, c) - least(a, b, c), 6) AS med,
+                   round(a + b + c, 6) AS total,
+                   CAST(CASE WHEN a <= b AND a <= c THEN 1
+                             WHEN b <= c THEN 2 ELSE 3 END AS DOUBLE) AS lowpos
+            FROM t
+        """,
+        "proximity_nn": f"""
+            WITH g AS ({docs_geo}),
+            d AS (SELECT doc_id, {city_dist} FROM g),
+            m AS (SELECT doc_id, d1, d2, d3, d4, d5,
+                         least(d1, d2, d3, d4, d5) AS dmin FROM d)
+            SELECT doc_id, round(dmin, 6) AS dist,
+                   CASE WHEN d1 = dmin THEN 1 WHEN d2 = dmin THEN 2
+                        WHEN d3 = dmin THEN 3 WHEN d4 = dmin THEN 4
+                        ELSE 5 END AS city
+            FROM m
+        """,
+        "knn3": f"""
+            WITH g AS ({docs_geo}),
+            c(target_id, clon, clat) AS (VALUES
+                (1, {CITY_LON[0]}, {CITY_LAT[0]}), (2, {CITY_LON[1]}, {CITY_LAT[1]}),
+                (3, {CITY_LON[2]}, {CITY_LAT[2]}), (4, {CITY_LON[3]}, {CITY_LAT[3]}),
+                (5, {CITY_LON[4]}, {CITY_LAT[4]})),
+            d AS (
+              SELECT doc_id, target_id,
+                     sqrt((lon - clon)*(lon - clon) + (lat - clat)*(lat - clat)) AS dist
+              FROM g CROSS JOIN c
+            ),
+            rk AS (
+              SELECT doc_id, target_id, dist,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                          ORDER BY dist ASC, target_id ASC) AS INT) AS knn_rank
+              FROM d
+            )
+            SELECT doc_id, CAST(target_id AS BIGINT) AS target_id,
+                   round(dist, 6) AS dist, knn_rank
+            FROM rk WHERE knn_rank <= 3
+        """,
+        "surface_slope": f"""
+            WITH r AS ({SQL_EVENTS_RASTER}),
+            nb AS (
+              SELECT a.y, a.x,
+                sum(CASE WHEN b.y = a.y + 1 AND b.x = a.x - 1 THEN b.value END) AS am,
+                sum(CASE WHEN b.y = a.y + 1 AND b.x = a.x     THEN b.value END) AS bm,
+                sum(CASE WHEN b.y = a.y + 1 AND b.x = a.x + 1 THEN b.value END) AS cm,
+                sum(CASE WHEN b.y = a.y     AND b.x = a.x - 1 THEN b.value END) AS dm,
+                sum(CASE WHEN b.y = a.y     AND b.x = a.x + 1 THEN b.value END) AS fm,
+                sum(CASE WHEN b.y = a.y - 1 AND b.x = a.x - 1 THEN b.value END) AS gm,
+                sum(CASE WHEN b.y = a.y - 1 AND b.x = a.x     THEN b.value END) AS hm,
+                sum(CASE WHEN b.y = a.y - 1 AND b.x = a.x + 1 THEN b.value END) AS im,
+                count(*) AS cnt
+              FROM r a JOIN r b
+                ON b.y BETWEEN a.y - 1 AND a.y + 1 AND b.x BETWEEN a.x - 1 AND a.x + 1
+              GROUP BY a.y, a.x
+            )
+            SELECT y, x,
+                   round(atan(sqrt(
+                     pow(((cm + 2*fm + im) - (am + 2*dm + gm)) / 8.0, 2) +
+                     pow(((gm + 2*hm + im) - (am + 2*bm + cm)) / 8.0, 2)
+                   )) * 57.29578, 6) AS slope
+            FROM nb WHERE cnt = 9
+        """,
+        "focal_mean": f"""
+            WITH r AS ({SQL_EVENTS_RASTER})
+            SELECT a.y, a.x, round(avg(b.value), 6) AS smoothed
+            FROM r a JOIN r b
+              ON b.y BETWEEN a.y - 1 AND a.y + 1 AND b.x BETWEEN a.x - 1 AND a.x + 1
+            GROUP BY a.y, a.x
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+              CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_tokens,
+              CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_words,
+              round(CASE WHEN length(text) > 0 THEN
+                CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+              round(CASE WHEN length(text) > 0 THEN
+                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / length(text) ELSE 0.0 END, 6) AS alpha_ratio,
+              {tx.fingerprint_sql('text')} AS fingerprint
+            FROM documents
+        """,
+        "langid": _langid_oracle(),
+        "dedup_exact": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+            ),
+            g AS (
+              SELECT text, count(*) AS n_dups, min(doc_id) AS first_id,
+                     max(doc_id) AS last_id
+              FROM u GROUP BY text HAVING count(*) > 1
+            )
+            SELECT first_id, last_id, n_dups FROM g
+        """,
+        "ngram_jaccard": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+            idx AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+              FROM d
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS s
+              FROM idx
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.4
+        """,
+        "window_events": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+                   event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 7),
+            s AS (
+              SELECT vec_id,
+                     list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS cos
+              FROM embeddings, q
+            )
+            SELECT vec_id, round(cos, 6) AS cosine
+            FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "pip_assign": f"""
+            WITH g AS ({docs_geo})
+            SELECT doc_id,
+              CASE WHEN lon > {sq[0][0]} AND lon < {sq[1][0]}
+                    AND lat > {sq[0][1]} AND lat < {sq[2][1]} THEN 1
+                   WHEN {tri_test} THEN 2
+              END AS zone
+            FROM g
+        """,
+    }
+
+
+def _langid_oracle() -> str:
+    hit_cols = []
+    for lg, words in tx.STOPWORDS.items():
+        parts = " + ".join(
+            f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in words
+        )
+        hit_cols.append(f"({parts}) AS h_{lg}")
+    hits = ", ".join(hit_cols)
+    langs = list(tx.STOPWORDS)
+    cases = []
+    for i, lg in enumerate(langs):
+        conds = " AND ".join(
+            f"h_{lg} >= h_{other}" for other in langs[i + 1:]
+        ) or "TRUE"
+        prior = " AND ".join(f"h_{lg} > h_{other}" for other in langs[:i])
+        if prior:
+            conds = f"{prior} AND {conds}"
+        cases.append(f"WHEN {conds} THEN '{lg}'")
+    case_sql = " ".join(cases)
+    return f"""
+        WITH h AS (SELECT doc_id, {hits} FROM documents),
+        det AS (
+          SELECT CASE WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0
+                       AND h_zh = 0 THEN 'und'
+                      {case_sql} END AS detected
+          FROM h
+        )
+        SELECT detected, count(*) AS n FROM det GROUP BY detected
     """
-    return {}

@@ -1,0 +1,142 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "docs_per_sec": ...}
+
+Headline metric: the north-star spatial-join + tile-assignment
+pipeline (synthesize docs -> geocode -> Morton cell + tile assign ->
+point-in-polygon zone join -> per-tile zonal aggregate), reported as
+wall seconds with docs/sec alongside.  Representative operator
+queries from __spark_entry__ are timed individually at
+$SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_DOCS (default 2_000_000 headline docs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from xarray_spatial_spark import get_spark
+from xarray_spatial_spark.operators import zonal
+from xarray_spatial_spark.operators.pip import pip_join
+from xarray_spatial_spark.operators.tiling import assign_cells
+from xarray_spatial_spark.sources.documents import documents
+
+BENCH_QUERIES = [
+    "tile_assign",
+    "zonal_stats",
+    "zonal_crosstab",
+    "classify_quantile",
+    "multispectral",
+    "local_cellstats",
+    "proximity_nn",
+    "knn3",
+    "surface_slope",
+    "focal_mean",
+    "text_stats",
+    "langid",
+    "dedup_exact",
+    "minhash_pairs",
+    "window_events",
+    "similarity_topk",
+    "pip_assign",
+]
+
+# a 12-polygon world: rough continental boxes + triangles (vertices off
+# the geocode lattice)
+def _world_polygons() -> dict[int, np.ndarray]:
+    rng = np.random.default_rng(99)
+    polys = {}
+    centers = [(-100, 45), (-60, -15), (15, 50), (25, 5), (80, 25), (115, 35),
+               (135, -25), (-150, 62), (40, 55), (-75, 5), (100, 60), (-10, 15)]
+    for i, (cx, cy) in enumerate(centers, start=1):
+        w = float(rng.uniform(8, 25))
+        h = float(rng.uniform(6, 18))
+        polys[i] = np.array(
+            [
+                [cx - w + 0.00005, cy - h + 0.00005],
+                [cx + w + 0.00005, cy - h + 0.00005],
+                [cx + w + 0.00005, cy + h + 0.00005],
+                [cx - w + 0.00005, cy + h + 0.00005],
+            ]
+        )
+    return polys
+
+
+def headline_pipeline(spark, n_docs: int) -> tuple[float, int]:
+    """The north-star job: docs -> geocode -> cell/tile assign -> PIP
+    zone join -> per-tile stats.  Returns (seconds, rows_out)."""
+    t0 = time.time()
+    docs = documents(spark, n_docs, skew=True)
+    # narrow BEFORE the Python stage: the heavy html/text bytes reduce
+    # to one int inside the JVM scan and never cross into Arrow
+    narrow = docs.select(
+        "doc_id", "lon", "lat", F.length("text").alias("n_chars")
+    )
+    tiled = assign_cells(narrow, zoom=12, tile_zoom=5)  # JVM bit-op path
+    zoned = pip_join(tiled, _world_polygons())
+    per_tile = (
+        zoned.groupBy("tile_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count("zone").alias("n_in_zones"),
+            F.approx_count_distinct("cell_id").alias("n_cells"),
+        )
+    )
+    rows = per_tile.count()
+    return time.time() - t0, rows
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "2000000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    # warm the JVM/Arrow paths once
+    documents(spark, 10_000).count()
+
+    head_sec, _ = headline_pipeline(spark, n_docs)
+    docs_per_sec = n_docs / head_sec
+
+    qtimes: dict[str, float] = {}
+    qs = entry.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    total = round(head_sec + sum(qtimes.values()), 3)
+    out = {
+        "metric": "spatial-join+tile-assignment pipeline + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": {"headline_pipeline": round(head_sec, 3), **qtimes},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "headline_docs": n_docs,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

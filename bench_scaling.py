@@ -1,0 +1,89 @@
+"""N vs 4N scaling-efficiency benchmark (north rule).
+
+Runs the identical headline spatial-join + tile-assignment job via
+``spark-submit --py-files`` style subprocesses (fresh JVM each) at
+local[N] and local[4N] on the same input size, and writes
+BENCH/BASELINE.md with docs/sec at both plus
+efficiency = (throughput_4N / throughput_N) / 4.
+
+Usage: python bench_scaling.py [--docs 4000000] [--n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from xarray_spatial_spark import get_spark
+from bench import headline_pipeline
+spark = get_spark("scale-bench", master="local[{cpus}]", shuffle_partitions={cpus})
+from xarray_spatial_spark.sources.documents import documents
+documents(spark, 10000).count()  # warm
+sec, rows = headline_pipeline(spark, {docs})
+print("RESULT " + json.dumps({{"cpus": {cpus}, "sec": sec, "rows": rows}}))
+spark.stop()
+"""
+
+
+def run_at(cpus: int, docs: int) -> dict:
+    code = CHILD.format(repo=str(REPO), cpus=cpus, docs=docs)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=3600,
+        cwd=str(REPO),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=4_000_000)
+    ap.add_argument("--n", type=int, default=8)
+    args = ap.parse_args()
+
+    r_n = run_at(args.n, args.docs)
+    r_4n = run_at(args.n * 4, args.docs)
+    tp_n = args.docs / r_n["sec"]
+    tp_4n = args.docs / r_4n["sec"]
+    eff = (tp_4n / tp_n) / 4
+
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    md = f"""# BENCH/BASELINE.md — N vs 4N scaling (sandbox protocol)
+
+Headline job: synthesize {args.docs:,} Common-Crawl-style docs ->
+geocode -> Morton cell (z12) + tile (z5) assignment -> broadcast
+point-in-polygon zone join (12 polygons) -> per-tile zonal aggregate.
+Identical input and code at both parallelism levels; fresh JVM per run
+(subprocess = the spark-submit analog in this sandbox; no real
+multi-executor cluster available).
+
+| parallelism | wall sec | docs/sec |
+|---|---|---|
+| local[{args.n}] (N) | {r_n['sec']:.2f} | {tp_n:,.0f} |
+| local[{args.n * 4}] (4N) | {r_4n['sec']:.2f} | {tp_4n:,.0f} |
+
+**Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**
+(target >= 0.8 per BASELINE.json)
+
+Reference single-node anchors (BASELINE.md): slope ~6.2e7 cells/s/core,
+hillshade ~2.6e7 cells/s/core (numpy, 1 thread).
+"""
+    (bench_dir / "BASELINE.md").write_text(md)
+    print(json.dumps({"n": args.n, "tp_n": tp_n, "tp_4n": tp_4n, "efficiency": eff}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Similarity search over the driver's embeddings table: broadcast
+top-k vs numpy oracle, expression top-k parity, IVF recall."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_spatial_spark.functions import similarity as sim
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _numpy_topk(pdf, qvec, k):
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    sims = (mat @ qvec) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qvec))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -sims))
+    return pdf["vec_id"].to_numpy()[order[:k]], np.sort(sims)[::-1][:k]
+
+
+def test_topk_expr_matches_numpy(emb):
+    pdf = emb.toPandas()
+    q = np.asarray(pdf["embedding"][7], dtype=np.float64)
+    got = sim.cosine_topk_expr(emb, list(q), k=5).collect()
+    want_ids, want_sims = _numpy_topk(pdf, q, 5)
+    assert [r["vec_id"] for r in got] == list(want_ids)
+    np.testing.assert_allclose([r["cosine"] for r in got], want_sims, rtol=1e-7)
+    assert got[0]["vec_id"] == 7 and got[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_topk_broadcast_matches_expr(spark, emb):
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).filter("query_id % 100 = 3")
+    got = sim.cosine_topk_broadcast(emb, queries, k=5)
+    gpdf = got.toPandas()
+    pdf = emb.toPandas()
+    for qid in gpdf["query_id"].unique():
+        q = np.asarray(pdf.loc[pdf.vec_id == qid, "embedding"].iloc[0], dtype=np.float64)
+        want_ids, _ = _numpy_topk(pdf, q, 5)
+        rows = gpdf[gpdf.query_id == qid].sort_values("rank")
+        assert list(rows["vec_id"]) == list(want_ids)
+
+
+def test_topk_broadcast_parallelism_invariant(spark, emb):
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").limit(3)
+    a = sim.cosine_topk_broadcast(emb.repartition(1), queries, k=4).collect()
+    b = sim.cosine_topk_broadcast(emb.repartition(7), queries, k=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_ivf_recall(spark, emb):
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).filter("query_id % 100 = 3")
+    exact = sim.cosine_topk_broadcast(emb, queries, k=5).toPandas()
+    # full probe = exact
+    full = sim.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        full.sort_values(key)["vec_id"].tolist()
+        == exact.sort_values(key)["vec_id"].tolist()
+    )
+    # partial probe: top-1 recall should be decent, result well-formed
+    part = sim.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3).toPandas()
+    top1 = part[part["rank"] == 1].set_index("query_id")["vec_id"]
+    etop1 = exact[exact["rank"] == 1].set_index("query_id")["vec_id"]
+    recall = (top1.reindex(etop1.index) == etop1).mean()
+    assert recall >= 0.5

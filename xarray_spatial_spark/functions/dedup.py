@@ -1,0 +1,350 @@
+"""Deduplication for web-scale corpora — exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (100 TB, 10^12 docs):
+
+- exact: hash-groupBy on xxhash64(text) — the shuffle carries 8-byte
+  keys, never the text; partial counts combine map-side.
+- n-gram Jaccard: shingle inverted index self-join; the join key is an
+  8-byte shingle hash; candidate pruning by requiring >= 1 shared
+  shingle before the exact Jaccard is computed from intersection
+  counts (no per-pair re-scan of text).
+- MinHash+LSH: one explode pass computes all m signature slots from a
+  single xxhash64 per shingle via m affine permutations ((a_i * h +
+  b_i) mod p) — m aggregates in one groupBy; banding turns candidate
+  generation into an equi-join on (band, band_hash), the classic
+  sub-quadratic path.
+- SimHash: 64-bit sign-sum of token hashes in a vectorized pandas UDF;
+  near-dups = equal simhash (or banded Hamming buckets).
+- embedding cosine: random-hyperplane LSH buckets (deterministic
+  seeded planes), exact cosine verify inside buckets.
+
+All randomness is fixed-seed constants — identical output at any
+parallelism, the determinism rule of the whole engine.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^31-1 (prime). Keeping the permutation domain at 31 bits makes
+# a*h+b < 2^62, inside int64 under ANSI overflow checking (Spark 4
+# default) — no try_multiply, no silent wraparound.
+MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_constants(m: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE31 - 1, m, dtype=np.int64)
+    b = rng.integers(0, MERSENNE31 - 1, m, dtype=np.int64)
+    return a, b
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_dups, doc_ids
+    sorted).  Only hashes shuffle."""
+    return (
+        df.select(F.xxhash64(text_col).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def distinct_by_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (smallest id) per distinct text —
+    the dedup *apply* step."""
+    w = Window.partitionBy(F.xxhash64(text_col)).orderBy(F.col(id_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, k: int = 5, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct character k-shingles per doc: (id, shingle)."""
+    n = F.length(text_col) - (k - 1)
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(0)))
+    return (
+        df.select(F.col(id_col), F.explode(idx).alias("_i"),
+                  F.col(text_col).alias("_t"))
+        .select(id_col, F.substring(F.col("_t"), F.col("_i"), k).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    k: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with character-k-gram Jaccard >= threshold.
+
+    inverted-index self-join: |intersection| from a groupBy on the
+    shingle join, |union| = |A| + |B| - |intersection|.  Join keys are
+    hashed shingles (8 bytes)."""
+    sh = shingles(df, k, text_col, id_col).select(
+        F.col(id_col).alias("_id"), F.xxhash64("shingle").alias("_sh")
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = sh.select(F.col("_id").alias("id_a"), "_sh")
+    b = sh.select(F.col("_id").alias("id_b"), "_sh")
+    inter = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — min over shingles of m
+    affine permutations of one xxhash64."""
+    a, b = _perm_constants(num_hashes, seed)
+    sh = shingles(df, k, text_col, id_col).select(
+        id_col, F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE31)).alias("_h")
+    )
+    mins = [
+        F.min(F.pmod(F.col("_h") * F.lit(int(a[i])) + F.lit(int(b[i])),
+                     F.lit(MERSENNE31))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banding: equal band-slice -> candidate pair.  Returns distinct
+    (id_a, id_b) with the number of agreeing bands."""
+    num_hashes = sigs.select(F.size("sig")).limit(1).collect()[0][0]
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(F.slice("sig", i * r + 1, r).cast("string")).alias(
+                            "bh"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "_b.band", "_b.bh")
+    x = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    y = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        x.join(y, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified by signature-estimated Jaccard
+    (fraction of agreeing minhash slots)."""
+    sigs = minhash_signatures(df, num_hashes, k, text_col, id_col)
+    cands = minhash_lsh_candidates(sigs, bands, id_col)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_siga"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sigb"))
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("_siga", "_sigb", lambda x, y: x == y),
+                            lambda v: v))
+            / F.lit(float(num_hashes)),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", "est_jaccard", "n_bands"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (vectorized numpy inside
+    mapInPandas; one pass, no shuffle)."""
+    schema = f"{id_col} long, simhash long"
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out_ids = pdf[id_col].to_numpy()
+            hashes = np.zeros(len(pdf), dtype=np.int64)
+            for i, txt in enumerate(pdf[text_col].fillna("")):
+                toks = txt.split()
+                if not toks:
+                    continue
+                # FNV-1a per token, vectorized accumulate over bit planes
+                hv = np.array(
+                    [_fnv1a64(t) for t in toks], dtype=np.uint64
+                )
+                planes = ((hv[:, None] >> bits[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                acc = (2 * planes - 1).sum(axis=0)
+                hbits = (acc > 0).astype(np.uint64)
+                hashes[i] = int((hbits << bits).sum(dtype=np.uint64).astype(np.int64))
+            yield pd.DataFrame({id_col: out_ids, "simhash": hashes})
+
+    return df.select(id_col, text_col).mapInPandas(_op, schema=schema)
+
+
+def _fnv1a64(s: str) -> np.uint64:
+    h = np.uint64(0xCBF29CE484222325)
+    for byte in s.encode("utf-8"):
+        h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def simhash_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs whose 64-bit simhash collides exactly (near-identical token
+    multisets)."""
+    s = simhash(df, text_col, id_col)
+    return (
+        s.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_dups"),
+             F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (random hyperplane LSH + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Pairs with cosine >= threshold.  Random-hyperplane signature
+    buckets candidates (equal signature); exact cosine verifies.
+    For near-dup thresholds (cos ~ 1) equal-signature bucketing has
+    high recall; the plane set is deterministic."""
+    if dim is None:
+        dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(planes)
+
+    schema = f"{id_col} long, sig long, norm double, vec array<float>"
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = bc.value
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy())
+            proj = vecs @ p.T > 0
+            sig = (proj.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(
+                axis=1
+            ).astype(np.int64)
+            norm = np.linalg.norm(vecs, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "sig": sig,
+                    "norm": norm,
+                    "vec": list(vecs),
+                }
+            )
+
+    sigs = df.select(id_col, vec_col).mapInPandas(_sig, schema=schema)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig"),
+                    F.col("norm").alias("_na"), F.col("vec").alias("_va"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig"),
+                    F.col("norm").alias("_nb"), F.col("vec").alias("_vb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

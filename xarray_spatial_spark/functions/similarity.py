@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring the broadcast-vs-shuffle duality of the
+proximity family:
+
+- ``cosine_topk_broadcast``: queries collected + broadcast; one
+  vectorized matmul pass over the corpus (mapInPandas), per-batch
+  running top-k merge on the way out.  Zero shuffles; the baseline
+  exact path.
+- ``ivf_topk``: IVF-style scale path — deterministic centroid sample,
+  corpus bucketed by nearest centroid (one pass), queries probe the
+  ``n_probe`` nearest buckets only; exact cosine within buckets via an
+  equi-join on the centroid id.  Recall -> 1 as n_probe grows; exact
+  when n_probe = n_centroids.
+
+Also ``cosine_topk_expr``: a pure-expression brute force (explode-free
+zip_with dot product vs a literal query vector) used for
+oracle-checkable single-query top-k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(vec_col: str, query: list[float]) -> Column:
+    """Cosine similarity of an array column against a literal vector —
+    JVM-side zip_with/aggregate, no UDF."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda a, v: a + v.cast("double") * v
+        )
+    )
+    nq = float(np.linalg.norm(query))
+    return dot / (nv * F.lit(nq))
+
+
+def cosine_topk_expr(
+    df: DataFrame, query: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k for ONE query vector, fully Catalyst (sortable,
+    oracle-checkable).  Ties break by id."""
+    return (
+        df.select(F.col(id_col), cosine_expr(vec_col, query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_topk_broadcast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact top-k per query: broadcast all queries, matmul per Arrow
+    batch, merge per-partition top-k with a final narrow window."""
+    sc = corpus.sparkSession.sparkContext
+    qpdf = queries.select(query_id, vec_col).toPandas()
+    qids = qpdf[query_id].to_numpy()
+    qmat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bc = sc.broadcast((qids, qmat, qnorm))
+
+    schema = f"{query_id} long, {id_col} long, cosine double"
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, qm, qn = bc.value
+        best: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (vecs @ qm.T) / (norms[:, None] * qn[None, :])
+            cids = pdf[id_col].to_numpy()
+            # per-query partial top-k within this batch
+            kk = min(k, sims.shape[0])
+            top_idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            for j in range(sims.shape[1]):
+                rows = top_idx[:, j]
+                prev = best.get(j)
+                cand = np.stack([sims[rows, j], cids[rows]], axis=1)
+                best[j] = cand if prev is None else np.vstack([prev, cand])
+                if len(best[j]) > 4 * k:
+                    keep = np.argpartition(-best[j][:, 0], k - 1)[:k]
+                    best[j] = best[j][keep]
+        out_q, out_id, out_c = [], [], []
+        for j, arr in best.items():
+            keep = arr[np.argsort(-arr[:, 0])][:k]
+            out_q.extend([ids_q[j]] * len(keep))
+            out_id.extend(keep[:, 1].astype(np.int64))
+            out_c.extend(keep[:, 0])
+        yield pd.DataFrame({query_id: out_q, id_col: out_id, "cosine": out_c})
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(_op, schema=schema)
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )
+
+
+def _centroids(corpus: DataFrame, n_centroids: int, vec_col: str, id_col: str):
+    """Deterministic centroid pick: the n lowest xxhash64(id) vectors —
+    a seedless reproducible sample (stand-in for k-means; the bucketing
+    contract only needs a fixed, well-spread set)."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 61)))
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: corpus partitioned once by
+    nearest centroid; each query probes its n_probe nearest buckets."""
+    cents = _centroids(corpus, n_centroids, vec_col, id_col)
+    cnorm = np.linalg.norm(cents, axis=1)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((cents, cnorm))
+
+    def _assign(probe: int, out_name: str):
+        schema_a = f"_tmp_id long, {out_name} array<int>"
+
+        def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c, cn = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+                norms = np.linalg.norm(vecs, axis=1)
+                norms[norms == 0] = 1.0
+                sims = (vecs @ c.T) / (norms[:, None] * cn[None, :])
+                order = np.argsort(-sims, axis=1)[:, :probe].astype(np.int32)
+                yield pd.DataFrame(
+                    {"_tmp_id": pdf.iloc[:, 0].to_numpy(), out_name: list(order)}
+                )
+
+        return _op, schema_a
+
+    op_c, sch_c = _assign(1, "bucket")
+    corpus_b = (
+        corpus.select(F.col(id_col).alias("_tmp_id"), vec_col)
+        .mapInPandas(op_c, schema=sch_c)
+        .select(F.col("_tmp_id").alias(id_col), F.element_at("bucket", 1).alias("bucket"))
+        .join(corpus.select(id_col, vec_col), id_col)
+    )
+    op_q, sch_q = _assign(n_probe, "buckets")
+    queries_b = (
+        queries.select(F.col(query_id).alias("_tmp_id"), vec_col)
+        .mapInPandas(op_q, schema=sch_q)
+        .select(F.col("_tmp_id").alias(query_id), F.explode("buckets").alias("bucket"))
+        .join(queries.select(query_id, F.col(vec_col).alias("_qvec")), query_id)
+    )
+    joined = corpus_b.join(queries_b, "bucket")
+    dot = F.aggregate(
+        F.zip_with(vec_col, "_qvec", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    nv = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, v: a + v * v))
+    nq = F.sqrt(F.aggregate(F.col("_qvec"), F.lit(0.0), lambda a, v: a + v * v))
+    scored = joined.withColumn("cosine", dot / (nv * nq))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )

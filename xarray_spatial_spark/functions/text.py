@@ -1,0 +1,148 @@
+"""Text analysis for web-scale training-data pipelines — all
+Catalyst-native expressions (JVM, codegen'd), designed for the
+``documents`` payload table (input_hint).
+
+Components: token counting (whitespace + regex word-ish), quality
+scoring (length / punctuation / stopword / alpha ratios), language ID
+(stopword-hit heuristic over a fixed per-language lexicon), and
+document fingerprinting (rolling polynomial hash over tokens).
+
+Everything is a pure function of the text column: identical results at
+any parallelism, and each has a direct ANSI-SQL equivalent for oracle
+checking (modular arithmetic instead of native hashes where the oracle
+must agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lexicons (public common function words).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "es", "en", "por", "para", "una"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+# largest prime < 2^53: h*131 + c < 2^63 under ANSI overflow checking,
+# and the value survives a float64 round-trip (JSON/Arrow safety)
+FP_PRIME = 9007199254740881
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish regex count: word runs + standalone punctuation, the
+    usual pre-tokenizer shape."""
+    return F.regexp_count(text, F.lit(r"\w+|[^\w\s]"))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: Column) -> Column:
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """Number of stopword occurrences (word-boundary matches)."""
+    hits = None
+    for w in STOPWORDS[lang]:
+        h = F.regexp_count(text, F.lit(rf"\b{w}\b"))
+        hits = h if hits is None else hits + h
+    return hits
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    n = token_count(text)
+    return F.when(n > 0, stopword_hits(text, lang) / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column, lang: str = "en") -> Column:
+    """Composite [0, 1] quality heuristic: favors mid-length documents
+    with low punctuation density, healthy stopword rate, and plausible
+    word lengths — the standard cheap pre-filter shape for web text."""
+    n_tok = token_count(text)
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - 4.0 * punct_ratio(text))
+    stop_score = F.least(F.lit(4.0) * stopword_ratio(text, lang), F.lit(1.0))
+    mwl = mean_word_length(text)
+    wl_score = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.25))
+    return (len_score + punct_score + stop_score + wl_score) / 4.0
+
+
+def langid_scores(text: Column) -> list[Column]:
+    """Per-language stopword-hit counts (aliased hits_<lang>)."""
+    return [stopword_hits(text, lg).alias(f"hits_{lg}") for lg in STOPWORDS]
+
+
+def langid(text: Column) -> Column:
+    """Most-hit language; ties break by lexicon order; no hits -> 'und'."""
+    pairs = F.array(
+        *[
+            F.struct(
+                (-stopword_hits(text, lg)).alias("neg"),
+                F.lit(i).alias("ord"),
+                F.lit(lg).alias("lang"),
+            )
+            for i, lg in enumerate(STOPWORDS)
+        ]
+    )
+    best = F.array_min(pairs)
+    return F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling hash over tokens:
+    h = (h * 131 + ascii(first char) * 31 + len(token)) mod FP_PRIME.
+    Pure modular arithmetic -> bit-identical in any SQL engine."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda h, t: F.pmod(
+            h * F.lit(131) + F.ascii(t) * F.lit(31) + F.length(t), F.lit(FP_PRIME)
+        ),
+    )
+
+
+def fingerprint_sql(text_expr: str) -> str:
+    """The identical fingerprint as DuckDB SQL: map tokens to their
+    numeric contribution, then fold with a prepended 0 as the initial
+    accumulator (DuckDB list_reduce seeds from the first element)."""
+    toks = (
+        f"CASE WHEN trim({text_expr}) = '' THEN []::VARCHAR[] "
+        f"ELSE string_split_regex(trim({text_expr}), '\\s+') END"
+    )
+    vals = f"list_transform({toks}, t -> CAST(ascii(t) * 31 + length(t) AS BIGINT))"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {vals}), "
+        f"(h, x) -> (h * 131 + x) % {FP_PRIME})"
+    )

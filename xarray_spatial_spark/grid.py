@@ -201,6 +201,40 @@ def tile_y_col(lat: Column, zoom: int) -> Column:
     return F.least(F.greatest(yt, F.lit(0)), F.lit(int(n) - 1)).cast("long")
 
 
+def _part1by1_col(v: Column) -> Column:
+    """Column-expression Morton bit-spread — same constants as the
+    numpy `_part1by1`; ~12 codegen'd bit ops, no Python."""
+    v = v.bitwiseAND(F.lit(0x0FFFFFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x3333333333333333))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x5555555555555555))
+    return v
+
+
+def cell_col(lon: Column, lat: Column, zoom: int) -> Column:
+    """Fully JVM-native packed cell id — identical bits to numpy
+    ``cell_of`` but whole-stage-codegen (the production hot path;
+    the pandas-UDF path in operators/tiling.py is the parity twin)."""
+    if not 0 <= zoom <= MAX_ZOOM:
+        raise ValueError(f"zoom must be in [0, {MAX_ZOOM}]")
+    xt = tile_x_col(lon, zoom)
+    yt = tile_y_col(lat, zoom)
+    m = _part1by1_col(xt).bitwiseOR(F.shiftleft(_part1by1_col(yt), 1))
+    return F.lit(zoom << _ZOOM_SHIFT).bitwiseOR(m)
+
+
+def parent_col(cell: Column, cell_zoom: int, parent_zoom: int) -> Column:
+    """JVM-native ancestor cell — two shifts and an OR."""
+    if parent_zoom > cell_zoom:
+        raise ValueError("parent_zoom must be <= cell zoom")
+    m = cell.bitwiseAND(F.lit((1 << _ZOOM_SHIFT) - 1))
+    return F.lit(parent_zoom << _ZOOM_SHIFT).bitwiseOR(
+        F.shiftrightunsigned(m, 2 * (cell_zoom - parent_zoom))
+    )
+
+
 def flat_cell_col(lon: Column, lat: Column, zoom: int) -> Column:
     """Non-Morton packed id ``xt * 2^z + yt`` — simple arithmetic so the
     identical formula runs in any ANSI-SQL oracle (DuckDB parity)."""

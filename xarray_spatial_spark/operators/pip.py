@@ -1,0 +1,127 @@
+"""Point-in-polygon join — zone assignment for geocoded documents.
+
+The reference's zones raster (zonal.py:451-456) generalizes here to a
+polygon set; assignment is a **broadcast spatial join**:
+
+1. Polygons (vertex arrays) are packed into numpy and broadcast
+   together with a driver-built STR-style index: each polygon's bbox
+   plus a coarse cell -> candidate-polygon map at ``index_zoom`` (the
+   role an R-tree plays; grid-bucketed, built from scratch — no deps).
+2. One ``mapInPandas`` pass: points look up their index cell,
+   bbox-filter the candidates, then run a vectorized ray-casting test
+   (even-odd rule) against only those polygons.  Zero shuffles.
+
+Edge semantics: boundary points follow the standard ray-casting
+half-open convention; first matching polygon in ascending zone order
+wins on overlap (deterministic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xarray_spatial_spark import grid
+
+
+class PolygonSet:
+    """Driver-side packed polygons + grid-bucketed candidate index."""
+
+    def __init__(self, polygons: dict[int, np.ndarray], index_zoom: int = 6):
+        self.zones = np.array(sorted(polygons), dtype=np.int64)
+        self.verts = {int(z): np.asarray(polygons[z], dtype=np.float64) for z in self.zones}
+        self.bbox = {
+            int(z): (v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max())
+            for z, v in self.verts.items()
+        }
+        self.index_zoom = index_zoom
+        # rasterize bboxes onto coarse cells -> candidate lists
+        self.index: dict[int, list[int]] = {}
+        n = 1 << index_zoom
+        for z in self.zones:
+            lon0, lat0, lon1, lat1 = self.bbox[int(z)]
+            x0, y1 = grid.lnglat_to_tile(np.array([lon0]), np.array([lat0]), index_zoom)
+            x1, y0 = grid.lnglat_to_tile(np.array([lon1]), np.array([lat1]), index_zoom)
+            for xt in range(int(x0[0]), int(x1[0]) + 1):
+                for yt in range(int(y0[0]), int(y1[0]) + 1):
+                    key = int(xt) * n + int(yt)
+                    self.index.setdefault(key, []).append(int(z))
+
+
+def _ray_cast(px: np.ndarray, py: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd point-in-polygon for a batch of points
+    against ONE polygon (verts: (V, 2) lon/lat, closed or open)."""
+    x1 = verts[:, 0]
+    y1 = verts[:, 1]
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    inside = np.zeros(len(px), dtype=bool)
+    for i in range(len(verts)):
+        xi, yi, xj, yj = x1[i], y1[i], x2[i], y2[i]
+        cond = (yi > py) != (yj > py)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            xints = (xj - xi) * (py - yi) / (yj - yi) + xi
+        inside ^= cond & (px < xints)
+    return inside
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: dict[int, np.ndarray],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    zone_col: str = "zone",
+    index_zoom: int = 6,
+) -> DataFrame:
+    """Assign each point the id of the (first) polygon containing it;
+    NULL when none does."""
+    pset = PolygonSet(polygons, index_zoom)
+    sc = points.sparkSession.sparkContext
+    bc = sc.broadcast(pset)
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in points.schema)
+    schema += f", {zone_col} double"
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ps: PolygonSet = bc.value
+        n = 1 << ps.index_zoom
+        for pdf in batches:
+            px = pdf[lon_col].to_numpy(np.float64)
+            py = pdf[lat_col].to_numpy(np.float64)
+            out = np.full(len(pdf), np.nan)
+            if len(pdf):
+                xt, yt = grid.lnglat_to_tile(px, py, ps.index_zoom)
+                keys = xt * n + yt
+                # group points by index cell, test candidates per group
+                order = np.argsort(keys, kind="stable")
+                sorted_keys = keys[order]
+                bounds = np.flatnonzero(
+                    np.r_[True, sorted_keys[1:] != sorted_keys[:-1]]
+                )
+                for s, e in zip(bounds, np.r_[bounds[1:], len(sorted_keys)]):
+                    cands = ps.index.get(int(sorted_keys[s]), [])
+                    if not cands:
+                        continue
+                    idx = order[s:e]
+                    gx, gy = px[idx], py[idx]
+                    unassigned = np.ones(len(idx), dtype=bool)
+                    for z in cands:  # ascending zone id -> deterministic
+                        if not unassigned.any():
+                            break
+                        lon0, lat0, lon1, lat1 = ps.bbox[z]
+                        cand_mask = unassigned & (
+                            (gx >= lon0) & (gx <= lon1) & (gy >= lat0) & (gy <= lat1)
+                        )
+                        if not cand_mask.any():
+                            continue
+                        hit = _ray_cast(gx[cand_mask], gy[cand_mask], ps.verts[z])
+                        where = np.flatnonzero(cand_mask)[hit]
+                        out[idx[where]] = float(z)
+                        unassigned[np.flatnonzero(cand_mask)[hit]] = False
+            yield pdf.assign(**{zone_col: out})
+
+    return points.mapInPandas(_op, schema=schema)

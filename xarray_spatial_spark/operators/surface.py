@@ -41,12 +41,16 @@ def slope(
     out_col: str | None = None,
     tile_h: int = 256,
     tile_w: int = 256,
+    compute_dtype=np.float32,
 ) -> DataFrame:
-    """Horn slope in degrees (slope.py:56-76)."""
+    """Horn slope in degrees (slope.py:56-76).  ``compute_dtype``
+    defaults to float32 for bit-parity with the reference kernel
+    (slope.py:58); pass float64 when comparing against a
+    double-precision SQL oracle."""
     out = out_col or value_col
 
     def _fn(arrs):
-        a = arrs[value_col].astype(np.float32)
+        a = arrs[value_col].astype(compute_dtype)
         n = _nine(a)
         dz_dx = ((n["cm"] + 2 * n["fm"] + n["im"]) - (n["am"] + 2 * n["dm"] + n["gm"])) / (
             8 * cellsize_x
