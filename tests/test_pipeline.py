@@ -108,6 +108,29 @@ def test_pip_join(spark):
     assert got[5] == 1.0
 
 
+def test_pip_expr_matches_arrow_path(spark):
+    """Compiled Catalyst PIP must agree with the Arrow ray-cast path."""
+    import pandas as pd
+
+    rng = np.random.default_rng(12)
+    pts = pd.DataFrame(
+        {
+            "pid": range(2000),
+            "lon": rng.uniform(-10, 40, 2000),
+            "lat": rng.uniform(-10, 40, 2000),
+        }
+    )
+    df = spark.createDataFrame(pts)
+    polys = {1: SQUARE, 2: TRIANGLE}
+    a = {r["pid"]: r["zone"] for r in pip.pip_join(df, polys).collect()}
+    b = {r["pid"]: r["zone"] for r in pip.pip_join_expr(df, polys).collect()}
+    for k in a:
+        av, bv = a[k], b[k]
+        assert (av is None and bv is None) or av == bv, (k, av, bv)
+    # some of each
+    assert any(v == 1.0 for v in b.values()) and any(v is None for v in b.values())
+
+
 def test_pip_matches_bruteforce_on_random_points(spark):
     import pandas as pd
 

@@ -69,6 +69,65 @@ def _ray_cast(px: np.ndarray, py: np.ndarray, verts: np.ndarray) -> np.ndarray:
     return inside
 
 
+def pip_expr(lon, lat, verts: np.ndarray):
+    """Compile ONE polygon's even-odd ray-cast into a Column predicate:
+    crossing parity over the edges.  Identical geometry to `_ray_cast`
+    — same half-open conventions — but fully JVM/codegen."""
+    from pyspark.sql import functions as F
+
+    x1 = verts[:, 0]
+    y1 = verts[:, 1]
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    crossings = None
+    for i in range(len(verts)):
+        xi, yi, xj, yj = float(x1[i]), float(y1[i]), float(x2[i]), float(y2[i])
+        if yj == yi:
+            continue  # horizontal edge never satisfies (yi>lat) != (yj>lat)
+        cond = ((F.lit(yi) > lat) != (F.lit(yj) > lat)) & (
+            lon < (F.lit(xj - xi) * (lat - F.lit(yi)) / F.lit(yj - yi) + F.lit(xi))
+        )
+        c = cond.cast("int")
+        crossings = c if crossings is None else crossings + c
+    return (crossings % 2) == 1
+
+
+def pip_join_expr(
+    points: DataFrame,
+    polygons: dict[int, np.ndarray],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    zone_col: str = "zone",
+    max_polygons: int = 64,
+) -> DataFrame:
+    """Point-in-polygon as a compiled Column expression — the planner's
+    fast path when the polygon set is small enough to inline into
+    whole-stage codegen (continents/countries-scale sets).
+
+    The broadcast set becomes literals in generated Java: no Python
+    workers, no Arrow transfer, no per-batch allocation — the stage
+    fuses with the scan and the downstream aggregate.  Same first-match
+    (ascending zone id) semantics as ``pip_join``; falls back to the
+    Arrow path above this size."""
+    from pyspark.sql import functions as F
+
+    if len(polygons) > max_polygons:
+        return pip_join(points, polygons, lon_col, lat_col, zone_col)
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    expr = None
+    for z in sorted(polygons):
+        v = np.asarray(polygons[z], dtype=np.float64)
+        bbox = (
+            (lon >= float(v[:, 0].min())) & (lon <= float(v[:, 0].max()))
+            & (lat >= float(v[:, 1].min())) & (lat <= float(v[:, 1].max()))
+        )
+        hit = bbox & pip_expr(lon, lat, v)
+        expr = F.when(hit, F.lit(float(z))) if expr is None else expr.when(
+            hit, F.lit(float(z))
+        )
+    return points.withColumn(zone_col, expr.otherwise(F.lit(None)))
+
+
 def pip_join(
     points: DataFrame,
     polygons: dict[int, np.ndarray],
@@ -86,6 +145,8 @@ def pip_join(
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in points.schema)
     schema += f", {zone_col} double"
 
+    few_polygons = len(pset.zones) <= 64
+
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ps: PolygonSet = bc.value
         n = 1 << ps.index_zoom
@@ -93,10 +154,25 @@ def pip_join(
             px = pdf[lon_col].to_numpy(np.float64)
             py = pdf[lat_col].to_numpy(np.float64)
             out = np.full(len(pdf), np.nan)
-            if len(pdf):
+            if len(pdf) and few_polygons:
+                # few polygons: one vectorized bbox+ray-cast pass per
+                # polygon over the whole batch — O(P) numpy calls, no
+                # per-cell-group Python loop
+                unassigned = np.ones(len(pdf), dtype=bool)
+                for z in ps.zones:
+                    z = int(z)
+                    lon0, lat0, lon1, lat1 = ps.bbox[z]
+                    m = unassigned & (px >= lon0) & (px <= lon1) & (py >= lat0) & (py <= lat1)
+                    if not m.any():
+                        continue
+                    hit = _ray_cast(px[m], py[m], ps.verts[z])
+                    where = np.flatnonzero(m)[hit]
+                    out[where] = float(z)
+                    unassigned[where] = False
+            elif len(pdf):
+                # many polygons: grid-bucketed candidate lookup
                 xt, yt = grid.lnglat_to_tile(px, py, ps.index_zoom)
                 keys = xt * n + yt
-                # group points by index cell, test candidates per group
                 order = np.argsort(keys, kind="stable")
                 sorted_keys = keys[order]
                 bounds = np.flatnonzero(

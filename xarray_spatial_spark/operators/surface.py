@@ -151,6 +151,132 @@ def hillshade(
     return apply_stencil(df, _fn, 1, (value_col,), (out,), tile_h, tile_w)
 
 
+# ---------------------------------------------------------------------------
+# geodesic variants (WGS-84 ECEF + local-tangent-plane least squares)
+# reference: xrspatial/geodesic.py:26-200, slope.py:167-264
+# ---------------------------------------------------------------------------
+
+WGS84_A = 6378137.0
+WGS84_B = 6356752.314245
+WGS84_A2 = WGS84_A * WGS84_A
+WGS84_B2 = WGS84_B * WGS84_B
+_INV_2R = 1.0 / (2.0 * 6370994.884953014)  # geodesic.py:181 R_MEAN
+
+Z_FACTORS = {"meter": 1.0, "meters": 1.0, "m": 1.0,
+             "foot": 0.3048, "feet": 0.3048, "ft": 0.3048,
+             "kilometer": 1000.0, "km": 1000.0,
+             "mile": 1609.344, "miles": 1609.344}
+
+
+def _ecef(lat_rad, lon_rad, h):
+    cl, sl = np.cos(lat_rad), np.sin(lat_rad)
+    co, so = np.cos(lon_rad), np.sin(lon_rad)
+    N = WGS84_A2 / np.sqrt(WGS84_A2 * cl * cl + WGS84_B2 * sl * sl)
+    return ((N + h) * cl * co, (N + h) * cl * so, (WGS84_B2 / WGS84_A2 * N + h) * sl)
+
+
+def _geodesic_fit(elev, lat, lon, z_factor):
+    """Vectorized plane fit over every interior cell of a padded tile.
+    elev/lat/lon: (H, W) padded arrays.  Returns (A, B, invalid_mask)
+    for the (H-2, W-2) interior (geodesic.py:54-129 semantics:
+    any-NaN neighborhood -> invalid; degenerate det -> flat A=B=0)."""
+    # stack the 9 neighbors: shape (9, h, w)
+    def nine(a):
+        return np.stack([
+            a[dy:dy + a.shape[0] - 2, dx:dx + a.shape[1] - 2]
+            for dy in range(3) for dx in range(3)
+        ])
+
+    e9v = nine(elev) * z_factor
+    la9 = np.radians(nine(lat))
+    lo9 = np.radians(nine(lon))
+    lat_c = np.radians(lat[1:-1, 1:-1])
+    lon_c = np.radians(lon[1:-1, 1:-1])
+    hc = elev[1:-1, 1:-1] * z_factor
+
+    invalid = np.isnan(e9v).any(axis=0) | np.isnan(la9).any(axis=0)
+
+    Xc, Yc, Zc = _ecef(lat_c, lon_c, hc)
+    Xk, Yk, Zk = _ecef(la9, lo9, e9v)
+    dx, dy, dz = Xk - Xc, Yk - Yc, Zk - Zc
+
+    cl, sl = np.cos(lat_c), np.sin(lat_c)
+    co, so = np.cos(lon_c), np.sin(lon_c)
+    # local tangent frame (geodesic.py:79-82)
+    e = dx * (-so) + dy * co
+    n = dx * (-sl * co) + dy * (-sl * so) + dz * cl
+    u = dx * (cl * co) + dy * (cl * so) + dz * sl
+    u = u + (e * e + n * n) * _INV_2R  # curvature correction
+
+    me, mn, mu = e.mean(axis=0), n.mean(axis=0), u.mean(axis=0)
+    de, dn, du = e - me, n - mn, u - mu
+    See = (de * de).sum(axis=0)
+    Snn = (dn * dn).sum(axis=0)
+    Sen = (de * dn).sum(axis=0)
+    Seu = (de * du).sum(axis=0)
+    Snu = (dn * du).sum(axis=0)
+    det = See * Snn - Sen * Sen
+    degenerate = np.abs(det) < 1e-30
+    safe = np.where(degenerate, 1.0, det)
+    A = np.where(degenerate, 0.0, (Seu * Snn - Snu * Sen) / safe)
+    B = np.where(degenerate, 0.0, (Snu * See - Seu * Sen) / safe)
+    return A, B, invalid
+
+
+def geodesic_slope(
+    df: DataFrame,
+    value_col: str = "value",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    z_unit: str = "meter",
+    out_col: str | None = None,
+    tile_h: int = 256,
+    tile_w: int = 256,
+) -> DataFrame:
+    """Slope on the WGS-84 ellipsoid via ECEF plane fit
+    (slope.py method='geodesic'; math geodesic.py:26-143)."""
+    zf = Z_FACTORS[z_unit.lower()]
+    out = out_col or value_col
+
+    def _fn(arrs):
+        A, B, invalid = _geodesic_fit(arrs[value_col], arrs[lat_col],
+                                      arrs[lon_col], zf)
+        s = np.degrees(np.arctan(np.sqrt(A * A + B * B)))
+        return {out: np.where(invalid, np.nan, s)}
+
+    return apply_stencil(df, _fn, 1, (value_col, lat_col, lon_col), (out,),
+                         tile_h, tile_w)
+
+
+def geodesic_aspect(
+    df: DataFrame,
+    value_col: str = "value",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    z_unit: str = "meter",
+    out_col: str | None = None,
+    tile_h: int = 256,
+    tile_w: int = 256,
+) -> DataFrame:
+    """Downslope compass aspect on the ellipsoid (geodesic.py:146-166:
+    flat |grad| < 1e-7 -> -1; atan2(-A, -B) folded to [0, 360))."""
+    zf = Z_FACTORS[z_unit.lower()]
+    out = out_col or value_col
+
+    def _fn(arrs):
+        A, B, invalid = _geodesic_fit(arrs[value_col], arrs[lat_col],
+                                      arrs[lon_col], zf)
+        mag = np.sqrt(A * A + B * B)
+        a = np.degrees(np.arctan2(-A, -B))
+        a = np.where(a < 0, a + 360.0, a)
+        a = np.where(a >= 360.0, a - 360.0, a)
+        res = np.where(mag < 1e-7, -1.0, a)
+        return {out: np.where(invalid, np.nan, res)}
+
+    return apply_stencil(df, _fn, 1, (value_col, lat_col, lon_col), (out,),
+                         tile_h, tile_w)
+
+
 def summarize_terrain(
     df: DataFrame,
     cellsize_x: float = 1.0,

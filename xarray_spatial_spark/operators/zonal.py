@@ -102,6 +102,63 @@ def stats(
     return out
 
 
+def stats_fused(
+    zv: DataFrame,
+    zone_col: str = "zone",
+    value_col: str = "value",
+    zone_ids: Iterable[float] | None = None,
+    nodata_values: float | None = None,
+) -> DataFrame:
+    """All default stats INCLUDING majority from a single scan.
+
+    The plain ``stats`` path scans the source twice when majority is
+    requested (one agg per shape).  Here the first aggregate groups by
+    (zone, value) — after which rows collapse to the value histogram —
+    and the zone-level finals (count/sum/min/max/mean/std/var AND
+    majority) all derive from that histogram.  One scan, two narrow
+    shuffles; var/std expand from sum/sum² exactly like the
+    reference's dask combine (zonal.py:92-102, 250-259)."""
+    df = zv.filter(F.col(zone_col).isNotNull() & _valid(value_col, nodata_values))
+    if zone_ids is not None:
+        df = df.filter(F.col(zone_col).isin(list(zone_ids)))
+    hist = df.groupBy(F.col(zone_col).alias("zone"), F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    out = hist.groupBy("zone").agg(
+        F.sum("_c").alias("count"),
+        F.sum(F.col("_v") * F.col("_c")).alias("sum"),
+        F.min("_v").alias("min"),
+        F.max("_v").alias("max"),
+        F.sum(F.col("_v") * F.col("_v") * F.col("_c")).alias("_sumsq"),
+        F.min(F.struct((-F.col("_c")).alias("_n"), F.col("_v").alias("v"))).alias("_m"),
+    )
+    mean = F.col("sum") / F.col("count")
+    var = F.col("_sumsq") / F.col("count") - mean * mean
+    return out.select(
+        "zone",
+        mean.alias("mean"),
+        "max",
+        "min",
+        "sum",
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
+        F.greatest(var, F.lit(0.0)).alias("var"),
+        "count",
+        F.col("_m.v").alias("majority"),
+    )
+
+
+def stats_to_raster(
+    zv: DataFrame,
+    stats_df: DataFrame,
+    zone_col: str = "zone",
+) -> DataFrame:
+    """The reference's ``return_type='xarray.DataArray'``
+    (zonal.py:313-331): broadcast the per-zone stats back onto every
+    cell — a broadcast join on the zone key (zone cardinality is tiny
+    by construction)."""
+    return zv.join(F.broadcast(stats_df), zone_col, "left")
+
+
 def majority(
     zv: DataFrame, zone_col: str = "zone", value_col: str = "value"
 ) -> DataFrame:
