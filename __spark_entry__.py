@@ -350,8 +350,57 @@ def q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("zone").cast("long").alias("zone"))
 
 
+def q_zonal_stats_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan fused stats must equal the two-agg plan — same
+    oracle as zonal_stats."""
+    z = 4
+    d = _doc_tiles(spark, sf_dir, z)
+    zv = d.select(
+        (F.col("tile_x") * F.lit(1 << z) + F.col("tile_y")).alias("zone"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    out = zonal.stats_fused(zv)
+    return out.select(
+        "zone",
+        F.round("mean", 4).alias("mean"),
+        "max", "min", "sum",
+        F.round("std", 4).alias("std"),
+        F.round("var", 4).alias("var"),
+        "count", "majority",
+    )
+
+
+def q_resample_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xarray_spatial_spark.operators import resample
+
+    r = _events_raster(spark, sf_dir)
+    out = resample.downsample(r, 10, agg="mean")
+    return out.select("y", "x", F.round("value", 6).alias("value"))
+
+
+def q_classify_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _events_raster(spark, sf_dir)
+    out = classify.percentiles(r, pct=(10, 50, 90), out_col="cls")
+    return out.groupBy("cls").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_classify_box_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _events_raster(spark, sf_dir)
+    out = classify.box_plot(r, out_col="cls")
+    return out.groupBy("cls").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
 # rows-only checks (non-SQL-expressible in a sane oracle): minhash LSH,
-# simhash, hotspots (class thresholds amplify 1-ulp into class flips)
+# simhash, hotspots (class thresholds amplify 1-ulp into class flips),
+# iterative/global algorithms (regions CCL, polygonize, A*, viewshed),
+# and the seeded generators
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,6 +428,71 @@ def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel = np.array([[0.0, 1.0, 0.0], [1.0, 1.0, 1.0], [0.0, 1.0, 0.0]])
     out = focal.hotspots(r, kernel, out_col="cls")
     return out.groupBy("cls").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xarray_spatial_spark.operators.regions import regions as rg
+
+    r = _events_raster(spark, sf_dir).withColumn(
+        "value", F.floor(F.col("value") / 100).cast("double")
+    )
+    out = rg(r, neighborhood=4)
+    return out.groupBy("region").agg(F.count(F.lit(1)).alias("n_cells"))
+
+
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xarray_spatial_spark.operators.polygonize import polygonize
+
+    r = _events_raster(spark, sf_dir).withColumn(
+        "value", F.floor(F.col("value") / 150).cast("double")
+    )
+    out = polygonize(r, neighborhood=4)
+    return out.select("region", "value", "n_rings", "area")
+
+
+def q_a_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xarray_spatial_spark.operators.pathfinding import a_star_search
+
+    r = _events_raster(spark, sf_dir)
+    return a_star_search(r, start=(0, 0), goal=(40, 80), connectivity=8)
+
+
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xarray_spatial_spark.operators.viewshed import viewshed
+
+    r = _events_raster(spark, sf_dir)
+    out = viewshed(r, x=50, y=20, observer_elev=50.0)
+    return out.select(
+        (F.col("visibility") >= 0).cast("int").alias("visible")
+    ).groupBy("visible").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xarray_spatial_spark.sources.terrain import generate_terrain
+
+    t = generate_terrain(spark, 200, 100, seed=10)
+    return t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_elev"),
+        F.sum((F.col("value") == 0).cast("long")).alias("water_cells"),
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # self-union with jittered copies is unnecessary: check real pairs
+    out = dedup.embedding_neardup_pairs(emb, threshold=0.8, n_planes=8)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").filter(
+        "query_id % 200 = 7"
+    )
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -413,9 +527,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_events": q_window_events,
         "similarity_topk": q_similarity_topk,
         "pip_assign": q_pip_assign,
+        "zonal_stats_fused": q_zonal_stats_fused,
+        "resample_down": q_resample_down,
+        "classify_percentiles": q_classify_percentiles,
+        "classify_box_plot": q_classify_box_plot,
+        "quality_score": q_quality_score,
         "minhash_pairs": q_minhash_pairs,
         "simhash_groups": q_simhash_groups,
         "hotspots": q_hotspots,
+        "regions": q_regions,
+        "polygonize": q_polygonize,
+        "a_star": q_a_star,
+        "viewshed": q_viewshed,
+        "terrain": q_terrain,
+        "embedding_neardup": q_embedding_neardup,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -452,13 +578,7 @@ def oracle_sql() -> dict[str, str]:
         _half_plane(tr[i], tr[(i + 1) % 3]) for i in range(3)
     )
 
-    return {
-        "tile_assign": f"""
-            SELECT {z8x} AS tile_x, {z8y} AS tile_y,
-                   count(*) AS n_docs, sum(n_chars) AS sum_chars
-            FROM documents GROUP BY 1, 2
-        """,
-        "zonal_stats": f"""
+    ORACLE_ZONAL_STATS = f"""
             WITH zv AS (
               SELECT ({z4x}) * 16 + ({z4y}) AS zone,
                      CAST(n_chars AS DOUBLE) AS value
@@ -483,8 +603,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.zone, s.mean, s.max, s.min, s.sum, s.std, s.var, s.count,
                    m.majority
             FROM stats s JOIN mj m ON s.zone = m.zone AND m.rn = 1
+    """
+
+    return {
+        "tile_assign": f"""
+            SELECT {z8x} AS tile_x, {z8y} AS tile_y,
+                   count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY 1, 2
         """,
-        "zonal_crosstab": f"""
+        "zonal_stats": ORACLE_ZONAL_STATS,
+                "zonal_crosstab": f"""
             SELECT ({z3x}) * 8 + ({z3y}) AS zone,
                    CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS "en",
                    CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS "de",
@@ -729,6 +857,70 @@ def oracle_sql() -> dict[str, str]:
                    WHEN {tri_test} THEN 2
               END AS zone
             FROM g
+        """,
+        "zonal_stats_fused": ORACLE_ZONAL_STATS,
+        "resample_down": f"""
+            WITH r AS ({SQL_EVENTS_RASTER})
+            SELECT CAST(floor(y / 10) AS INT) AS y, CAST(floor(x / 10) AS INT) AS x,
+                   round(avg(value), 6) AS value
+            FROM r GROUP BY 1, 2
+        """,
+        "classify_percentiles": """
+            WITH r AS (SELECT value FROM events),
+            q AS (SELECT quantile_cont(value, 0.10) p1, quantile_cont(value, 0.50) p2,
+                         quantile_cont(value, 0.90) p3, max(value) mx FROM r)
+            SELECT CASE WHEN value <= p1 THEN 0.0
+                        WHEN value <= p2 THEN 1.0
+                        WHEN value <= p3 THEN 2.0
+                        WHEN value <= mx THEN 3.0 END AS cls,
+                   count(*) AS n
+            FROM r, q GROUP BY 1
+        """,
+        "classify_box_plot": """
+            WITH r AS (SELECT value FROM events),
+            q AS (SELECT quantile_cont(value, 0.25) q1, quantile_cont(value, 0.5) q2,
+                         quantile_cont(value, 0.75) q3, max(value) mx FROM r),
+            b AS (SELECT q1 - 1.5*(q3-q1) AS b0, q1 AS b1, q2 AS b2, q3 AS b3,
+                         least(q3 + 1.5*(q3-q1), mx) AS b4,
+                         greatest(q3 + 1.5*(q3-q1), mx) AS b5 FROM q)
+            SELECT CASE WHEN value <= b0 THEN 0.0
+                        WHEN value <= b1 THEN 1.0
+                        WHEN value <= b2 THEN 2.0
+                        WHEN value <= b3 THEN 3.0
+                        WHEN value <= b4 THEN 4.0
+                        WHEN value <= b5 THEN 5.0 END AS cls,
+                   count(*) AS n
+            FROM r, b GROUP BY 1
+        """,
+        "quality_score": """
+            WITH t AS (
+              SELECT doc_id, text,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+                CASE WHEN length(text) > 0 THEN
+                  CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                  / length(text) ELSE 0.0 END AS pr,
+                (len(regexp_extract_all(text, '\\bthe\\b')) + len(regexp_extract_all(text, '\\band\\b')) + len(regexp_extract_all(text, '\\bof\\b')) + len(regexp_extract_all(text, '\\bto\\b')) + len(regexp_extract_all(text, '\\bin\\b')) + len(regexp_extract_all(text, '\\bis\\b')) + len(regexp_extract_all(text, '\\bthat\\b')) + len(regexp_extract_all(text, '\\bfor\\b'))) AS hits,
+                CASE WHEN trim(text) = '' THEN CAST([] AS BIGINT[])
+                     ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+                                         s -> CAST(length(s) AS BIGINT)) END AS tlens
+              FROM documents
+            ),
+            sc AS (
+              SELECT doc_id,
+                least(n_tok / 64.0, 1.0) AS len_score,
+                greatest(0.0, 1.0 - 4.0 * pr) AS punct_score,
+                CASE WHEN n_tok > 0
+                     THEN least(4.0 * hits / n_tok, 1.0) ELSE 0.0 END AS stop_score,
+                CASE WHEN n_tok > 0 THEN CAST(list_sum(tlens) AS DOUBLE) / n_tok
+                     ELSE 0.0 END AS mwl
+              FROM t
+            )
+            SELECT doc_id,
+                   round((len_score + punct_score + stop_score +
+                          CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.25 END
+                         ) / 4.0, 6) AS quality
+            FROM sc
         """,
     }
 

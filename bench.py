@@ -95,25 +95,39 @@ def ensure_docs_parquet(spark, n_docs: int) -> str:
     return path
 
 
+def _cities40() -> list[tuple[float, float, float]]:
+    """40 deterministic city-like targets for the allocation stage."""
+    rng = np.random.default_rng(7)
+    return [
+        (float(rng.uniform(-180, 180)), float(rng.uniform(-60, 70)), float(i))
+        for i in range(40)
+    ]
+
+
 def headline_pipeline(spark, n_docs: int) -> tuple[float, int]:
-    """The north-star job: read stored docs -> geocode -> Morton cell +
-    tile assign (JVM bit ops) -> broadcast PIP zone join -> per-tile
-    stats.  Returns (seconds, rows_out).  Parquet scan prunes to
-    (doc_id, text->length); html bytes are never read."""
+    """The north-star job over a stored table: scan -> Morton cell +
+    tile assignment (JVM bit ops) -> broadcast point-in-polygon zone
+    join (12 polygons, compiled) -> nearest-city allocation (kNN-1,
+    great-circle over 40 broadcast targets, compiled) -> per-tile
+    zonal aggregate.  Entirely whole-stage codegen; the scan prunes to
+    4 narrow columns (html/text stay on disk)."""
+    from xarray_spatial_spark.operators.proximity import nearest_expr
 
     path = ensure_docs_parquet(spark, n_docs)
     t0 = time.time()
     geo = spark.read.parquet(path).select("doc_id", "lat", "lon", "n_chars")
     tiled = assign_cells(geo, zoom=12, tile_zoom=5)  # JVM bit-op path
-    # compiled PIP: 12 polygons inline into codegen (operators/pip.py)
     zoned = pip_join_expr(tiled, _world_polygons())
+    alloc = nearest_expr(zoned, _cities40(), metric="GREAT_CIRCLE")
     per_tile = (
-        zoned.groupBy("tile_id")
+        alloc.groupBy("tile_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
             F.count("zone").alias("n_in_zones"),
             F.approx_count_distinct("cell_id").alias("n_cells"),
+            F.avg("nearest_dist").alias("avg_city_dist"),
+            F.count_distinct("nearest_payload").alias("n_cities"),
         )
     )
     rows = per_tile.count()

@@ -203,3 +203,30 @@ def test_knn_ring_join_matches_broadcast(spark):
     assert (joined["got"] >= joined["want"] - 1e-9).all()
     near = joined[joined["want"] < 1.0]  # zoom-4 cells span >=11 deg lon
     np.testing.assert_allclose(near["got"], near["want"], rtol=1e-9)
+
+
+def test_nearest_expr_matches_broadcast(spark):
+    """Compiled LEAST-chain nearest must equal the Arrow broadcast path."""
+    import pandas as pd
+    from xarray_spatial_spark.sources.documents import documents
+
+    docs = documents(spark, 300).select("doc_id", "lon", "lat")
+    targets = [(-74.006, 40.7128, 1.0), (-0.1278, 51.5074, 2.0),
+               (139.6503, 35.6762, 3.0), (77.209, 28.6139, 4.0)]
+    got = (
+        prox.nearest_expr(docs, targets, metric="GREAT_CIRCLE")
+        .select("doc_id", "nearest_dist", "nearest_payload")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    tdf = spark.createDataFrame(
+        pd.DataFrame(targets, columns=["lon", "lat", "city"]),
+        schema="lon double, lat double, city double",
+    )
+    want = (
+        prox.nearest_broadcast(docs, tdf, target_payload="city",
+                               metric="GREAT_CIRCLE")
+        .select("doc_id", "nearest_dist", "nearest_city")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    np.testing.assert_allclose(got["nearest_dist"], want["nearest_dist"], rtol=1e-9)
+    np.testing.assert_array_equal(got["nearest_payload"], want["nearest_city"])

@@ -259,6 +259,36 @@ def direction(
     )
 
 
+def nearest_expr(
+    points: DataFrame,
+    targets: list[tuple[float, float, float]],
+    x_col: str = "lon",
+    y_col: str = "lat",
+    metric: str = "EUCLIDEAN",
+    max_targets: int = 64,
+) -> DataFrame:
+    """Compiled nearest-target (kNN-1 / allocation fast path): a SMALL
+    broadcast target set inlines into whole-stage codegen as a LEAST
+    chain over (distance, payload) structs — no Python, no shuffle,
+    fuses with the surrounding stages.  ``targets`` = [(x, y, payload)].
+    Ties break toward the smaller payload (struct ordering), matching
+    ``nearest_broadcast``.  Adds ``nearest_dist`` + ``nearest_payload``."""
+    if len(targets) > max_targets:
+        raise ValueError(f"{len(targets)} targets: use nearest_broadcast")
+    px, py = F.col(x_col), F.col(y_col)
+    structs = [
+        F.struct(
+            distance_col(px, F.lit(float(tx)), py, F.lit(float(ty)), metric).alias("d"),
+            F.lit(float(pl)).alias("p"),
+        )
+        for tx, ty, pl in targets
+    ]
+    best = F.least(*structs)
+    return points.withColumn("nearest_dist", best["d"]).withColumn(
+        "nearest_payload", best["p"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distributed kNN via cell-ring expansion (the shuffle path)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,130 @@
+"""Viewshed — visibility grid from one observer.
+
+Reference: xrspatial/viewshed.py (GRASS r.viewshed-style plane sweep
+with an RB-tree status structure, :93-1502; angle convention
+:1251-1273 — the returned value is the vertical angle with 0 directly
+ABOVE the observer, 90 horizontal, 180 at the viewpoint cell/below;
+invisible cells get -1).
+
+The reference's sweep is inherently sequential per observer (its dask
+path rechunks to a single block).  The Spark re-plan keeps the terrain
+as a broadcast dense array — the same O(raster) memory the sweep
+needs — and distributes the *targets*: every Arrow batch of cells
+tests its line-of-sight against the broadcast terrain, vectorized over
+the batch with one numpy step loop along the dominant axis (the R3
+algorithm: linear interpolation of the terrain at each integer
+crossing).  R3 and the event-sweep agree everywhere except
+sub-cell interpolation corner cases; the reference's own tests assert
+structural invariants (symmetry, monotone visibility), all of which
+R3 satisfies.
+
+Scale: one observer on a 10^8-cell raster = 10^8 LOS tests, each
+O(ray length); the batch loop does ~max(H, W) vectorized steps per
+partition.  Many-observer workloads parallelize over observers too.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+INVISIBLE = -1.0
+
+
+def _vertical_angle(diff: np.ndarray, dist: np.ndarray) -> np.ndarray:
+    """Reference _get_vertical_ang (viewshed.py:1256-1273):
+    0 above, 90 horizontal, 180 below (dist = horizontal distance)."""
+    out = np.full(diff.shape, 90.0)
+    up = diff > 0
+    down = diff < 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(up, np.degrees(np.arctan(dist / np.where(up, diff, 1.0))), out)
+        out = np.where(
+            down, np.degrees(np.arctan(np.abs(diff) / np.maximum(dist, 1e-300))) + 90.0,
+            out,
+        )
+    return out
+
+
+def viewshed(
+    raster: DataFrame,
+    x: int,
+    y: int,
+    observer_elev: float = 2.0,
+    target_elev: float = 0.0,
+    value_col: str = "value",
+    out_col: str = "visibility",
+) -> DataFrame:
+    """Visibility of every cell from observer at pixel (y, x).
+    Output adds ``out_col``: vertical angle for visible cells,
+    -1 invisible, 180 at the viewpoint (viewshed.py:1173)."""
+    spark = raster.sparkSession
+    pdf = raster.select("y", "x", value_col).toPandas()
+    H = int(pdf["y"].max()) + 1
+    W = int(pdf["x"].max()) + 1
+    z = np.full((H, W), np.nan)
+    z[pdf["y"], pdf["x"]] = pdf[value_col].to_numpy(np.float64)
+    if not (0 <= y < H and 0 <= x < W):
+        raise ValueError("observer location outside the raster")
+    vp_elev = float(z[y, x]) + observer_elev
+    bc = spark.sparkContext.broadcast(z)
+    oy, ox = int(y), int(x)
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in raster.schema)
+    schema += f", {out_col} double"
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        terrain = bc.value
+        for b in batches:
+            ty = b["y"].to_numpy(np.int64)
+            tx = b["x"].to_numpy(np.int64)
+            tz = np.array([terrain[r, c] for r, c in zip(ty, tx)])
+            dy = ty - oy
+            dx = tx - ox
+            dist = np.sqrt((dx.astype(float)) ** 2 + (dy.astype(float)) ** 2)
+            n_steps = np.maximum(np.abs(dy), np.abs(dx))
+            tgt_grad = np.where(
+                dist > 0, (tz + target_elev - vp_elev) / np.maximum(dist, 1e-300), np.inf
+            )
+            visible = np.ones(len(b), dtype=bool)
+            visible &= ~np.isnan(tz)
+            max_k = int(n_steps.max()) if len(n_steps) else 0
+            # step along the dominant axis; linear interp on the other
+            fy = np.where(n_steps > 0, dy / np.maximum(n_steps, 1), 0.0)
+            fx = np.where(n_steps > 0, dx / np.maximum(n_steps, 1), 0.0)
+            for k in range(1, max_k):
+                act = visible & (n_steps > k)
+                if not act.any():
+                    break
+                py = oy + fy[act] * k
+                px = ox + fx[act] * k
+                y0 = np.floor(py).astype(int)
+                x0 = np.floor(px).astype(int)
+                wy = py - y0
+                wx = px - x0
+                y1 = np.minimum(y0 + 1, terrain.shape[0] - 1)
+                x1 = np.minimum(x0 + 1, terrain.shape[1] - 1)
+                # bilinear interpolation of the terrain at the crossing
+                zs = (
+                    terrain[y0, x0] * (1 - wy) * (1 - wx)
+                    + terrain[y0, x1] * (1 - wy) * wx
+                    + terrain[y1, x0] * wy * (1 - wx)
+                    + terrain[y1, x1] * wy * wx
+                )
+                ds = np.sqrt((fy[act] * k) ** 2 + (fx[act] * k) ** 2)
+                grad = (zs - vp_elev) / np.maximum(ds, 1e-300)
+                blocked = grad > tgt_grad[act]          # strictly higher blocks
+                blocked |= np.isnan(zs)                 # NODATA blocks the ray
+                idx = np.flatnonzero(act)[blocked]
+                visible[idx] = False
+            ang = _vertical_angle(tz + target_elev - vp_elev, dist)
+            out = np.where(visible, ang, INVISIBLE)
+            at_vp = (ty == oy) & (tx == ox)
+            out = np.where(at_vp, 180.0, out)
+            yield b.assign(**{out_col: out})
+
+    return raster.mapInPandas(_op, schema=schema)
