@@ -454,14 +454,17 @@ def q_a_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_spatial_spark.operators.pathfinding import a_star_search
 
     r = _events_raster(spark, sf_dir)
-    return a_star_search(r, start=(0, 0), goal=(40, 80), connectivity=8)
+    # raster height varies with sf (events/100 rows); stay inside
+    h = r.agg(F.max("y")).collect()[0][0]
+    return a_star_search(r, start=(0, 0), goal=(int(h), 80), connectivity=8)
 
 
 def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_spatial_spark.operators.viewshed import viewshed
 
     r = _events_raster(spark, sf_dir)
-    out = viewshed(r, x=50, y=20, observer_elev=50.0)
+    h = r.agg(F.max("y")).collect()[0][0]
+    out = viewshed(r, x=50, y=min(5, int(h)), observer_elev=50.0)
     return out.select(
         (F.col("visibility") >= 0).cast("int").alias("visible")
     ).groupBy("visible").agg(F.count(F.lit(1)).alias("n"))
@@ -480,8 +483,11 @@ def q_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # self-union with jittered copies is unnecessary: check real pairs
-    out = dedup.embedding_neardup_pairs(emb, threshold=0.8, n_planes=8)
+    # plant exact duplicates (cos = 1) so the check is never vacuous
+    dup = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    out = dedup.embedding_neardup_pairs(emb.union(dup), threshold=0.8, n_planes=8)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -90,6 +90,29 @@ noise from host co-tenancy (identical back-to-back runs vary up to
 
 Reference single-node anchors (BASELINE.md): slope ~6.2e7 cells/s/core,
 hillshade ~2.6e7 cells/s/core (numpy, 1 thread).
+
+## Analysis (round 1)
+
+- Absolute throughput: the full pipeline (scan -> geocoded tile
+  assignment -> compiled point-in-polygon -> nearest-of-40 great-circle
+  allocation -> per-tile aggregate) runs at ~49M docs/s on 8 cores and
+  ~84M docs/s on 32 (~6M docs/s/core), entirely inside whole-stage
+  codegen; at this speed 10^12 docs = ~3.3 hours on ~100 such hosts.
+- Efficiency below target is an overhead-floor artifact, not a shuffle
+  or skew problem: the measured job has ONE narrow shuffle (1,024 tile
+  groups) and finishes in ~3.8s at 4N, of which ~2.5s is
+  parallelism-independent (job/stage setup, 66-split scan planning,
+  AQE finalization, collect). Amdahl with work W~=35 cpu-s and fixed
+  f~=2.5s caps efficiency at ~0.5 regardless of code quality; pushing
+  past 0.8 here needs W >= ~230 cpu-s, i.e. a ~1.6B-doc input, which
+  exceeds this sandbox's disk.
+- Host noise: this VM shows up to 7x run-to-run variance on identical
+  back-to-back runs (co-tenant steal; see all-samples columns), hence
+  best-of-5 per level.
+- Fix history that got us here (NOTES_r1.md): worker package shipping,
+  JVM-native Morton cell ids, stored-table input, 16g heap (48g
+  collapsed 32-thread throughput ~7x), compiled PIP + allocation,
+  pruned 4-column scans, 512m splits, 64k Arrow batches.
 """
     (bench_dir / "BASELINE.md").write_text(md)
     print(json.dumps({"n": args.n, "tp_n": tp_n, "tp_4n": tp_4n, "efficiency": eff}))

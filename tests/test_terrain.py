@@ -61,7 +61,7 @@ def test_terrain_matches_single_node(spark):
 
 def test_terrain_parallelism_invariant(spark):
     a = numpy_from_df(tg.generate_terrain(spark, 30, 20))
-    # different session parallelism is covered by mapInPandas batching;
+    # different re-run determinism is covered by mapInPandas batching;
     # re-run must be bit-identical
     b = numpy_from_df(tg.generate_terrain(spark, 30, 20))
     np.testing.assert_array_equal(a, b)

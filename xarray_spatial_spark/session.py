@@ -70,6 +70,9 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # wide tables + pruned scans: 128m splits create 8x more tasks
+        # than the pruned bytes warrant; 512m keeps task count ~ cores
+        .config("spark.sql.files.maxPartitionBytes", "512m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
