@@ -229,20 +229,16 @@ def q_local_cellstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_proximity_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
+    # compiled LEAST-chain path (proximity.nearest_expr); the Arrow
+    # broadcast path is exercised by the pytest goldens and must agree
+    # (tests/test_proximity.py::test_nearest_expr_matches_broadcast)
     d = _docs(spark, sf_dir).select("doc_id", "lon", "lat")
-    cities = spark.createDataFrame(
-        pd.DataFrame(
-            {"city": range(1, 6), "lon": CITY_LON, "lat": CITY_LAT}
-        ),
-        schema="city long, lon double, lat double",
-    ).select(F.col("city").cast("double").alias("city"), "lon", "lat")
-    out = proximity.nearest_broadcast(d, cities, target_payload="city")
+    targets = [(CITY_LON[i], CITY_LAT[i], i + 1) for i in range(5)]
+    out = proximity.nearest_expr(d, targets)
     return out.select(
         "doc_id",
         F.round("nearest_dist", 6).alias("dist"),
-        F.col("nearest_city").cast("long").alias("city"),
+        F.col("nearest_payload").cast("long").alias("city"),
     )
 
 

@@ -110,3 +110,26 @@ def test_embedding_neardup(spark):
     assert (4, 20) in got
     # random gaussian pairs in dim 16 essentially never reach 0.95
     assert all(a in (4, 20, 21) and b in (4, 20, 21) for a, b in got)
+
+
+def test_minhash_fast_signatures_estimate(docs):
+    sigs = {r["doc_id"]: np.array(r["sig"]) for r in
+            dedup.minhash_signatures_fast(docs, num_hashes=128, k=5).collect()}
+    est = np.mean(sigs[0] == sigs[1])
+    true = _py_jaccard(
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat", 5)
+    assert abs(est - true) < 0.15
+    assert (sigs[0] == sigs[3]).all()  # exact dups -> identical signatures
+    # determinism under repartitioning
+    b = {r["doc_id"]: np.array(r["sig"]) for r in
+         dedup.minhash_signatures_fast(docs.repartition(5), num_hashes=128, k=5).collect()}
+    assert all((sigs[i] == b[i]).all() for i in sigs)
+
+
+def test_minhash_dedup_fast_and_slow_agree_on_pairs(docs):
+    fast = {(r["id_a"], r["id_b"]) for r in dedup.minhash_dedup_pairs(
+        docs, threshold=0.6, num_hashes=64, bands=16, k=5, fast=True).collect()}
+    slow = {(r["id_a"], r["id_b"]) for r in dedup.minhash_dedup_pairs(
+        docs, threshold=0.6, num_hashes=64, bands=16, k=5, fast=False).collect()}
+    assert fast == slow == {(0, 1), (0, 3), (1, 3), (2, 5)}

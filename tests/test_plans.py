@@ -1,0 +1,123 @@
+"""Physical-plan quality assertions — the .explain() contract.
+
+These lock in the optimizer properties the engine's scale story
+depends on: column pruning reaching the parquet scan, compiled
+operators staying out of Python, single-exchange aggregates, and
+broadcast joins where a broadcast is intended."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_scan_prunes_to_needed_columns(spark, tmp_path):
+    from xarray_spatial_spark.sources.documents import documents
+
+    path = str(tmp_path / "docs")
+    documents(spark, 1000).withColumn("n_chars", F.length("text")).write.parquet(path)
+    df = spark.read.parquet(path).select("doc_id", "lat", "lon", "n_chars")
+    plan = _plan(df.groupBy().agg(F.sum("n_chars")))
+    # ReadSchema must not mention the wide columns
+    assert "html" not in plan and "text" not in plan
+    assert "n_chars" in plan
+
+
+def test_compiled_pipeline_has_no_python_stage(spark):
+    """The headline pipeline (JVM cells + compiled PIP + compiled
+    allocation) must contain zero Python/Arrow eval nodes."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import _cities40, _world_polygons
+    from xarray_spatial_spark.operators.pip import pip_join_expr
+    from xarray_spatial_spark.operators.proximity import nearest_expr
+    from xarray_spatial_spark.operators.tiling import assign_cells
+    from xarray_spatial_spark.sources.documents import documents
+
+    docs = documents(spark, 100).select("doc_id", "lon", "lat")
+    out = nearest_expr(
+        pip_join_expr(assign_cells(docs, 12, 5), _world_polygons()),
+        _cities40(), metric="GREAT_CIRCLE",
+    )
+    agg = out.groupBy("tile_id").count()
+    agg.collect()  # finalize the adaptive plan so codegen spans appear
+    plan = _plan(agg)
+    for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+                   "BatchEvalPython"):
+        assert marker not in plan, marker
+    assert "*(" in plan  # the codegen-span marker in plan toString
+
+
+def test_zonal_stats_single_exchange_per_agg(spark):
+    from xarray_spatial_spark.operators import zonal
+    from xarray_spatial_spark.raster import df_from_numpy
+
+    rng = np.random.default_rng(1)
+    zones = df_from_numpy(spark, rng.integers(0, 4, (10, 10)).astype(float),
+                          value_col="zone")
+    values = df_from_numpy(spark, rng.uniform(0, 9, (10, 10)))
+    zv = zonal.align(zones, values)
+    plan = _plan(zonal.stats(zv, stats_funcs=("mean", "sum", "count")))
+    # partial+final hash aggregate with ONE exchange (plus the align join)
+    assert plan.count("Exchange hashpartitioning(zone") <= 1
+    assert "HashAggregate" in plan
+
+
+def test_stats_fused_single_scan(spark):
+    """Fused stats reads the source once (one join-free lineage)."""
+    from xarray_spatial_spark.operators import zonal
+    from xarray_spatial_spark.raster import df_from_numpy
+
+    rng = np.random.default_rng(2)
+    zones = df_from_numpy(spark, rng.integers(0, 4, (8, 8)).astype(float),
+                          value_col="zone")
+    values = df_from_numpy(spark, rng.uniform(0, 9, (8, 8)))
+    zv = zonal.align(zones, values).localCheckpoint()  # pin lineage
+    fused = _plan(zonal.stats_fused(zv))
+    plain = _plan(zonal.stats(zv))
+    # the plain path joins stats with majority (two scans of zv);
+    # the fused path must not contain any join
+    assert "Join" in plain
+    assert "Join" not in fused
+
+
+def test_pip_arrow_path_single_python_stage(spark):
+    import pandas as pd
+    from xarray_spatial_spark.operators import pip
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"lon": [1.0, 2.0], "lat": [1.0, 2.0]})
+    )
+    poly = {1: np.array([[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0]])}
+    plan = _plan(pip.pip_join(pts, poly))
+    assert plan.count("MapInPandas") == 1
+
+
+def test_broadcast_join_in_stats_to_raster(spark):
+    from xarray_spatial_spark.operators import zonal
+    from xarray_spatial_spark.raster import df_from_numpy
+
+    zones = df_from_numpy(spark, np.zeros((4, 4)), value_col="zone")
+    values = df_from_numpy(spark, np.ones((4, 4)))
+    zv = zonal.align(zones, values)
+    stats = zonal.stats(zv, stats_funcs=("mean",))
+    plan = _plan(zonal.stats_to_raster(zv, stats))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_classify_binning_stays_codegen(spark):
+    from xarray_spatial_spark.operators import classify
+    from xarray_spatial_spark.raster import df_from_numpy
+
+    df = df_from_numpy(spark, np.arange(100.0).reshape(10, 10))
+    out = classify.reclassify(df, bins=[10, 50, 100], new_values=[1, 2, 3])
+    plan = _plan(out)
+    for marker in ("ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
