@@ -53,6 +53,14 @@ BENCH_QUERIES = [
     "window_events",
     "similarity_topk",
     "pip_assign",
+    "zonal_stats_fused",
+    "resample_down",
+    "quality_score",
+    "regions",
+    "polygonize",
+    "viewshed",
+    "ivf_topk",
+    "embedding_neardup",
 ]
 
 # a 12-polygon world: rough continental boxes + triangles (vertices off

@@ -97,9 +97,8 @@ def _edge_extract(conn_df: DataFrame, tile_h: int, tile_w: int) -> DataFrame:
     )
 
 
-def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+def _assemble_one(region: int, pdf: pd.DataFrame) -> dict:
     """Walk directed segments corner-to-corner into closed rings."""
-    region = int(key[0])
     # successor map: corner -> list of outgoing segments
     succ: dict = {}
     for x1, y1, x2, y2 in zip(pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"]):
@@ -136,14 +135,31 @@ def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
     else:
         exterior = []
         total_area = 0.0
-    return pd.DataFrame(
-        {
-            "region": [region],
-            "n_rings": [len(rings)],
-            "exterior": [[[float(x), float(y)] for x, y in exterior]],
-            "area": [abs(total_area)],
-        }
-    )
+    return {
+        "region": region,
+        "n_rings": len(rings),
+        "exterior": [[float(x), float(y)] for x, y in exterior],
+        "area": abs(total_area),
+    }
+
+
+def _assemble_partition(batches):
+    """Partition-level assembly — one Python pass over the whole
+    partition instead of per-group applyInPandas (regions are numerous
+    and tiny; groups-per-task overhead dominated the runtime).
+
+    The partition's Arrow batches are concatenated BEFORE grouping: a
+    region's edges may straddle a 64k-row batch boundary, and a split
+    region would otherwise be assembled twice.  Edge rows are
+    perimeter-scale, so a whole partition fits comfortably."""
+    pdfs = [p for p in batches if len(p)]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    out = []
+    for region, grp in pdf.groupby("region", sort=False):
+        out.append(_assemble_one(int(region), grp))
+    yield pd.DataFrame(out)
 
 
 def polygonize(
@@ -160,8 +176,8 @@ def polygonize(
         tile_h=tile_h, tile_w=tile_w,
     )
     edges = _edge_extract(labeled, tile_h, tile_w)
-    polys = edges.groupBy("region").applyInPandas(
-        _assemble,
+    polys = edges.repartition("region").mapInPandas(
+        _assemble_partition,
         schema="region long, n_rings int, exterior array<array<double>>, area double",
     )
     vals = labeled.groupBy(F.col("region").cast("long").alias("region")).agg(

@@ -39,10 +39,19 @@ from xarray_spatial_spark.operators.halo import with_halo
 _KEY = 1 << 32
 
 
-def _tile_ccl(vals: np.ndarray, keys: np.ndarray, conn: int) -> np.ndarray:
-    """Min-label relaxation to fixpoint on one dense tile.
+def _tile_ccl(
+    vals: np.ndarray, keys: np.ndarray, conn: int, y0: int = 0, x0: int = 0
+) -> np.ndarray:
+    """Min-label propagation with pointer jumping on one dense tile.
     ``vals`` NaN-filled where absent; NaN==NaN connects (zonal.py
-    equality incl. nan)."""
+    equality incl. nan).
+
+    Each round does one neighbor-min relaxation followed by pointer
+    jumping (label <- label-of-the-cell-the-label-names, i.e. path
+    compression) — the label graph halves in depth per round, so a
+    snake across an N-cell tile converges in O(log N) rounds instead
+    of O(N).  Keys are global ``y * 2^32 + x`` (exact in float64 up to
+    y < 2^20 raster rows); (y0, x0) is the tile origin for decoding."""
     lab = keys.astype(np.float64)  # NaN marks absent cells
     present = ~np.isnan(lab)
 
@@ -63,6 +72,7 @@ def _tile_ccl(vals: np.ndarray, keys: np.ndarray, conn: int) -> np.ndarray:
         m = eq(vals[sa], vals[sb]) & present[sa] & present[sb]
         views.append((sa, sb, m))
 
+    KEY = float(1 << 32)
     while True:
         # accumulate into a fresh buffer with np.minimum — in-place
         # writes into overlapping views would clobber earlier updates
@@ -73,6 +83,10 @@ def _tile_ccl(vals: np.ndarray, keys: np.ndarray, conn: int) -> np.ndarray:
             # np.minimum (not fmin): NaN marks absent cells and must stay
             new[sa] = np.minimum(new[sa], mn)
             new[sb] = np.minimum(new[sb], mn)
+        # pointer jumping: follow each label to ITS cell's current label
+        jy = (new[present] // KEY).astype(np.int64) - y0
+        jx = (new[present] % KEY).astype(np.int64) - x0
+        new[present] = new[jy, jx]
         if np.array_equal(lab[present], new[present]):
             return new
         lab = new
@@ -110,7 +124,7 @@ def regions(
         # NaN VALUES are legitimate cells (their own class); absent cells
         # are marked by NaN keys only
         keys[py, px] = (pdf["y"].to_numpy(np.int64) * _KEY + pdf["x"].to_numpy(np.int64))
-        lab = _tile_ccl(vals, keys, conn)
+        lab = _tile_ccl(vals, keys, conn, y0=ty * th, x0=tx * tw)
         return pd.DataFrame(
             {
                 "y": pdf["y"].to_numpy(),
