@@ -183,3 +183,20 @@ def test_tiling_invariance_focal_stats(spark, tile):
         np.testing.assert_allclose(
             _grid(got, col), _grid(base, col), equal_nan=True, err_msg=col
         )
+
+
+def test_focal_apply_custom_reducer(spark):
+    """focal.apply with a user callable — the Spark analog of the
+    reference's custom @ngjit reducer (focal.py:396-399)."""
+    data = np.arange(16, dtype=float).reshape(4, 4)
+    df = df_from_numpy(spark, data)
+    kernel = np.ones((3, 3))
+
+    def nan_range(windows, axis):
+        return np.nanmax(windows, axis=axis) - np.nanmin(windows, axis=axis)
+
+    got = _grid(focal.apply(df, kernel, func=nan_range))
+    # center cell (1,1): window 0..10 -> range 10
+    assert got[1, 1] == 10.0
+    # corner (0,0): clamped window {0,1,4,5} -> 5
+    assert got[0, 0] == 5.0
