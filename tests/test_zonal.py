@@ -129,3 +129,51 @@ def test_crop(spark):
     out = zonal.crop(zonal.align(zones, values), zones_ids=[1]).collect()
     xs = {r["x"] for r in out}
     assert xs == {2, 3}
+
+
+def test_crosstab_3d(spark):
+    """3-D crosstab golden (reference test_zonal.py:267-321): ones
+    raster stacked over 4 category layers -> per-(zone, cat) stats."""
+    import pandas as pd
+
+    cats = ["cat1", "cat2", "cat3", "cat4"]
+    rows = []
+    for y in range(3):
+        for x in range(8):
+            for c in cats:
+                rows.append((y, x, c, 1.0))
+    values3d = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["y", "x", "cat", "value"]),
+        schema="y int, x int, cat string, value double",
+    )
+    zones = df_from_numpy(spark, ZONES, value_col="zone")
+    zv = zonal.align(zones, values3d)
+    out = _as_dict(
+        zonal.crosstab(zv, zone_ids=[1, 2, 3], cat_ids=cats,
+                       value_col="value", agg="sum")
+    )
+    assert out["zone"] == [1, 2, 3]
+    for c in cats:
+        assert out[c] == [6.0, 5.0, 6.0]
+    mean_out = _as_dict(
+        zonal.crosstab(zv, zone_ids=[1, 2, 3], cat_ids=cats,
+                       value_col="value", agg="mean")
+    )
+    for c in cats:
+        assert mean_out[c] == [1.0, 1.0, 1.0]
+
+
+def test_stats_multi_band_fanout(spark):
+    """Dataset fan-out (reference zonal.py:592-611): stats per value
+    column merged on zone."""
+    zones = df_from_numpy(spark, ZONES, value_col="zone")
+    v1 = df_from_numpy(spark, VALUES, value_col="band_a")
+    v2 = df_from_numpy(spark, VALUES * 2, value_col="band_b")
+    zv = zonal.align(zonal.align(zones, v1), v2)
+    a = zonal.stats(zv, value_col="band_a", stats_funcs=("mean", "count"))
+    b = zonal.stats(zv, value_col="band_b", stats_funcs=("mean", "count"))
+    merged = a.withColumnRenamed("mean", "mean_a").join(
+        b.withColumnRenamed("mean", "mean_b").select("zone", "mean_b"), "zone"
+    )
+    got = {r["zone"]: (r["mean_a"], r["mean_b"]) for r in merged.collect()}
+    assert got[3][1] == pytest.approx(2 * got[3][0])
