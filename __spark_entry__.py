@@ -203,7 +203,7 @@ def q_multispectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(multispectral.normalized_ratio(F.col("nir"), F.col("red")), 6).alias("ndvi"),
         F.round(multispectral.savi_expr(F.col("nir"), F.col("red")), 6).alias("savi"),
         F.round(multispectral.arvi_expr(F.col("nir"), F.col("red"), F.col("blue")), 6).alias("arvi"),
-        F.round(multispectral.evi_expr(F.col("nir"), F.col("red"), F.col("blue")), 6).alias("evi"),
+        (F.round(multispectral.evi_expr(F.col("nir"), F.col("red"), F.col("blue")), 6) + F.lit(0.0)).alias("evi"),
         F.round(multispectral.gci_expr(F.col("nir"), F.col("green")), 6).alias("gci"),
     )
 
@@ -610,7 +610,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tile_assign": f"""
             SELECT {z8x} AS tile_x, {z8y} AS tile_y,
-                   count(*) AS n_docs, sum(n_chars) AS sum_chars
+                   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1, 2
         """,
         "zonal_stats": ORACLE_ZONAL_STATS,
@@ -702,7 +702,7 @@ def oracle_sql() -> dict[str, str]:
               round(CASE WHEN nir + 2*red + blue <> 0
                          THEN (nir - 2*red + blue)/(nir + 2*red + blue) END, 6) AS arvi,
               round(CASE WHEN nir + 6.0*red - 7.5*blue + 1.0 <> 0
-                         THEN 2.5 * (nir - red)/(nir + 6.0*red - 7.5*blue + 1.0) END, 6) AS evi,
+                         THEN 2.5 * (nir - red)/(nir + 6.0*red - 7.5*blue + 1.0) END, 6) + 0.0 AS evi,
               round(CASE WHEN green <> 0 THEN nir/green - 1.0 END, 6) AS gci
             FROM b
         """,
