@@ -1,0 +1,143 @@
+"""Dense-tile raster format: round-trip, stencil parity with the
+long-form path, tiled terrain parity, global stats."""
+
+import numpy as np
+import pytest
+
+from xarray_spatial_spark import raster, tiled
+from xarray_spatial_spark.operators import focal, surface
+from xarray_spatial_spark.operators.convolution import circle_kernel
+
+
+@pytest.fixture(scope="module")
+def arr():
+    rng = np.random.default_rng(42)
+    a = rng.uniform(0, 100, size=(70, 93))
+    a[5, 7] = np.nan
+    a[40:44, 60:66] = np.nan
+    return a
+
+
+def test_tile_untile_roundtrip(spark, arr):
+    df = raster.df_from_numpy(spark, arr)
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    back = tiled.numpy_from_tiled(tdf)
+    np.testing.assert_array_equal(back, np.where(np.isfinite(arr), arr, np.nan))
+    # long-form round trip
+    long = tiled.untile(tdf)
+    dense = raster.numpy_from_df(long)
+    np.testing.assert_array_equal(dense, back)
+
+
+def test_tile_partial_edges(spark, arr):
+    df = raster.df_from_numpy(spark, arr)
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    rows = tdf.collect()
+    # 70x93 at 32 -> 3x3 tile grid with clipped bottom/right
+    assert len(rows) == 9
+    for r in rows:
+        assert r["h"] == (6 if r["ty"] == 2 else 32)
+        assert r["w"] == (29 if r["tx"] == 2 else 32)
+        assert len(r["value"]) == r["h"] * r["w"] * 8
+
+
+@pytest.mark.parametrize("op,kwargs", [
+    (surface.slope, {"cellsize_x": 3.0, "cellsize_y": 2.0}),
+    (surface.aspect, {}),
+    (surface.curvature, {"cellsize": 2.0}),
+    (surface.hillshade, {}),
+])
+def test_surface_tiled_matches_long(spark, arr, op, kwargs):
+    df = raster.df_from_numpy(spark, arr)
+    expected = raster.numpy_from_df(op(df, tile_h=32, tile_w=32, **kwargs))
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    got = tiled.numpy_from_tiled(op(tdf, **kwargs))
+    np.testing.assert_allclose(got, expected, rtol=1e-6, equal_nan=True)
+
+
+def test_focal_mean_tiled_matches_long(spark, arr):
+    df = raster.df_from_numpy(spark, arr)
+    expected = raster.numpy_from_df(focal.mean(df, tile_h=32, tile_w=32))
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    got = tiled.numpy_from_tiled(focal.mean(tdf))
+    np.testing.assert_allclose(got, expected, rtol=1e-12, equal_nan=True)
+
+
+def test_focal_stats_radius2_tiled(spark, arr):
+    k = circle_kernel(1, 1, 2.5)
+    df = raster.df_from_numpy(spark, arr)
+    long_out = focal.focal_stats(df, k, stats_funcs=("mean", "max", "sum"),
+                                 tile_h=32, tile_w=32)
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    tiled_out = focal.focal_stats(tdf, k, stats_funcs=("mean", "max", "sum"))
+    for c in ("mean", "max", "sum"):
+        np.testing.assert_allclose(
+            tiled.numpy_from_tiled(tiled_out, value_col=c),
+            raster.numpy_from_df(long_out, value_col=c),
+            rtol=1e-12, equal_nan=True,
+        )
+
+
+def test_hotspots_tiled_matches_long(spark):
+    rng = np.random.default_rng(3)
+    a = rng.normal(10, 2, size=(60, 60))
+    a[10:14, 10:14] += 40  # hot blob
+    k = circle_kernel(1, 1, 1.5)
+    df = raster.df_from_numpy(spark, a)
+    expected = raster.numpy_from_df(focal.hotspots(df, k, tile_h=32, tile_w=32))
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    got = tiled.numpy_from_tiled(focal.hotspots(tdf, k))
+    np.testing.assert_allclose(got, expected, equal_nan=True)
+
+
+def test_global_stats(spark, arr):
+    df = raster.df_from_numpy(spark, arr)
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    gs = tiled.global_stats(tdf)
+    finite = arr[np.isfinite(arr)]
+    assert gs["count"] == finite.size
+    np.testing.assert_allclose(gs["mean"], finite.mean())
+    np.testing.assert_allclose(gs["std"], finite.std())
+    np.testing.assert_allclose(gs["min"], finite.min())
+    np.testing.assert_allclose(gs["max"], finite.max())
+
+
+def test_terrain_tiled_bit_matches_long(spark):
+    from xarray_spatial_spark.sources.terrain import (
+        generate_terrain, generate_terrain_tiled,
+    )
+
+    long_arr = raster.numpy_from_df(
+        generate_terrain(spark, 96, 80, seed=10), value_col="value"
+    )
+    tiled_arr = tiled.numpy_from_tiled(
+        generate_terrain_tiled(spark, 96, 80, seed=10, tile=48)
+    )
+    np.testing.assert_allclose(tiled_arr, long_arr, rtol=1e-12)
+
+
+def test_summarize_terrain_tiled(spark, arr):
+    df = raster.df_from_numpy(spark, arr)
+    long_out = surface.summarize_terrain(df, tile_h=32, tile_w=32)
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    tiled_out = surface.summarize_terrain(tdf)
+    for c in ("slope", "aspect", "curvature"):
+        np.testing.assert_allclose(
+            tiled.numpy_from_tiled(tiled_out, value_col=c),
+            raster.numpy_from_df(long_out, value_col=c),
+            rtol=1e-6, equal_nan=True,
+        )
+
+
+def test_float32_tiles_match_float64(spark, arr):
+    df = raster.df_from_numpy(spark, arr)
+    t64 = tiled.tile(df, tile_h=32, tile_w=32)
+    t32 = tiled.tile(df, tile_h=32, tile_w=32, dtype=np.float32)
+    s64 = tiled.numpy_from_tiled(surface.slope(t64))
+    s32 = tiled.numpy_from_tiled(surface.slope(t32))
+    # slope computes in float32 on both paths; storage dtype only
+    # changes the final widening
+    np.testing.assert_allclose(s32, s64, rtol=1e-5, equal_nan=True)
+    gs = tiled.global_stats(t32)
+    finite = arr[np.isfinite(arr)]
+    np.testing.assert_allclose(gs["mean"], finite.mean(), rtol=1e-6)

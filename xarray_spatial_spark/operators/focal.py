@@ -160,12 +160,18 @@ def hotspots(
     classifies every cell incl. NaN -> z=NaN -> class 0 ... see
     _calc_hotspots_numpy focal.py:882-915: NaN z-scores fail every
     abs() test and yield 0)."""
+    from xarray_spatial_spark import tiled as _tiled
+
     kernel = custom_kernel(kernel)
     ksum = kernel.sum()
-    row = df.agg(
-        F.avg(value_col).alias("m"), F.stddev_pop(value_col).alias("s")
-    ).collect()[0]
-    gmean, gstd = float(row["m"]), float(row["s"])
+    if _tiled.is_tiled(df):
+        gs = _tiled.global_stats(df, value_col)
+        gmean, gstd = gs["mean"], gs["std"]
+    else:
+        row = df.agg(
+            F.avg(value_col).alias("m"), F.stddev_pop(value_col).alias("s")
+        ).collect()[0]
+        gmean, gstd = float(row["m"]), float(row["s"])
     if gstd == 0:
         raise ZeroDivisionError("Standard deviation of the input raster values is 0.")
     norm_kernel = kernel / ksum

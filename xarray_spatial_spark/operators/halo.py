@@ -94,11 +94,22 @@ def apply_stencil(
 ) -> DataFrame:
     """Run a vectorized-numpy stencil over every tile with halo.
 
-    Input: long-form raster (y, x, *value_cols).  Output: (y, x,
-    *out_cols) for exactly the cells present in the input.  ``fn``
-    receives NaN-padded dense arrays of shape (tile_h+2r, tile_w+2r)
-    and returns interior-shaped (tile_h, tile_w) arrays.
+    Input: long-form raster (y, x, *value_cols) OR a dense tiled
+    raster (ty, tx, h, w, <band> binary — see
+    ``xarray_spatial_spark.tiled``), detected by schema.  Output
+    format matches the input format.  ``fn`` receives NaN-padded
+    dense arrays of shape (tile_h+2r, tile_w+2r) and returns
+    interior-shaped (tile_h, tile_w) arrays — identical kernels on
+    both paths; the tiled path shuffles ~8 bytes/cell instead of
+    ~33 and never touches per-cell rows.
     """
+    from xarray_spatial_spark import tiled as _tiled
+
+    if _tiled.is_tiled(df):
+        return _tiled.apply_stencil_tiled(
+            df, fn, radius, value_cols=value_cols, out_cols=out_cols,
+            tile_h=tile_h, tile_w=tile_w,
+        )
     r = radius
     th, tw = tile_h, tile_w
     haloed = with_halo(df.select("y", "x", *value_cols), r, th, tw)

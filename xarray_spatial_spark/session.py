@@ -64,10 +64,25 @@ def get_spark(
         # 16g->2.8s at local[32]). Real clusters size executors the
         # same way: several smaller JVMs beat one giant heap.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # -Xms = -Xmx + AlwaysPreTouch: commit the whole heap at
+        # startup.  Lazy heap growth page-faults DURING jobs (measured:
+        # 60%+ kernel time bursts and 2-5x run-to-run variance on the
+        # tiled stencil bench); pre-touching moves that cost to session
+        # startup.  32m G1 regions keep multi-MB tile blobs out of the
+        # humongous-allocation path.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:+AlwaysPreTouch -XX:+UseG1GC",
+            "-XX:+AlwaysPreTouch -XX:+UseG1GC -Xms"
+            + os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+            + " -XX:G1HeapRegionSize=32m",
         )
+        # dense-tile rasters carry multi-MB binary cells; the default
+        # 4096-row vectorized-reader batch tries to reserve >2 GB
+        # contiguous per column and aborts the scan (and at 32 rows,
+        # 3 binary cols x 8 MB tiles x 32 concurrent tasks OOMs a
+        # 16 GB heap).  8 rows caps a column vector at 64 MB for 8 MB
+        # tiles; narrow tables lose nothing measurable.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # wide tables + pruned scans: 128m splits create 8x more tasks

@@ -97,6 +97,51 @@ def _raw_rows(
     )
 
 
+def _raw_tiles(
+    spark: SparkSession,
+    width: int,
+    height: int,
+    compute_block,
+    tile: int,
+    dtype=np.float64,
+) -> DataFrame:
+    """Dense-tile generator: one task per tile, no per-cell rows, no
+    shuffle.  ``compute_block(y0, h, x0, w) -> (h, w) float array``.
+    Output is the tiled raster format (xarray_spatial_spark.tiled)."""
+    from xarray_spatial_spark.tiled import tiled_schema, _edge_blobs
+
+    nty = -(-height // tile)
+    ntx = -(-width // tile)
+
+    def _op(batches):
+        for pdf in batches:
+            out = {"ty": [], "tx": [], "h": [], "w": [], "th": [], "tw": [],
+                   "value": [], "value__le": [], "value__re": []}
+            for tid in pdf["id"].to_numpy(np.int64):
+                ty, tx = int(tid) // ntx, int(tid) % ntx
+                y0, x0 = ty * tile, tx * tile
+                h = min(tile, height - y0)
+                w = min(tile, width - x0)
+                block = compute_block(y0, h, x0, w)
+                out["ty"].append(ty)
+                out["tx"].append(tx)
+                out["h"].append(h)
+                out["w"].append(w)
+                out["th"].append(tile)
+                out["tw"].append(tile)
+                block = np.ascontiguousarray(block, dtype=dtype)
+                le, re = _edge_blobs(block)
+                out["value"].append(block.tobytes())
+                out["value__le"].append(le)
+                out["value__re"].append(re)
+            yield pd.DataFrame(out)
+
+    par = min(nty * ntx, spark.sparkContext.defaultParallelism * 2)
+    return spark.range(0, nty * ntx, 1, par).mapInPandas(
+        _op, schema=tiled_schema(["value"])
+    )
+
+
 def _minmax_scale(df: DataFrame) -> DataFrame:
     box = df.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
     return (
@@ -175,3 +220,62 @@ def generate_terrain(
         "value",
         F.when(F.col("value") < 0.3, F.lit(0.0)).otherwise(F.col("value")) * zfactor,
     )
+
+
+def generate_terrain_tiled(
+    spark: SparkSession,
+    width: int,
+    height: int,
+    x_range: tuple[float, float] = (0, 500),
+    y_range: tuple[float, float] = (0, 500),
+    seed: int = 10,
+    zfactor: float = 4000,
+    full_extent: tuple | None = None,
+    tile: int = 512,
+    dtype=np.float64,
+) -> DataFrame:
+    """``generate_terrain`` emitting the dense-tile format directly —
+    one generator task per tile, zero shuffles in synthesis (min-max
+    scaling adds the same two-job global-then-local pattern).  Same
+    seeded formula as the long-form path, so
+    ``tiled.numpy_from_tiled(...)`` bit-matches ``numpy_from_df`` of
+    ``generate_terrain`` at equal (width, height, seed)."""
+    from xarray_spatial_spark import tiled as tl
+
+    if full_extent is None:
+        full_extent = (x_range[0], y_range[0], x_range[1], y_range[1])
+    fx = (full_extent[0], full_extent[2])
+    fy = (full_extent[1], full_extent[3])
+
+    def _scale(v, rng):
+        return (v - rng[0]) / (rng[1] - rng[0])
+
+    xr_s = (_scale(x_range[0], fx), _scale(x_range[1], fx))
+    yr_s = (_scale(y_range[0], fy), _scale(y_range[1], fy))
+
+    perms = [_perm(seed + i, dtype=np.int32) for i in range(16)]
+    bc = spark.sparkContext.broadcast(perms)
+    linx = np.linspace(xr_s[0], xr_s[1], width, endpoint=False, dtype=np.float32)
+    liny = np.linspace(yr_s[0], yr_s[1], height, endpoint=False, dtype=np.float32)
+
+    def compute_block(y0: int, h: int, x0: int, w: int) -> np.ndarray:
+        ps = bc.value
+        x = np.broadcast_to(linx[x0:x0 + w], (h, w)).astype(np.float32)
+        y = np.broadcast_to(liny[y0:y0 + h][:, None], (h, w)).astype(np.float32)
+        acc = np.zeros((h, w), dtype=np.float64)
+        for i in range(16):
+            m = 1.0 / 2**i
+            f = float(2**i)
+            acc += perlin_field(ps[i], x * f, y * f) * m
+        acc /= 1.00 + 0.50 + 0.25 + 0.13 + 0.06 + 0.03
+        return acc**3
+
+    raw = _raw_tiles(spark, width, height, compute_block, tile, dtype=dtype)
+    gs = tl.global_stats(raw, "value")
+    lo, span = gs["min"], gs["max"] - gs["min"]
+
+    def _rescale(arrs):
+        v = (arrs["value"] - lo) / span
+        return {"value": np.where(v < 0.3, 0.0, v) * zfactor}
+
+    return tl.map_tiles(raw, _rescale)

@@ -1,0 +1,516 @@
+"""Dense-tile raster format — the scale representation for stencils.
+
+The long-form raster (one row per cell) is the engine's interchange /
+test format; at 100-TB scale a stencil over it shuffles ~33 bytes per
+cell plus per-row Arrow overhead.  This module stores a raster as one
+row per TILE:
+
+    (ty long, tx long, h int, w int, th int, tw int, <band> binary ...)
+
+where each band is the row-major float64 bytes of the (h, w) block
+(NaN = nodata, mirroring the reference's ``boundary=np.nan`` dask
+map_overlap pad, xrspatial/focal.py:70-76).  Tiles are full
+``tile_h x tile_w`` except the raster's bottom/right edges, which are
+clipped, so the raster extent is implicit in the tile set.
+
+A stencil pass over tiled data is ONE shuffle of ~1.02x the raster
+bytes (full tile to itself + radius-wide border strips to the 8
+neighbors), and every per-cell cost is a vectorized numpy slice —
+no per-cell rows, no pandas scatter.  This is the Spark re-plan of
+dask ``map_overlap`` boundary exchange at ~8 bytes/cell instead of
+~33, and is what makes slope/focal match the reference's numba
+per-core throughput (reference benchmarks/results.md anchors).
+
+``operators.halo.apply_stencil`` dispatches here automatically when
+its input carries the tiled schema, so every stencil operator
+(slope/aspect/curvature/hillshade/focal/convolve/hotspots) runs on
+either format with identical kernels and identical results
+(tests/test_tiled.py asserts long==tiled equivalence per op).
+"""
+
+from __future__ import annotations
+
+import warnings
+from collections.abc import Callable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TILE = 512
+
+TILE_KEY_COLS = ("ty", "tx", "h", "w", "th", "tw")
+
+StencilFn = Callable[[dict[str, np.ndarray]], dict[str, np.ndarray]]
+
+
+def is_tiled(df: DataFrame) -> bool:
+    return set(TILE_KEY_COLS).issubset(set(df.columns))
+
+
+_DTYPES = {8: np.float64, 4: np.float32}
+
+
+def _decode(buf: bytes, h: int, w: int) -> np.ndarray:
+    """Blob -> (h, w) array; dtype inferred from the byte length, so
+    float32 and float64 rasters share one format (float32 halves scan,
+    shuffle, and Arrow bytes; the reference's surface kernels compute
+    in float32 anyway, xrspatial/slope.py:58)."""
+    isz = len(buf) // (h * w) if h * w else 8
+    return np.frombuffer(buf, dtype=_DTYPES[isz]).reshape(h, w)
+
+
+EDGE = 8  # columns kept in the transposed edge blobs (supports radius <= 8
+           # in the all-JVM strip path; larger radii use the Python fallback)
+
+
+def tiled_schema(bands: Sequence[str]) -> str:
+    """Canonical tiled schema: per band, the dense block plus two small
+    TRANSPOSED edge blobs (leftmost/rightmost ``EDGE`` columns stored
+    column-major, ~3%% of tile bytes at 512px).  The edge blobs make
+    every halo strip — vertical ones and corners included — a plain
+    contiguous ``substring`` in whole-stage codegen; without them,
+    column extraction from row-major bytes needs per-element
+    higher-order functions, which fall out of codegen and copy
+    catastrophically."""
+    cols = ["ty long", "tx long", "h int", "w int", "th int", "tw int"]
+    for b in bands:
+        cols += [f"{b} binary", f"{b}__le binary", f"{b}__re binary"]
+    return ", ".join(cols)
+
+
+def _edge_blobs(a: np.ndarray) -> tuple[bytes, bytes]:
+    """(h, w) block -> transposed left/right edge blobs, each
+    (min(EDGE, w), h) row-major."""
+    e = min(EDGE, a.shape[1])
+    le = np.ascontiguousarray(a[:, :e].T).tobytes()
+    re = np.ascontiguousarray(a[:, a.shape[1] - e:].T).tobytes()
+    return le, re
+
+
+# ---------------------------------------------------------------------------
+# long-form <-> tiled conversion
+# ---------------------------------------------------------------------------
+
+def tile(
+    df: DataFrame,
+    tile_h: int = DEFAULT_TILE,
+    tile_w: int = DEFAULT_TILE,
+    value_cols: Sequence[str] = ("value",),
+    shape: tuple[int, int] | None = None,
+    dtype=np.float64,
+) -> DataFrame:
+    """Long-form (y, x, bands...) -> tiled.  One shuffle keyed by tile.
+    ``shape`` clips edge tiles; when None it is computed with one tiny
+    agg job (max y/x).  ``dtype=np.float32`` halves every downstream
+    byte (stored, shuffled, Arrow-crossed) at float32 precision."""
+    if shape is None:
+        row = df.agg(F.max("y").alias("my"), F.max("x").alias("mx")).collect()[0]
+        shape = (int(row["my"]) + 1, int(row["mx"]) + 1)
+    H, W = shape
+    bands = list(value_cols)
+
+    def _pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        h = min(tile_h, H - ty * tile_h)
+        w = min(tile_w, W - tx * tile_w)
+        py = pdf["y"].to_numpy(np.int64) - ty * tile_h
+        px = pdf["x"].to_numpy(np.int64) - tx * tile_w
+        out = {"ty": [ty], "tx": [tx], "h": [h], "w": [w],
+               "th": [tile_h], "tw": [tile_w]}
+        for b in bands:
+            a = np.full((h, w), np.nan, dtype=dtype)
+            a[py, px] = pdf[b].to_numpy(np.float64)
+            le, re = _edge_blobs(a)
+            out[b] = [a.tobytes()]
+            out[f"{b}__le"] = [le]
+            out[f"{b}__re"] = [re]
+        return pd.DataFrame(out)
+
+    keyed = df.withColumn("_ty", F.floor(F.col("y") / tile_h).cast("long")).withColumn(
+        "_tx", F.floor(F.col("x") / tile_w).cast("long")
+    )
+    return keyed.groupBy("_ty", "_tx").applyInPandas(
+        _pack, schema=tiled_schema(bands)
+    )
+
+
+def untile(
+    tdf: DataFrame,
+    value_cols: Sequence[str] = ("value",),
+    drop_nan: bool = False,
+) -> DataFrame:
+    """Tiled -> long-form (y, x, bands...).  Map-side only (no
+    shuffle).  NaN cells become NULL; ``drop_nan`` omits them."""
+    bands = list(value_cols)
+    schema = "y int, x int, " + ", ".join(f"{b} double" for b in bands)
+
+    def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                h, w = int(r.h), int(r.w)
+                yy = np.repeat(
+                    np.arange(h, dtype=np.int64) + int(r.ty) * int(r.th), w
+                )
+                xx = np.tile(
+                    np.arange(w, dtype=np.int64) + int(r.tx) * int(r.tw), h
+                )
+                data = {b: _decode(getattr(r, b), h, w).ravel() for b in bands}
+                if drop_nan:
+                    keep = np.zeros(h * w, dtype=bool)
+                    for b in bands:
+                        keep |= ~np.isnan(data[b])
+                    yy, xx = yy[keep], xx[keep]
+                    data = {b: v[keep] for b, v in data.items()}
+                out = pd.DataFrame(
+                    {"y": yy.astype(np.int32), "x": xx.astype(np.int32)}
+                )
+                for b in bands:
+                    out[b] = pd.Series(data[b]).where(np.isfinite(data[b]))
+                yield out
+
+    return tdf.mapInPandas(_unpack, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# halo-stencil over tiles
+# ---------------------------------------------------------------------------
+
+MSG_FIELDS = ("ty", "tx", "gy0", "gx0", "sh", "sw", "iscenter",
+              "transposed", "th", "tw")
+
+
+def _jvm_messages(tdf: DataFrame, r: int, bands: Sequence[str]) -> DataFrame:
+    """All 9 halo messages per tile as ONE select/explode of plain
+    substring/concat expressions — zero Python, zero higher-order
+    functions, stays in whole-stage codegen.
+
+    dx == 0 strips slice the row-major block directly (contiguous
+    rows).  dx != 0 strips (vertical edges + corners) slice the
+    transposed edge blobs, and arrive transposed=1 ((sw, sh)
+    row-major); ``r`` is a plan-time int so the per-column concat
+    unrolls to <= EDGE substrings."""
+    h, w = F.col("h"), F.col("w")
+    th, tw = F.col("th"), F.col("tw")
+    ty, tx = F.col("ty"), F.col("tx")
+    structs = []
+    for dy in (-1, 0, 1):
+        if dy == -1:
+            rlo, sh = F.lit(0), F.least(F.lit(r), h)
+        elif dy == 0:
+            rlo, sh = F.lit(0), h
+        else:
+            rlo = F.greatest(th - r, F.lit(0))
+            sh = h - rlo
+        for dx in (-1, 0, 1):
+            if dx == -1:
+                clo, sw = F.lit(0), F.least(F.lit(r), w)
+            elif dx == 0:
+                clo, sw = F.lit(0), w
+            else:
+                clo = F.greatest(tw - r, F.lit(0))
+                sw = w - clo
+            valid = (sh > 0) & (sw > 0) & (ty + dy >= 0) & (tx + dx >= 0)
+            fields = [
+                (ty + dy).cast("long").alias("ty"),
+                (tx + dx).cast("long").alias("tx"),
+                (ty * th + rlo).cast("long").alias("gy0"),
+                (tx * tw + clo).cast("long").alias("gx0"),
+                sh.cast("int").alias("sh"),
+                sw.cast("int").alias("sw"),
+                F.lit(1 if dy == 0 and dx == 0 else 0).alias("iscenter"),
+                F.lit(0 if dx == 0 else 1).alias("transposed"),
+                th.cast("int").alias("th"),
+                tw.cast("int").alias("tw"),
+            ]
+            for b in bands:
+                data = F.col(b)
+                # bytes per cell, from blob length (float32 or float64)
+                isz = (F.length(data) / (h * w)).cast("long")
+                if dy == 0 and dx == 0:
+                    strip = data  # full tile: zero-copy column reference
+                elif dx == 0:
+                    # contiguous row band from the row-major block
+                    strip = data.substr(
+                        (rlo * w * isz + 1).cast("int"),
+                        (sh * w * isz).cast("int"),
+                    )
+                else:
+                    # from the transposed edge blob: blob row j = source
+                    # column (j for __le; w-e+j for __re), each a
+                    # contiguous h-run; slice rows [rlo, rlo+sh) of up
+                    # to r columns and concat (r is a Python int ->
+                    # unrolled, no HOF)
+                    blob = F.col(f"{b}__le" if dx == -1 else f"{b}__re")
+                    e = F.least(F.lit(EDGE), w)  # blob row count
+                    parts = []
+                    for k in range(r):
+                        # k-th needed column, as a blob row index
+                        j = F.lit(k) if dx == -1 else (e - sw + k)
+                        part = blob.substr(
+                            ((j * h + rlo) * isz + 1).cast("int"),
+                            (sh * isz).cast("int"),
+                        )
+                        # only the first `sw` columns exist (w < r case)
+                        parts.append(F.when(F.lit(k) < sw, part)
+                                     .otherwise(F.lit(b"")))
+                    strip = parts[0] if len(parts) == 1 else F.concat(*parts)
+                fields.append(strip.alias(b))
+            structs.append(F.when(valid, F.struct(*fields)).otherwise(F.lit(None)))
+    return (
+        tdf.select(F.explode(F.array(*structs)).alias("_m"))
+        .filter(F.col("_m").isNotNull())
+        .select("_m.*")
+    )
+
+
+def _python_messages(tdf: DataFrame, r: int, bands: Sequence[str]) -> DataFrame:
+    """Fallback message emitter for radius > EDGE (or inputs without
+    edge blobs): decodes each tile in Python and emits all 9 messages.
+    One extra JVM->Python crossing of the raster; correct for any
+    radius <= tile size."""
+    msg_schema = (
+        "ty long, tx long, gy0 long, gx0 long, sh int, sw int, "
+        "iscenter int, transposed int, th int, tw int, "
+        + ", ".join(f"{b} binary" for b in bands)
+    )
+
+    def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in MSG_FIELDS}
+            for b in bands:
+                rows[b] = []
+            for rec in pdf.itertuples(index=False):
+                ty, tx = int(rec.ty), int(rec.tx)
+                h, w = int(rec.h), int(rec.w)
+                th, tw = int(rec.th), int(rec.tw)
+                gy, gx = ty * th, tx * tw
+                arrs = {b: _decode(getattr(rec, b), h, w) for b in bands}
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        dty, dtx = ty + dy, tx + dx
+                        if dty < 0 or dtx < 0:
+                            continue
+                        rlo = max(0, (dty * th - r) - gy)
+                        rhi = min(h, (dty * th + th + r) - gy)
+                        clo = max(0, (dtx * tw - r) - gx)
+                        chi = min(w, (dtx * tw + tw + r) - gx)
+                        if rlo >= rhi or clo >= chi:
+                            continue
+                        center = dy == 0 and dx == 0
+                        rows["ty"].append(dty)
+                        rows["tx"].append(dtx)
+                        rows["gy0"].append(gy + rlo)
+                        rows["gx0"].append(gx + clo)
+                        rows["sh"].append(rhi - rlo)
+                        rows["sw"].append(chi - clo)
+                        rows["iscenter"].append(1 if center else 0)
+                        rows["transposed"].append(0)
+                        rows["th"].append(th)
+                        rows["tw"].append(tw)
+                        for b in bands:
+                            rows[b].append(
+                                getattr(rec, b) if center
+                                else arrs[b][rlo:rhi, clo:chi].tobytes()
+                            )
+            yield pd.DataFrame(rows)
+
+    return tdf.mapInPandas(_emit, schema=msg_schema)
+
+
+def apply_stencil_tiled(
+    tdf: DataFrame,
+    fn: StencilFn,
+    radius: int,
+    value_cols: Sequence[str] = ("value",),
+    out_cols: Sequence[str] = ("value",),
+    tile_h: int = DEFAULT_TILE,
+    tile_w: int = DEFAULT_TILE,
+) -> DataFrame:
+    """One halo-stencil pass over a tiled raster.
+
+    Plan: a single JVM-side select/explode emits, per tile, the full
+    tile addressed to itself (a zero-copy column reference) plus <=8
+    border strips (contiguous substrings of the block / its transposed
+    edge blobs) addressed to the neighbor tiles; ONE groupBy(ty, tx)
+    shuffle co-locates them; each task assembles the NaN-padded
+    (h+2r, w+2r) block with numpy slicing, runs ``fn``, and emits the
+    interior (plus refreshed edge blobs) as one tiled row.
+
+    Raster bytes cross the JVM<->Python boundary exactly once each
+    way (the assemble/kernel stage); shuffle volume ~= raster bytes *
+    (1 + 4r(th+tw)/(th*tw)) — ~1.8%% halo overhead at r=1, 512x512.
+    Tiles whose group lacks the center row (strips addressed past the
+    raster edge) emit nothing, so domain edges stay NaN exactly like
+    the long-form path / the reference's NaN boundary
+    (xrspatial/focal.py:70-76 map_overlap boundary=np.nan).
+    """
+    r = int(radius)
+    bands = list(value_cols)
+    ocols = list(out_cols)
+
+    have_edges = all(f"{b}__le" in tdf.columns for b in bands)
+    if r <= EDGE and have_edges:
+        msgs = _jvm_messages(tdf, r, bands)
+    else:
+        msgs = _python_messages(tdf, r, bands)
+
+    out_schema = tiled_schema(ocols)
+    empty_cols = [c.split(" ")[0] for c in out_schema.split(", ")]
+
+    def _assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[pdf["iscenter"] == 1]
+        if len(center) == 0:
+            out = pd.DataFrame({c: [] for c in empty_cols})
+            for c in ("ty", "tx"):
+                out[c] = out[c].astype(np.int64)
+            for c in ("h", "w", "th", "tw"):
+                out[c] = out[c].astype(np.int32)
+            return out
+        ty, tx = int(key[0]), int(key[1])
+        c = center.iloc[0]
+        h, w = int(c["sh"]), int(c["sw"])
+        th, tw = int(c["th"]), int(c["tw"])
+        oy0, ox0 = ty * th - r, tx * tw - r
+        dts = {b: _decode(c[b], h, w).dtype for b in bands}
+        padded = {
+            b: np.full((h + 2 * r, w + 2 * r), np.nan, dtype=dts[b])
+            for b in bands
+        }
+        for rec in pdf.itertuples(index=False):
+            sh, sw = int(rec.sh), int(rec.sw)
+            oy, ox = int(rec.gy0) - oy0, int(rec.gx0) - ox0
+            slo_y, slo_x = max(0, -oy), max(0, -ox)
+            oy, ox = max(0, oy), max(0, ox)
+            shi_y = min(sh, slo_y + (h + 2 * r) - oy)
+            shi_x = min(sw, slo_x + (w + 2 * r) - ox)
+            if shi_y <= slo_y or shi_x <= slo_x:
+                continue
+            for b in bands:
+                buf = getattr(rec, b)
+                if int(rec.transposed):
+                    src = _decode(buf, sw, sh).T
+                else:
+                    src = _decode(buf, sh, sw)
+                padded[b][
+                    oy:oy + shi_y - slo_y, ox:ox + shi_x - slo_x
+                ] = src[slo_y:shi_y, slo_x:shi_x]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            outs = fn(padded)
+        row = {"ty": [ty], "tx": [tx], "h": [h], "w": [w],
+               "th": [th], "tw": [tw]}
+        default_dt = next(iter(dts.values()))
+        for b in ocols:
+            a = np.ascontiguousarray(outs[b], dtype=dts.get(b, default_dt))
+            le, re = _edge_blobs(a)
+            row[b] = [a.tobytes()]
+            row[f"{b}__le"] = [le]
+            row[f"{b}__re"] = [re]
+        return pd.DataFrame(row)
+
+    return msgs.groupBy("ty", "tx").applyInPandas(_assemble, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# tiled aggregates (global reductions without untiling)
+# ---------------------------------------------------------------------------
+
+def global_stats(tdf: DataFrame, value_col: str = "value") -> dict[str, float]:
+    """count / mean / population std / min / max over a tiled raster —
+    map-side numpy partials + one tiny agg (the tiled analog of
+    ``df.agg(avg, stddev_pop)``)."""
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = s = s2 = 0.0
+        lo, hi = np.inf, -np.inf
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                a = _decode(getattr(rec, value_col), int(rec.h), int(rec.w))
+                m = np.isfinite(a)
+                if m.any():
+                    v = a[m].astype(np.float64, copy=False)
+                    n += v.size
+                    s += float(v.sum())
+                    s2 += float((v * v).sum())
+                    lo = min(lo, float(v.min()))
+                    hi = max(hi, float(v.max()))
+        yield pd.DataFrame(
+            {"n": [n], "s": [s], "s2": [s2], "lo": [lo], "hi": [hi]}
+        )
+
+    part = tdf.mapInPandas(
+        _partial, schema="n double, s double, s2 double, lo double, hi double"
+    )
+    row = part.agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("s2").alias("s2"),
+        F.min("lo").alias("lo"), F.max("hi").alias("hi"),
+    ).collect()[0]
+    n = float(row["n"]) or float("nan")
+    mean = float(row["s"]) / n
+    var = max(0.0, float(row["s2"]) / n - mean * mean)
+    return {
+        "count": n,
+        "mean": mean,
+        "std": var ** 0.5,
+        "min": float(row["lo"]),
+        "max": float(row["hi"]),
+    }
+
+
+def map_tiles(
+    tdf: DataFrame,
+    fn: Callable[[dict[str, np.ndarray]], dict[str, np.ndarray]],
+    value_cols: Sequence[str] = ("value",),
+    out_cols: Sequence[str] = ("value",),
+) -> DataFrame:
+    """Cell-local (radius-0) transform — map-side only, no shuffle.
+    ``fn`` maps dict of (h, w) arrays to dict of (h, w) arrays."""
+    bands = list(value_cols)
+    ocols = list(out_cols)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"ty": [], "tx": [], "h": [], "w": [], "th": [], "tw": []}
+            for b in ocols:
+                out[b] = []
+                out[f"{b}__le"] = []
+                out[f"{b}__re"] = []
+            for rec in pdf.itertuples(index=False):
+                h, w = int(rec.h), int(rec.w)
+                arrs = {b: _decode(getattr(rec, b), h, w) for b in bands}
+                dts = {b: a.dtype for b, a in arrs.items()}
+                default_dt = next(iter(dts.values()))
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", category=RuntimeWarning)
+                    res = fn(arrs)
+                out["ty"].append(int(rec.ty))
+                out["tx"].append(int(rec.tx))
+                out["h"].append(h)
+                out["w"].append(w)
+                out["th"].append(int(rec.th))
+                out["tw"].append(int(rec.tw))
+                for b in ocols:
+                    a = np.ascontiguousarray(res[b], dtype=dts.get(b, default_dt))
+                    le, re = _edge_blobs(a)
+                    out[b].append(a.tobytes())
+                    out[f"{b}__le"].append(le)
+                    out[f"{b}__re"].append(re)
+            yield pd.DataFrame(out)
+
+    return tdf.mapInPandas(_run, schema=tiled_schema(ocols))
+
+
+def numpy_from_tiled(tdf: DataFrame, value_col: str = "value") -> np.ndarray:
+    """Collect a tiled raster to one dense array (tests only)."""
+    rows = tdf.select("ty", "tx", "h", "w", "th", "tw", value_col).collect()
+    H = max(int(r["ty"]) * int(r["th"]) + int(r["h"]) for r in rows)
+    W = max(int(r["tx"]) * int(r["tw"]) + int(r["w"]) for r in rows)
+    out = np.full((H, W), np.nan, dtype=np.float64)
+    for r in rows:
+        a = _decode(r[value_col], int(r["h"]), int(r["w"]))
+        y0 = int(r["ty"]) * int(r["th"])
+        x0 = int(r["tx"]) * int(r["tw"])
+        out[y0:y0 + int(r["h"]), x0:x0 + int(r["w"])] = a
+    return out
