@@ -143,3 +143,33 @@ def test_stats_to_raster(spark):
     back = zonal.stats_to_raster(zv, stats)
     got = {(r["y"], r["x"]): r["mean"] for r in back.collect()}
     assert got[(0, 0)] == 2.0 and got[(0, 3)] == 6.0
+
+
+def test_collect_dense_cap_guard(spark):
+    from xarray_spatial_spark.raster import collect_dense, df_from_numpy
+    import numpy as np
+    import pytest as _pt
+
+    df = df_from_numpy(spark, np.ones((20, 20)))
+    with _pt.raises(ValueError, match="cap"):
+        collect_dense(df, cap_cells=100)
+    arr = collect_dense(df)
+    assert arr.shape == (20, 20) and np.all(arr == 1.0)
+
+
+def test_a_star_default_margin_is_bounded(spark):
+    """margin=None must search a finite window (never whole-raster
+    collect) and still find the same path as unrestricted when the
+    path stays near the bbox."""
+    import numpy as np
+    from xarray_spatial_spark.operators.pathfinding import a_star_search
+    from xarray_spatial_spark.raster import df_from_numpy
+
+    rng = np.random.default_rng(2)
+    a = rng.uniform(1, 2, size=(80, 80))
+    df = df_from_numpy(spark, a)
+    auto = a_star_search(df, (10, 12), (18, 25)).toPandas()
+    full = a_star_search(df, (10, 12), (18, 25), margin=-1).toPandas()
+    assert sorted(map(tuple, auto[["y", "x"]].to_numpy())) == sorted(
+        map(tuple, full[["y", "x"]].to_numpy())
+    )

@@ -121,3 +121,48 @@ def test_classify_binning_stays_codegen(spark):
     plan = _plan(out)
     for marker in ("ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_no_unpartitioned_windows_in_regions_and_combine(spark):
+    """Global ranks must never use a bare orderBy window (one-task
+    sort of every distinct region/combo)."""
+    import re
+
+    from xarray_spatial_spark import raster
+    from xarray_spatial_spark.operators import local, regions
+
+    a = np.array([[1.0, 1.0, 2.0], [3.0, 1.0, 2.0], [3.0, 3.0, 2.0]])
+    rdf = regions.regions(raster.df_from_numpy(spark, a), tile_h=2, tile_w=2)
+    df2 = raster.df_from_bands(spark, a=a, b=a[::-1])
+    cdf = local.combine(df2, ["a", "b"])
+    for df in (rdf, cdf):
+        plan = _plan(df)
+        # every windowspecdefinition must carry a partition spec: the
+        # physical form of a bare window is "windowspecdefinition(<order>"
+        # with no partition columns before the sort spec
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "ASC" not in m.group(1).split(",")[0], (
+                "unpartitioned window found:\n" + m.group(0)
+            )
+
+
+def test_tiled_stencil_single_exchange_no_python_emit(spark):
+    """Tiled halo stencil: strip emission is pure JVM (one explode
+    project), one exchange, one FlatMapGroupsInPandas."""
+    from xarray_spatial_spark import raster, tiled
+    from xarray_spatial_spark.operators import surface
+
+    rng = np.random.default_rng(0)
+    tdf = tiled.tile(
+        raster.df_from_numpy(spark, rng.uniform(0, 1, (64, 64))),
+        tile_h=32, tile_w=32,
+    )
+    sl = surface.slope(tdf)
+    plan = _plan(sl)
+    # exactly two pandas nodes: the tile() pack building the fixture
+    # and the stencil assemble — the strip emit adds NO Python stage
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    assert plan.count("MapInPandas") == 0
+    # one shuffle between the emit project and the group assemble
+    downstream = plan.split("Generate explode")[0]
+    assert downstream.count("Exchange hashpartitioning") == 1

@@ -82,11 +82,17 @@ def combine(df: DataFrame, cols: Sequence[str], out_col: str = "combine",
         if order_col
         else F.col("y").cast("long") * F.lit(1 << 32) + F.col("x").cast("long")
     )
+    from xarray_spatial_spark.plans.ranks import global_row_number
+
     valid = df.filter(~_any_null(cols))
     combos = valid.groupBy(*cols).agg(F.min(order).alias("_first_pos"))
-    ranked = combos.withColumn(
-        out_col, F.row_number().over(Window.orderBy("_first_pos")).cast("double")
-    ).drop("_first_pos")
+    # two-phase distributed rank: no single-partition window even with
+    # millions of distinct combos
+    ranked = (
+        global_row_number(combos, "_first_pos", out_col)
+        .withColumn(out_col, F.col(out_col).cast("double"))
+        .drop("_first_pos")
+    )
     return df.join(F.broadcast(ranked), list(cols), "left")
 
 

@@ -104,19 +104,32 @@ def a_star_search(
     snap_start: bool = False,
     snap_goal: bool = False,
     value_col: str = "value",
-    margin: int = 0,
+    margin: int | None = None,
 ) -> DataFrame:
     """start/goal given as (y, x) PIXEL indices of the long-form
     raster.  Returns (y, x, cost) rows for the path cells only
     (the reference's NaN-elsewhere image restricted to its non-NaN
-    support).  ``margin`` widens the collected search window beyond
-    the start/goal bbox (0 = unrestricted: whole raster)."""
+    support).
+
+    ``margin`` widens the collected search window beyond the
+    start/goal bbox.  Default (None) = an automatic finite margin of
+    max(bbox height, bbox width, 64) cells — the search never
+    collects the whole raster by accident.  Pass a negative margin to
+    opt into the unrestricted window (still guarded by
+    ``collect_dense``'s size cap); the reference always searches the
+    full array (pathfinding.py:189-231), so unrestricted reproduces
+    it exactly when a path detours far outside the bbox."""
+    from xarray_spatial_spark.raster import collect_dense
+
     spark = raster.sparkSession
     barriers = tuple(float(b) for b in barriers)
 
+    if margin is None:
+        margin = max(abs(start[0] - goal[0]), abs(start[1] - goal[1]), 64)
+
     window = raster.select("y", "x", value_col)
     y0 = x0 = 0
-    if margin > 0:
+    if margin >= 0:
         y0 = max(0, min(start[0], goal[0]) - margin)
         y1 = max(start[0], goal[0]) + margin
         x0 = max(0, min(start[1], goal[1]) - margin)
@@ -124,11 +137,15 @@ def a_star_search(
         window = window.filter(
             F.col("y").between(y0, y1) & F.col("x").between(x0, x1)
         )
-    pdf = window.toPandas()
-    h = int(pdf["y"].max()) - y0 + 1
-    w = int(pdf["x"].max()) - x0 + 1
-    grid = np.full((h, w), np.nan)
-    grid[pdf["y"] - y0, pdf["x"] - x0] = pdf[value_col].to_numpy(np.float64)
+        grid = collect_dense(window, value_col, y0=y0, x0=x0,
+                             shape=(y1 - y0 + 1, x1 - x0 + 1))
+        # trim unpopulated outer rows/cols (filter window may exceed data)
+        finite_rows = np.flatnonzero(np.any(np.isfinite(grid), axis=1))
+        finite_cols = np.flatnonzero(np.any(np.isfinite(grid), axis=0))
+        if len(finite_rows):
+            grid = grid[:finite_rows[-1] + 1, :finite_cols[-1] + 1]
+    else:
+        grid = collect_dense(window, value_col)
 
     sy, sx = start[0] - y0, start[1] - x0
     gy, gx = goal[0] - y0, goal[1] - x0

@@ -93,7 +93,13 @@ def nearest_broadcast(
 ) -> DataFrame:
     """Append nearest-target columns to ``points``: ``nearest_dist``,
     ``nearest_x``, ``nearest_y``[, ``nearest_<payload>``].  No target in
-    range -> NULLs.  Zero-shuffle broadcast NN join."""
+    range -> NULLs.  Zero-shuffle broadcast NN join.
+
+    With a finite ``max_distance`` the broadcast carries a grid-bucket
+    index (cell side = the search radius) and each point only scores
+    targets in its 3x3 cell ring — O(local density) per point instead
+    of the dense O(P x T) matrix, which is what makes raster proximity
+    (targets = every non-zero cell) survive 100x target counts."""
     sc = points.sparkSession.sparkContext
     tcols = [x_col, y_col] + ([target_payload] if target_payload else [])
     tpdf = targets.select(*tcols).toPandas()
@@ -104,13 +110,32 @@ def nearest_broadcast(
     # sort by payload (then coords) so argmin tie-breaks to smallest value
     sort_cols = ([target_payload] if target_payload else []) + [x_col, y_col]
     tpdf = tpdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-    bc = sc.broadcast(
-        {
-            "tx": tpdf[x_col].to_numpy(np.float64),
-            "ty": tpdf[y_col].to_numpy(np.float64),
-            "tv": tpdf[target_payload].to_numpy() if target_payload else None,
-        }
-    )
+    txa = tpdf[x_col].to_numpy(np.float64)
+    tya = tpdf[y_col].to_numpy(np.float64)
+    payload = {
+        "tx": txa,
+        "ty": tya,
+        "tv": tpdf[target_payload].to_numpy() if target_payload else None,
+        "cell": None,
+        "index": None,
+    }
+    if math.isfinite(max_distance) and max_distance > 0 and len(tpdf):
+        # bucket targets on a grid whose cell side >= the search radius:
+        # every in-range target of a point lies in its 3x3 cell ring
+        # (euclidean and manhattan balls both fit; great-circle uses a
+        # degree cell widened by the worst-case lon shrink below)
+        if metric.upper() == "GREAT_CIRCLE":
+            cell = max_distance / 111320.0  # meters -> degrees latitude
+        else:
+            cell = float(max_distance)
+        index: dict[tuple[int, int], list[int]] = {}
+        cxs = np.floor(txa / cell).astype(np.int64)
+        cys = np.floor(tya / cell).astype(np.int64)
+        for i, (cx, cy) in enumerate(zip(cxs, cys)):
+            index.setdefault((int(cx), int(cy)), []).append(i)
+        payload["cell"] = cell
+        payload["index"] = {k: np.asarray(v, np.int64) for k, v in index.items()}
+    bc = sc.broadcast(payload)
 
     out_fields = "nearest_dist double, nearest_x double, nearest_y double"
     if target_payload:
@@ -120,9 +145,12 @@ def nearest_broadcast(
 
     empty = len(tpdf) == 0
 
+    gc = metric.upper() == "GREAT_CIRCLE"
+
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t = bc.value
         tx, ty, tv = t["tx"], t["ty"], t["tv"]
+        cell, index = t["cell"], t["index"]
         for pdf in batches:
             n = len(pdf)
             dist = np.full(n, np.nan)
@@ -132,18 +160,61 @@ def nearest_broadcast(
             if not empty and n:
                 px = pdf[x_col].to_numpy(np.float64)
                 py = pdf[y_col].to_numpy(np.float64)
-                # chunk rows so the (rows, T) matrix stays in cache/RAM
-                step = max(1, chunk // max(1, len(tx)))
-                for s in range(0, n, step):
-                    e = min(n, s + step)
-                    d = _dist_matrix(px[s:e], py[s:e], tx, ty, metric)
-                    idx = np.argmin(d, axis=1)  # first min => smallest payload
-                    rows = np.arange(e - s)
-                    dist[s:e] = d[rows, idx]
-                    bx[s:e] = tx[idx]
-                    by[s:e] = ty[idx]
-                    if tv is not None:
-                        bv[s:e] = tv[idx]
+                if index is not None:
+                    # bucket-pruned path: per occupied point cell, score
+                    # only targets in the 3x3 (lon-widened for
+                    # great-circle) neighbor cells
+                    pcx = np.floor(px / cell).astype(np.int64)
+                    pcy = np.floor(py / cell).astype(np.int64)
+                    order = np.lexsort((pcx, pcy))
+                    keys = pcy[order] * (1 << 32) + pcx[order]
+                    starts = np.flatnonzero(
+                        np.r_[True, keys[1:] != keys[:-1]]
+                    ).tolist() + [n]
+                    for gi in range(len(starts) - 1):
+                        rows = order[starts[gi]:starts[gi + 1]]
+                        cx, cy = int(pcx[rows[0]]), int(pcy[rows[0]])
+                        rx = 1
+                        if gc:
+                            lat_edge = min(
+                                89.0, abs(py[rows[0]]) + 2 * cell
+                            )
+                            rx = int(np.ceil(
+                                1.0 / max(np.cos(np.radians(lat_edge)), 1e-3)
+                            ))
+                        cand = [
+                            index.get((cx + dx, cy + dy))
+                            for dy in (-1, 0, 1)
+                            for dx in range(-rx, rx + 1)
+                        ]
+                        cand = [c for c in cand if c is not None]
+                        if not cand:
+                            continue
+                        ci = np.sort(np.concatenate(cand))  # payload order
+                        d = _dist_matrix(px[rows], py[rows], tx[ci], ty[ci],
+                                         metric)
+                        loc = np.argmin(d, axis=1)
+                        rr = np.arange(len(rows))
+                        dist[rows] = d[rr, loc]
+                        sel = ci[loc]
+                        bx[rows] = tx[sel]
+                        by[rows] = ty[sel]
+                        if tv is not None:
+                            bv[rows] = tv[sel]
+                else:
+                    # dense path: chunk rows so the (rows, T) matrix
+                    # stays in cache/RAM
+                    step = max(1, chunk // max(1, len(tx)))
+                    for s in range(0, n, step):
+                        e = min(n, s + step)
+                        d = _dist_matrix(px[s:e], py[s:e], tx, ty, metric)
+                        idx = np.argmin(d, axis=1)  # first min => min payload
+                        rows = np.arange(e - s)
+                        dist[s:e] = d[rows, idx]
+                        bx[s:e] = tx[idx]
+                        by[s:e] = ty[idx]
+                        if tv is not None:
+                            bv[s:e] = tv[idx]
                 beyond = dist > max_distance
                 dist[beyond] = np.nan
                 bx[beyond] = np.nan
@@ -180,16 +251,52 @@ def _proximity_family(
     target_values: Iterable[float] | None,
     max_distance: float,
     distance_metric: str,
+    strategy: str | None = None,
 ) -> DataFrame:
-    near = nearest_broadcast(
-        raster,
-        _targets(raster, value_col, target_values),
-        x_col=x_col,
-        y_col=y_col,
-        target_payload=value_col if mode == "allocation" else None,
-        metric=distance_metric,
-        max_distance=max_distance,
-    )
+    """Shared proximity/allocation/direction plan, routed through the
+    plans/joins.py strategy planner: <=64 targets inline into codegen
+    (expr), <=5M broadcast with cell-bucket pruning, beyond that the
+    cell-ring shuffle join (requires finite max_distance).  One tiny
+    count job sizes the target side (the Spark analog of the
+    reference's bounded-vs-global dispatch, xrspatial/proximity.py:
+    605-627)."""
+    from xarray_spatial_spark.plans.joins import nearest_join, nearest_plan
+
+    targets = _targets(raster, value_col, target_values)
+    n_targets = targets.count()
+    chosen = strategy or nearest_plan(n_targets, k=1, max_distance=max_distance)
+
+    if chosen == "ring":
+        pid = F.struct(F.col(x_col).alias("px"), F.col(y_col).alias("py"))
+        pts = raster.withColumn("_pid", pid)
+        tgt = targets.withColumn(
+            "_tid", F.struct(F.col(x_col).alias("px"), F.col(y_col).alias("py"))
+        )
+        rj = nearest_join(
+            pts, tgt, x_col=x_col, y_col=y_col, target_payload=value_col,
+            metric=distance_metric, max_distance=max_distance, k=1,
+            n_targets=n_targets, strategy="ring",
+            point_id="_pid", target_id="_tid",
+        ).filter(F.col("dist") <= max_distance)
+        near = (
+            pts.join(rj, "_pid", "left")
+            .withColumn("nearest_dist", F.col("dist"))
+            .withColumn("nearest_x", F.col("_tx"))
+            .withColumn("nearest_y", F.col("_ty"))
+            .withColumn(f"nearest_{value_col}", F.col("_tpay"))
+        )
+    else:
+        near = nearest_join(
+            raster, targets, x_col=x_col, y_col=y_col,
+            target_payload=value_col,
+            metric=distance_metric, max_distance=max_distance,
+            n_targets=n_targets, strategy=chosen,
+        )
+        if chosen == "expr":
+            # expr inlines the payload as nearest_payload; align to the
+            # broadcast naming the mode selectors below use
+            near = near.withColumnRenamed("nearest_payload",
+                                          f"nearest_{value_col}")
     if mode == "proximity":
         out = F.col("nearest_dist")
     elif mode == "allocation":
@@ -219,11 +326,12 @@ def proximity(
     target_values: Iterable[float] | None = None,
     max_distance: float = math.inf,
     distance_metric: str = "EUCLIDEAN",
+    strategy: str | None = None,
 ) -> DataFrame:
     """Distance from every cell to its nearest target (proximity.py:652-790)."""
     return _proximity_family(
         raster, "proximity", x_col, y_col, value_col, target_values,
-        max_distance, distance_metric,
+        max_distance, distance_metric, strategy=strategy,
     )
 
 
@@ -235,11 +343,12 @@ def allocation(
     target_values: Iterable[float] | None = None,
     max_distance: float = math.inf,
     distance_metric: str = "EUCLIDEAN",
+    strategy: str | None = None,
 ) -> DataFrame:
     """Value of the nearest target — Voronoi assignment (proximity.py:793-928)."""
     return _proximity_family(
         raster, "allocation", x_col, y_col, value_col, target_values,
-        max_distance, distance_metric,
+        max_distance, distance_metric, strategy=strategy,
     )
 
 
@@ -251,11 +360,12 @@ def direction(
     target_values: Iterable[float] | None = None,
     max_distance: float = math.inf,
     distance_metric: str = "EUCLIDEAN",
+    strategy: str | None = None,
 ) -> DataFrame:
     """Compass bearing to the nearest target (proximity.py:931-1071)."""
     return _proximity_family(
         raster, "direction", x_col, y_col, value_col, target_values,
-        max_distance, distance_metric,
+        max_distance, distance_metric, strategy=strategy,
     )
 
 
@@ -280,12 +390,17 @@ def nearest_expr(
         F.struct(
             distance_col(px, F.lit(float(tx)), py, F.lit(float(ty)), metric).alias("d"),
             F.lit(float(pl)).alias("p"),
+            F.lit(float(tx)).alias("x"),
+            F.lit(float(ty)).alias("y"),
         )
         for tx, ty, pl in targets
     ]
     best = F.least(*structs)
-    return points.withColumn("nearest_dist", best["d"]).withColumn(
-        "nearest_payload", best["p"]
+    return (
+        points.withColumn("nearest_dist", best["d"])
+        .withColumn("nearest_payload", best["p"])
+        .withColumn("nearest_x", best["x"])
+        .withColumn("nearest_y", best["y"])
     )
 
 
@@ -305,6 +420,8 @@ def knn_ring_join(
     point_id: str = "doc_id",
     target_id: str = "target_id",
     metric: str = "EUCLIDEAN",
+    target_payload: str | None = None,
+    include_xy: bool = False,
 ) -> DataFrame:
     """Approximate-exact kNN: bucket targets by grid cell at ``zoom``;
     explode each query point to its (2*ring+1)^2 neighbor cells; equi-join
@@ -328,11 +445,13 @@ def knn_ring_join(
     def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
         return pd.Series(grid.cell_of(lon.to_numpy(np.float64), lat.to_numpy(np.float64), zoom))
 
+    extra = [F.col(target_payload).alias("_tpay")] if target_payload else []
     t = targets.select(
         F.col(target_id),
         F.col(x_col).alias("_tx"),
         F.col(y_col).alias("_ty"),
         _cell(F.col(x_col), F.col(y_col)).alias("_tcell"),
+        *extra,
     )
     p = points.select(
         F.col(point_id),
@@ -344,9 +463,19 @@ def knn_ring_join(
         "dist",
         distance_col(F.col("_px"), F.col("_tx"), F.col("_py"), F.col("_ty"), metric),
     )
-    w = Window.partitionBy(point_id).orderBy(F.col("dist").asc(), F.col(target_id).asc())
+    # equidistant ties break toward the smallest payload (then id),
+    # matching nearest_broadcast's payload-sorted argmin
+    tie = ([F.col("_tpay").asc()] if target_payload else [])
+    w = Window.partitionBy(point_id).orderBy(
+        F.col("dist").asc(), *tie, F.col(target_id).asc()
+    )
+    keep = [point_id, target_id, "dist", "knn_rank"]
+    if include_xy:
+        keep += ["_tx", "_ty"]
+    if target_payload:
+        keep += ["_tpay"]
     return (
         joined.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
-        .select(point_id, target_id, "dist", "knn_rank")
+        .select(*keep)
     )

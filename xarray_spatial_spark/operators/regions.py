@@ -212,11 +212,14 @@ def regions(
     else:
         labeled = labeled.withColumn("_root", F.col("_lab"))
 
-    # dense 0-based ids in scan order (root key = min y*2^32+x of region)
+    # dense 0-based ids in scan order (root key = min y*2^32+x of region).
+    # Two-phase distributed rank — a bare orderBy window would drag every
+    # distinct region through ONE task (millions at 100-TB scale).
+    from xarray_spatial_spark.plans.ranks import global_row_number
+
     roots = labeled.select("_root").distinct()
-    ranked = roots.withColumn(
-        out_col, (F.row_number().over(Window.orderBy("_root")) - 1).cast("double")
-    )
+    ranked = global_row_number(roots, "_root", out_col, zero_based=True)
+    ranked = ranked.withColumn(out_col, F.col(out_col).cast("double"))
     return (
         labeled.join(F.broadcast(ranked), "_root")
         .select("y", "x", value_col, out_col)

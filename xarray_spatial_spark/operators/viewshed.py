@@ -62,12 +62,15 @@ def viewshed(
     """Visibility of every cell from observer at pixel (y, x).
     Output adds ``out_col``: vertical angle for visible cells,
     -1 invisible, 180 at the viewpoint (viewshed.py:1173)."""
+    from xarray_spatial_spark.raster import collect_dense
+
     spark = raster.sparkSession
-    pdf = raster.select("y", "x", value_col).toPandas()
-    H = int(pdf["y"].max()) + 1
-    W = int(pdf["x"].max()) + 1
-    z = np.full((H, W), np.nan)
-    z[pdf["y"], pdf["x"]] = pdf[value_col].to_numpy(np.float64)
+    # packed distributed collect with a hard size cap — never a
+    # per-row toPandas of the raster (the R3 algorithm needs the dense
+    # terrain on every executor; the broadcast is inherent, the driver
+    # row materialization was not)
+    z = collect_dense(raster, value_col)
+    H, W = z.shape
     if not (0 <= y < H and 0 <= x < W):
         raise ValueError("observer location outside the raster")
     vp_elev = float(z[y, x]) + observer_elev

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from xarray_spatial_spark.grid import GridSpec
 
@@ -79,4 +80,69 @@ def numpy_from_df(
         w = int(pdf["x"].max()) + 1
     out = np.full((h, w), np.nan, dtype=np.float64)
     out[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf[value_col].to_numpy(dtype=np.float64)
+    return out
+
+
+def collect_dense(
+    df: DataFrame,
+    value_col: str = "value",
+    shape: tuple[int, int] | None = None,
+    y0: int = 0,
+    x0: int = 0,
+    cap_cells: int = 200_000_000,
+) -> np.ndarray:
+    """Driver-side dense materialization for the few operators whose
+    algorithm is inherently global (viewshed line-of-sight, A*).
+
+    Unlike ``toPandas`` this collects PACKED per-partition numpy blobs
+    (24 bytes/cell in three binary cells per partition, built
+    map-side), so the driver never holds per-row objects; and it
+    REFUSES rasters above ``cap_cells`` (default 2x10^8 ~= 1.6 GB
+    dense) with an actionable error instead of melting the driver —
+    the documented scale boundary of the global algorithms (the
+    reference has the same boundary implicitly: its viewshed holds the
+    whole array in one process)."""
+    import pandas as pd
+
+    if shape is None:
+        row = df.agg(
+            F.max("y").alias("my"), F.max("x").alias("mx"),
+            F.min("y").alias("ny"), F.min("x").alias("nx"),
+        ).collect()[0]
+        if row["my"] is None:
+            return np.full((0, 0), np.nan)
+        y0, x0 = int(row["ny"]), int(row["nx"])
+        shape = (int(row["my"]) - y0 + 1, int(row["mx"]) - x0 + 1)
+    H, W = shape
+    if H * W > cap_cells:
+        raise ValueError(
+            f"raster has {H}x{W} = {H*W} cells, above the driver "
+            f"materialization cap ({cap_cells}). This operator is "
+            "inherently global; restrict the window (margin/filter) or "
+            "raise cap_cells explicitly."
+        )
+
+    def _pack(batches):
+        ys, xs, vs = [], [], []
+        for pdf in batches:
+            ys.append(pdf["y"].to_numpy(np.int64))
+            xs.append(pdf["x"].to_numpy(np.int64))
+            vs.append(pdf[value_col].to_numpy(np.float64))
+        if ys:
+            yield pd.DataFrame({
+                "yb": [np.concatenate(ys).tobytes()],
+                "xb": [np.concatenate(xs).tobytes()],
+                "vb": [np.concatenate(vs).tobytes()],
+            })
+
+    parts = (
+        df.select("y", "x", value_col)
+        .mapInPandas(_pack, schema="yb binary, xb binary, vb binary")
+        .collect()
+    )
+    out = np.full((H, W), np.nan)
+    for r in parts:
+        yy = np.frombuffer(r["yb"], np.int64) - y0
+        xx = np.frombuffer(r["xb"], np.int64) - x0
+        out[yy, xx] = np.frombuffer(r["vb"], np.float64)
     return out
