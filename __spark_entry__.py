@@ -419,6 +419,42 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming simhash near-dup pairs (planted 1-token edits)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    edited = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" edited")).alias("text"),
+    )
+    return (
+        dedup.simhash_near_duplicates(d.union(edited), max_hamming=4)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest target through the RING strategy at a real zoom — the
+    planner's beyond-broadcast tier (plans/joins.py), oracle-checked
+    against a brute-force SQL NN.  max_distance=12 deg -> zoom 4 (22.5-deg
+    cells); points restricted to |lat|<=40 so one mercator cell ring
+    bounds the radius in both axes (cell lat-span at 40 deg ~= 17>12)."""
+    from xarray_spatial_spark.plans.joins import nearest_join
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lat", "lon")
+    pts = docs.filter(F.abs(F.col("lat")) <= 40.0)
+    tgt = docs.filter(F.col("doc_id") % 13 == 0).select(
+        F.col("doc_id").alias("target_id"), "lat", "lon"
+    )
+    rj = nearest_join(
+        pts, tgt, x_col="lon", y_col="lat", metric="EUCLIDEAN",
+        max_distance=12.0, k=1, strategy="ring",
+        point_id="doc_id", target_id="target_id",
+    )
+    return rj.filter(F.col("dist") <= 12.0).select(
+        "doc_id", F.round("dist", 6).alias("dist")
+    )
+
+
 def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _events_raster(spark, sf_dir)
     kernel = np.array([[0.0, 1.0, 0.0], [1.0, 1.0, 1.0], [0.0, 1.0, 0.0]])
@@ -536,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "minhash_pairs": q_minhash_pairs,
         "simhash_groups": q_simhash_groups,
+        "simhash_neardup": q_simhash_neardup,
+        "knn_ring": q_knn_ring,
         "hotspots": q_hotspots,
         "regions": q_regions,
         "polygonize": q_polygonize,
@@ -730,6 +768,19 @@ def oracle_sql() -> dict[str, str]:
                         WHEN d3 = dmin THEN 3 WHEN d4 = dmin THEN 4
                         ELSE 5 END AS city
             FROM m
+        """,
+        "knn_ring": f"""
+            WITH g AS ({docs_geo}),
+            p AS (SELECT doc_id, lat, lon FROM g WHERE abs(lat) <= 40.0),
+            t AS (SELECT doc_id AS target_id, lat, lon FROM g
+                  WHERE doc_id % 13 = 0),
+            d AS (
+              SELECT p.doc_id,
+                     min(sqrt((p.lon - t.lon)*(p.lon - t.lon)
+                            + (p.lat - t.lat)*(p.lat - t.lat))) AS dmin
+              FROM p CROSS JOIN t GROUP BY p.doc_id
+            )
+            SELECT doc_id, round(dmin, 6) AS dist FROM d WHERE dmin <= 12.0
         """,
         "knn3": f"""
             WITH g AS ({docs_geo}),

@@ -61,7 +61,51 @@ BENCH_QUERIES = [
     "viewshed",
     "ivf_topk",
     "embedding_neardup",
+    "knn_ring",
+    "simhash_neardup",
 ]
+
+TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
+
+
+def ensure_tiled_terrain(spark) -> str:
+    """Synthesize the dense-tile terrain ONCE (untimed): stencil
+    benchmarks measure the engine over a STORED raster, not the
+    generator.  Uncompressed parquet: terrain float32 is
+    incompressible and snappy decode was measured 5x the scan cost."""
+    import numpy as np
+    from xarray_spatial_spark.sources.terrain import generate_terrain_tiled
+
+    path = os.path.join(
+        os.environ.get("BENCH_CACHE", "/tmp/xss_bench_cache"),
+        f"terrain_tiled_{TILE_RASTER}_f32",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_terrain_tiled(
+            spark, TILE_RASTER, TILE_RASTER, tile=512, dtype=np.float32
+        ).write.mode("overwrite").option("compression", "none").parquet(path)
+    return path
+
+
+def tiled_stencil_bench(spark) -> dict[str, float]:
+    """Halo-stencil family over the stored dense-tile raster — the
+    throughput headline for the raster side (cells/sec alongside)."""
+    from xarray_spatial_spark.operators import focal, surface
+
+    path = ensure_tiled_terrain(spark)
+    tdf = spark.read.parquet(path)
+    # warm python workers once (not timed)
+    surface.slope(tdf).write.mode("overwrite").format("noop").save()
+    out = {}
+    for name, fn in [
+        ("slope_tiled", lambda d: surface.slope(d)),
+        ("focal_mean_tiled", lambda d: focal.mean(d)),
+        ("summarize_terrain_tiled", lambda d: surface.summarize_terrain(d)),
+    ]:
+        t0 = time.time()
+        fn(tdf).write.mode("overwrite").format("noop").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
 
 # a 12-polygon world: rough continental boxes + triangles (vertices off
 # the geocode lattice)
@@ -156,6 +200,9 @@ def main() -> None:
     head_sec, _ = headline_pipeline(spark, n_docs)
     docs_per_sec = n_docs / head_sec
 
+    stencil_times = tiled_stencil_bench(spark)
+    cells = TILE_RASTER * TILE_RASTER
+
     qtimes: dict[str, float] = {}
     qs = entry.queries()
     for name in BENCH_QUERIES:
@@ -164,16 +211,19 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         qtimes[name] = round(time.time() - t0, 3)
 
-    total = round(head_sec + sum(qtimes.values()), 3)
+    total = round(head_sec + sum(qtimes.values()) + sum(stencil_times.values()), 3)
     out = {
         "metric": "spatial-join+tile-assignment pipeline + operator suite wall time",
         "value": total,
         "unit": "sec",
-        "queries": {"headline_pipeline": round(head_sec, 3), **qtimes},
+        "queries": {"headline_pipeline": round(head_sec, 3), **qtimes,
+                    **stencil_times},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "docs_per_sec": round(docs_per_sec, 1),
         "headline_docs": n_docs,
         "cpus": cpus,
+        "stencil_cells": cells,
+        "stencil_cells_per_sec": round(cells / stencil_times["slope_tiled"], 1),
     }
     print(json.dumps(out))
     spark.stop()

@@ -133,3 +133,90 @@ def test_minhash_dedup_fast_and_slow_agree_on_pairs(docs):
     slow = {(r["id_a"], r["id_b"]) for r in dedup.minhash_dedup_pairs(
         docs, threshold=0.6, num_hashes=64, bands=16, k=5, fast=False).collect()}
     assert fast == slow == {(0, 1), (0, 3), (1, 3), (2, 5)}
+
+
+def test_simhash_vectorized_matches_scalar(spark):
+    """The byte-position-vectorized FNV path must equal the scalar
+    definition bit-for-bit."""
+    import numpy as np
+    from xarray_spatial_spark.functions.dedup import _fnv1a64, simhash
+
+    texts = ["the quick brown fox", "a", "", "résumé naïve 北京 tokens",
+             "x " * 50]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    bits = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert got[i] == 0
+            continue
+        hv = np.array([_fnv1a64(w) for w in toks], dtype=np.uint64)
+        planes = ((hv[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (2 * planes - 1).sum(axis=0)
+        expect = int(((acc > 0).astype(np.uint64) << bits).sum(
+            dtype=np.uint64).astype(np.int64))
+        assert got[i] == expect
+
+
+def test_simhash_near_duplicates_planted(spark):
+    """1-2 token edits must be recovered by the banded Hamming join."""
+    import numpy as np
+    from xarray_spatial_spark.functions.dedup import simhash_near_duplicates
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(500)]
+    base_docs = [
+        " ".join(rng.choice(vocab, size=60)) for _ in range(20)
+    ]
+    rows = [(i, d) for i, d in enumerate(base_docs)]
+    planted = []
+    for j, d in enumerate(base_docs[:5]):
+        toks = d.split()
+        toks[7] = "edited"
+        if j % 2:
+            toks[23] = "twice"
+        rows.append((100 + j, " ".join(toks)))
+        planted.append((j, 100 + j))
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in simhash_near_duplicates(df, max_hamming=12).collect()}
+    for a, b in planted:
+        assert (a, b) in pairs, f"planted pair {(a, b)} missed"
+    # far from all of the C(25,2)=300 pairs collide
+    assert len(pairs) < 100
+
+
+def test_ngram_df_cap_preserves_high_jaccard(spark):
+    """Candidate-side df cap: same >=0.8 pairs, fewer join rows."""
+    from xarray_spatial_spark.functions.dedup import (
+        ngram_jaccard_pairs, shingles,
+    )
+    import pyspark.sql.functions as F
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    vocab = [f"tok{i}" for i in range(300)]
+    stop = "the cat sat on the mat "  # appears in EVERY doc (stop-shingles)
+    docs = [
+        stop + " ".join(rng.choice(vocab, size=40)) for _ in range(15)
+    ]
+    docs.append(docs[0] + " x")   # true near-dup pair (0, 15)
+    docs.append(docs[3] + " y")   # true near-dup pair (3, 16)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], schema="doc_id long, text string"
+    )
+    full = ngram_jaccard_pairs(df, threshold=0.8).collect()
+    capped = ngram_jaccard_pairs(df, threshold=0.8, max_shingle_df=5).collect()
+    fset = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in full}
+    cset = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in capped}
+    assert fset == cset
+    assert {(a, b) for a, b, _ in fset} >= {(0, 15), (3, 16)}
+    # the cap really prunes the join input: the shared sentence's
+    # shingles are in all 17 docs
+    sh = shingles(df).select(F.xxhash64("shingle").alias("_sh"), "doc_id")
+    hot = sh.groupBy("_sh").count().filter(F.col("count") > 5).count()
+    assert hot > 15

@@ -100,24 +100,58 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All pairs with character-k-gram Jaccard >= threshold.
 
     inverted-index self-join: |intersection| from a groupBy on the
     shingle join, |union| = |A| + |B| - |intersection|.  Join keys are
-    hashed shingles (8 bytes)."""
+    hashed shingles (8 bytes).
+
+    ``max_shingle_df`` caps the document frequency of shingles used
+    for CANDIDATE GENERATION: a stop-shingle ("the t") appearing in
+    ~every doc makes the self-join quadratic at corpus scale.  With a
+    cap, candidates come from rare shingles only, and the exact
+    Jaccard of each candidate pair is then recomputed over ALL
+    shingles (a second join keyed by doc id, skew-free), so reported
+    jaccard values are unchanged — only pairs whose every common
+    shingle is a stop-shingle are missed, which at threshold >= 0.5
+    requires a pathological all-stop-shingle document."""
     sh = shingles(df, k, text_col, id_col).select(
         F.col(id_col).alias("_id"), F.xxhash64("shingle").alias("_sh")
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    a = sh.select(F.col("_id").alias("id_a"), "_sh")
-    b = sh.select(F.col("_id").alias("id_b"), "_sh")
-    inter = (
-        a.join(b, "_sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_common"))
-    )
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("_sh")
+        )
+        cand_sh = sh.join(rare, "_sh")
+        a = cand_sh.select(F.col("_id").alias("id_a"), "_sh")
+        b = cand_sh.select(F.col("_id").alias("id_b"), "_sh")
+        cands = (
+            a.join(b, "_sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # exact intersection over ALL shingles, restricted to candidates
+        inter = (
+            cands.join(sh.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
+            .join(sh.select(F.col("_id").alias("id_b"), "_sh"), ["id_b", "_sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_common"))
+        )
+    else:
+        a = sh.select(F.col("_id").alias("id_a"), "_sh")
+        b = sh.select(F.col("_id").alias("id_b"), "_sh")
+        inter = (
+            a.join(b, "_sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_common"))
+        )
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
     return (
@@ -215,10 +249,13 @@ def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = 16,
     id_col: str = "doc_id",
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Banding: equal band-slice -> candidate pair.  Returns distinct
-    (id_a, id_b) with the number of agreeing bands."""
-    num_hashes = sigs.select(F.size("sig")).limit(1).collect()[0][0]
+    (id_a, id_b) with the number of agreeing bands.  Pass
+    ``num_hashes`` to skip the signature-width probe job."""
+    if num_hashes is None:
+        num_hashes = sigs.select(F.size("sig")).limit(1).collect()[0][0]
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -263,7 +300,7 @@ def minhash_dedup_pairs(
     signature path (minhash_signatures_fast)."""
     sig_fn = minhash_signatures_fast if fast else minhash_signatures
     sigs = sig_fn(df, num_hashes, k, text_col, id_col)
-    cands = minhash_lsh_candidates(sigs, bands, id_col)
+    cands = minhash_lsh_candidates(sigs, bands, id_col, num_hashes=num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_siga"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sigb"))
     est = (
@@ -289,39 +326,106 @@ def minhash_dedup_pairs(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (vectorized numpy inside
-    mapInPandas; one pass, no shuffle)."""
+    """64-bit SimHash over whitespace tokens — one map-only pass.
+
+    Fully vectorized: all tokens of an Arrow batch are hashed together
+    (FNV-1a advanced one BYTE POSITION at a time across every token at
+    once — max-token-length vectorized rounds instead of a Python loop
+    per byte), and per-document bit-plane sums come from one
+    ``np.add.reduceat`` over the flat token matrix.  Bit-identical to
+    the scalar FNV-1a definition."""
     schema = f"{id_col} long, simhash long"
+    FNV_OFF = np.uint64(0xCBF29CE484222325)
+    FNV_PRIME = np.uint64(0x100000001B3)
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             out_ids = pdf[id_col].to_numpy()
+            token_lists = [t.split() for t in pdf[text_col].fillna("")]
+            n_tokens = np.array([len(t) for t in token_lists], dtype=np.int64)
             hashes = np.zeros(len(pdf), dtype=np.int64)
-            for i, txt in enumerate(pdf[text_col].fillna("")):
-                toks = txt.split()
-                if not toks:
-                    continue
-                # FNV-1a per token, vectorized accumulate over bit planes
-                hv = np.array(
-                    [_fnv1a64(t) for t in toks], dtype=np.uint64
-                )
+            flat = [w.encode("utf-8") for toks in token_lists for w in toks]
+            if flat:
+                lens = np.fromiter(map(len, flat), dtype=np.int64, count=len(flat))
+                buf = np.frombuffer(b"".join(flat), dtype=np.uint8)
+                offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                hv = np.full(len(flat), FNV_OFF, dtype=np.uint64)
+                # FNV-1a: one vectorized round per byte position
+                for j in range(int(lens.max())):
+                    sel = np.flatnonzero(lens > j)
+                    hv[sel] = (hv[sel] ^ buf[offs[sel] + j].astype(np.uint64)) \
+                        * FNV_PRIME
                 planes = ((hv[:, None] >> bits[None, :]) & np.uint64(1)).astype(
                     np.int64
                 )
-                acc = (2 * planes - 1).sum(axis=0)
+                signed = 2 * planes - 1
+                doc_starts = np.concatenate(([0], np.cumsum(n_tokens)[:-1]))
+                nonempty = n_tokens > 0
+                acc = np.add.reduceat(signed, doc_starts[nonempty], axis=0)
                 hbits = (acc > 0).astype(np.uint64)
-                hashes[i] = int((hbits << bits).sum(dtype=np.uint64).astype(np.int64))
+                vals = (hbits << bits[None, :]).sum(axis=1, dtype=np.uint64)
+                hashes[nonempty] = vals.astype(np.int64)
             yield pd.DataFrame({id_col: out_ids, "simhash": hashes})
 
     return df.select(id_col, text_col).mapInPandas(_op, schema=schema)
 
 
 def _fnv1a64(s: str) -> np.uint64:
+    """Scalar FNV-1a (tests / reference twin of the vectorized path)."""
     h = np.uint64(0xCBF29CE484222325)
     for byte in s.encode("utf-8"):
         h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
     return h
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs whose simhashes differ in <= ``max_hamming`` bits.
+
+    Banded Hamming LSH: split the 64 bits into ``max_hamming + 1``
+    bands — two hashes within distance d <= max_hamming agree on at
+    least one whole band (pigeonhole), so candidates are an equi-join
+    on (band index, band bits), then bit_count(xor) verifies exactly.
+    Sub-quadratic for the same reason as MinHash banding; exact-collide
+    duplicates are the max_hamming=0 special case."""
+    nb = max_hamming + 1
+    w = 64 // nb
+    sig = simhash(df, text_col, id_col)
+    mask = (1 << w) - 1
+    bands = []
+    for j in range(nb):
+        width_mask = mask if j < nb - 1 else (1 << (64 - w * j)) - 1
+        bands.append(
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), j * w)
+                .bitwiseAND(F.lit(width_mask)).alias("bh"),
+            )
+        )
+    banded = sig.select(
+        id_col, "simhash", F.explode(F.array(*bands)).alias("_b")
+    ).select(id_col, "simhash", "_b.band", "_b.bh")
+    x = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("_ha"), "band", "bh")
+    y = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("_hb"), "band", "bh")
+    return (
+        x.join(y, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def simhash_duplicates(

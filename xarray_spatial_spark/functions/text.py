@@ -66,13 +66,19 @@ def alpha_ratio(text: Column) -> Column:
     return F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
 
 
+def _alternation(words) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
 def stopword_hits(text: Column, lang: str = "en") -> Column:
-    """Number of stopword occurrences (word-boundary matches)."""
-    hits = None
-    for w in STOPWORDS[lang]:
-        h = F.regexp_count(text, F.lit(rf"\b{w}\b"))
-        hits = h if hits is None else hits + h
-    return hits
+    """Number of stopword occurrences (word-boundary matches).
+
+    ONE regex pass with an alternation instead of one
+    ``regexp_count`` per word: the \b anchors make the alternation
+    unambiguous (a prefix word cannot match inside a longer word), so
+    the combined count equals the per-word sum exactly — same result,
+    8x fewer scans of the text."""
+    return F.size(F.regexp_extract_all(text, F.lit(_alternation(STOPWORDS[lang])), 1))
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
@@ -105,11 +111,24 @@ def langid_scores(text: Column) -> list[Column]:
 
 
 def langid(text: Column) -> Column:
-    """Most-hit language; ties break by lexicon order; no hits -> 'und'."""
+    """Most-hit language; ties break by lexicon order; no hits -> 'und'.
+
+    Single-pass plan: ONE combined-alternation ``regexp_extract_all``
+    over every language's lexicon (Catalyst CSE evaluates the shared
+    subtree once per row), then per-language counts are array filters
+    over the matched words — 1 regex scan of the text instead of the
+    40 (8 words x 5 languages) of the naive form.  A word appearing in
+    two lexicons (e.g. 'la' in fr and es) is counted for both, exactly
+    like per-language counting."""
+    all_words = [w for lg in STOPWORDS for w in STOPWORDS[lg]]
+    matches = F.regexp_extract_all(text, F.lit(_alternation(all_words)), 1)
     pairs = F.array(
         *[
             F.struct(
-                (-stopword_hits(text, lg)).alias("neg"),
+                (-F.size(F.filter(
+                    matches,
+                    lambda m: m.isin(*STOPWORDS[lg]),
+                ))).alias("neg"),
                 F.lit(i).alias("ord"),
                 F.lit(lg).alias("lang"),
             )
