@@ -90,10 +90,11 @@ def ensure_tiled_terrain(spark) -> str:
 def tiled_stencil_bench(spark) -> dict[str, float]:
     """Halo-stencil family over the stored dense-tile raster — the
     throughput headline for the raster side (cells/sec alongside)."""
+    from xarray_spatial_spark import tiled
     from xarray_spatial_spark.operators import focal, surface
 
     path = ensure_tiled_terrain(spark)
-    tdf = spark.read.parquet(path)
+    tdf = tiled.read(spark, path)  # sizes the reader batch for tiles
     # warm python workers once (not timed)
     surface.slope(tdf).write.mode("overwrite").format("noop").save()
     out = {}
@@ -105,6 +106,7 @@ def tiled_stencil_bench(spark) -> dict[str, float]:
         t0 = time.time()
         fn(tdf).write.mode("overwrite").format("noop").save()
         out[name] = round(time.time() - t0, 3)
+    tiled.table_scan_conf(spark)  # restore the narrow-table batch
     return out
 
 # a 12-polygon world: rough continental boxes + triangles (vertices off

@@ -177,3 +177,34 @@ def test_stats_multi_band_fanout(spark):
     )
     got = {r["zone"]: (r["mean_a"], r["mean_b"]) for r in merged.collect()}
     assert got[3][1] == pytest.approx(2 * got[3][0])
+
+
+def test_stats_dataset_multiband(spark):
+    """Multi-band fan-out == per-band stats merged on zone, in one
+    pass (reference Dataset recursion, zonal.py:592-611)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from xarray_spatial_spark.operators import zonal
+
+    rng = np.random.default_rng(4)
+    n = 500
+    pdf = [
+        (int(i % 7), float(rng.uniform(0, 10)), float(rng.uniform(-5, 5)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(pdf, schema="zone long, a double, b double")
+    ds = zonal.stats_dataset(df, ["a", "b"], stats_funcs=("mean", "max", "count"))
+    sa = zonal.stats(df, value_col="a", stats_funcs=("mean", "max", "count"))
+    sb = zonal.stats(df, value_col="b", stats_funcs=("mean", "max", "count"))
+    merged = {r["zone"]: r for r in ds.collect()}
+    for r in sa.collect():
+        assert abs(merged[r["zone"]]["a_mean"] - r["mean"]) < 1e-12
+        assert merged[r["zone"]]["a_max"] == r["max"]
+        assert merged[r["zone"]]["a_count"] == r["count"]
+    for r in sb.collect():
+        assert abs(merged[r["zone"]]["b_mean"] - r["mean"]) < 1e-12
+    # single-pass plan: exactly one shuffle (AQE may print the
+    # exchange node once per stage section)
+    plan = ds._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1 or \
+        plan.count("ShuffleQueryStage") == 1

@@ -26,7 +26,7 @@ contribution to one row per (zone[, value]).
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Mapping
+from collections.abc import Iterable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -145,6 +145,35 @@ def stats_fused(
         "count",
         F.col("_m.v").alias("majority"),
     )
+
+
+def stats_dataset(
+    zv: DataFrame,
+    value_cols: Sequence[str],
+    zone_col: str = "zone",
+    zone_ids: Iterable[float] | None = None,
+    stats_funcs: Iterable[str] = DEFAULT_STATS,
+    nodata_values: float | None = None,
+) -> DataFrame:
+    """Multi-band zonal stats — the reference's Dataset fan-out
+    (xrspatial/zonal.py:592-611; dataset_support.py:11-33) where
+    ``stats`` recurses per variable and merges on zone.
+
+    Spark improves on the recursion: all bands aggregate in ONE
+    groupBy pass (one scan, one shuffle), output columns named
+    ``<band>_<stat>``.  ``majority`` is excluded here (it needs the
+    per-(zone,value) histogram; call ``stats_fused`` per band when you
+    need it)."""
+    names = [n for n in stats_funcs if n != "majority"]
+    df = zv.filter(F.col(zone_col).isNotNull())
+    if zone_ids is not None:
+        df = df.filter(F.col(zone_col).isin(list(zone_ids)))
+    aggs = []
+    for band in value_cols:
+        v = F.when(_valid(band, nodata_values), F.col(band))
+        for n in names:
+            aggs.append(_BUILTIN_AGGS[n](v).alias(f"{band}_{n}"))
+    return df.groupBy(F.col(zone_col).alias("zone")).agg(*aggs)
 
 
 def stats_to_raster(

@@ -76,13 +76,14 @@ def get_spark(
             + os.environ.get("SPARK_DRIVER_MEMORY", "16g")
             + " -XX:G1HeapRegionSize=32m",
         )
-        # dense-tile rasters carry multi-MB binary cells; the default
-        # 4096-row vectorized-reader batch tries to reserve >2 GB
-        # contiguous per column and aborts the scan (and at 32 rows,
-        # 3 binary cols x 8 MB tiles x 32 concurrent tasks OOMs a
-        # 16 GB heap).  8 rows caps a column vector at 64 MB for 8 MB
-        # tiles; narrow tables lose nothing measurable.
-        .config("spark.sql.parquet.columnarReaderBatchSize", "8")
+        # NOTE on spark.sql.parquet.columnarReaderBatchSize: the 4096
+        # default is right for narrow tables (8-row batches cost a
+        # 12x slowdown on the documents scan) but overflows/OOMs the
+        # vectorized reader on dense-tile rasters (4096 x multi-MB
+        # binary cells).  The conf is captured at ACTION time, so
+        # ``tiled.read`` sets a tile-sized value on the session; use
+        # ``tiled.table_scan_conf(spark)`` to flip back in mixed
+        # pipelines.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # wide tables + pruned scans: 128m splits create 8x more tasks

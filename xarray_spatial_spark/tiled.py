@@ -514,3 +514,48 @@ def numpy_from_tiled(tdf: DataFrame, value_col: str = "value") -> np.ndarray:
         x0 = int(r["tx"]) * int(r["tw"])
         out[y0:y0 + int(r["h"]), x0:x0 + int(r["w"])] = a
     return out
+
+
+# ---------------------------------------------------------------------------
+# reading stored tiled rasters
+# ---------------------------------------------------------------------------
+
+_TARGET_VECTOR_BYTES = 64 << 20  # per-column ceiling for the parquet reader
+_TABLE_BATCH_ROWS = 4096
+
+
+def raster_scan_conf(spark: SparkSession, tile_bytes: int) -> None:
+    """Size the vectorized parquet reader for multi-MB binary cells:
+    the 4096-row default reserves batch_rows * tile_bytes contiguous
+    per column — >2 GB aborts the scan outright and ~GBs OOM the heap
+    under 32 concurrent tasks.  Captured at ACTION time (measured), so
+    this must be set on the session before materializing a plan that
+    scans tiled parquet."""
+    rows = max(4, _TARGET_VECTOR_BYTES // max(1, tile_bytes))
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", str(rows))
+
+
+def table_scan_conf(spark: SparkSession) -> None:
+    """Restore the narrow-table reader batch (8-row batches cost ~12x
+    on the documents scan; see session.py note)."""
+    spark.conf.set(
+        "spark.sql.parquet.columnarReaderBatchSize", str(_TABLE_BATCH_ROWS)
+    )
+
+
+def read(spark: SparkSession, path: str, tile_bytes: int | None = None) -> DataFrame:
+    """Open a stored tiled raster and configure the session's reader
+    batch for its tile size (probed from the first row when not
+    given).  The conf change persists on the session — flip back with
+    ``table_scan_conf`` before big narrow-table scans."""
+    df = spark.read.parquet(path)
+    if tile_bytes is None:
+        band = next(
+            c for c in df.columns
+            if c not in TILE_KEY_COLS and not c.endswith(("__le", "__re"))
+        )
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "4")
+        row = df.select(F.length(band).alias("n")).limit(1).collect()
+        tile_bytes = int(row[0]["n"]) if row else 8 << 20
+    raster_scan_conf(spark, tile_bytes)
+    return df
