@@ -11,10 +11,13 @@ from xarray_spatial_spark.operators import pip
 from xarray_spatial_spark.plans import manifest as mf
 
 
-def test_decode_requires_fake(spark):
+def test_decode_unknown_format_raises(spark):
+    """synth_media payloads are not a recognized image format: the
+    real decode path must fail loudly (per-row, at execution), not
+    fabricate pixels."""
     df = mm.synth_media(spark, 4)
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(df)
+    with pytest.raises(Exception, match="unrecognized image format"):
+        mm.decode_image(df).collect()
 
 
 def test_decode_feature_resize_pipeline(spark):

@@ -2,13 +2,15 @@
 metadata, with Arrow-batched decode/feature/resize/frame-sample stages.
 
 The Spark-side plumbing (schemas, partitioning, UDF signatures, batch
-shapes) is real and tested; the *codec* step is stubbed because this
-environment has no image/audio libraries:
+shapes) is real and tested.  Codecs:
 
-- ``decode_image`` raises ``NotImplementedError`` unless
-  ``fake=True``, in which case a clearly-marked deterministic fake
-  produces a (h, w, 3) uint8 array from the bytes' hash — enough to
-  exercise every downstream stage with reproducible values.
+- REAL decoders, pure numpy (no external libs): PPM (P6), BMP
+  (24-bit uncompressed), WAV (PCM16) — sniffed from magic bytes.
+- Compressed formats (JPEG/PNG/MP3/...) need codec libraries absent
+  from this environment: ``decode_image`` raises
+  ``NotImplementedError`` naming the format, or pass ``fake=True``
+  for a clearly-marked deterministic stand-in (keyed hash stream of
+  the payload) that exercises every downstream stage.
 
 At 100 TB the pattern is: binary column stays in parquet (never
 collected), mapInPandas streams Arrow batches through the decoder,
@@ -58,33 +60,192 @@ def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6) bytes."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8.  Pure numpy."""
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    parts, i = [], 2
+    while len(parts) < 3:
+        while i < len(buf) and buf[i] in b" \t\r\n":
+            i += 1
+        if buf[i:i + 1] == b"#":  # comment line
+            i = buf.index(b"\n", i) + 1
+            continue
+        j = i
+        while buf[j] not in b" \t\r\n":
+            j += 1
+        parts.append(int(buf[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    return np.frombuffer(buf, np.uint8, count=h * w * 3, offset=i).reshape(
+        h, w, 3
+    )
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (h, w, 3) uint8 RGB.  Pure numpy
+    (BITMAPINFOHEADER, bottom-up or top-down, 4-byte row padding)."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB BMP (got {bpp}bpp/c{comp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(buf, np.uint8, count=h * stride, offset=off)
+    img = rows.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    if flip:
+        img = img[::-1]
+    return img[:, :, ::-1]  # BGR -> RGB
+
+
+def sniff_and_decode(buf: bytes) -> np.ndarray:
+    """Dispatch on magic bytes.  Real decode for the lib-free formats;
+    compressed formats name themselves in the error."""
+    if buf.startswith(b"P6"):
+        return decode_ppm(buf)
+    if buf.startswith(b"BM"):
+        return decode_bmp(buf)
+    for magic, name in ((b"\xff\xd8", "JPEG"), (b"\x89PNG", "PNG"),
+                        (b"GIF8", "GIF"), (b"RIFF", "RIFF/WebP")):
+        if buf.startswith(magic):
+            raise NotImplementedError(
+                f"{name} decoding requires a codec library not present in "
+                "this environment (PPM/BMP decode natively; or fake=True)"
+            )
+    raise NotImplementedError("unrecognized image format")
+
+
 def decode_image(
     df: DataFrame,
     payload_col: str = "payload",
     fake: bool = False,
     out_col: str = "pixels",
 ) -> DataFrame:
-    """binary -> flattened pixel array + shape columns.
+    """binary -> flattened pixel array + decoded shape columns.
 
-    Real decode is NOT implemented in this environment (no PIL/ffmpeg);
-    pass ``fake=True`` for the deterministic stand-in, otherwise this
-    raises immediately on the driver."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image codec library not present in "
-            "this environment; pass fake=True for the deterministic stub"
-        )
-    cols = df.columns
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
-    schema += f", {out_col} array<int>"
+    PPM (P6) and 24-bit BMP payloads decode natively (pure numpy, no
+    codec libs).  Compressed formats raise ``NotImplementedError``
+    per-row with the format name unless ``fake=True`` (deterministic
+    stand-in keyed on the payload hash).  width/height are REPLACED by
+    the decoded dimensions on the real path."""
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema if f.name not in ("width", "height"))
+    schema += f", width int, height int, {out_col} array<int>"
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pixels = [
-                _fake_decode(bytes(p), int(h), int(w)).ravel()
-                for p, h, w in zip(pdf[payload_col], pdf["height"], pdf["width"])
-            ]
-            yield pdf.assign(**{out_col: pixels})
+            pixels, ws, hs = [], [], []
+            for p, h, w in zip(pdf[payload_col], pdf["height"], pdf["width"]):
+                if fake:
+                    img = _fake_decode(bytes(p), int(h), int(w))
+                else:
+                    img = sniff_and_decode(bytes(p))
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                pixels.append(img.ravel().astype(np.int32))
+            res = pdf.drop(columns=["width", "height"])
+            res = res.assign(width=np.asarray(ws, np.int32),
+                             height=np.asarray(hs, np.int32))
+            res[out_col] = pixels
+            yield res
+
+    return df.mapInPandas(_op, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# audio (WAV PCM16 — real decode, pure numpy)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """mono int16 samples -> minimal RIFF/WAVE PCM16 bytes."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    n = len(data)
+    hdr = (b"RIFF" + (36 + n).to_bytes(4, "little") + b"WAVEfmt "
+           + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (1).to_bytes(2, "little") + rate.to_bytes(4, "little")
+           + (rate * 2).to_bytes(4, "little") + (2).to_bytes(2, "little")
+           + (16).to_bytes(2, "little") + b"data" + n.to_bytes(4, "little"))
+    return hdr + data
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> (samples float32 in [-1, 1], sample_rate)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i = 12
+    fmt = None
+    while i + 8 <= len(buf):
+        cid = buf[i:i + 4]
+        sz = int.from_bytes(buf[i + 4:i + 8], "little")
+        if cid == b"fmt ":
+            fmt = buf[i + 8:i + 8 + sz]
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt")
+            codec = int.from_bytes(fmt[0:2], "little")
+            channels = int.from_bytes(fmt[2:4], "little")
+            rate = int.from_bytes(fmt[4:8], "little")
+            bits = int.from_bytes(fmt[14:16], "little")
+            if codec != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV decodes natively")
+            x = np.frombuffer(buf, "<i2", count=sz // 2, offset=i + 8)
+            if channels > 1:
+                x = x.reshape(-1, channels).mean(axis=1)
+            return (np.asarray(x, np.float32) / 32768.0, rate)
+        i += 8 + sz + (sz & 1)
+    raise ValueError("no data chunk")
+
+
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "features"
+) -> DataFrame:
+    """WAV PCM16 -> 12-float feature vector per row (rms, peak,
+    zero-crossing rate, spectral centroid/rolloff, 7-band log-energy)
+    — vectorized numpy per Arrow batch, shuffles only the features."""
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    schema += f", {out_col} array<double>"
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                x, rate = decode_wav(bytes(p))
+                if len(x) == 0:
+                    feats.append([0.0] * 12)
+                    continue
+                rms = float(np.sqrt(np.mean(x * x)))
+                peak = float(np.max(np.abs(x)))
+                zcr = float(np.mean(np.abs(np.diff(np.signbit(x)))))
+                spec = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(len(x), 1.0 / rate)
+                power = spec * spec
+                tot = power.sum() or 1.0
+                centroid = float((freqs * power).sum() / tot)
+                cum = np.cumsum(power)
+                roll = float(freqs[np.searchsorted(cum, 0.85 * cum[-1])])
+                edges = np.linspace(0, len(power), 8, dtype=int)
+                bands = [float(np.log1p(power[a:b].sum()))
+                         for a, b in zip(edges[:-1], edges[1:])]
+                feats.append([rms, peak, zcr, centroid, roll] + bands)
+            yield pdf.assign(**{out_col: feats})
 
     return df.mapInPandas(_op, schema=schema)
 
