@@ -191,7 +191,7 @@ def headline_pipeline(spark, n_docs: int) -> tuple[float, int]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("BENCH_DOCS", "2000000"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "20000000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)

@@ -91,3 +91,42 @@ def test_tile_bounds_roundtrip():
     lon0, lat0, lon1, lat1 = grid.tile_bounds(c)
     assert lon0 <= 12.3 <= lon1
     assert lat0 <= 45.6 <= lat1
+
+
+def test_diagnose_unit_mismatch(spark):
+    """Reference diagnostics.py UNIT_MISMATCH semantics: degree
+    coordinates + elevation-range values -> warning; projected meters
+    -> clean; non-surface tool -> skipped."""
+    import numpy as np
+
+    from xarray_spatial_spark.diagnostics import diagnose
+    from xarray_spatial_spark.grid import GridSpec
+    from xarray_spatial_spark.raster import df_from_numpy
+
+    rng = np.random.default_rng(1)
+    elev = rng.uniform(500, 1500, size=(20, 20))
+    df = df_from_numpy(spark, elev)
+
+    deg = GridSpec(20, 20, x0=-105.0, y0=40.0, xres=0.01, yres=0.01,
+                   unit="degrees")
+    rep = diagnose(df, deg, tool="slope")
+    assert rep.has_warnings and rep.issues[0].code == "UNIT_MISMATCH"
+    assert rep.horizontal_unit_type == "degrees"
+    assert rep.vertical_unit_type == "elevation"
+    assert "reprojecting" in str(rep)
+
+    meters = GridSpec(20, 20, xres=30.0, yres=30.0, unit="meter")
+    assert not diagnose(df, meters, tool="slope").has_issues
+
+    # inferred degrees from coordinate envelope (no explicit unit)
+    inferred = GridSpec(20, 20, x0=-105.0, y0=40.0, xres=0.01, yres=0.01,
+                        unit="")
+    assert diagnose(df, inferred).has_warnings
+
+    # tool outside the surface family skips the check
+    assert not diagnose(df, deg, tool="zonal_stats").has_issues
+
+    # tiled input path
+    from xarray_spatial_spark import tiled
+    tdf = tiled.tile(df, tile_h=16, tile_w=16)
+    assert diagnose(tdf, deg, tool="aspect").has_warnings
