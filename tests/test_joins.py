@@ -135,3 +135,36 @@ def test_allocation_ring_strategy(spark):
         r["value"].to_numpy(np.float64), b["value"].to_numpy(np.float64),
         equal_nan=True,
     )
+
+
+def test_ring_strategy_high_latitude(spark):
+    """Mercator cells span fewer degrees of latitude away from the
+    equator; the lat-aware ring must keep the ring path exact at
+    60-75 deg latitude where a fixed 1-cell ring under-covers."""
+    rng = np.random.default_rng(21)
+    pts = [(float(rng.uniform(-30, 30)), float(rng.uniform(55, 75)))
+           for _ in range(300)]
+    tgts = [(float(rng.uniform(-30, 30)), float(rng.uniform(55, 75)),
+             float(i + 1)) for i in range(25)]
+    pdf = spark.createDataFrame(pts, schema="lon double, lat double")
+    tdf = spark.createDataFrame(tgts, schema="lon double, lat double, value double")
+    md = 6.0
+    pid = F.struct(F.col("lon"), F.col("lat"))
+    rj = joins.nearest_join(
+        pdf.withColumn("_pid", pid), tdf.withColumn("_tid", pid),
+        max_distance=md, strategy="ring", point_id="_pid",
+        target_id="_tid", target_payload="value",
+    ).filter(F.col("dist") <= md)
+    ring_d = {(r["_pid"]["lon"], r["_pid"]["lat"]): r["dist"]
+              for r in rj.collect()}
+    bc = proximity.nearest_broadcast(pdf, tdf, target_payload="value",
+                                     max_distance=md)
+    miss = 0
+    for r in bc.collect():
+        key = (r["lon"], r["lat"])
+        if r["nearest_dist"] is not None and not math.isnan(r["nearest_dist"]):
+            assert key in ring_d, f"ring missed point {key}"
+            assert abs(ring_d[key] - r["nearest_dist"]) < 1e-9
+        else:
+            miss += 1
+    assert miss < 300  # some points do have in-range targets

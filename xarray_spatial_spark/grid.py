@@ -154,6 +154,25 @@ def neighbors_disk(cell: np.ndarray, radius: int = 1) -> np.ndarray:
     return out
 
 
+def neighbors_rect(cell: np.ndarray, rx: int, ry: int) -> np.ndarray:
+    """Rectangular cell neighborhood: Chebyshev rx in x, ry in y —
+    the mercator-aware variant of ``neighbors_disk`` (cell lat-span
+    shrinks by cos(lat), so bounding a fixed degree radius needs a
+    taller ring near the poles).  Shape (len(cell), (2rx+1)(2ry+1));
+    lon wraps, lat clips."""
+    xt, yt, zoom = decode(np.asarray(cell))
+    n = (np.int64(1) << zoom.astype(np.int64))
+    ox = np.arange(-rx, rx + 1, dtype=np.int64)
+    oy = np.arange(-ry, ry + 1, dtype=np.int64)
+    dx, dy = np.meshgrid(ox, oy, indexing="xy")
+    dx = dx.ravel()[None, :]
+    dy = dy.ravel()[None, :]
+    nx = (xt[:, None] + dx) % n[:, None]
+    ny = np.clip(yt[:, None] + dy, 0, n[:, None] - 1)
+    z = int(zoom[0]) if len(zoom) else 0
+    return encode(nx.ravel(), ny.ravel(), z).reshape(nx.shape)
+
+
 def ring(cell: np.ndarray, radius: int) -> np.ndarray:
     """Only the cells at exactly Chebyshev distance ``radius``."""
     if radius == 0:

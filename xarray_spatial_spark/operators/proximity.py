@@ -422,24 +422,44 @@ def knn_ring_join(
     metric: str = "EUCLIDEAN",
     target_payload: str | None = None,
     include_xy: bool = False,
+    max_distance_deg: float | None = None,
 ) -> DataFrame:
     """Approximate-exact kNN: bucket targets by grid cell at ``zoom``;
-    explode each query point to its (2*ring+1)^2 neighbor cells; equi-join
-    on cell; exact distance; top-k per point.
+    explode each query point to its neighbor-ring cells; equi-join on
+    cell; exact distance; top-k per point.
 
-    Exact whenever the true k-th neighbor lies within ``ring`` cells —
+    Exact whenever the true k-th neighbor lies within the ring —
     pick ``zoom`` so one cell spans the expected search radius (the same
     bound as the reference's chunk padding, proximity.py:614-618).
-    Points whose ring holds no targets are left out (caller widens the
-    ring or falls back to ``nearest_broadcast``).
-    """
+    With ``max_distance_deg`` the ring is LAT-AWARE: mercator cells
+    span fewer degrees of latitude away from the equator (by
+    cos(lat)), so each point's vertical ring widens to keep the whole
+    degree-radius covered — the search stays exact at any latitude
+    instead of only near the equator.  Points whose ring holds no
+    targets are left out (caller widens the ring or falls back to
+    ``nearest_broadcast``)."""
     r = ring
 
     @F.pandas_udf("array<long>")
     def _disk(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        cells = grid.cell_of(lon.to_numpy(np.float64), lat.to_numpy(np.float64), zoom)
-        disks = grid.neighbors_disk(cells, r)
-        return pd.Series(list(disks))
+        la = lat.to_numpy(np.float64)
+        cells = grid.cell_of(lon.to_numpy(np.float64), la, zoom)
+        if max_distance_deg is None:
+            return pd.Series(list(grid.neighbors_disk(cells, r)))
+        span = 360.0 / (1 << zoom)  # cell lon-span in degrees
+        rx = max(r, int(np.ceil(max_distance_deg / span)))
+        cosl = np.cos(np.radians(np.clip(np.abs(la), 0.0, 85.06)))
+        ry = np.ceil(
+            max_distance_deg / (span * np.maximum(cosl, 1e-2))
+        ).astype(np.int64)
+        ry = np.clip(ry, r, 16)
+        out = np.empty(len(cells), dtype=object)
+        for u in np.unique(ry):
+            idx = np.flatnonzero(ry == u)
+            rect = grid.neighbors_rect(cells[idx], rx, int(u))
+            for j, i in enumerate(idx):
+                out[i] = rect[j]
+        return pd.Series(list(out))
 
     @F.pandas_udf("long")
     def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:

@@ -148,6 +148,7 @@ def nearest_join(
             x_col=x_col, y_col=y_col, point_id=point_id,
             target_id=target_id, metric=metric,
             target_payload=target_payload, include_xy=True,
+            max_distance_deg=md_deg,
         )
 
     raise ValueError(f"unknown strategy {chosen!r}")
