@@ -455,6 +455,27 @@ def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_color_viz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bands_to_img + color_values packing (reference utils.py:363-371,
+    :445-452) as pure arithmetic — DuckDB-checkable."""
+    from xarray_spatial_spark.functions import viz
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.pmod(F.floor(F.col("value")), F.lit(256)).cast("double").alias("r"),
+        F.pmod(F.floor(F.col("value") * 7), F.lit(256)).cast("double").alias("g"),
+        F.pmod(F.floor(F.col("value") * 13), F.lit(256)).cast("double").alias("b"),
+        F.pmod(F.floor(F.col("value")), F.lit(4)).cast("double").alias("cls"),
+    )
+    key = {0.0: "red", 1.0: "#00ff00", 2.0: (12, 34, 56)}
+    return ev.select(
+        "event_id",
+        viz.bands_to_img_expr(F.col("r"), F.col("g"), F.col("b"),
+                              nodata=10).alias("rgba"),
+        viz.color_values_expr(F.col("cls"), key).alias("cls_rgba"),
+    )
+
+
 def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _events_raster(spark, sf_dir)
     kernel = np.array([[0.0, 1.0, 0.0], [1.0, 1.0, 1.0], [0.0, 1.0, 0.0]])
@@ -574,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "simhash_neardup": q_simhash_neardup,
         "knn_ring": q_knn_ring,
+        "color_viz": q_color_viz,
         "hotspots": q_hotspots,
         "regions": q_regions,
         "polygonize": q_polygonize,
@@ -768,6 +790,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN d3 = dmin THEN 3 WHEN d4 = dmin THEN 4
                         ELSE 5 END AS city
             FROM m
+        """,
+        "color_viz": """
+            WITH b AS (
+              SELECT event_id,
+                ((CAST(floor(value) AS BIGINT) % 256) + 256) % 256 AS r,
+                ((CAST(floor(value * 7) AS BIGINT) % 256) + 256) % 256 AS g,
+                ((CAST(floor(value * 13) AS BIGINT) % 256) + 256) % 256 AS b,
+                ((CAST(floor(value) AS BIGINT) % 4) + 4) % 4 AS cls
+              FROM events
+            )
+            SELECT event_id,
+              r + g * 256 + b * 65536
+                + (CASE WHEN r <= 10 THEN 0 ELSE CAST(255 AS BIGINT) END) * 16777216 AS rgba,
+              CASE WHEN cls = 0 THEN 255 + CAST(255 AS BIGINT) * 16777216
+                   WHEN cls = 1 THEN 255 * 256 + CAST(255 AS BIGINT) * 16777216
+                   WHEN cls = 2 THEN 12 + 34 * 256 + 56 * 65536
+                        + CAST(255 AS BIGINT) * 16777216
+                   ELSE CAST(0 AS BIGINT) END AS cls_rgba
+            FROM b
         """,
         "knn_ring": f"""
             WITH g AS ({docs_geo}),

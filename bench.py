@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "knn_ring",
     "simhash_neardup",
+    "color_viz",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -93,3 +93,46 @@ def test_fingerprint_sql_parity(spark):
         for t in texts
     ]
     assert got == want
+
+
+def test_bands_to_img_matches_reference_semantics(spark):
+    """Packed RGBA == the reference's uint32 view of its (h,w,4)
+    uint8 image (utils.py:363-371)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from xarray_spatial_spark.functions import viz
+
+    rng = np.random.default_rng(5)
+    n = 200
+    r = rng.uniform(0, 255, n); r[::17] = np.nan; r[::23] = 0.5
+    g = rng.integers(0, 256, n).astype(float)
+    b = rng.integers(0, 256, n).astype(float)
+    rows = [(i, None if np.isnan(r[i]) else float(r[i]), float(g[i]), float(b[i]))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, schema="i long, r double, g double, b double")
+    out = {x["i"]: x["rgba"] for x in df.select(
+        "i", viz.bands_to_img_expr(F.col("r"), F.col("g"), F.col("b"),
+                                   nodata=1).alias("rgba")).collect()}
+    for i in range(n):
+        rr = 0 if np.isnan(r[i]) else int(np.uint8(r[i]))
+        gg, bb = int(np.uint8(g[i])), int(np.uint8(b[i]))
+        a = 0 if (np.isnan(r[i]) or r[i] <= 1) else 255
+        expect = rr | (gg << 8) | (bb << 16) | (a << 24)
+        assert out[i] == expect, i
+
+
+def test_color_values_expr(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from xarray_spatial_spark.functions import viz
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 9]], schema="v double"
+    )
+    key = {1.0: "red", 2.0: "#00ff00", 3.0: (12, 34, 56)}
+    got = [r["c"] for r in df.select(
+        viz.color_values_expr(F.col("v"), key).alias("c")).collect()]
+    assert got[0] == 255 | (255 << 24)
+    assert got[1] == (255 << 8) | (255 << 24)
+    assert got[2] == 12 | (34 << 8) | (56 << 16) | (255 << 24)
+    assert got[3] == 0  # outside the key

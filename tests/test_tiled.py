@@ -141,3 +141,49 @@ def test_float32_tiles_match_float64(spark, arr):
     gs = tiled.global_stats(t32)
     finite = arr[np.isfinite(arr)]
     np.testing.assert_allclose(gs["mean"], finite.mean(), rtol=1e-6)
+
+
+def test_fuse_stencils_matches_chained(spark, arr):
+    """3 fused focal-mean stages in ONE halo pass == 3 separate
+    passes; and the plan has exactly one stencil exchange."""
+    from xarray_spatial_spark.operators.focal import mean as focal_mean
+
+    df = raster.df_from_numpy(spark, arr)
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    chained = tiled.numpy_from_tiled(focal_mean(focal_mean(focal_mean(tdf))))
+
+    def mean3(arrs):
+        a = arrs["value"]
+        nanmask = np.isnan(a)
+        vals = np.where(nanmask, 0.0, a)
+        ones = (~nanmask).astype(a.dtype)
+        s = np.zeros((a.shape[0] - 2, a.shape[1] - 2), dtype=a.dtype)
+        c = np.zeros_like(s)
+        for dy in range(3):
+            for dx in range(3):
+                s += vals[dy:dy + s.shape[0], dx:dx + s.shape[1]]
+                c += ones[dy:dy + s.shape[0], dx:dx + s.shape[1]]
+        sm = np.where(c > 0, s / c, np.nan)
+        interior = a[1:-1, 1:-1]
+        return {"value": np.where(np.isnan(interior), interior, sm)}
+
+    fn, r = tiled.fuse_stencils([(mean3, 1)] * 3)
+    assert r == 3
+    fused_df = tiled.apply_stencil_tiled(tdf, fn, r)
+    fused = tiled.numpy_from_tiled(fused_df)
+    np.testing.assert_allclose(fused, chained, rtol=1e-12, equal_nan=True)
+    plan = fused_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 2  # tile() pack + ONE stencil
+
+
+def test_focal_mean_multipass_fused(spark, arr):
+    """tiled focal.mean(passes=3) must equal the long-form 3-pass
+    result while shuffling once."""
+    df = raster.df_from_numpy(spark, arr)
+    expected = raster.numpy_from_df(focal.mean(df, passes=3, tile_h=32, tile_w=32))
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    out = focal.mean(tdf, passes=3)
+    got = tiled.numpy_from_tiled(out)
+    np.testing.assert_allclose(got, expected, rtol=1e-12, equal_nan=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 2  # pack + one stencil

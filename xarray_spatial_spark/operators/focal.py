@@ -85,8 +85,20 @@ def mean(
             excluded |= interior == e
         return {value_col: np.where(excluded, interior, sm)}
 
+    from xarray_spatial_spark import tiled as _tiled
+
+    n = max(1, passes)
+    if n > 1 and _tiled.is_tiled(df):
+        # fuse the passes into ONE halo exchange (radius n) instead of
+        # n shuffles — per-pass kernels run back-to-back on the padded
+        # block (tiled.fuse_stencils)
+        fn, r = _tiled.fuse_stencils([(_fn, 1)] * n)
+        return apply_stencil(
+            df, fn, r, value_cols=(value_col,), out_cols=(value_col,),
+            tile_h=tile_h, tile_w=tile_w,
+        )
     out = df
-    for _ in range(max(1, passes)):
+    for _ in range(n):
         out = apply_stencil(
             out, _fn, 1, value_cols=(value_col,), out_cols=(value_col,),
             tile_h=tile_h, tile_w=tile_w,

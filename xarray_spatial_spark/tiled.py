@@ -559,3 +559,35 @@ def read(spark: SparkSession, path: str, tile_bytes: int | None = None) -> DataF
         tile_bytes = int(row[0]["n"]) if row else 8 << 20
     raster_scan_conf(spark, tile_bytes)
     return df
+
+
+# ---------------------------------------------------------------------------
+# stencil fusion
+# ---------------------------------------------------------------------------
+
+def fuse_stencils(stages: "Sequence[tuple[StencilFn, int]]") -> tuple[StencilFn, int]:
+    """Compose a chain of stencil kernels into ONE (fn, radius) pair.
+
+    A stage with radius r consumes an r-padded block and returns the
+    interior; padding the INPUT by the sum of all radii lets every
+    stage run back-to-back on progressively-shrinking arrays without
+    touching Spark between them.  An n-stage pipeline then costs one
+    halo shuffle instead of n — the 100-TB version of "loop fusion"
+    (e.g. focal.mean(passes=3), or slope-then-smooth).
+
+    Stage i's fn maps {band: padded array} -> {band: interior array};
+    output bands of stage i feed stage i+1.
+    """
+    radii = [int(r) for _, r in stages]
+    total = sum(radii)
+
+    def _fused(arrs: dict) -> dict:
+        cur = arrs
+        for (fn, r), idx in zip(stages, range(len(stages))):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", category=RuntimeWarning)
+                cur = fn(cur)
+            # cur arrays are now padded by the REMAINING radii sum
+        return cur
+
+    return _fused, total
