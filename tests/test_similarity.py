@@ -74,3 +74,51 @@ def test_ivf_recall(spark, emb):
     etop1 = exact[exact["rank"] == 1].set_index("query_id")["vec_id"]
     recall = (top1.reindex(etop1.index) == etop1).mean()
     assert recall >= 0.5
+
+
+def test_ivf_kmeans_recall_on_clustered_data(spark):
+    """Clustered embeddings (the real-world shape): k-means centroids
+    must track the clusters, giving high top-k recall at modest
+    n_probe where hash-picked centroids degrade."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from xarray_spatial_spark.functions.similarity import (
+        cosine_topk_broadcast, ivf_topk,
+    )
+
+    rng = np.random.default_rng(17)
+    dim, n_clusters = 16, 8
+    centers = rng.normal(size=(n_clusters, dim)) * 5
+    rows = []
+    for i in range(800):
+        c = centers[i % n_clusters]
+        v = c + rng.normal(scale=0.4, size=dim)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(j, rows[j * 37][1]) for j in range(8)],
+        schema="query_id long, embedding array<float>",
+    )
+    exact = cosine_topk_broadcast(corpus, queries, k=10)
+    approx = ivf_topk(corpus, queries, k=10, n_centroids=8, n_probe=2,
+                      centroid_method="kmeans")
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_centroids_deterministic(spark):
+    import numpy as np
+    from xarray_spatial_spark.functions.similarity import _centroids
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    a = _centroids(df, 4, "embedding", "vec_id")
+    b = _centroids(df.repartition(7), 4, "embedding", "vec_id")
+    np.testing.assert_allclose(a, b)

@@ -117,17 +117,57 @@ def cosine_topk_broadcast(
     )
 
 
-def _centroids(corpus: DataFrame, n_centroids: int, vec_col: str, id_col: str):
-    """Deterministic centroid pick: the n lowest xxhash64(id) vectors —
-    a seedless reproducible sample (stand-in for k-means; the bucketing
-    contract only needs a fixed, well-spread set)."""
+def _centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str,
+    id_col: str,
+    method: str = "kmeans",
+    sample: int = 16384,
+    iters: int = 12,
+):
+    """Deterministic IVF centroids.
+
+    ``kmeans`` (default): spherical Lloyd's on a hash-ordered sample
+    (deterministic — no RNG, no parallelism dependence): normalize,
+    assign to max-cosine centroid, recentre, renormalize; empty
+    clusters respawn on the farthest points.  On clustered real
+    embeddings this is what gives IVF its recall; the old hash-pick
+    kept buckets well-spread only for uniform synthetic data.
+    ``hash``: the n lowest xxhash64(id) vectors (cheap, uniform-data
+    only)."""
+    n_pick = n_centroids if method == "hash" else max(sample, n_centroids)
     rows = (
         corpus.select(id_col, vec_col)
         .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 61)))
-        .limit(n_centroids)
+        .limit(n_pick)
         .collect()
     )
-    return np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    vecs = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    if method == "hash" or len(vecs) <= n_centroids:
+        return vecs[:n_centroids]
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    x = vecs / norms[:, None]
+    c = x[:n_centroids].copy()  # deterministic init: first hash-ordered
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = np.argmax(sims, axis=1)
+        newc = np.zeros_like(c)
+        np.add.at(newc, assign, x)
+        counts = np.bincount(assign, minlength=n_centroids)
+        empty = counts == 0
+        if empty.any():
+            # respawn empty clusters on the worst-served points
+            worst = np.argsort(sims[np.arange(len(x)), assign])
+            newc[empty] = x[worst[: int(empty.sum())]]
+            counts[empty] = 1
+        newc /= np.linalg.norm(newc, axis=1, keepdims=True).clip(1e-12)
+        if np.allclose(newc, c, atol=1e-9):
+            c = newc
+            break
+        c = newc
+    return c
 
 
 def ivf_topk(
@@ -139,10 +179,14 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id: str = "query_id",
+    centroid_method: str = "kmeans",
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: corpus partitioned once by
-    nearest centroid; each query probes its n_probe nearest buckets."""
-    cents = _centroids(corpus, n_centroids, vec_col, id_col)
+    nearest centroid; each query probes its n_probe nearest buckets.
+    Centroids come from deterministic spherical k-means by default
+    (``centroid_method='hash'`` for the cheap uniform-data pick)."""
+    cents = _centroids(corpus, n_centroids, vec_col, id_col,
+                       method=centroid_method)
     cnorm = np.linalg.norm(cents, axis=1)
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast((cents, cnorm))
