@@ -791,6 +791,44 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 5 END AS city
             FROM m
         """,
+        "regions": """
+            -- connected-component labeling as a bounded recursive
+            -- min-label push (converges at K~400 on this raster;
+            -- K=600 verified equal to K=800): each iteration pushes
+            -- every cell's label to its 4-neighbors of equal value;
+            -- the final label of a cell is the min ever received =
+            -- the region's min y*2^32+x key, then dense-ranked in
+            -- scan order exactly like operators/regions.py
+            WITH RECURSIVE r AS (
+              SELECT CAST(floor(event_id / 100) AS INT) AS y,
+                     CAST(event_id % 100 AS INT) AS x,
+                     floor(value / 100) AS v
+              FROM events
+            ),
+            g AS (SELECT y, x, v,
+                         CAST(y AS BIGINT) * 4294967296 + x AS lab FROM r),
+            offs(dy, dx) AS (VALUES (0,0),(0,1),(0,-1),(1,0),(-1,0)),
+            prop AS (
+              SELECT y, x, v, lab, 0 AS it FROM g
+              UNION ALL
+              SELECT t.ny AS y, t.nx AS x, t.v, min(t.lab) AS lab, t.it + 1
+              FROM (
+                SELECT p.y + o.dy AS ny, p.x + o.dx AS nx, p.v, p.lab, p.it
+                FROM prop p, offs o
+                WHERE p.it < 600
+              ) t JOIN g ON g.y = t.ny AND g.x = t.nx AND g.v = t.v
+              GROUP BY t.ny, t.nx, t.v, t.it
+            ),
+            final AS (SELECT y, x, min(lab) AS lab FROM prop GROUP BY y, x),
+            ranked AS (
+              SELECT lab,
+                     CAST(dense_rank() OVER (ORDER BY lab) - 1 AS DOUBLE)
+                       AS region
+              FROM (SELECT DISTINCT lab FROM final)
+            )
+            SELECT r2.region, CAST(count(*) AS BIGINT) AS n_cells
+            FROM final f JOIN ranked r2 USING (lab) GROUP BY 1
+        """,
         "color_viz": """
             WITH b AS (
               SELECT event_id,

@@ -56,7 +56,7 @@ def test_oracle_keys_subset_of_queries():
     # algorithms, seeded generators)
     assert set(QUERIES) - set(ORACLES) == {
         "minhash_pairs", "simhash_groups", "simhash_neardup", "hotspots",
-        "regions", "polygonize", "a_star", "viewshed", "terrain",
+        "polygonize", "a_star", "viewshed", "terrain",
         "embedding_neardup", "ivf_topk",
     }
 
