@@ -71,6 +71,43 @@ def test_regions_docstring_example(spark):
 
 
 @pytest.mark.parametrize("conn", [4, 8])
+def test_regions_tiled_matches_long(spark, conn):
+    """Dense-tile CCL == long-form CCL, bit-for-bit (same canonical
+    scan-order labels), including NaN cells as their own class and
+    regions spanning many tiles."""
+    from xarray_spatial_spark import tiled as tiled_mod
+    from xarray_spatial_spark.operators.regions import regions_tiled
+
+    rng = np.random.default_rng(123)
+    arr = rng.integers(0, 3, (23, 31)).astype(float)
+    arr[arr == 2] = np.nan  # NaN blobs: NaN==NaN connects
+    df = df_from_numpy(spark, arr)
+    base = _grid(regions(df, neighborhood=conn, tile_h=256, tile_w=256))
+    tdf = tiled_mod.tile(df, tile_h=5, tile_w=7)
+    out = regions_tiled(tdf, neighborhood=conn)
+    got = tiled_mod.numpy_from_tiled(out, value_col="region")
+    np.testing.assert_array_equal(base, got)
+
+
+def test_regions_tiled_snake(spark):
+    """A single snake region threading every tile — worst case for
+    cross-tile merging (one global component, many local labels)."""
+    from xarray_spatial_spark import tiled as tiled_mod
+    from xarray_spatial_spark.operators.regions import regions_tiled
+
+    arr = np.zeros((16, 16), dtype=float)
+    arr[::2, :] = 1.0
+    for i in range(0, 16, 4):
+        arr[i:i + 3, 15 if (i // 2) % 2 == 0 else 0] = 1.0
+    df = df_from_numpy(spark, arr)
+    base = _grid(regions(df, neighborhood=4, tile_h=256, tile_w=256))
+    tdf = tiled_mod.tile(df, tile_h=4, tile_w=4)
+    got = tiled_mod.numpy_from_tiled(
+        regions_tiled(tdf, neighborhood=4), value_col="region")
+    np.testing.assert_array_equal(base, got)
+
+
+@pytest.mark.parametrize("conn", [4, 8])
 def test_regions_tiling_invariance(spark, conn):
     """Cross-tile union must give the same partition of cells as a
     single-tile run (label ids are canonical scan-order, so grids are

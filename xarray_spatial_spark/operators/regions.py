@@ -224,3 +224,177 @@ def regions(
         labeled.join(F.broadcast(ranked), "_root")
         .select("y", "x", value_col, out_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# dense-tile path
+# ---------------------------------------------------------------------------
+
+
+def regions_tiled(
+    tdf: DataFrame,
+    neighborhood: int = 4,
+    value_col: str = "value",
+    out_col: str = "region",
+) -> DataFrame:
+    """Connected-component labeling over a dense-tile raster — the
+    100-TB path: no per-cell rows anywhere.
+
+    1. map_tiles: per-tile CCL (pointer-jumping min-label) adds a
+       ``lab`` band of global ``y*2^32+x`` keys (float64 exact for
+       rasters under 2^20 rows, same bound as the long-form path).
+    2. halo_map_tiled(radius=1) emits cross-tile equal-value label
+       EDGES (perimeter-scale rows, not area).
+    3. Driver union-find over collected edges; per-tile distinct
+       labels (also perimeter+region scale) collected once to build
+       the dense scan-order rank; ONE broadcast lookup array relabels
+       every tile map-side.
+
+    Output: tiled raster with bands (value_col, out_col).  Matches
+    ``regions`` exactly (tests: untile(regions_tiled(tile(x))) ==
+    regions(x))."""
+    if neighborhood not in (4, 8):
+        raise ValueError("neighborhood must be 4 or 8")
+    conn = neighborhood
+    from xarray_spatial_spark import tiled as tl
+
+    # ---- pass 1: per-tile CCL, lab band ------------------------------
+    # map_tiles has no tile-origin meta; use a dedicated mapInPandas
+    out_schema = tl.tiled_schema([value_col, "lab"])
+
+    def _pass1(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {c.split(" ")[0]: [] for c in out_schema.split(", ")}
+            for rec in pdf.itertuples(index=False):
+                h, w = int(rec.h), int(rec.w)
+                th, tw = int(rec.th), int(rec.tw)
+                ty, tx = int(rec.ty), int(rec.tx)
+                vals = tl._decode(getattr(rec, value_col), h, w).astype(
+                    np.float64
+                )
+                y0, x0 = ty * th, tx * tw
+                yy = (np.arange(h, dtype=np.float64) + y0)[:, None]
+                xx = (np.arange(w, dtype=np.float64) + x0)[None, :]
+                keys = yy * float(_KEY) + xx
+                # NaN VALUES are legitimate cells (their own class);
+                # tiles are dense, so every cell is present
+                lab = _tile_ccl(vals, keys, conn, y0=y0, x0=x0)
+                out["ty"].append(ty)
+                out["tx"].append(tx)
+                out["h"].append(h)
+                out["w"].append(w)
+                out["th"].append(th)
+                out["tw"].append(tw)
+                for name, arr in ((value_col, vals), ("lab", lab)):
+                    a = np.ascontiguousarray(arr, dtype=np.float64)
+                    le, re = tl._edge_blobs(a)
+                    out[name].append(a.tobytes())
+                    out[f"{name}__le"].append(le)
+                    out[f"{name}__re"].append(re)
+            yield pd.DataFrame(out)
+
+    labeled = tdf.mapInPandas(_pass1, schema=out_schema)
+    labeled = labeled.persist()
+
+    # ---- pass 2: cross-tile boundary edges ---------------------------
+    shifts = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)] if conn == 8 else [])
+
+    def _edges(meta, padded):
+        import pandas as pd
+
+        vals, labs = padded[value_col], padded["lab"]
+
+        def eq(a, b):
+            return (a == b) | (np.isnan(a) & np.isnan(b))
+
+        # interior mask: the r=1 ring is halo
+        interior = np.zeros(vals.shape, dtype=bool)
+        interior[1:-1, 1:-1] = True
+        out_a, out_b = [], []
+        for dy, dx in shifts:
+            sa = (slice(dy, None) if dy else slice(None),
+                  slice(dx, None) if dx > 0 else slice(None, dx or None))
+            sb = (slice(None, -dy) if dy else slice(None),
+                  slice(None, -dx or None) if dx > 0 else slice(-dx, None))
+            la, lb = labs[sa], labs[sb]
+            cross = interior[sa] != interior[sb]
+            m = eq(vals[sa], vals[sb]) & ~np.isnan(la) & ~np.isnan(lb) & cross
+            if m.any():
+                out_a.append(la[m])
+                out_b.append(lb[m])
+        if not out_a:
+            return pd.DataFrame({"la": pd.Series(dtype="int64"),
+                                 "lb": pd.Series(dtype="int64")})
+        a = np.concatenate(out_a).astype(np.int64)
+        b = np.concatenate(out_b).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"la": lo, "lb": hi}).drop_duplicates()
+
+    edges = (
+        tl.halo_map_tiled(labeled, 1, [value_col, "lab"], _edges,
+                          "la long, lb long")
+        .distinct()
+        .collect()
+    )
+
+    # ---- per-tile distinct labels (for the global rank) --------------
+    def _tile_labels(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            labs = []
+            for rec in pdf.itertuples(index=False):
+                a = tl._decode(rec.lab, int(rec.h), int(rec.w))
+                labs.append(np.unique(a[~np.isnan(a)]).astype(np.int64))
+            yield pd.DataFrame(
+                {"lab": np.concatenate(labs) if labs else
+                 np.array([], np.int64)}
+            )
+
+    all_labels = [
+        int(r["lab"]) for r in
+        labeled.mapInPandas(_tile_labels, schema="lab long")
+        .distinct().collect()
+    ]
+
+    # ---- driver union-find + dense scan-order rank -------------------
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for e in edges:
+        ra, rb = find(e["la"]), find(e["lb"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    roots = sorted({find(l) for l in all_labels})
+    rank_of_root = {root: i for i, root in enumerate(roots)}
+    lut_labels = np.array(sorted(all_labels), dtype=np.int64)
+    lut_ranks = np.array(
+        [rank_of_root[find(int(l))] for l in lut_labels], dtype=np.float64
+    )
+    bc = tdf.sparkSession.sparkContext.broadcast((lut_labels, lut_ranks))
+
+    # ---- broadcast relabel, map-side ---------------------------------
+    def _relabel(arrs):
+        labels, ranks = bc.value
+        lab = arrs["lab"]
+        m = ~np.isnan(lab)
+        out = np.full(lab.shape, np.nan)
+        idx = np.searchsorted(labels, lab[m].astype(np.int64))
+        out[m] = ranks[idx]
+        return {value_col: arrs[value_col], out_col: out}
+
+    return tl.map_tiles(
+        labeled, _relabel, value_cols=[value_col, "lab"],
+        out_cols=[value_col, out_col],
+    )

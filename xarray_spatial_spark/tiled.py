@@ -319,55 +319,45 @@ def _python_messages(tdf: DataFrame, r: int, bands: Sequence[str]) -> DataFrame:
     return tdf.mapInPandas(_emit, schema=msg_schema)
 
 
-def apply_stencil_tiled(
+_PD_TYPES = {"long": np.int64, "int": np.int32, "double": np.float64,
+             "binary": object, "string": object}
+
+
+def _empty_frame(schema: str) -> pd.DataFrame:
+    cols = {}
+    for part in schema.split(", "):
+        name, typ = part.rsplit(" ", 1)
+        cols[name] = pd.Series(dtype=_PD_TYPES.get(typ, object))
+    return pd.DataFrame(cols)
+
+
+def halo_map_tiled(
     tdf: DataFrame,
-    fn: StencilFn,
     radius: int,
-    value_cols: Sequence[str] = ("value",),
-    out_cols: Sequence[str] = ("value",),
-    tile_h: int = DEFAULT_TILE,
-    tile_w: int = DEFAULT_TILE,
+    value_cols: Sequence[str],
+    reduce_fn,
+    out_schema: str,
 ) -> DataFrame:
-    """One halo-stencil pass over a tiled raster.
-
-    Plan: a single JVM-side select/explode emits, per tile, the full
-    tile addressed to itself (a zero-copy column reference) plus <=8
-    border strips (contiguous substrings of the block / its transposed
-    edge blobs) addressed to the neighbor tiles; ONE groupBy(ty, tx)
-    shuffle co-locates them; each task assembles the NaN-padded
-    (h+2r, w+2r) block with numpy slicing, runs ``fn``, and emits the
-    interior (plus refreshed edge blobs) as one tiled row.
-
-    Raster bytes cross the JVM<->Python boundary exactly once each
-    way (the assemble/kernel stage); shuffle volume ~= raster bytes *
-    (1 + 4r(th+tw)/(th*tw)) — ~1.8%% halo overhead at r=1, 512x512.
-    Tiles whose group lacks the center row (strips addressed past the
-    raster edge) emit nothing, so domain edges stay NaN exactly like
-    the long-form path / the reference's NaN boundary
-    (xrspatial/focal.py:70-76 map_overlap boundary=np.nan).
-    """
+    """The generic halo-exchange primitive: JVM strip emit -> ONE
+    groupBy(ty, tx) shuffle -> per-tile ``reduce_fn(meta, padded)``
+    where ``meta`` = dict(ty, tx, h, w, th, tw) and ``padded`` maps
+    band -> NaN-padded (h+2r, w+2r) array.  ``reduce_fn`` returns ANY
+    pd.DataFrame matching ``out_schema`` — stencils return one tiled
+    row (apply_stencil_tiled), graph ops return edge lists
+    (regions), etc.  Strip-addressed groups past the raster edge have
+    no center and emit nothing."""
     r = int(radius)
     bands = list(value_cols)
-    ocols = list(out_cols)
-
     have_edges = all(f"{b}__le" in tdf.columns for b in bands)
     if r <= EDGE and have_edges:
         msgs = _jvm_messages(tdf, r, bands)
     else:
         msgs = _python_messages(tdf, r, bands)
 
-    out_schema = tiled_schema(ocols)
-    empty_cols = [c.split(" ")[0] for c in out_schema.split(", ")]
-
     def _assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         center = pdf[pdf["iscenter"] == 1]
         if len(center) == 0:
-            out = pd.DataFrame({c: [] for c in empty_cols})
-            for c in ("ty", "tx"):
-                out[c] = out[c].astype(np.int64)
-            for c in ("h", "w", "th", "tw"):
-                out[c] = out[c].astype(np.int32)
-            return out
+            return _empty_frame(out_schema)
         ty, tx = int(key[0]), int(key[1])
         c = center.iloc[0]
         h, w = int(c["sh"]), int(c["sw"])
@@ -396,12 +386,52 @@ def apply_stencil_tiled(
                 padded[b][
                     oy:oy + shi_y - slo_y, ox:ox + shi_x - slo_x
                 ] = src[slo_y:shi_y, slo_x:shi_x]
+        meta = {"ty": ty, "tx": tx, "h": h, "w": w, "th": th, "tw": tw}
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", category=RuntimeWarning)
-            outs = fn(padded)
-        row = {"ty": [ty], "tx": [tx], "h": [h], "w": [w],
-               "th": [th], "tw": [tw]}
+            return reduce_fn(meta, padded)
+
+    return msgs.groupBy("ty", "tx").applyInPandas(_assemble, schema=out_schema)
+
+
+def apply_stencil_tiled(
+    tdf: DataFrame,
+    fn: StencilFn,
+    radius: int,
+    value_cols: Sequence[str] = ("value",),
+    out_cols: Sequence[str] = ("value",),
+    tile_h: int = DEFAULT_TILE,
+    tile_w: int = DEFAULT_TILE,
+) -> DataFrame:
+    """One halo-stencil pass over a tiled raster.
+
+    Plan: a single JVM-side select/explode emits, per tile, the full
+    tile addressed to itself (a zero-copy column reference) plus <=8
+    border strips (contiguous substrings of the block / its transposed
+    edge blobs) addressed to the neighbor tiles; ONE groupBy(ty, tx)
+    shuffle co-locates them; each task assembles the NaN-padded
+    (h+2r, w+2r) block with numpy slicing, runs ``fn``, and emits the
+    interior (plus refreshed edge blobs) as one tiled row.
+
+    Raster bytes cross the JVM<->Python boundary exactly once each
+    way (the assemble/kernel stage); shuffle volume ~= raster bytes *
+    (1 + 4r(th+tw)/(th*tw)) — ~1.8%% halo overhead at r=1, 512x512.
+    Tiles whose group lacks the center row (strips addressed past the
+    raster edge) emit nothing, so domain edges stay NaN exactly like
+    the long-form path / the reference's NaN boundary
+    (xrspatial/focal.py:70-76 map_overlap boundary=np.nan).
+    """
+    bands = list(value_cols)
+    ocols = list(out_cols)
+    out_schema = tiled_schema(ocols)
+
+    def _reduce(meta: dict, padded: dict) -> pd.DataFrame:
+        outs = fn(padded)
+        dts = {b: padded[b].dtype for b in bands}
         default_dt = next(iter(dts.values()))
+        row = {"ty": [meta["ty"]], "tx": [meta["tx"]],
+               "h": [meta["h"]], "w": [meta["w"]],
+               "th": [meta["th"]], "tw": [meta["tw"]]}
         for b in ocols:
             a = np.ascontiguousarray(outs[b], dtype=dts.get(b, default_dt))
             le, re = _edge_blobs(a)
@@ -410,7 +440,7 @@ def apply_stencil_tiled(
             row[f"{b}__re"] = [re]
         return pd.DataFrame(row)
 
-    return msgs.groupBy("ty", "tx").applyInPandas(_assemble, schema=out_schema)
+    return halo_map_tiled(tdf, radius, bands, _reduce, out_schema)
 
 
 # ---------------------------------------------------------------------------
