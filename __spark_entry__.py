@@ -393,10 +393,12 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only checks (non-SQL-expressible in a sane oracle): minhash LSH,
-# simhash, hotspots (class thresholds amplify 1-ulp into class flips),
-# iterative/global algorithms (regions CCL, polygonize, A*, viewshed),
-# and the seeded generators
+# rows-only checks (non-SQL-expressible in a sane oracle): minhash /
+# simhash LSH (hash-defined), polygonize + A* path cells + viewshed
+# (global geometry; A* total COST is oracle-checked via a_star_cost),
+# the seeded generators, and embedding_neardup (LSH recall is
+# probabilistic).  regions/hotspots/a_star_cost gained recursive or
+# windowed SQL oracles in round 2.
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,6 +514,28 @@ def q_a_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a_star_search(r, start=(0, 0), goal=(int(h), 80), connectivity=8)
 
 
+def q_a_star_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total least-cost-path distance with ~20% barrier cells.
+    Path CELLS are not unique across equal-cost optima, but the total
+    cost is (s + d*sqrt(2) is injective in the step counts), so THIS
+    variant is oracle-checkable — against a bounded Bellman-Ford
+    relaxation in recursive SQL."""
+    from xarray_spatial_spark.operators.pathfinding import a_star_search
+
+    r = _events_raster(spark, sf_dir)
+    h = int(r.agg(F.max("y")).collect()[0][0])
+    keep = ((F.col("y") == 0) & (F.col("x") == 0)) | (
+        (F.col("y") == h) & (F.col("x") == 80)
+    )
+    r2 = r.withColumn(
+        "value",
+        F.when((F.floor("value") % 5 == 0) & ~keep, F.lit(float("nan")))
+        .otherwise(F.col("value")),
+    )
+    path = a_star_search(r2, start=(0, 0), goal=(h, 80), connectivity=8)
+    return path.agg(F.round(F.max("cost"), 6).alias("total_cost"))
+
+
 def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_spatial_spark.operators.viewshed import viewshed
 
@@ -600,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regions": q_regions,
         "polygonize": q_polygonize,
         "a_star": q_a_star,
+        "a_star_cost": q_a_star_cost,
         "viewshed": q_viewshed,
         "terrain": q_terrain,
         "embedding_neardup": q_embedding_neardup,
@@ -1053,6 +1078,93 @@ def oracle_sql() -> dict[str, str]:
                           CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.25 END
                          ) / 4.0, 6) AS quality
             FROM sc
+        """,
+        "ivf_topk": """
+            -- n_probe = n_centroids in q_ivf_topk => every query scans
+            -- every bucket => IVF is EXACT; brute-force is the oracle
+            -- (same tie-break: cosine desc, vec_id asc)
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id % 200 = 7),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                       AS cos
+              FROM embeddings e CROSS JOIN q
+            ),
+            rk AS (
+              SELECT query_id, vec_id, cos,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+              FROM s
+            )
+            SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+            FROM rk WHERE rank <= 5
+        """,
+        "hotspots": f"""
+            -- focal.hotspots: plus-kernel weighted mean, z vs global
+            -- mean/std, 90/95/99 ladder.  The numpy conv propagates
+            -- NaN through ZERO-weight corners too, so any cell whose
+            -- full 3x3 window leaves the raster classifies as 0 —
+            -- purely geometric on this dense rectangle.
+            WITH r AS ({SQL_EVENTS_RASTER}),
+            dims AS (SELECT max(y) AS my, max(x) AS mx FROM r),
+            g AS (SELECT avg(value) AS gm, stddev_pop(value) AS gs FROM r),
+            offs(dy, dx) AS (VALUES (0,0),(0,1),(0,-1),(1,0),(-1,0)),
+            conv AS (
+              SELECT p.y, p.x, sum(n.value * 0.2) AS c
+              FROM r p JOIN offs o ON TRUE
+                   JOIN r n ON n.y = p.y + o.dy AND n.x = p.x + o.dx
+              GROUP BY p.y, p.x
+            ),
+            z AS (
+              SELECT CASE WHEN c.y >= 1 AND c.y <= d.my - 1
+                           AND c.x >= 1 AND c.x <= d.mx - 1
+                          THEN (c.c - g.gm) / g.gs END AS z
+              FROM conv c, dims d, g
+            ),
+            k AS (
+              SELECT CASE WHEN z IS NULL THEN 0.0
+                          WHEN abs(z) > 2.58 THEN 99.0 * sign(z)
+                          WHEN abs(z) > 1.96 THEN 95.0 * sign(z)
+                          WHEN abs(z) > 1.65 THEN 90.0 * sign(z)
+                          ELSE 0.0 END AS cls
+              FROM z
+            )
+            SELECT cls, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY cls
+        """,
+        "a_star_cost": f"""
+            -- bounded Bellman-Ford over the passable grid graph
+            -- (8-conn, steps 1 / sqrt(2) like math.hypot): each
+            -- iteration relaxes every reached cell through its
+            -- neighbors (self-offset keeps the incumbent), min per
+            -- cell; shortest-path total converges well inside the
+            -- iteration bound (path is ~O(H+W) steps on this raster)
+            WITH RECURSIVE r AS ({SQL_EVENTS_RASTER}),
+            dims AS (SELECT max(y) AS my FROM r),
+            p AS (
+              SELECT y, x FROM r, dims
+              WHERE NOT (CAST(floor(value) AS BIGINT) % 5 = 0
+                         AND NOT (y = 0 AND x = 0)
+                         AND NOT (y = my AND x = 80))
+            ),
+            offs(dy, dx, w) AS (VALUES
+              (0,1,1.0),(0,-1,1.0),(1,0,1.0),(-1,0,1.0),
+              (1,1,sqrt(2.0)),(1,-1,sqrt(2.0)),
+              (-1,1,sqrt(2.0)),(-1,-1,sqrt(2.0)),(0,0,0.0)),
+            bf AS (
+              SELECT 0 AS y, 0 AS x, CAST(0.0 AS DOUBLE) AS dist, 0 AS it
+              UNION ALL
+              SELECT t.ny AS y, t.nx AS x, min(t.d) AS dist, t.it + 1
+              FROM (
+                SELECT b.y + o.dy AS ny, b.x + o.dx AS nx,
+                       b.dist + o.w AS d, b.it
+                FROM bf b, offs o WHERE b.it < 400
+              ) t JOIN p ON p.y = t.ny AND p.x = t.nx
+              GROUP BY t.ny, t.nx, t.it
+            )
+            SELECT round(min(dist), 6) AS total_cost
+            FROM bf, dims WHERE y = my AND x = 80
         """,
     }
 

@@ -55,9 +55,9 @@ def test_oracle_keys_subset_of_queries():
     # LSH/simhash randomness, threshold class flips, iterative/global
     # algorithms, seeded generators)
     assert set(QUERIES) - set(ORACLES) == {
-        "minhash_pairs", "simhash_groups", "simhash_neardup", "hotspots",
+        "minhash_pairs", "simhash_groups", "simhash_neardup",
         "polygonize", "a_star", "viewshed", "terrain",
-        "embedding_neardup", "ivf_topk",
+        "embedding_neardup",
     }
 
 
