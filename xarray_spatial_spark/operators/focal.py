@@ -37,6 +37,80 @@ _STAT_FUNCS: dict[str, Callable] = {
 }
 
 
+def _slice_window_stats(
+    padded: np.ndarray, kernel: np.ndarray, names: Sequence[str]
+) -> dict[str, np.ndarray]:
+    """All builtin window stats by per-kernel-offset slice arithmetic —
+    no (H, W, kh, kw) window-view reduction.  Same trick as the 3x3
+    focal-mean kernel (measured ~13x on 512^2 tiles: contiguous slice
+    adds beat the strided 4-D nan-reduction); works for ANY 0/1 kernel
+    because only kernel==1 offsets are accumulated.
+
+    std/var use a one-pass second moment around the block's global
+    finite mean (shift-invariance of variance) — the shift keeps
+    E[x^2] - E[x]^2 from cancelling when |mean| >> std."""
+    kh, kw = kernel.shape
+    H = padded.shape[0] - kh + 1
+    W = padded.shape[1] - kw + 1
+    offs = np.argwhere(kernel == 1)
+    nanmask = np.isnan(padded)
+    wanted = set(names)
+    need_moments = bool({"mean", "sum", "std", "var"} & wanted)
+    need_sq = bool({"std", "var"} & wanted)
+    need_max = bool({"max", "range"} & wanted)
+    need_min = bool({"min", "range"} & wanted)
+    out: dict[str, np.ndarray] = {}
+
+    if need_moments:
+        shift = 0.0
+        if need_sq:
+            fin = padded[~nanmask]
+            if fin.size:
+                shift = float(fin.mean())
+        sv = np.where(nanmask, 0.0, padded - shift)
+        ones = (~nanmask).astype(padded.dtype)
+        s = np.zeros((H, W), dtype=padded.dtype)
+        c = np.zeros((H, W), dtype=padded.dtype)
+        ssq = np.zeros((H, W), dtype=padded.dtype) if need_sq else None
+        for dy, dx in offs:
+            blk = sv[dy:dy + H, dx:dx + W]
+            s += blk
+            c += ones[dy:dy + H, dx:dx + W]
+            if need_sq:
+                ssq += blk * blk
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = np.where(c > 0, s / c, np.nan)
+            if "mean" in wanted:
+                out["mean"] = m + shift
+            if "sum" in wanted:
+                # nansum of an all-NaN window is 0.0 (numpy >= 1.9)
+                out["sum"] = np.where(c > 0, s + c * shift, 0.0)
+            if need_sq:
+                var = np.maximum(ssq / c - m * m, 0.0)
+                var = np.where(c > 0, var, np.nan)
+                if "var" in wanted:
+                    out["var"] = var
+                if "std" in wanted:
+                    out["std"] = np.sqrt(var)
+
+    if need_max or need_min:
+        mx = mn = None
+        for dy, dx in offs:
+            blk = padded[dy:dy + H, dx:dx + W]
+            if need_max:
+                mx = blk.copy() if mx is None else np.fmax(mx, blk)
+            if need_min:
+                mn = blk.copy() if mn is None else np.fmin(mn, blk)
+        if "max" in wanted:
+            out["max"] = mx
+        if "min" in wanted:
+            out["min"] = mn
+        if "range" in wanted:
+            out["range"] = mx - mn
+
+    return {n: out[n] for n in names}
+
+
 def _masked_windows(padded: np.ndarray, kernel: np.ndarray) -> np.ndarray:
     """Window view with kernel==0 positions NaN'd (focal.py:306-326:
     positions outside the kernel are NaN before the reducer)."""
@@ -126,12 +200,21 @@ def apply(
     if kh // 2 != r or kw // 2 != r:
         ph, pw = r - kh // 2, r - kw // 2
         kernel = np.pad(kernel, ((ph, ph), (pw, pw)))
-    reducer = _STAT_FUNCS[func] if isinstance(func, str) else func
     out = out_col or value_col
 
-    def _fn(arrs):
-        mw = _masked_windows(arrs[value_col], kernel)
-        return {out: reducer(mw, axis=(-2, -1))}
+    if isinstance(func, str):
+        if func not in _STAT_FUNCS:
+            raise ValueError(f"unknown stat {func!r}; one of {sorted(_STAT_FUNCS)}")
+
+        def _fn(arrs):
+            st = _slice_window_stats(arrs[value_col], kernel, [func])
+            return {out: st[func]}
+    else:
+        reducer = func
+
+        def _fn(arrs):
+            mw = _masked_windows(arrs[value_col], kernel)
+            return {out: reducer(mw, axis=(-2, -1))}
 
     return apply_stencil(
         df, _fn, r, value_cols=(value_col,), out_cols=(out,),
@@ -158,8 +241,7 @@ def focal_stats(
     names = list(stats_funcs)
 
     def _fn(arrs):
-        mw = _masked_windows(arrs[value_col], kernel)
-        return {n: _STAT_FUNCS[n](mw, axis=(-2, -1)) for n in names}
+        return _slice_window_stats(arrs[value_col], kernel, names)
 
     return apply_stencil(
         df, _fn, r, value_cols=(value_col,), out_cols=names,
