@@ -99,14 +99,24 @@ def tiled_stencil_bench(spark) -> dict[str, float]:
     # warm python workers once (not timed)
     surface.slope(tdf).write.mode("overwrite").format("noop").save()
     out = {}
-    for name, fn in [
-        ("slope_tiled", lambda d: surface.slope(d)),
-        ("focal_mean_tiled", lambda d: focal.mean(d)),
-        ("summarize_terrain_tiled", lambda d: surface.summarize_terrain(d)),
-    ]:
-        t0 = time.time()
-        fn(tdf).write.mode("overwrite").format("noop").save()
-        out[name] = round(time.time() - t0, 3)
+    # stored raster + strips under the cap -> the broadcast (zero
+    # shuffle) halo is the honest plan here; the shuffle-path slope is
+    # reported alongside as the beyond-cap (100-TB) number
+    spark.conf.set("spark.xrspatial.halo.strategy", "broadcast")
+    try:
+        for name, fn in [
+            ("slope_tiled", lambda d: surface.slope(d)),
+            ("focal_mean_tiled", lambda d: focal.mean(d)),
+            ("summarize_terrain_tiled", lambda d: surface.summarize_terrain(d)),
+        ]:
+            t0 = time.time()
+            fn(tdf).write.mode("overwrite").format("noop").save()
+            out[name] = round(time.time() - t0, 3)
+    finally:
+        spark.conf.set("spark.xrspatial.halo.strategy", "shuffle")
+    t0 = time.time()
+    surface.slope(tdf).write.mode("overwrite").format("noop").save()
+    out["slope_tiled_shuffle"] = round(time.time() - t0, 3)
     tiled.table_scan_conf(spark)  # restore the narrow-table batch
     return out
 

@@ -187,3 +187,61 @@ def test_focal_mean_multipass_fused(spark, arr):
     np.testing.assert_allclose(got, expected, rtol=1e-12, equal_nan=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FlatMapGroupsInPandas") == 2  # pack + one stencil
+
+
+def test_broadcast_halo_matches_shuffle(spark, arr):
+    """Broadcast-strips halo (zero shuffle) must equal the shuffle
+    path bit-for-bit, ragged edge tiles and NaN blobs included."""
+    df = raster.df_from_numpy(spark, arr)
+    tdf = tiled.tile(df, tile_h=32, tile_w=32).persist()
+    try:
+        base = tiled.numpy_from_tiled(surface.slope(tdf), value_col="value")
+        spark.conf.set("spark.xrspatial.halo.strategy", "broadcast")
+        got = tiled.numpy_from_tiled(surface.slope(tdf), value_col="value")
+        np.testing.assert_array_equal(base, got)
+        # radius-2 (multi-column strips through the edge blobs)
+        spark.conf.set("spark.xrspatial.halo.strategy", "shuffle")
+        k = np.ones((5, 5))
+        b2 = tiled.numpy_from_tiled(
+            focal.focal_stats(tdf, k, stats_funcs=("mean",)),
+            value_col="mean")
+        spark.conf.set("spark.xrspatial.halo.strategy", "broadcast")
+        g2 = tiled.numpy_from_tiled(
+            focal.focal_stats(tdf, k, stats_funcs=("mean",)),
+            value_col="mean")
+        np.testing.assert_array_equal(b2, g2)
+    finally:
+        spark.conf.set("spark.xrspatial.halo.strategy", "shuffle")
+        tdf.unpersist()
+
+
+def test_broadcast_halo_no_shuffle_plan(spark, arr):
+    """The broadcast strategy's stencil job plans with NO exchange."""
+    df = raster.df_from_numpy(spark, arr)
+    tdf = tiled.tile(df, tile_h=32, tile_w=32).persist()
+    try:
+        tdf.count()
+        spark.conf.set("spark.xrspatial.halo.strategy", "broadcast")
+        sl = surface.slope(tdf)
+        plan = sl._sc._jvm.PythonSQLUtils.explainString(
+            sl._jdf.queryExecution(), "formatted")
+        stencil = plan.split("InMemoryTableScan")[0]
+        assert "Exchange" not in stencil
+        assert "MapInPandas" in stencil
+    finally:
+        spark.conf.set("spark.xrspatial.halo.strategy", "shuffle")
+        tdf.unpersist()
+
+
+def test_broadcast_halo_cap(spark, arr):
+    df = raster.df_from_numpy(spark, arr)
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    spark.conf.set("spark.xrspatial.halo.broadcast.maxBytes", "16")
+    try:
+        with pytest.raises(ValueError, match="broadcast cap"):
+            surface.slope(tdf, halo_strategy="broadcast") \
+                if False else tiled.halo_map_tiled(
+                    tdf, 1, ["value"],
+                    lambda m, p: None, "ty long", strategy="broadcast")
+    finally:
+        spark.conf.unset("spark.xrspatial.halo.broadcast.maxBytes")

@@ -331,24 +331,182 @@ def _empty_frame(schema: str) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
+def _strip_rows(tdf: DataFrame, r: int, bands: Sequence[str]) -> DataFrame:
+    """Narrow JVM projection of each tile's four halo strips — top /
+    bottom row bands sliced from the block, left / right column bands
+    sliced from the transposed edge blobs (all contiguous substrings,
+    whole-stage codegen).  Per-tile bytes ~ 2r(h + w) * isz * n_bands
+    = perimeter scale; this is what the broadcast halo path collects."""
+    h, w = F.col("h"), F.col("w")
+    cols = [F.col(c) for c in TILE_KEY_COLS]
+    for b in bands:
+        block = F.col(b)
+        isz = (F.length(block) / (h * w)).cast("long")
+        toph = F.least(F.lit(r), h)
+        lc = F.least(F.lit(r), w)
+        e = F.least(F.lit(EDGE), w)
+        cols += [
+            block.substr(F.lit(1), (toph * w * isz).cast("int"))
+            .alias(f"{b}__top"),
+            block.substr(((h - toph) * w * isz + 1).cast("int"),
+                         (toph * w * isz).cast("int")).alias(f"{b}__bot"),
+            F.col(f"{b}__le").substr(F.lit(1), (lc * h * isz).cast("int"))
+            .alias(f"{b}__l"),
+            F.col(f"{b}__re").substr(((e - lc) * h * isz + 1).cast("int"),
+                                     (lc * h * isz).cast("int"))
+            .alias(f"{b}__r"),
+        ]
+    return tdf.select(*cols)
+
+
+# strip kind consulted per neighbor offset (dy, dx) during assembly:
+# vertical neighbors (and diagonals) contribute row bands, horizontal
+# neighbors contribute column bands; the generic overlap clip trims
+# each full-length strip down to the halo (corners included).
+_NBR_STRIP = {
+    (-1, -1): "bot", (-1, 0): "bot", (-1, 1): "bot",
+    (0, -1): "r", (0, 1): "l",
+    (1, -1): "top", (1, 0): "top", (1, 1): "top",
+}
+
+
+def _halo_broadcast(
+    tdf: DataFrame,
+    r: int,
+    bands: list,
+    reduce_fn,
+    out_schema: str,
+    max_bytes: int,
+) -> DataFrame:
+    """Shuffle-free halo exchange: ONE perimeter-scale collect of the
+    strip projection -> broadcast -> mapInPandas assembles each padded
+    block from its own row plus the 8 neighbors' broadcast strips.
+
+    Trade vs the shuffle path: the input is SCANNED twice (strip
+    projection + stencil pass) instead of shuffled once, and the strip
+    volume must fit the driver/broadcast (4r(th+tw)/(th*tw) of raster
+    bytes — ~0.8%% at r=1 512^2 f32, so a ~2 TB raster saturates a
+    512 MB cap; beyond that the shuffle path is the plan).  Use it on
+    STORED/cached tiled tables; on computed chains the double scan
+    re-executes the upstream plan."""
+    rows = _strip_rows(tdf, r, bands).collect()
+    strips: dict = {}
+    total = 0
+    for rec in rows:
+        ty, tx = int(rec["ty"]), int(rec["tx"])
+        h, w = int(rec["h"]), int(rec["w"])
+        th, tw = int(rec["th"]), int(rec["tw"])
+        gy, gx = ty * th, tx * tw
+        toph, lc = min(r, h), min(r, w)
+        ent = {}
+        for b in bands:
+            total += (len(rec[f"{b}__top"]) + len(rec[f"{b}__bot"])
+                      + len(rec[f"{b}__l"]) + len(rec[f"{b}__r"]))
+            ent[b] = {
+                # kind: (buf, gy0, gx0, sh, sw, transposed)
+                "top": (rec[f"{b}__top"], gy, gx, toph, w, 0),
+                "bot": (rec[f"{b}__bot"], gy + h - toph, gx, toph, w, 0),
+                "l": (rec[f"{b}__l"], gy, gx, h, lc, 1),
+                "r": (rec[f"{b}__r"], gy, gx + w - lc, h, lc, 1),
+            }
+        strips[(ty, tx)] = ent
+    if total > max_bytes:
+        raise ValueError(
+            f"halo strips ({total >> 20} MiB) exceed the broadcast cap "
+            f"({max_bytes >> 20} MiB); use halo strategy 'shuffle'"
+        )
+    bc = tdf.sparkSession.sparkContext.broadcast(strips)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        S = bc.value
+        for pdf in batches:
+            outs = []
+            for rec in pdf.itertuples(index=False):
+                ty, tx = int(rec.ty), int(rec.tx)
+                h, w = int(rec.h), int(rec.w)
+                th, tw = int(rec.th), int(rec.tw)
+                oy0, ox0 = ty * th - r, tx * tw - r
+                padded = {}
+                for b in bands:
+                    blk = _decode(getattr(rec, b), h, w)
+                    pad = np.full((h + 2 * r, w + 2 * r), np.nan,
+                                  dtype=blk.dtype)
+                    pad[r:r + h, r:r + w] = blk
+                    padded[b] = pad
+                for (dy, dx), kind in _NBR_STRIP.items():
+                    ent = S.get((ty + dy, tx + dx))
+                    if ent is None:
+                        continue
+                    for b in bands:
+                        buf, gy0, gx0, sh, sw, tr = ent[b][kind]
+                        oy, ox = gy0 - oy0, gx0 - ox0
+                        slo_y, slo_x = max(0, -oy), max(0, -ox)
+                        oy, ox = max(0, oy), max(0, ox)
+                        shi_y = min(sh, slo_y + (h + 2 * r) - oy)
+                        shi_x = min(sw, slo_x + (w + 2 * r) - ox)
+                        if shi_y <= slo_y or shi_x <= slo_x:
+                            continue
+                        src = (_decode(buf, sw, sh).T if tr
+                               else _decode(buf, sh, sw))
+                        padded[b][
+                            oy:oy + shi_y - slo_y, ox:ox + shi_x - slo_x
+                        ] = src[slo_y:shi_y, slo_x:shi_x]
+                meta = {"ty": ty, "tx": tx, "h": h, "w": w,
+                        "th": th, "tw": tw}
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", category=RuntimeWarning)
+                    outs.append(reduce_fn(meta, padded))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return tdf.mapInPandas(_run, schema=out_schema)
+
+
 def halo_map_tiled(
     tdf: DataFrame,
     radius: int,
     value_cols: Sequence[str],
     reduce_fn,
     out_schema: str,
+    strategy: str | None = None,
 ) -> DataFrame:
-    """The generic halo-exchange primitive: JVM strip emit -> ONE
-    groupBy(ty, tx) shuffle -> per-tile ``reduce_fn(meta, padded)``
-    where ``meta`` = dict(ty, tx, h, w, th, tw) and ``padded`` maps
-    band -> NaN-padded (h+2r, w+2r) array.  ``reduce_fn`` returns ANY
-    pd.DataFrame matching ``out_schema`` — stencils return one tiled
-    row (apply_stencil_tiled), graph ops return edge lists
-    (regions), etc.  Strip-addressed groups past the raster edge have
-    no center and emit nothing."""
+    """The generic halo-exchange primitive: per-tile ``reduce_fn(meta,
+    padded)`` where ``meta`` = dict(ty, tx, h, w, th, tw) and
+    ``padded`` maps band -> NaN-padded (h+2r, w+2r) array.
+    ``reduce_fn`` returns ANY pd.DataFrame matching ``out_schema`` —
+    stencils return one tiled row (apply_stencil_tiled), graph ops
+    return edge lists (regions), etc.
+
+    Two physical strategies (``strategy`` param, else the Spark conf
+    ``spark.xrspatial.halo.strategy``, default ``shuffle``):
+
+    - ``shuffle``: JVM strip emit -> ONE groupBy(ty, tx) shuffle ->
+      assemble.  One scan, raster-scale shuffle.  The 100-TB plan.
+    - ``broadcast``: perimeter-scale strip collect + broadcast ->
+      shuffle-free mapInPandas.  Two scans, zero shuffle.  The fast
+      plan for stored rasters whose strips fit the cap
+      (``spark.xrspatial.halo.broadcast.maxBytes``, default 512 MiB);
+      raises past the cap.  Requires radius <= EDGE and edge blobs.
+
+    Strip-addressed groups past the raster edge have no center and
+    emit nothing, so domain edges stay NaN either way."""
     r = int(radius)
     bands = list(value_cols)
     have_edges = all(f"{b}__le" in tdf.columns for b in bands)
+    if strategy is None:
+        strategy = tdf.sparkSession.conf.get(
+            "spark.xrspatial.halo.strategy", "shuffle"
+        )
+    if strategy == "broadcast":
+        if r > EDGE or not have_edges:
+            raise ValueError(
+                "broadcast halo needs radius <= EDGE and edge blobs"
+            )
+        max_bytes = int(tdf.sparkSession.conf.get(
+            "spark.xrspatial.halo.broadcast.maxBytes", str(512 << 20)
+        ))
+        return _halo_broadcast(tdf, r, bands, reduce_fn, out_schema,
+                               max_bytes)
     if r <= EDGE and have_edges:
         msgs = _jvm_messages(tdf, r, bands)
     else:
