@@ -289,10 +289,9 @@ def regions_tiled(
                 out["tw"].append(tw)
                 for name, arr in ((value_col, vals), ("lab", lab)):
                     a = np.ascontiguousarray(arr, dtype=np.float64)
-                    le, re = tl._edge_blobs(a)
                     out[name].append(a.tobytes())
-                    out[f"{name}__le"].append(le)
-                    out[f"{name}__re"].append(re)
+                    for sfx, blob in tl._halo_blobs(a).items():
+                        out[f"{name}{sfx}"].append(blob)
             yield pd.DataFrame(out)
 
     labeled = tdf.mapInPandas(_pass1, schema=out_schema)

@@ -108,7 +108,7 @@ def _raw_tiles(
     """Dense-tile generator: one task per tile, no per-cell rows, no
     shuffle.  ``compute_block(y0, h, x0, w) -> (h, w) float array``.
     Output is the tiled raster format (xarray_spatial_spark.tiled)."""
-    from xarray_spatial_spark.tiled import tiled_schema, _edge_blobs
+    from xarray_spatial_spark.tiled import BLOB_SUFFIXES, tiled_schema, _halo_blobs
 
     nty = -(-height // tile)
     ntx = -(-width // tile)
@@ -116,7 +116,9 @@ def _raw_tiles(
     def _op(batches):
         for pdf in batches:
             out = {"ty": [], "tx": [], "h": [], "w": [], "th": [], "tw": [],
-                   "value": [], "value__le": [], "value__re": []}
+                   "value": []}
+            for sfx in BLOB_SUFFIXES:
+                out[f"value{sfx}"] = []
             for tid in pdf["id"].to_numpy(np.int64):
                 ty, tx = int(tid) // ntx, int(tid) % ntx
                 y0, x0 = ty * tile, tx * tile
@@ -130,10 +132,9 @@ def _raw_tiles(
                 out["th"].append(tile)
                 out["tw"].append(tile)
                 block = np.ascontiguousarray(block, dtype=dtype)
-                le, re = _edge_blobs(block)
                 out["value"].append(block.tobytes())
-                out["value__le"].append(le)
-                out["value__re"].append(re)
+                for sfx, blob in _halo_blobs(block).items():
+                    out[f"value{sfx}"].append(blob)
             yield pd.DataFrame(out)
 
     par = min(nty * ntx, spark.sparkContext.defaultParallelism * 2)

@@ -66,17 +66,19 @@ EDGE = 8  # columns kept in the transposed edge blobs (supports radius <= 8
 
 
 def tiled_schema(bands: Sequence[str]) -> str:
-    """Canonical tiled schema: per band, the dense block plus two small
-    TRANSPOSED edge blobs (leftmost/rightmost ``EDGE`` columns stored
-    column-major, ~3%% of tile bytes at 512px).  The edge blobs make
-    every halo strip — vertical ones and corners included — a plain
-    contiguous ``substring`` in whole-stage codegen; without them,
-    column extraction from row-major bytes needs per-element
+    """Canonical tiled schema: per band, the dense block plus four
+    small perimeter blobs (~6%% of tile bytes at 512px): TRANSPOSED
+    leftmost/rightmost ``EDGE`` columns (``__le``/``__re``) and plain
+    top/bottom ``EDGE`` rows (``__te``/``__be``).  The transposed edge
+    blobs make every halo strip — vertical ones and corners included —
+    a plain contiguous ``substring`` in whole-stage codegen (column
+    extraction from row-major bytes would need per-element
     higher-order functions, which fall out of codegen and copy
-    catastrophically."""
+    catastrophically); the row blobs let the broadcast-halo strip
+    projection scan perimeter bytes only, never the block column."""
     cols = ["ty long", "tx long", "h int", "w int", "th int", "tw int"]
     for b in bands:
-        cols += [f"{b} binary", f"{b}__le binary", f"{b}__re binary"]
+        cols += [f"{b} binary"] + [f"{b}{sfx} binary" for sfx in BLOB_SUFFIXES]
     return ", ".join(cols)
 
 
@@ -87,6 +89,22 @@ def _edge_blobs(a: np.ndarray) -> tuple[bytes, bytes]:
     le = np.ascontiguousarray(a[:, :e].T).tobytes()
     re = np.ascontiguousarray(a[:, a.shape[1] - e:].T).tobytes()
     return le, re
+
+
+BLOB_SUFFIXES = ("__le", "__re", "__te", "__be")
+
+
+def _halo_blobs(a: np.ndarray) -> dict[str, bytes]:
+    """All four perimeter blobs for one block: transposed left/right
+    EDGE columns plus plain top/bottom EDGE rows (row-major, already
+    contiguous).  Stored top/bottom rows let the broadcast-halo strip
+    projection scan ONLY blob columns — no block-column read — so the
+    strips job costs perimeter, not area."""
+    le, re = _edge_blobs(a)
+    e = min(EDGE, a.shape[0])
+    te = np.ascontiguousarray(a[:e, :]).tobytes()
+    be = np.ascontiguousarray(a[a.shape[0] - e:, :]).tobytes()
+    return {"__le": le, "__re": re, "__te": te, "__be": be}
 
 
 # ---------------------------------------------------------------------------
@@ -122,10 +140,9 @@ def tile(
         for b in bands:
             a = np.full((h, w), np.nan, dtype=dtype)
             a[py, px] = pdf[b].to_numpy(np.float64)
-            le, re = _edge_blobs(a)
             out[b] = [a.tobytes()]
-            out[f"{b}__le"] = [le]
-            out[f"{b}__re"] = [re]
+            for sfx, blob in _halo_blobs(a).items():
+                out[f"{b}{sfx}"] = [blob]
         return pd.DataFrame(out)
 
     keyed = df.withColumn("_ty", F.floor(F.col("y") / tile_h).cast("long")).withColumn(
@@ -338,18 +355,32 @@ def _strip_rows(tdf: DataFrame, r: int, bands: Sequence[str]) -> DataFrame:
     whole-stage codegen).  Per-tile bytes ~ 2r(h + w) * isz * n_bands
     = perimeter scale; this is what the broadcast halo path collects."""
     h, w = F.col("h"), F.col("w")
+    have_tb = all(f"{b}__te" in tdf.columns for b in bands)
     cols = [F.col(c) for c in TILE_KEY_COLS]
     for b in bands:
-        block = F.col(b)
-        isz = (F.length(block) / (h * w)).cast("long")
         toph = F.least(F.lit(r), h)
         lc = F.least(F.lit(r), w)
         e = F.least(F.lit(EDGE), w)
+        if have_tb:
+            # stored top/bottom row blobs -> the projection touches NO
+            # block column: the whole strips job scans perimeter bytes
+            isz = (F.length(F.col(f"{b}__le"))
+                   / (F.least(F.lit(EDGE), w) * h)).cast("long")
+            et = F.least(F.lit(EDGE), h)
+            top = F.col(f"{b}__te").substr(
+                F.lit(1), (toph * w * isz).cast("int"))
+            bot = F.col(f"{b}__be").substr(
+                ((et - toph) * w * isz + 1).cast("int"),
+                (toph * w * isz).cast("int"))
+        else:
+            block = F.col(b)
+            isz = (F.length(block) / (h * w)).cast("long")
+            top = block.substr(F.lit(1), (toph * w * isz).cast("int"))
+            bot = block.substr(((h - toph) * w * isz + 1).cast("int"),
+                               (toph * w * isz).cast("int"))
         cols += [
-            block.substr(F.lit(1), (toph * w * isz).cast("int"))
-            .alias(f"{b}__top"),
-            block.substr(((h - toph) * w * isz + 1).cast("int"),
-                         (toph * w * isz).cast("int")).alias(f"{b}__bot"),
+            top.alias(f"{b}__top"),
+            bot.alias(f"{b}__bot"),
             F.col(f"{b}__le").substr(F.lit(1), (lc * h * isz).cast("int"))
             .alias(f"{b}__l"),
             F.col(f"{b}__re").substr(((e - lc) * h * isz + 1).cast("int"),
@@ -592,10 +623,9 @@ def apply_stencil_tiled(
                "th": [meta["th"]], "tw": [meta["tw"]]}
         for b in ocols:
             a = np.ascontiguousarray(outs[b], dtype=dts.get(b, default_dt))
-            le, re = _edge_blobs(a)
             row[b] = [a.tobytes()]
-            row[f"{b}__le"] = [le]
-            row[f"{b}__re"] = [re]
+            for sfx, blob in _halo_blobs(a).items():
+                row[f"{b}{sfx}"] = [blob]
         return pd.DataFrame(row)
 
     return halo_map_tiled(tdf, radius, bands, _reduce, out_schema)
@@ -663,8 +693,8 @@ def map_tiles(
             out = {"ty": [], "tx": [], "h": [], "w": [], "th": [], "tw": []}
             for b in ocols:
                 out[b] = []
-                out[f"{b}__le"] = []
-                out[f"{b}__re"] = []
+                for sfx in BLOB_SUFFIXES:
+                    out[f"{b}{sfx}"] = []
             for rec in pdf.itertuples(index=False):
                 h, w = int(rec.h), int(rec.w)
                 arrs = {b: _decode(getattr(rec, b), h, w) for b in bands}
@@ -681,10 +711,9 @@ def map_tiles(
                 out["tw"].append(int(rec.tw))
                 for b in ocols:
                     a = np.ascontiguousarray(res[b], dtype=dts.get(b, default_dt))
-                    le, re = _edge_blobs(a)
                     out[b].append(a.tobytes())
-                    out[f"{b}__le"].append(le)
-                    out[f"{b}__re"].append(re)
+                    for sfx, blob in _halo_blobs(a).items():
+                        out[f"{b}{sfx}"].append(blob)
             yield pd.DataFrame(out)
 
     return tdf.mapInPandas(_run, schema=tiled_schema(ocols))
@@ -740,7 +769,7 @@ def read(spark: SparkSession, path: str, tile_bytes: int | None = None) -> DataF
     if tile_bytes is None:
         band = next(
             c for c in df.columns
-            if c not in TILE_KEY_COLS and not c.endswith(("__le", "__re"))
+            if c not in TILE_KEY_COLS and not c.endswith(BLOB_SUFFIXES)
         )
         spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "4")
         row = df.select(F.length(band).alias("n")).limit(1).collect()
