@@ -42,54 +42,68 @@ _KEY = 1 << 32
 def _tile_ccl(
     vals: np.ndarray, keys: np.ndarray, conn: int, y0: int = 0, x0: int = 0
 ) -> np.ndarray:
-    """Min-label propagation with pointer jumping on one dense tile.
-    ``vals`` NaN-filled where absent; NaN==NaN connects (zonal.py
-    equality incl. nan).
+    """Run-based CCL on one dense tile: label horizontal RUNS of equal
+    values (scan order), connect runs between adjacent rows with
+    vectorized comparisons, then min-label + pointer-jump over the RUN
+    graph — thousands of runs instead of 262k cells, so the iterated
+    relaxation converges in ~log(height) rounds over tiny arrays
+    (replaced a per-cell relaxation that needed one round per boundary
+    step: 4.4 s -> ~20 ms on a blobby 512^2 tile).
 
-    Each round does one neighbor-min relaxation followed by pointer
-    jumping (label <- label-of-the-cell-the-label-names, i.e. path
-    compression) — the label graph halves in depth per round, so a
-    snake across an N-cell tile converges in O(log N) rounds instead
-    of O(N).  Keys are global ``y * 2^32 + x`` (exact in float64 up to
-    y < 2^20 raster rows); (y0, x0) is the tile origin for decoding."""
-    lab = keys.astype(np.float64)  # NaN marks absent cells
-    present = ~np.isnan(lab)
+    Returns float64 root keys (region's min ``y * 2^32 + x``), NaN
+    where absent (NaN KEY marks absence; NaN VALUES are legitimate
+    cells and NaN==NaN connects, zonal.py equality incl. nan).  The
+    region root = scan-order-first cell = the start of the region's
+    min-id run, so root keys match the per-cell relaxation exactly."""
+    present = ~np.isnan(keys)
 
     def eq(a, b):
-        return (a == b) | (np.isnan(a) & np.isnan(b))
+        return ((a == b) | (np.isnan(a) & np.isnan(b)))
 
-    shifts = [(0, 1), (1, 0)]
-    if conn == 8:
-        shifts += [(1, 1), (1, -1)]
+    H, W = vals.shape
+    # horizontal runs: a run breaks at row starts, value changes, or
+    # presence changes; absent cells form runs too but get no edges
+    newrun = np.ones((H, W), dtype=bool)
+    same = eq(vals[:, 1:], vals[:, :-1]) & present[:, 1:] & present[:, :-1]
+    newrun[:, 1:] = ~same
+    run_id = (np.cumsum(newrun.ravel()) - 1).reshape(H, W)
+    nruns = int(run_id[-1, -1]) + 1
+    start_key = keys.ravel()[newrun.ravel()]  # scan-order run starts
 
-    # precompute per-shift equal-value masks (invariant across iterations)
-    views = []
-    for dy, dx in shifts:
-        sa = (slice(dy, None) if dy else slice(None),
-              slice(dx, None) if dx > 0 else slice(None, dx or None))
-        sb = (slice(None, -dy) if dy else slice(None),
-              slice(None, -dx or None) if dx > 0 else slice(-dx, None))
-        m = eq(vals[sa], vals[sb]) & present[sa] & present[sb]
-        views.append((sa, sb, m))
-
-    KEY = float(1 << 32)
-    while True:
-        # accumulate into a fresh buffer with np.minimum — in-place
-        # writes into overlapping views would clobber earlier updates
-        new = lab.copy()
-        for sa, sb, m in views:
-            la, lb = lab[sa], lab[sb]
-            mn = np.where(m, np.minimum(la, lb), np.inf)
-            # np.minimum (not fmin): NaN marks absent cells and must stay
-            new[sa] = np.minimum(new[sa], mn)
-            new[sb] = np.minimum(new[sb], mn)
-        # pointer jumping: follow each label to ITS cell's current label
-        jy = (new[present] // KEY).astype(np.int64) - y0
-        jx = (new[present] % KEY).astype(np.int64) - x0
-        new[present] = new[jy, jx]
-        if np.array_equal(lab[present], new[present]):
-            return new
-        lab = new
+    # vertical run adjacency (8-conn adds the two diagonal alignments)
+    ea_parts, eb_parts = [], []
+    pa = present[:-1, :] & present[1:, :]
+    va, vb = vals[:-1, :], vals[1:, :]
+    ra, rb = run_id[:-1, :], run_id[1:, :]
+    for dx in ([0] if conn == 4 else [-1, 0, 1]):
+        if dx == 0:
+            m = eq(va, vb) & pa
+            ea_parts.append(ra[m]); eb_parts.append(rb[m])
+        elif dx == 1:
+            m = (eq(va[:, :-1], vb[:, 1:])
+                 & present[:-1, :-1] & present[1:, 1:])
+            ea_parts.append(ra[:, :-1][m]); eb_parts.append(rb[:, 1:][m])
+        else:
+            m = (eq(va[:, 1:], vb[:, :-1])
+                 & present[:-1, 1:] & present[1:, :-1])
+            ea_parts.append(ra[:, 1:][m]); eb_parts.append(rb[:, :-1][m])
+    lab = np.arange(nruns, dtype=np.int64)
+    if ea_parts:
+        ea = np.concatenate(ea_parts).astype(np.int64)
+        eb = np.concatenate(eb_parts).astype(np.int64)
+        if len(ea):
+            packed = np.unique(ea * nruns + eb)
+            ea, eb = packed // nruns, packed % nruns
+            while True:
+                l2 = lab.copy()
+                np.minimum.at(l2, ea, lab[eb])
+                np.minimum.at(l2, eb, lab[ea])
+                l2 = l2[l2]  # pointer jump over the run graph
+                if np.array_equal(l2, lab):
+                    break
+                lab = l2
+    out = start_key[lab][run_id.ravel()].reshape(H, W)
+    return np.where(present, out, np.nan)
 
 
 def regions(
