@@ -514,6 +514,30 @@ def q_a_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a_star_search(r, start=(0, 0), goal=(int(h), 80), connectivity=8)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal with a planted footer on the
+    even docs (functions/dedup.py:line_dedup)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit("\nsubscribe to our newsletter")),
+        ).otherwise(F.col("text")),
+    )
+    return dedup.line_dedup(planted, min_df=2)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word 8-gram with an
+    eval set (every 97th doc, so self-overlap is guaranteed)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 97 == 3).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    return dedup.ngram_contamination(d, ev, n=8)
+
+
 def q_a_star_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total least-cost-path distance with ~20% barrier cells.
     Path CELLS are not unique across equal-cost optima, but the total
@@ -625,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize": q_polygonize,
         "a_star": q_a_star,
         "a_star_cost": q_a_star_cost,
+        "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
         "viewshed": q_viewshed,
         "terrain": q_terrain,
         "embedding_neardup": q_embedding_neardup,
@@ -1078,6 +1104,41 @@ def oracle_sql() -> dict[str, str]:
                           CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.25 END
                          ) / 4.0, 6) AS quality
             FROM sc
+        """,
+        "line_dedup": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN text || chr(10) || 'subscribe to our newsletter'
+                          ELSE text END AS text
+              FROM documents
+            ),
+            p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d),
+            l AS (
+              SELECT doc_id, parts[s.i] AS line, s.i AS pos
+              FROM p, LATERAL unnest(generate_series(1, len(parts))) AS s(i)
+            ),
+            hot AS (SELECT line FROM l GROUP BY line
+                    HAVING count(DISTINCT doc_id) >= 2),
+            kept AS (SELECT doc_id, line, pos FROM l
+                     WHERE line NOT IN (SELECT line FROM hot)),
+            agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+                      AS text FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.text, '') AS text
+            FROM d LEFT JOIN agg a USING (doc_id)
+        """,
+        "decontaminate": """
+            WITH tok AS (SELECT doc_id,
+                                string_split_regex(trim(text), '\\s+') AS t
+                         FROM documents),
+            ng AS (
+              SELECT DISTINCT doc_id, array_to_string(t[s.i:s.i+7], ' ') AS g
+              FROM tok, LATERAL unnest(generate_series(1, len(t) - 7)) AS s(i)
+              WHERE len(t) >= 8
+            ),
+            ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 3)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM ng JOIN ev USING (g) GROUP BY doc_id
         """,
         "ivf_topk": """
             -- n_probe = n_centroids in q_ivf_topk => every query scans

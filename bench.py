@@ -106,12 +106,25 @@ def tiled_stencil_bench(spark) -> dict[str, float]:
     try:
         for name, fn in [
             ("slope_tiled", lambda d: surface.slope(d)),
+            ("hillshade_tiled", lambda d: surface.hillshade(d)),
             ("focal_mean_tiled", lambda d: focal.mean(d)),
             ("summarize_terrain_tiled", lambda d: surface.summarize_terrain(d)),
         ]:
             t0 = time.time()
             fn(tdf).write.mode("overwrite").format("noop").save()
             out[name] = round(time.time() - t0, 3)
+        # distributed CCL over the quantized terrain (same 67M cells)
+        from xarray_spatial_spark.operators.regions import regions_tiled
+
+        q = tiled.map_tiles(
+            tdf, lambda a: {"value": a["value"] // 400.0},
+            ["value"], ["value"],
+        ).persist()
+        q.count()
+        t0 = time.time()
+        regions_tiled(q, neighborhood=4).count()
+        out["regions_tiled"] = round(time.time() - t0, 3)
+        q.unpersist()
     finally:
         spark.conf.set("spark.xrspatial.halo.strategy", "shuffle")
     t0 = time.time()

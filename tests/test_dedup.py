@@ -220,3 +220,49 @@ def test_ngram_df_cap_preserves_high_jaccard(spark):
     sh = shingles(df).select(F.xxhash64("shingle").alias("_sh"), "doc_id")
     hot = sh.groupBy("_sh").count().filter(F.col("count") > 5).count()
     assert hot > 15
+
+
+def test_line_dedup_strips_boilerplate(spark):
+    from xarray_spatial_spark.functions.dedup import line_dedup
+
+    footer = "subscribe to our newsletter"
+    rows = [
+        (0, f"unique zero\n{footer}\nmore zero"),
+        (1, f"unique one\n{footer}"),
+        (2, "unique two only"),
+        (3, footer),                      # loses every line -> ''
+        (4, "dup body\nrepeat inside\nrepeat inside"),  # intra-doc repeat kept
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in line_dedup(df, min_df=2).collect()}
+    assert got[0] == "unique zero\nmore zero"
+    assert got[1] == "unique one"
+    assert got[2] == "unique two only"
+    assert got[3] == ""                    # doc survives with empty text
+    # min_df counts DISTINCT docs: same-doc repetition is not boilerplate
+    assert got[4] == "dup body\nrepeat inside\nrepeat inside"
+    assert set(got) == {0, 1, 2, 3, 4}
+
+
+def test_ngram_contamination(spark):
+    from xarray_spatial_spark.functions.dedup import ngram_contamination
+
+    bench_q = "what is the capital of france and why does it matter here"
+    rows = [
+        (0, "totally unrelated text about spark shuffles and tiles ok"),
+        (1, f"padding before {bench_q} padding after"),   # contains the eval 12-gram
+        (2, "short"),
+        (3, bench_q),                                      # exact eval text
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    ev = spark.createDataFrame([(100, bench_q)], schema="qid long, text string")
+    got = {r["doc_id"]: r["n_shared"]
+           for r in ngram_contamination(df, ev, n=12).collect()}
+    assert 1 in got and 3 in got
+    assert 0 not in got and 2 not in got
+    assert got[3] == 1  # the eval text has exactly one 12-gram
+    # broadcast off gives the same answer through the join path
+    got2 = {r["doc_id"]: r["n_shared"]
+            for r in ngram_contamination(df, ev, n=12,
+                                         broadcast_eval=False).collect()}
+    assert got2 == got

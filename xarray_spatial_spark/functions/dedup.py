@@ -504,3 +504,98 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate dedup + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Strip lines that appear in >= ``min_df`` distinct documents
+    (C4/RefinedWeb-style boilerplate removal: nav bars, cookie
+    banners, footers).
+
+    Plan: posexplode lines -> xxhash64 (8-byte keys; collision odds
+    ~n^2/2^64 are the standard trade) -> distinct-doc counts with
+    map-side partial agg -> left_anti join back -> per-doc reassembly
+    ordered by original position.  Every stage shuffles line-hash or
+    doc-id keys, never full texts twice; documents that lose every
+    line come back with empty text (not dropped)."""
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    hashed = lines.withColumn("_lh", F.xxhash64("_line"))
+    hot = (
+        hashed.groupBy("_lh")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+    )
+    kept = hashed.join(hot, "_lh", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias(text_col)
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )
+
+
+def _word_ngram_hashes(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Distinct xxhash64'd word n-grams per row: (id, _ng)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array())
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("_ng")).distinct()
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination scan: (id, n_shared) for every
+    training document sharing >= 1 word ``n``-gram with the eval set
+    (the GPT-3/PaLM 13-gram rule; pass ``n`` to taste).
+
+    Eval sets are small (KBs-MBs of benchmark text), so the distinct
+    eval n-gram hashes BROADCAST and the scan is map-side against the
+    full corpus; ``broadcast_eval=False`` falls back to an equi-join
+    on the 8-byte hash for giant eval sets.  Filter the corpus with a
+    left_anti join on the result to decontaminate."""
+    doc_ng = _word_ngram_hashes(df, n, text_col, id_col)
+    ev = _word_ngram_hashes(
+        eval_df, n, eval_text_col, eval_df.columns[0]
+    ).select("_ng").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        doc_ng.join(ev, "_ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
