@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "knn_ring",
     "simhash_neardup",
     "color_viz",
+    "line_dedup",
+    "decontaminate",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
