@@ -77,3 +77,30 @@ def test_streaming_tile_counts_and_resume(spark, tmp_path):
     run_once()
     n3 = spark.read.parquet(str(tmp_path / "tiles")).count()
     assert n3 > n1
+
+
+def test_streaming_dedup_keeps_one_per_content(spark, tmp_path):
+    """Planted duplicate texts collapse to one survivor per content
+    hash; unique docs all pass through."""
+    src = str(tmp_path / "docs_dup")
+    d = documents(spark, 500)
+    dup = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    d.union(dup).write.parquet(src)
+
+    stream = spark.readStream.schema(se.DOCS_SCHEMA).option(
+        "maxFilesPerTrigger", 4
+    ).parquet(src)
+    out = se.streaming_dedup(stream, watermark="10 minutes")
+    q = se.run_to_sink(
+        out.select("doc_id", "_content_hash"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), mode="append",
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    n_distinct_texts = d.union(dup).select(
+        F.xxhash64("text").alias("h")).distinct().count()
+    assert got.count() == n_distinct_texts
+    assert got.select("_content_hash").distinct().count() == n_distinct_texts

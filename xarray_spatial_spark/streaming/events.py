@@ -108,3 +108,26 @@ def run_to_sink(
     if once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first-seen document per content
+    hash inside the watermark horizon (the streaming twin of
+    functions/dedup.py:exact_duplicates' keep-one pass).
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by event
+    time — the state store holds one 8-byte hash per distinct doc
+    inside the horizon instead of growing forever, which is the only
+    honest way to dedup an unbounded crawl (a global-forever dedup is
+    a batch job over the accumulated table).  Re-crawls arriving more
+    than ``watermark`` late can re-emit; tighten or widen to taste."""
+    hashed = docs.withColumn("_content_hash", F.xxhash64(F.col(text_col)))
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_hash"])
+    )
