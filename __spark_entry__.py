@@ -505,6 +505,21 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("region", "value", "n_rings", "area")
 
 
+def q_polygonize_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable polygonize slice: region ids are the CCL
+    scan-order ids, and (exterior - holes) shoelace area equals the
+    region's CELL COUNT exactly on grid polygons (conservation test in
+    tests/test_polygonize.py), so the recursive-SQL CCL oracle extends
+    to polygonize.  n_rings/ring geometry stay rows-only."""
+    from xarray_spatial_spark.operators.polygonize import polygonize
+
+    r = _events_raster(spark, sf_dir).withColumn(
+        "value", F.floor(F.col("value") / 150).cast("double")
+    )
+    out = polygonize(r, neighborhood=4)
+    return out.select("region", "value", "area")
+
+
 def q_a_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_spatial_spark.operators.pathfinding import a_star_search
 
@@ -647,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspots": q_hotspots,
         "regions": q_regions,
         "polygonize": q_polygonize,
+        "polygonize_area": q_polygonize_area,
         "a_star": q_a_star,
         "a_star_cost": q_a_star_cost,
         "line_dedup": q_line_dedup,
@@ -1139,6 +1155,43 @@ def oracle_sql() -> dict[str, str]:
             ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 3)
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
             FROM ng JOIN ev USING (g) GROUP BY doc_id
+        """,
+        "polygonize_area": """
+            -- same bounded recursive min-label CCL as the `regions`
+            -- oracle (value class floor(v/150)); area == cell count on
+            -- grid polygons (holes subtract), region ids = scan-order
+            -- dense rank of min y*2^32+x labels
+            WITH RECURSIVE r AS (
+              SELECT CAST(floor(event_id / 100) AS INT) AS y,
+                     CAST(event_id % 100 AS INT) AS x,
+                     floor(value / 150) AS v
+              FROM events
+            ),
+            g AS (SELECT y, x, v,
+                         CAST(y AS BIGINT) * 4294967296 + x AS lab FROM r),
+            offs(dy, dx) AS (VALUES (0,0),(0,1),(0,-1),(1,0),(-1,0)),
+            prop AS (
+              SELECT y, x, v, lab, 0 AS it FROM g
+              UNION ALL
+              SELECT t.ny AS y, t.nx AS x, t.v, min(t.lab) AS lab, t.it + 1
+              FROM (
+                SELECT p.y + o.dy AS ny, p.x + o.dx AS nx, p.v, p.lab, p.it
+                FROM prop p, offs o
+                WHERE p.it < 600
+              ) t JOIN g ON g.y = t.ny AND g.x = t.nx AND g.v = t.v
+              GROUP BY t.ny, t.nx, t.v, t.it
+            ),
+            final AS (SELECT y, x, v, min(lab) AS lab FROM prop GROUP BY y, x, v),
+            ranked AS (
+              SELECT lab,
+                     CAST(dense_rank() OVER (ORDER BY lab) - 1 AS BIGINT)
+                       AS region
+              FROM (SELECT DISTINCT lab FROM final)
+            )
+            SELECT r2.region, f.v AS value,
+                   CAST(count(*) AS DOUBLE) AS area
+            FROM final f JOIN ranked r2 USING (lab)
+            GROUP BY r2.region, f.v
         """,
         "ivf_topk": """
             -- n_probe = n_centroids in q_ivf_topk => every query scans
