@@ -586,6 +586,23 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("visible").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_viewshed_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell visibility oracle for the R3 viewshed: the LOS rule
+    (dominant-axis stepping, bilinear terrain interpolation, strict
+    gradient comparison) is pure IEEE arithmetic, so an identical-
+    expression-order SQL twin reproduces the visible set exactly
+    (verified cell-for-cell at sf0.01).  Angles stay rows-only in
+    q_viewshed."""
+    from xarray_spatial_spark.operators.viewshed import viewshed
+
+    r = _events_raster(spark, sf_dir)
+    h = r.agg(F.max("y")).collect()[0][0]
+    out = viewshed(r, x=50, y=min(5, int(h)), observer_elev=50.0)
+    return out.select(
+        "y", "x", (F.col("visibility") >= 0).cast("int").alias("visible")
+    )
+
+
 def q_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_spatial_spark.sources.terrain import generate_terrain
 
@@ -668,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "viewshed": q_viewshed,
+        "viewshed_vis": q_viewshed_vis,
         "terrain": q_terrain,
         "embedding_neardup": q_embedding_neardup,
         "ivf_topk": q_ivf_topk,
@@ -1193,6 +1211,73 @@ def oracle_sql() -> dict[str, str]:
             FROM final f JOIN ranked r2 USING (lab)
             GROUP BY r2.region, f.v
         """,
+        "viewshed_vis": """
+            -- R3 line-of-sight twin: same dominant-axis stepping,
+            -- same bilinear interpolation, same strict gradient
+            -- comparison, in the same IEEE expression order as
+            -- operators/viewshed.py — doubles match bit-for-bit
+            WITH r AS ({SQL_EVENTS_RASTER}),
+            dims AS (SELECT max(y) AS my, max(x) AS mx FROM r),
+            o AS (SELECT least(5, my) AS oy, 50 AS ox, my, mx FROM dims),
+            vp AS (SELECT o.oy, o.ox, o.my, o.mx, r.value + 50.0 AS vpe
+                   FROM o JOIN r ON r.y = o.oy AND r.x = o.ox),
+            t AS (SELECT r.y, r.x, r.value AS tz, vp.oy, vp.ox, vp.my,
+                         vp.mx, vp.vpe,
+                         greatest(abs(r.y - vp.oy), abs(r.x - vp.ox)) AS n,
+                         sqrt(CAST((r.x - vp.ox)*(r.x - vp.ox)
+                                 + (r.y - vp.oy)*(r.y - vp.oy) AS DOUBLE))
+                           AS dist
+                  FROM r, vp),
+            tg AS (SELECT *, (tz + 0.0 - vpe) / greatest(dist, 1e-300)
+                     AS tgrad FROM t),
+            st AS (
+              SELECT tg.*, s.k,
+                     CAST(tg.oy AS DOUBLE)
+                       + (CAST(tg.y - tg.oy AS DOUBLE) / greatest(tg.n, 1))
+                         * s.k AS py,
+                     CAST(tg.ox AS DOUBLE)
+                       + (CAST(tg.x - tg.ox AS DOUBLE) / greatest(tg.n, 1))
+                         * s.k AS px
+              FROM tg, LATERAL unnest(generate_series(1, tg.n - 1)) AS s(k)
+              WHERE tg.n > 1
+            ),
+            ip AS (
+              SELECT st.y, st.x, st.tgrad, st.vpe,
+                     CAST(floor(st.py) AS INT) AS y0,
+                     CAST(floor(st.px) AS INT) AS x0,
+                     st.py - floor(st.py) AS wy, st.px - floor(st.px) AS wx,
+                     least(CAST(floor(st.py) AS INT) + 1, st.my) AS y1,
+                     least(CAST(floor(st.px) AS INT) + 1, st.mx) AS x1,
+                     sqrt((CAST(st.y - st.oy AS DOUBLE) / greatest(st.n,1)
+                            * st.k)
+                        * (CAST(st.y - st.oy AS DOUBLE) / greatest(st.n,1)
+                            * st.k)
+                        + (CAST(st.x - st.ox AS DOUBLE) / greatest(st.n,1)
+                            * st.k)
+                        * (CAST(st.x - st.ox AS DOUBLE) / greatest(st.n,1)
+                            * st.k)) AS ds
+              FROM st
+            ),
+            zs AS (
+              SELECT ip.y, ip.x, ip.tgrad, ip.ds, ip.vpe,
+                     a.value * (1 - ip.wy) * (1 - ip.wx)
+                   + b.value * (1 - ip.wy) * ip.wx
+                   + c.value * ip.wy * (1 - ip.wx)
+                   + d.value * ip.wy * ip.wx AS z
+              FROM ip
+              JOIN r a ON a.y = ip.y0 AND a.x = ip.x0
+              JOIN r b ON b.y = ip.y0 AND b.x = ip.x1
+              JOIN r c ON c.y = ip.y1 AND c.x = ip.x0
+              JOIN r d ON d.y = ip.y1 AND d.x = ip.x1
+            ),
+            blocked AS (
+              SELECT DISTINCT y, x FROM zs
+              WHERE (z - vpe) / greatest(ds, 1e-300) > tgrad
+            )
+            SELECT t.y, t.x,
+                   CASE WHEN b.y IS NOT NULL THEN 0 ELSE 1 END AS visible
+            FROM t LEFT JOIN blocked b ON b.y = t.y AND b.x = t.x
+        """.replace("{SQL_EVENTS_RASTER}", SQL_EVENTS_RASTER),
         "ivf_topk": """
             -- n_probe = n_centroids in q_ivf_topk => every query scans
             -- every bucket => IVF is EXACT; brute-force is the oracle
