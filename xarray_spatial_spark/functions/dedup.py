@@ -299,7 +299,11 @@ def minhash_dedup_pairs(
     (fraction of agreeing minhash slots).  ``fast`` uses the map-only
     signature path (minhash_signatures_fast)."""
     sig_fn = minhash_signatures_fast if fast else minhash_signatures
-    sigs = sig_fn(df, num_hashes, k, text_col, id_col)
+    # the signature subtree feeds THREE consumers (banding + both
+    # verify joins) — persist it once instead of recomputing the
+    # shingle/permutation pass per consumer (sigs are 8*num_hashes
+    # bytes/doc, far smaller than the texts they summarize)
+    sigs = sig_fn(df, num_hashes, k, text_col, id_col).persist()
     cands = minhash_lsh_candidates(sigs, bands, id_col, num_hashes=num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_siga"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sigb"))
