@@ -399,7 +399,9 @@ def simhash_near_duplicates(
     duplicates are the max_hamming=0 special case."""
     nb = max_hamming + 1
     w = 64 // nb
-    sig = simhash(df, text_col, id_col)
+    # both self-join sides consume the simhash subtree: persist the
+    # 8-byte-per-doc signatures instead of re-running the token pass
+    sig = simhash(df, text_col, id_col).persist()
     mask = (1 << w) - 1
     bands = []
     for j in range(nb):
@@ -491,7 +493,8 @@ def embedding_neardup_pairs(
                 }
             )
 
-    sigs = df.select(id_col, vec_col).mapInPandas(_sig, schema=schema)
+    # both self-join sides consume the signature subtree
+    sigs = df.select(id_col, vec_col).mapInPandas(_sig, schema=schema).persist()
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig"),
                     F.col("norm").alias("_na"), F.col("vec").alias("_va"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig"),
