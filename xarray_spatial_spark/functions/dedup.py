@@ -117,9 +117,12 @@ def ngram_jaccard_pairs(
     jaccard values are unchanged — only pairs whose every common
     shingle is a stop-shingle are missed, which at threshold >= 0.5
     requires a pathological all-stop-shingle document."""
+    # the shingle subtree feeds sizes, the df-cap filter, both
+    # candidate sides, and the exact-intersection re-joins — persist
+    # the 16-byte (id, hash) rows once
     sh = shingles(df, k, text_col, id_col).select(
         F.col(id_col).alias("_id"), F.xxhash64("shingle").alias("_sh")
-    )
+    ).persist()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     if max_shingle_df is not None:
         rare = (
@@ -562,19 +565,63 @@ def line_dedup(
 
 
 def _word_ngram_hashes(
-    df: DataFrame, n: int, text_col: str, id_col: str
+    df: DataFrame, n: int, text_col: str, id_col: str, dedup: bool = True
 ) -> DataFrame:
-    """Distinct xxhash64'd word n-grams per row: (id, _ng)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array())
-    grams = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias("_ng")).distinct()
-    )
+    """Hashed word n-grams per row: (id, _ng); ``dedup`` makes them
+    distinct per corpus (a full shuffle — skip it when a downstream
+    map-side join prunes first).
+
+    Fully vectorized Arrow pass (the Catalyst transform/slice HOF twin
+    was interpreted per gram — ~6x slower): FNV-1a token hashes
+    advance one byte position at a time across every token of the
+    batch, then each gram hash is the polynomial combine of its n
+    consecutive token hashes over the batch-flat array, with windows
+    crossing document boundaries masked out.  Any injective gram hash
+    works here — both corpus and eval sides use this same function."""
+    schema = f"{id_col} long, _ng long"
+    FNV_OFF = np.uint64(0xCBF29CE484222325)
+    FNV_PRIME = np.uint64(0x100000001B3)
+    POLY = np.uint64(1099511628211)
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        powers = np.empty(n, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for j in range(1, n):
+            powers[j] = powers[j - 1] * POLY  # wraps mod 2^64
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            token_lists = [
+                ws.split(t.strip(" ")) for t in pdf[text_col].fillna("")
+            ]
+            n_tokens = np.array([len(t) for t in token_lists], dtype=np.int64)
+            flat = [w.encode("utf-8") for toks in token_lists for w in toks]
+            if len(flat) < n:
+                yield pd.DataFrame({id_col: ids[:0], "_ng": []})
+                continue
+            lens = np.fromiter(map(len, flat), dtype=np.int64, count=len(flat))
+            buf = np.frombuffer(b"".join(flat), dtype=np.uint8)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            hv = np.full(len(flat), FNV_OFF, dtype=np.uint64)
+            for j in range(int(lens.max()) if len(lens) else 0):
+                sel = np.flatnonzero(lens > j)
+                hv[sel] = (hv[sel] ^ buf[offs[sel] + j].astype(np.uint64)) \
+                    * FNV_PRIME
+            g = len(flat) - n + 1
+            gh = np.zeros(g, dtype=np.uint64)
+            for j in range(n):
+                gh += hv[j:j + g] * powers[j]
+            doc_of = np.repeat(np.arange(len(ids)), n_tokens)
+            valid = doc_of[:g] == doc_of[n - 1:]
+            yield pd.DataFrame(
+                {id_col: ids[doc_of[:g][valid]],
+                 "_ng": gh[valid].astype(np.int64)}
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(_op, schema=schema)
+    return out.distinct() if dedup else out
 
 
 def ngram_contamination(
@@ -595,12 +642,20 @@ def ngram_contamination(
     full corpus; ``broadcast_eval=False`` falls back to an equi-join
     on the 8-byte hash for giant eval sets.  Filter the corpus with a
     left_anti join on the result to decontaminate."""
-    doc_ng = _word_ngram_hashes(df, n, text_col, id_col)
     ev = _word_ngram_hashes(
         eval_df, n, eval_text_col, eval_df.columns[0]
     ).select("_ng").distinct()
     if broadcast_eval:
-        ev = F.broadcast(ev)
+        # map-side broadcast join prunes ~everything before any
+        # shuffle: skip the full-corpus gram distinct and count
+        # DISTINCT survivors per doc instead (same n_shared)
+        doc_ng = _word_ngram_hashes(df, n, text_col, id_col, dedup=False)
+        return (
+            doc_ng.join(F.broadcast(ev), "_ng")
+            .groupBy(id_col)
+            .agg(F.count_distinct("_ng").alias("n_shared"))
+        )
+    doc_ng = _word_ngram_hashes(df, n, text_col, id_col)
     return (
         doc_ng.join(ev, "_ng")
         .groupBy(id_col)
