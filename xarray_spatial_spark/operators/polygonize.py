@@ -171,10 +171,12 @@ def polygonize(
 ) -> DataFrame:
     """Vectorize connected equal-valued regions.  Returns one row per
     region: (region, value, n_rings, exterior ring corners, area)."""
+    # regions() output feeds both the edge extraction and the value
+    # lookup join — persist across the two consumers
     labeled = regions(
         raster, neighborhood=neighborhood, value_col=value_col,
         tile_h=tile_h, tile_w=tile_w,
-    )
+    ).persist()
     edges = _edge_extract(labeled, tile_h, tile_w)
     polys = edges.repartition("region").mapInPandas(
         _assemble_partition,

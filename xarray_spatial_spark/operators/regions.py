@@ -148,9 +148,12 @@ def regions(
             }
         )
 
+    # the CCL pass feeds the edge collect, the root-distinct rank, and
+    # the final relabel join — persist it once instead of re-running
+    # the per-tile labeling per action
     labeled = tiles.groupBy("_ty", "_tx").applyInPandas(
         _label, schema=f"y int, x int, {value_col} double, _lab long"
-    )
+    ).persist()
 
     # ---- pass 2: cross-tile boundary edges ------------------------------
     haloed = with_halo(labeled, 1, th, tw)
