@@ -245,3 +245,56 @@ def test_broadcast_halo_cap(spark, arr):
                     lambda m, p: None, "ty long", strategy="broadcast")
     finally:
         spark.conf.unset("spark.xrspatial.halo.broadcast.maxBytes")
+
+
+def test_bucket_halo_matches_shuffle(spark, arr):
+    """Co-partitioned (bucket) halo == shuffle path bit-for-bit,
+    cross-super-tile regions, ragged edges and NaN blobs included."""
+    df = raster.df_from_numpy(spark, arr)
+    tdf = tiled.tile(df, tile_h=16, tile_w=16).persist()
+    try:
+        base = tiled.numpy_from_tiled(surface.slope(tdf), value_col="value")
+        spark.conf.set("spark.xrspatial.halo.strategy", "bucket")
+        spark.conf.set("spark.xrspatial.halo.block", "2")
+        got = tiled.numpy_from_tiled(surface.slope(tdf), value_col="value")
+        np.testing.assert_array_equal(base, got)
+        k = np.ones((5, 5))
+        spark.conf.set("spark.xrspatial.halo.strategy", "shuffle")
+        b2 = tiled.numpy_from_tiled(
+            focal.focal_stats(tdf, k, stats_funcs=("mean",)),
+            value_col="mean")
+        spark.conf.set("spark.xrspatial.halo.strategy", "bucket")
+        g2 = tiled.numpy_from_tiled(
+            focal.focal_stats(tdf, k, stats_funcs=("mean",)),
+            value_col="mean")
+        np.testing.assert_array_equal(b2, g2)
+    finally:
+        spark.conf.set("spark.xrspatial.halo.strategy", "shuffle")
+        spark.conf.unset("spark.xrspatial.halo.block")
+        tdf.unpersist()
+
+
+def test_bucket_halo_bucketed_table_no_main_exchange(spark, arr, tmp_path):
+    """Over a write_bucketed table the raster side of the cogroup
+    plans WITHOUT an exchange — only the perimeter strips shuffle —
+    and the output still matches the shuffle path."""
+    df = raster.df_from_numpy(spark, arr)
+    tdf = tiled.tile(df, tile_h=16, tile_w=16)
+    base = tiled.numpy_from_tiled(surface.slope(tdf), value_col="value")
+    name = tiled.write_bucketed(tdf, "t_bucket_plan", buckets=4, block=2,
+                                path=str(tmp_path / "tbl"))
+    try:
+        bt = spark.table(name)
+        spark.conf.set("spark.xrspatial.halo.strategy", "bucket")
+        spark.conf.set("spark.xrspatial.halo.block", "2")
+        sl = surface.slope(bt)
+        plan = sl._sc._jvm.PythonSQLUtils.explainString(
+            sl._jdf.queryExecution(), "formatted")
+        assert plan.count("Exchange") == 2  # strips side only (+legend)
+        assert "FlatMapCoGroupsInPandas" in plan
+        got = tiled.numpy_from_tiled(sl, value_col="value")
+        np.testing.assert_array_equal(base, got)
+    finally:
+        spark.conf.set("spark.xrspatial.halo.strategy", "shuffle")
+        spark.conf.unset("spark.xrspatial.halo.block")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_plan")

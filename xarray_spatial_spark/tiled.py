@@ -400,6 +400,187 @@ _NBR_STRIP = {
     (1, -1): "top", (1, 0): "top", (1, 1): "top",
 }
 
+_NBRS8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def _clip_place(pad, oy0, ox0, gy0, gx0, sh, sw, src) -> None:
+    """Copy the overlap of a source rect (global origin gy0/gx0, shape
+    sh/sw) into the padded array whose global origin is (oy0, ox0)."""
+    H2, W2 = pad.shape
+    oy, ox = gy0 - oy0, gx0 - ox0
+    slo_y, slo_x = max(0, -oy), max(0, -ox)
+    oy, ox = max(0, oy), max(0, ox)
+    shi_y = min(sh, slo_y + H2 - oy)
+    shi_x = min(sw, slo_x + W2 - ox)
+    if shi_y <= slo_y or shi_x <= slo_x:
+        return
+    pad[oy:oy + shi_y - slo_y, ox:ox + shi_x - slo_x] = \
+        src[slo_y:shi_y, slo_x:shi_x]
+
+
+def _strip_entries(rec, bands, r) -> dict:
+    """Strip-row record -> {band: {kind: (buf, gy0, gx0, sh, sw,
+    transposed)}} with each strip's own global coords."""
+    h, w = int(rec.h), int(rec.w)
+    gy = int(rec.ty) * int(rec.th)
+    gx = int(rec.tx) * int(rec.tw)
+    toph, lc = min(r, h), min(r, w)
+    out = {}
+    for b in bands:
+        out[b] = {
+            "top": (getattr(rec, f"{b}__top"), gy, gx, toph, w, 0),
+            "bot": (getattr(rec, f"{b}__bot"), gy + h - toph, gx, toph, w, 0),
+            "l": (getattr(rec, f"{b}__l"), gy, gx, h, lc, 1),
+            "r": (getattr(rec, f"{b}__r"), gy, gx + w - lc, h, lc, 1),
+        }
+    return out
+
+
+# block key: tiles group into (block x block) super-tiles; the bucket
+# halo strategy co-locates a whole super-tile per task, so only strips
+# crossing a super-tile boundary ever shuffle
+_BK = 1 << 20
+
+
+def block_key_col(block: int):
+    return (
+        F.floor(F.col("ty") / block) * _BK + F.floor(F.col("tx") / block)
+    ).cast("long")
+
+
+def write_bucketed(
+    tdf: DataFrame,
+    name: str,
+    buckets: int | None = None,
+    block: int = 4,
+    path: str | None = None,
+) -> str:
+    """Store a tiled raster as a BUCKETED table on the super-tile key:
+    ``spark.table(name)`` then scans with a known HashPartitioning, so
+    the bucket halo strategy's per-block cogroup needs NO exchange on
+    the raster side — the 100-TB stencil plan (shuffle volume = the
+    super-tile-boundary strips only).  Uncompressed parquet (float
+    tiles are incompressible)."""
+    spark = tdf.sparkSession
+    buckets = buckets or spark.sparkContext.defaultParallelism
+    w = (
+        tdf.withColumn("bk", block_key_col(block))
+        .write.mode("overwrite").option("compression", "none")
+        .bucketBy(buckets, "bk").sortBy("ty", "tx")
+        .format("parquet")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+    return name
+
+
+def _block_strip_rows(
+    tdf: DataFrame, r: int, bands: Sequence[str], block: int
+) -> DataFrame:
+    """Strips of tiles on a super-tile boundary, replicated to each
+    NEIGHBOR super-tile that needs them (keyed ``bk``).  Interior
+    tiles emit nothing, so the exchanged volume is the super-tile
+    perimeter — 1/(block*tile) of raster bytes at r=1."""
+    s = _strip_rows(tdf, r, bands)
+    ty, tx = F.col("ty"), F.col("tx")
+    own = F.floor(ty / block) * _BK + F.floor(tx / block)
+    cand = F.array(*[
+        F.when(
+            (ty + dy >= 0) & (tx + dx >= 0),
+            F.floor((ty + dy) / block) * _BK + F.floor((tx + dx) / block),
+        )
+        for dy, dx in _NBRS8
+    ])
+    dests = F.filter(
+        F.array_distinct(cand), lambda d: d.isNotNull() & (d != own)
+    )
+    # fresh aliases (s_*) on every carried column: both cogroup sides
+    # descend from the same scan, and Spark's self-join attribute
+    # dedup otherwise prunes the strip side's tile-key columns away
+    # before the pandas UDF sees them
+    return s.select(
+        F.explode(dests).alias("bk"),
+        *[F.col(c).alias(f"s_{c}") for c in s.columns],
+    )
+
+
+def _halo_bucket(
+    tdf: DataFrame,
+    r: int,
+    bands: list,
+    reduce_fn,
+    out_schema: str,
+    block: int,
+) -> DataFrame:
+    """Co-partitioned halo exchange: ONE cogroup keyed by the
+    super-tile block key.  Tiles interior to a block take their halos
+    from sibling tiles in the same task; only block-boundary strips
+    (perimeter-scale) shuffle.  Over a ``write_bucketed`` table the
+    raster side plans with NO exchange at all; over any other tiled
+    input it degrades to one raster shuffle (same cost as the shuffle
+    strategy, same results)."""
+    main = tdf if "bk" in tdf.columns else tdf.withColumn(
+        "bk", block_key_col(block)
+    )
+    strips = _block_strip_rows(tdf, r, bands, block)
+
+    def _asm(key, main_pdf: pd.DataFrame, strips_pdf: pd.DataFrame):
+        if len(main_pdf) == 0:
+            return _empty_frame(out_schema)
+        tiles: dict = {}
+        meta: dict = {}
+        for rec in main_pdf.itertuples(index=False):
+            t = (int(rec.ty), int(rec.tx))
+            h, w = int(rec.h), int(rec.w)
+            meta[t] = (h, w, int(rec.th), int(rec.tw))
+            tiles[t] = {b: _decode(getattr(rec, b), h, w) for b in bands}
+        sp = strips_pdf.rename(
+            columns={c: c[2:] for c in strips_pdf.columns
+                     if c.startswith("s_")}
+        )
+        sdict = {
+            (int(rec.ty), int(rec.tx)): _strip_entries(rec, bands, r)
+            for rec in sp.itertuples(index=False)
+        }
+        outs = []
+        for t, arrs in tiles.items():
+            h, w, th, tw = meta[t]
+            oy0, ox0 = t[0] * th - r, t[1] * tw - r
+            padded = {}
+            for b in bands:
+                pad = np.full((h + 2 * r, w + 2 * r), np.nan,
+                              dtype=arrs[b].dtype)
+                pad[r:r + h, r:r + w] = arrs[b]
+                padded[b] = pad
+            for dy, dx in _NBRS8:
+                nb = (t[0] + dy, t[1] + dx)
+                if nb in tiles:
+                    nh, nw, nth, ntw = meta[nb]
+                    for b in bands:
+                        _clip_place(padded[b], oy0, ox0,
+                                    nb[0] * nth, nb[1] * ntw,
+                                    nh, nw, tiles[nb][b])
+                elif nb in sdict:
+                    kind = _NBR_STRIP[(dy, dx)]
+                    for b in bands:
+                        buf, gy0, gx0, sh, sw, tr = sdict[nb][b][kind]
+                        src = (_decode(buf, sw, sh).T if tr
+                               else _decode(buf, sh, sw))
+                        _clip_place(padded[b], oy0, ox0, gy0, gx0,
+                                    sh, sw, src)
+            m = {"ty": t[0], "tx": t[1], "h": h, "w": w, "th": th, "tw": tw}
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", category=RuntimeWarning)
+                outs.append(reduce_fn(m, padded))
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        main.groupBy("bk")
+        .cogroup(strips.groupBy("bk"))
+        .applyInPandas(_asm, schema=out_schema)
+    )
+
 
 def _halo_broadcast(
     tdf: DataFrame,
@@ -424,23 +605,10 @@ def _halo_broadcast(
     strips: dict = {}
     total = 0
     for rec in rows:
-        ty, tx = int(rec["ty"]), int(rec["tx"])
-        h, w = int(rec["h"]), int(rec["w"])
-        th, tw = int(rec["th"]), int(rec["tw"])
-        gy, gx = ty * th, tx * tw
-        toph, lc = min(r, h), min(r, w)
-        ent = {}
+        ent = _strip_entries(rec, bands, r)
         for b in bands:
-            total += (len(rec[f"{b}__top"]) + len(rec[f"{b}__bot"])
-                      + len(rec[f"{b}__l"]) + len(rec[f"{b}__r"]))
-            ent[b] = {
-                # kind: (buf, gy0, gx0, sh, sw, transposed)
-                "top": (rec[f"{b}__top"], gy, gx, toph, w, 0),
-                "bot": (rec[f"{b}__bot"], gy + h - toph, gx, toph, w, 0),
-                "l": (rec[f"{b}__l"], gy, gx, h, lc, 1),
-                "r": (rec[f"{b}__r"], gy, gx + w - lc, h, lc, 1),
-            }
-        strips[(ty, tx)] = ent
+            total += sum(len(ent[b][k][0]) for k in ent[b])
+        strips[(int(rec["ty"]), int(rec["tx"]))] = ent
     if total > max_bytes:
         raise ValueError(
             f"halo strips ({total >> 20} MiB) exceed the broadcast cap "
@@ -470,18 +638,10 @@ def _halo_broadcast(
                         continue
                     for b in bands:
                         buf, gy0, gx0, sh, sw, tr = ent[b][kind]
-                        oy, ox = gy0 - oy0, gx0 - ox0
-                        slo_y, slo_x = max(0, -oy), max(0, -ox)
-                        oy, ox = max(0, oy), max(0, ox)
-                        shi_y = min(sh, slo_y + (h + 2 * r) - oy)
-                        shi_x = min(sw, slo_x + (w + 2 * r) - ox)
-                        if shi_y <= slo_y or shi_x <= slo_x:
-                            continue
                         src = (_decode(buf, sw, sh).T if tr
                                else _decode(buf, sh, sw))
-                        padded[b][
-                            oy:oy + shi_y - slo_y, ox:ox + shi_x - slo_x
-                        ] = src[slo_y:shi_y, slo_x:shi_x]
+                        _clip_place(padded[b], oy0, ox0, gy0, gx0,
+                                    sh, sw, src)
                 meta = {"ty": ty, "tx": tx, "h": h, "w": w,
                         "th": th, "tw": tw}
                 with warnings.catch_warnings():
@@ -518,6 +678,13 @@ def halo_map_tiled(
       plan for stored rasters whose strips fit the cap
       (``spark.xrspatial.halo.broadcast.maxBytes``, default 512 MiB);
       raises past the cap.  Requires radius <= EDGE and edge blobs.
+    - ``bucket``: per-super-tile cogroup (block size from
+      ``spark.xrspatial.halo.block``, default 4): tiles interior to a
+      (block x block) super-tile take halos from siblings in the same
+      task; ONLY super-tile-boundary strips shuffle.  Over a
+      ``write_bucketed`` table the raster side plans with NO exchange
+      — the beyond-broadcast 100-TB plan.  Requires radius <= EDGE
+      and edge blobs.
 
     Strip-addressed groups past the raster edge have no center and
     emit nothing, so domain edges stay NaN either way."""
@@ -528,16 +695,21 @@ def halo_map_tiled(
         strategy = tdf.sparkSession.conf.get(
             "spark.xrspatial.halo.strategy", "shuffle"
         )
+    if strategy in ("broadcast", "bucket") and (r > EDGE or not have_edges):
+        raise ValueError(
+            f"{strategy} halo needs radius <= EDGE and edge blobs"
+        )
     if strategy == "broadcast":
-        if r > EDGE or not have_edges:
-            raise ValueError(
-                "broadcast halo needs radius <= EDGE and edge blobs"
-            )
         max_bytes = int(tdf.sparkSession.conf.get(
             "spark.xrspatial.halo.broadcast.maxBytes", str(512 << 20)
         ))
         return _halo_broadcast(tdf, r, bands, reduce_fn, out_schema,
                                max_bytes)
+    if strategy == "bucket":
+        block = int(tdf.sparkSession.conf.get(
+            "spark.xrspatial.halo.block", "4"
+        ))
+        return _halo_bucket(tdf, r, bands, reduce_fn, out_schema, block)
     if r <= EDGE and have_edges:
         msgs = _jvm_messages(tdf, r, bands)
     else:
