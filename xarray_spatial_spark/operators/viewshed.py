@@ -99,16 +99,35 @@ def viewshed(
             # step along the dominant axis; linear interp on the other
             fy = np.where(n_steps > 0, dy / np.maximum(n_steps, 1), 0.0)
             fx = np.where(n_steps > 0, dx / np.maximum(n_steps, 1), 0.0)
-            for k in range(1, max_k):
-                act = visible & (n_steps > k)
+            # chunked over k: one (cells x chunk) vectorized LOS round
+            # instead of one python iteration per ray step (same
+            # per-element IEEE expressions, so results are bit-equal
+            # to the scalar loop — the viewshed_vis oracle depends on
+            # that).  Chunks GROW exponentially: most rays block
+            # within their first steps, so early rounds re-filter the
+            # active set cheaply while long survivors amortize into
+            # big vector ops
+            k0, chunk = 1, 4
+            while k0 < max_k:
+                act = visible & (n_steps > k0)
                 if not act.any():
                     break
-                py = oy + fy[act] * k
-                px = ox + fx[act] * k
+                ks = np.arange(k0, min(k0 + chunk, max_k), dtype=np.int64)
+                k0 += chunk
+                chunk = min(chunk * 2, 256)
+                live = ks[None, :] < n_steps[act, None]
+                py = oy + fy[act, None] * ks[None, :]
+                px = ox + fx[act, None] * ks[None, :]
                 y0 = np.floor(py).astype(int)
                 x0 = np.floor(px).astype(int)
                 wy = py - y0
                 wx = px - x0
+                # dead lanes (k >= n_steps, masked by `live` below) walk
+                # past the target and off the raster — clamp their
+                # indices; live lanes are in-bounds by construction so
+                # the clip never changes a contributing value
+                y0 = np.clip(y0, 0, terrain.shape[0] - 1)
+                x0 = np.clip(x0, 0, terrain.shape[1] - 1)
                 y1 = np.minimum(y0 + 1, terrain.shape[0] - 1)
                 x1 = np.minimum(x0 + 1, terrain.shape[1] - 1)
                 # bilinear interpolation of the terrain at the crossing
@@ -118,11 +137,13 @@ def viewshed(
                     + terrain[y1, x0] * wy * (1 - wx)
                     + terrain[y1, x1] * wy * wx
                 )
-                ds = np.sqrt((fy[act] * k) ** 2 + (fx[act] * k) ** 2)
+                ds = np.sqrt((fy[act, None] * ks[None, :]) ** 2
+                             + (fx[act, None] * ks[None, :]) ** 2)
                 grad = (zs - vp_elev) / np.maximum(ds, 1e-300)
-                blocked = grad > tgt_grad[act]          # strictly higher blocks
+                blocked = grad > tgt_grad[act, None]    # strictly higher blocks
                 blocked |= np.isnan(zs)                 # NODATA blocks the ray
-                idx = np.flatnonzero(act)[blocked]
+                blocked &= live
+                idx = np.flatnonzero(act)[blocked.any(axis=1)]
                 visible[idx] = False
             ang = _vertical_angle(tz + target_elev - vp_elev, dist)
             out = np.where(visible, ang, INVISIBLE)
