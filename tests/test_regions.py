@@ -118,3 +118,63 @@ def test_regions_tiling_invariance(spark, conn):
     base = _grid(regions(df, neighborhood=conn, tile_h=256, tile_w=256))
     tiled = _grid(regions(df, neighborhood=conn, tile_h=5, tile_w=7))
     np.testing.assert_array_equal(base, tiled)
+
+
+def test_tile_ccl_fuzz_vs_bfs():
+    """Run-based CCL == reference BFS flood fill on random small
+    grids: same partition AND same min-key root labels, both
+    connectivities, with NaN values and absent cells."""
+    from collections import deque
+
+    from xarray_spatial_spark.operators.regions import _KEY, _tile_ccl
+
+    def bfs_ccl(vals, keys, conn):
+        H, W = vals.shape
+        present = ~np.isnan(keys)
+        out = np.full((H, W), np.nan)
+        seen = np.zeros((H, W), dtype=bool)
+        nbrs = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+        if conn == 8:
+            nbrs += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+
+        def eq(a, b):
+            return (a == b) or (np.isnan(a) and np.isnan(b))
+
+        for sy in range(H):
+            for sx in range(W):
+                if not present[sy, sx] or seen[sy, sx]:
+                    continue
+                comp, q = [], deque([(sy, sx)])
+                seen[sy, sx] = True
+                while q:
+                    y, x = q.popleft()
+                    comp.append((y, x))
+                    for dy, dx in nbrs:
+                        ny, nx = y + dy, x + dx
+                        if (0 <= ny < H and 0 <= nx < W
+                                and present[ny, nx] and not seen[ny, nx]
+                                and eq(vals[y, x], vals[ny, nx])):
+                            seen[ny, nx] = True
+                            q.append((ny, nx))
+                root = min(keys[y, x] for y, x in comp)
+                for y, x in comp:
+                    out[y, x] = root
+        return out
+
+    rng = np.random.default_rng(2024)
+    for trial in range(60):
+        H = int(rng.integers(1, 14))
+        W = int(rng.integers(1, 14))
+        nvals = int(rng.integers(1, 4))
+        vals = rng.integers(0, nvals, (H, W)).astype(float)
+        if trial % 3 == 0:
+            vals[rng.random((H, W)) < 0.2] = np.nan  # NaN value class
+        keys = (np.arange(H, dtype=np.float64)[:, None] * _KEY
+                + np.arange(W, dtype=np.float64)[None, :])
+        if trial % 4 == 0:
+            keys[rng.random((H, W)) < 0.25] = np.nan  # absent cells
+        conn = 4 if trial % 2 == 0 else 8
+        got = _tile_ccl(vals.copy(), keys.copy(), conn)
+        exp = bfs_ccl(vals, keys, conn)
+        np.testing.assert_array_equal(got, exp,
+                                      err_msg=f"trial={trial} conn={conn}")
