@@ -937,11 +937,27 @@ def read(spark: SparkSession, path: str, tile_bytes: int | None = None) -> DataF
     batch for its tile size (probed from the first row when not
     given).  The conf change persists on the session — flip back with
     ``table_scan_conf`` before big narrow-table scans."""
-    df = spark.read.parquet(path)
+    return _sized_scan(spark, spark.read.parquet(path), tile_bytes)
+
+
+def read_table(
+    spark: SparkSession, name: str, tile_bytes: int | None = None
+) -> DataFrame:
+    """Open a ``write_bucketed`` tiled table with the same reader-batch
+    sizing as ``read`` — ``spark.table`` alone leaves the 4096-row
+    vectorized-reader default, which aborts/OOMs on multi-MB binary
+    tile cells."""
+    return _sized_scan(spark, spark.table(name), tile_bytes)
+
+
+def _sized_scan(
+    spark: SparkSession, df: DataFrame, tile_bytes: int | None
+) -> DataFrame:
     if tile_bytes is None:
         band = next(
             c for c in df.columns
-            if c not in TILE_KEY_COLS and not c.endswith(BLOB_SUFFIXES)
+            if c not in TILE_KEY_COLS and c != "bk"
+            and not c.endswith(BLOB_SUFFIXES)
         )
         spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "4")
         row = df.select(F.length(band).alias("n")).limit(1).collect()
