@@ -543,6 +543,24 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup(planted, min_df=2)
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition signals with planted repeated
+    lines on the even docs (functions/text.py)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit("\nrepeat me\nrepeat me")),
+        ).otherwise(F.col("text")),
+    )
+    return planted.select(
+        "doc_id",
+        F.round(tx.dup_line_fraction(F.col("text")), 6).alias("dup_line_frac"),
+        F.round(tx.dup_line_char_fraction(F.col("text")), 6).alias("dup_char_frac"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs sharing any word 8-gram with an
     eval set (every 97th doc, so self-overlap is guaranteed)."""
@@ -684,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_star_cost": q_a_star_cost,
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
         "viewshed": q_viewshed,
         "viewshed_vis": q_viewshed_vis,
         "terrain": q_terrain,
@@ -1278,6 +1297,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN b.y IS NOT NULL THEN 0 ELSE 1 END AS visible
             FROM t LEFT JOIN blocked b ON b.y = t.y AND b.x = t.x
         """.replace("{SQL_EVENTS_RASTER}", SQL_EVENTS_RASTER),
+        "repetition": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN text || chr(10) || 'repeat me'
+                               || chr(10) || 'repeat me'
+                          ELSE text END AS text
+              FROM documents
+            ),
+            t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+            m AS (
+              SELECT doc_id, len(ls) AS n, len(list_distinct(ls)) AS nd,
+                     list_sum(list_transform(ls,
+                       x -> CAST(length(x) AS BIGINT))) AS total,
+                     list_sum(list_transform(list_distinct(ls),
+                       x -> CAST(length(x) AS BIGINT))) AS dtotal
+              FROM t
+            )
+            SELECT doc_id,
+              round(CASE WHEN n > 1
+                         THEN (n - nd) / CAST(n AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_line_frac,
+              round(CASE WHEN total > 0
+                         THEN (total - dtotal) / CAST(total AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_char_frac
+            FROM m
+        """,
         "ivf_topk": """
             -- n_probe = n_centroids in q_ivf_topk => every query scans
             -- every bucket => IVF is EXACT; brute-force is the oracle

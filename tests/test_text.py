@@ -136,3 +136,26 @@ def test_color_values_expr(spark):
     assert got[1] == (255 << 8) | (255 << 24)
     assert got[2] == 12 | (34 << 8) | (56 << 16) | (255 << 24)
     assert got[3] == 0  # outside the key
+
+
+def test_dup_line_fractions(spark):
+    from xarray_spatial_spark.functions import text as tx
+
+    rows = [
+        (0, "a\nb\nc"),            # no repeats
+        (1, "a\na\na\nb"),         # 2 of 4 lines are repeats
+        (2, "xx\nxx"),             # 1 of 2; chars: 4 total, 2 dup
+        (3, ""),                   # empty
+        (4, "only one line"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {r["doc_id"]: (r["lf"], r["cf"]) for r in df.select(
+        "doc_id",
+        tx.dup_line_fraction(F.col("text")).alias("lf"),
+        tx.dup_line_char_fraction(F.col("text")).alias("cf"),
+    ).collect()}
+    assert got[0] == (0.0, 0.0)
+    assert got[1] == (0.5, 0.5)    # 'a' repeats twice: 2/4 lines, 2/4 chars
+    assert got[2] == (0.5, 0.5)
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.0)

@@ -66,6 +66,35 @@ def alpha_ratio(text: Column) -> Column:
     return F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
 
 
+def lines(text: Column) -> Column:
+    return F.split(text, "\n")
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of a document's lines
+    that are repeats of an earlier line (0 for <= 1 line).  Pure
+    Catalyst array ops — no shuffle, no UDF."""
+    ls = lines(text)
+    n = F.size(ls)
+    return F.when(
+        n > 1, (n - F.size(F.array_distinct(ls))) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_char_fraction(text: Column) -> Column:
+    """Fraction of characters sitting in duplicated lines: total chars
+    minus one copy of each distinct line, over total chars (separators
+    excluded).  The Gopher/Dolma `duplicate_line_character_fraction`
+    rule."""
+    ls = lines(text)
+    total = F.aggregate(ls, F.lit(0), lambda a, t: a + F.length(t))
+    dis = F.aggregate(F.array_distinct(ls), F.lit(0),
+                      lambda a, t: a + F.length(t))
+    return F.when(
+        total > 0, (total - dis) / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 def _alternation(words) -> str:
     return r"\b(" + "|".join(words) + r")\b"
 
