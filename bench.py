@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "color_viz",
     "line_dedup",
     "decontaminate",
+    "repetition",
+    "ngram_jaccard",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
