@@ -157,6 +157,31 @@ def q_zonal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.apply(zv, F.col("value") * 2, nodata=5).select("doc_id", "zone", "value")
 
 
+def q_zonal_stats_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal stats on the two-band dense-tile format (per-tile
+    histogram partials, operators/zonal.py:stats_tiled)."""
+    from xarray_spatial_spark import tiled
+
+    r = _events_raster(spark, sf_dir).withColumn(
+        "zone",
+        (F.floor(F.col("y") / 20) * 5 + F.floor(F.col("x") / 20))
+        .cast("double"),
+    )
+    tdf = tiled.tile(r, tile_h=32, tile_w=32, value_cols=("zone", "value"))
+    out = zonal.stats_tiled(tdf)
+    return out.select(
+        F.col("zone").cast("long").alias("zone"),
+        F.round("mean", 6).alias("mean"),
+        F.round("max", 6).alias("max"),
+        F.round("min", 6).alias("min"),
+        F.round("sum", 4).alias("sum"),
+        F.round("std", 6).alias("std"),
+        F.round("var", 6).alias("var"),
+        "count",
+        F.round("majority", 6).alias("majority"),
+    )
+
+
 def q_zonal_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _events_raster(spark, sf_dir).withColumn(
         "zone", (F.floor(F.col("y") / 20) * 5 + F.floor(F.col("x") / 20)).cast("long")
@@ -667,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_crosstab": q_zonal_crosstab,
         "zonal_apply": q_zonal_apply,
         "zonal_crop": q_zonal_crop,
+        "zonal_stats_tiled": q_zonal_stats_tiled,
         "classify_equal_interval": q_classify_equal_interval,
         "classify_quantile": q_classify_quantile,
         "classify_reclassify": q_classify_reclassify,
@@ -1324,6 +1350,32 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END, 6) AS dup_char_frac
             FROM m
         """,
+        "zonal_stats_tiled": """
+            WITH r AS ({SQL_EVENTS_RASTER}),
+            z AS (SELECT CAST(floor(y / 20) * 5 + floor(x / 20) AS BIGINT)
+                    AS zone, value FROM r),
+            h AS (SELECT zone, value AS v, count(*) AS c
+                  FROM z GROUP BY zone, value),
+            f AS (
+              SELECT zone,
+                     CAST(sum(c) AS BIGINT) AS count,
+                     sum(v * c) AS s, min(v) AS mn, max(v) AS mx,
+                     sum(v * v * c) AS ssq,
+                     min(struct_pack(n := -c, v := v)) AS m
+              FROM h GROUP BY zone
+            )
+            SELECT zone,
+                   round(s / count, 6) AS mean,
+                   round(mx, 6) AS max, round(mn, 6) AS min,
+                   round(s, 4) AS sum,
+                   round(sqrt(greatest(ssq / count - (s/count)*(s/count),
+                                       0.0)), 6) AS std,
+                   round(greatest(ssq / count - (s/count)*(s/count),
+                                  0.0), 6) AS var,
+                   count,
+                   round(m.v, 6) AS majority
+            FROM f
+        """.replace("{SQL_EVENTS_RASTER}", SQL_EVENTS_RASTER),
         "ivf_topk": """
             -- n_probe = n_centroids in q_ivf_topk => every query scans
             -- every bucket => IVF is EXACT; brute-force is the oracle

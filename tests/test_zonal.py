@@ -208,3 +208,42 @@ def test_stats_dataset_multiband(spark):
     plan = ds._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 1 or \
         plan.count("ShuffleQueryStage") == 1
+
+
+def test_stats_tiled_matches_fused(spark):
+    """Tiled (per-tile histogram) zonal == stats_fused over the
+    long-form twin: exact for count/min/max/majority, fp-tolerant for
+    the float combines, NaN zones/values excluded, nodata honored."""
+    import numpy as np
+
+    from xarray_spatial_spark import tiled
+    from xarray_spatial_spark.raster import df_from_numpy
+
+    rng = np.random.default_rng(31)
+    vals = rng.integers(0, 9, (40, 53)).astype(float)
+    zones = (rng.integers(0, 5, (40, 53))).astype(float)
+    vals[3, 4] = np.nan
+    zones[10, 11] = np.nan
+    long = df_from_numpy(spark, vals)
+    longz = df_from_numpy(spark, zones).withColumnRenamed("value", "zone")
+    zv = long.join(longz, ["y", "x"])
+    base = {r["zone"]: r.asDict() for r in zonal.stats_fused(
+        zv.select(F.col("zone"), F.col("value"))).collect()}
+
+    tdf = tiled.tile(zv, tile_h=16, tile_w=16, value_cols=("zone", "value"))
+    got = {r["zone"]: r.asDict() for r in
+           zonal.stats_tiled(tdf).collect()}
+    assert set(got) == set(base)
+    for z in base:
+        for k in ("count", "min", "max", "majority"):
+            assert got[z][k] == base[z][k], (z, k)
+        for k in ("mean", "sum", "std", "var"):
+            np.testing.assert_allclose(got[z][k], base[z][k], rtol=1e-12)
+
+    # nodata + zone_ids filters
+    g2 = zonal.stats_tiled(tdf, zone_ids=[1.0, 2.0], nodata_values=3.0)
+    b2 = zonal.stats_fused(zv.select("zone", "value"),
+                           zone_ids=[1.0, 2.0], nodata_values=3.0)
+    gd = {r["zone"]: r["count"] for r in g2.collect()}
+    bd = {r["zone"]: r["count"] for r in b2.collect()}
+    assert gd == bd and set(gd) == {1.0, 2.0}

@@ -124,6 +124,13 @@ def stats_fused(
     hist = df.groupBy(F.col(zone_col).alias("zone"), F.col(value_col).alias("_v")).agg(
         F.count(F.lit(1)).alias("_c")
     )
+    return _finals_from_hist(hist)
+
+
+def _finals_from_hist(hist: DataFrame) -> DataFrame:
+    """(zone, _v, _c) value histogram -> per-zone finals incl.
+    majority (count/sum/min/max/mean/std/var from sum/sum² combine,
+    majority = highest count then smallest value)."""
     out = hist.groupBy("zone").agg(
         F.sum("_c").alias("count"),
         F.sum(F.col("_v") * F.col("_c")).alias("sum"),
@@ -145,6 +152,65 @@ def stats_fused(
         "count",
         F.col("_m.v").alias("majority"),
     )
+
+
+def stats_tiled(
+    tdf: DataFrame,
+    zone_band: str = "zone",
+    value_band: str = "value",
+    zone_ids: Iterable[float] | None = None,
+    nodata_values: float | None = None,
+) -> DataFrame:
+    """Zonal stats directly on a TWO-BAND dense-tile raster — the
+    100-TB path: each tile emits its local (zone, value, count)
+    histogram from one vectorized ``np.unique`` pass, so the shuffle
+    carries histogram rows (zones x values per tile) instead of
+    ~33-byte per-cell long-form rows; zone finals including majority
+    reuse the ``stats_fused`` derivation, so results match
+    ``stats_fused(untile(tdf))`` (same histogram, same expressions).
+
+    NaN in either band excludes the cell (NaN zone = nodata zone, the
+    long-form NULL-zone rule); majority ties break by smallest value
+    exactly like ``stats`` (zonal.py:55-60)."""
+    from xarray_spatial_spark import tiled as tl
+
+    def _hist(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            zs, vs, cs = [], [], []
+            for rec in pdf.itertuples(index=False):
+                h, w = int(rec.h), int(rec.w)
+                z = tl._decode(getattr(rec, zone_band), h, w).ravel()
+                v = tl._decode(getattr(rec, value_band), h, w).ravel()
+                m = ~np.isnan(z) & ~np.isnan(v)
+                if nodata_values is not None:
+                    m &= v != nodata_values
+                if not m.any():
+                    continue
+                # (zone, value) packed as complex128: np.unique then
+                # sorts ONE 1-D array (lexicographic real-then-imag)
+                # instead of a structured-view row sort — ~20x faster
+                # than unique(axis=0) on 512^2 tiles.  NaNs are already
+                # masked; -0.0 merges with 0.0 like Spark's groupBy
+                # key normalization.
+                key = z[m].astype(np.float64) + 1j * v[m].astype(np.float64)
+                uniq, counts = np.unique(key, return_counts=True)
+                zs.append(uniq.real)
+                vs.append(uniq.imag)
+                cs.append(counts.astype(np.int64))
+            if zs:
+                yield pd.DataFrame(
+                    {"zone": np.concatenate(zs), "_v": np.concatenate(vs),
+                     "_c": np.concatenate(cs)}
+                )
+
+    hist = tdf.mapInPandas(_hist, schema="zone double, _v double, _c long")
+    if zone_ids is not None:
+        hist = hist.filter(F.col("zone").isin([float(z) for z in zone_ids]))
+    hist = hist.groupBy("zone", "_v").agg(F.sum("_c").alias("_c"))
+    return _finals_from_hist(hist)
 
 
 def stats_dataset(
