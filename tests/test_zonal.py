@@ -247,3 +247,33 @@ def test_stats_tiled_matches_fused(spark):
     gd = {r["zone"]: r["count"] for r in g2.collect()}
     bd = {r["zone"]: r["count"] for r in b2.collect()}
     assert gd == bd and set(gd) == {1.0, 2.0}
+
+
+def test_crosstab_tiled_matches_long(spark):
+    import numpy as np
+
+    from xarray_spatial_spark import tiled
+    from xarray_spatial_spark.raster import df_from_numpy
+
+    rng = np.random.default_rng(41)
+    cats = rng.integers(0, 4, (30, 30)).astype(float)
+    zones = rng.integers(0, 3, (30, 30)).astype(float)
+    long = df_from_numpy(spark, cats).withColumnRenamed("value", "cat")
+    longz = df_from_numpy(spark, zones).withColumnRenamed("value", "zone")
+    zv = long.join(longz, ["y", "x"])
+    base = {r["zone"]: r.asDict() for r in zonal.crosstab(
+        zv.select("zone", "cat"), cat_ids=[0.0, 1.0, 2.0, 3.0]).collect()}
+    tdf = tiled.tile(zv.select("y", "x", "zone", "cat"),
+                     tile_h=16, tile_w=16, value_cols=("zone", "cat"))
+    got = {r["zone"]: r.asDict() for r in zonal.crosstab_tiled(
+        tdf, cat_ids=[0.0, 1.0, 2.0, 3.0]).collect()}
+    assert set(got) == set(base)
+    for z in base:
+        for c in ("0.0", "1.0", "2.0", "3.0"):
+            assert got[z][c] == base[z][c], (z, c)
+    # percentage form sums to 100 per zone
+    pct = zonal.crosstab_tiled(tdf, cat_ids=[0.0, 1.0, 2.0, 3.0],
+                               agg="percentage").collect()
+    for r in pct:
+        s = sum(r[c] for c in ("0.0", "1.0", "2.0", "3.0"))
+        np.testing.assert_allclose(s, 100.0)

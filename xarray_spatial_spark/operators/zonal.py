@@ -172,6 +172,19 @@ def stats_tiled(
     NaN in either band excludes the cell (NaN zone = nodata zone, the
     long-form NULL-zone rule); majority ties break by smallest value
     exactly like ``stats`` (zonal.py:55-60)."""
+    hist = _tile_hist(tdf, zone_band, value_band, nodata_values)
+    if zone_ids is not None:
+        hist = hist.filter(F.col("zone").isin([float(z) for z in zone_ids]))
+    hist = hist.groupBy("zone", "_v").agg(F.sum("_c").alias("_c"))
+    return _finals_from_hist(hist)
+
+
+def _tile_hist(
+    tdf: DataFrame, zone_band: str, value_band: str,
+    nodata_values: float | None,
+) -> DataFrame:
+    """Per-tile (zone, value, count) partial histograms over a
+    two-band tiled raster — one vectorized pass, no per-cell rows."""
     from xarray_spatial_spark import tiled as tl
 
     def _hist(batches):
@@ -206,11 +219,7 @@ def stats_tiled(
                      "_c": np.concatenate(cs)}
                 )
 
-    hist = tdf.mapInPandas(_hist, schema="zone double, _v double, _c long")
-    if zone_ids is not None:
-        hist = hist.filter(F.col("zone").isin([float(z) for z in zone_ids]))
-    hist = hist.groupBy("zone", "_v").agg(F.sum("_c").alias("_c"))
-    return _finals_from_hist(hist)
+    return tdf.mapInPandas(_hist, schema="zone double, _v double, _c long")
 
 
 def stats_dataset(
@@ -272,6 +281,42 @@ def majority(
         .agg(F.min(F.struct((-F.col("_cnt")).alias("_neg"), F.col("_v").alias("v"))).alias("_m"))
         .select("zone", F.col("_m.v").alias("majority"))
     )
+
+
+def crosstab_tiled(
+    tdf: DataFrame,
+    zone_band: str = "zone",
+    cat_band: str = "cat",
+    zone_ids: Iterable[float] | None = None,
+    cat_ids: Iterable | None = None,
+    agg: str = "count",
+) -> DataFrame:
+    """Zone x category contingency table directly on a two-band
+    dense-tile raster: the same per-tile complex128 histogram pass as
+    ``stats_tiled`` feeds the pivot, so only (zone, cat, count) rows
+    ever shuffle.  2-D count/percentage form (numeric category codes —
+    tile bands are floats)."""
+    hist = _tile_hist(tdf, zone_band, cat_band, None)
+    if zone_ids is not None:
+        hist = hist.filter(F.col("zone").isin([float(z) for z in zone_ids]))
+    if cat_ids is not None:
+        hist = hist.filter(F.col("_v").isin([float(c) for c in cat_ids]))
+    pivoted = (
+        hist.groupBy("zone")
+        .pivot("_v", [float(c) for c in cat_ids] if cat_ids is not None
+               else None)
+        .sum("_c")
+        .na.fill(0)
+    )
+    if agg == "percentage":
+        # pivot column names contain dots ("1.0") — backtick-quote
+        # them or column resolution parses struct field paths
+        cats = [c for c in pivoted.columns if c != "zone"]
+        total = sum(F.col(f"`{c}`") for c in cats)
+        return pivoted.select(
+            "zone", *[(F.col(f"`{c}`") / total * 100.0).alias(c) for c in cats]
+        )
+    return pivoted
 
 
 def crosstab(
