@@ -266,3 +266,17 @@ def test_ngram_contamination(spark):
             for r in ngram_contamination(df, ev, n=12,
                                          broadcast_eval=False).collect()}
     assert got2 == got
+
+
+def test_ngram_contamination_text_only_eval(spark):
+    """eval_df with ONLY a text column (no id) must work — the eval
+    row id is synthesized internally."""
+    from xarray_spatial_spark.functions.dedup import ngram_contamination
+
+    bench_q = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"pad {bench_q} pad"), (2, "nothing shared here at all ok")],
+        schema="doc_id long, text string")
+    ev = spark.createDataFrame([(bench_q,)], schema="text string")
+    got = {r["doc_id"] for r in ngram_contamination(df, ev, n=8).collect()}
+    assert got == {1}

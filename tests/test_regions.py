@@ -87,6 +87,13 @@ def test_regions_tiled_matches_long(spark, conn):
     out = regions_tiled(tdf, neighborhood=conn)
     got = tiled_mod.numpy_from_tiled(out, value_col="region")
     np.testing.assert_array_equal(base, got)
+    # float32 value band: labels identical, value band stays 4 B/cell
+    t32 = tiled_mod.tile(df, tile_h=5, tile_w=7, dtype=np.float32)
+    o32 = regions_tiled(t32, neighborhood=conn)
+    g32 = tiled_mod.numpy_from_tiled(o32, value_col="region")
+    np.testing.assert_array_equal(base, g32)
+    vrow = o32.select("value", "h", "w").limit(1).collect()[0]
+    assert len(vrow["value"]) == int(vrow["h"]) * int(vrow["w"]) * 4
 
 
 def test_regions_tiled_snake(spark):

@@ -239,10 +239,9 @@ def test_broadcast_halo_cap(spark, arr):
     spark.conf.set("spark.xrspatial.halo.broadcast.maxBytes", "16")
     try:
         with pytest.raises(ValueError, match="broadcast cap"):
-            surface.slope(tdf, halo_strategy="broadcast") \
-                if False else tiled.halo_map_tiled(
-                    tdf, 1, ["value"],
-                    lambda m, p: None, "ty long", strategy="broadcast")
+            tiled.halo_map_tiled(tdf, 1, ["value"],
+                                 lambda m, p: None, "ty long",
+                                 strategy="broadcast")
     finally:
         spark.conf.unset("spark.xrspatial.halo.broadcast.maxBytes")
 
@@ -298,3 +297,27 @@ def test_bucket_halo_bucketed_table_no_main_exchange(spark, arr, tmp_path):
         spark.conf.set("spark.xrspatial.halo.strategy", "shuffle")
         spark.conf.unset("spark.xrspatial.halo.block")
         spark.sql("DROP TABLE IF EXISTS t_bucket_plan")
+
+
+def test_focal_stats_float32_high_dynamic_range(spark):
+    """float32 tiles with |mean| >> std: the slice-stat second moment
+    must accumulate in float64 or var/std collapse to rounding noise."""
+    rng = np.random.default_rng(77)
+    big = rng.uniform(3000, 4000, (40, 40))
+    df = raster.df_from_numpy(spark, big)
+    t32 = tiled.tile(df, tile_h=16, tile_w=16, dtype=np.float32)
+    k = np.ones((3, 3))
+    got = tiled.numpy_from_tiled(
+        focal.focal_stats(t32, k, stats_funcs=("std",)), value_col="std")
+    # reference: float64 per-window nanstd of the float32-rounded data
+    a32 = big.astype(np.float32).astype(np.float64)
+    pad = np.full((42, 42), np.nan)
+    pad[1:-1, 1:-1] = a32
+    exp = np.full_like(a32, np.nan)
+    import warnings as _w
+    for y in range(40):
+        for x in range(40):
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                exp[y, x] = np.nanstd(pad[y:y+3, x:x+3])
+    np.testing.assert_allclose(got, exp, rtol=1e-4, equal_nan=True)

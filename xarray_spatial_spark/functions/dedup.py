@@ -642,8 +642,15 @@ def ngram_contamination(
     full corpus; ``broadcast_eval=False`` falls back to an equi-join
     on the 8-byte hash for giant eval sets.  Filter the corpus with a
     left_anti join on the result to decontaminate."""
+    # synthesize an eval-side row id: eval_df may carry only a text
+    # column (or a string-typed first column), and _word_ngram_hashes
+    # needs a distinct long id column
+    ev_src = eval_df.select(
+        F.monotonically_increasing_id().alias("_eid"),
+        F.col(eval_text_col),
+    )
     ev = _word_ngram_hashes(
-        eval_df, n, eval_text_col, eval_df.columns[0]
+        ev_src, n, eval_text_col, "_eid"
     ).select("_ng").distinct()
     if broadcast_eval:
         # map-side broadcast join prunes ~everything before any

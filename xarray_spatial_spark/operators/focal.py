@@ -67,11 +67,15 @@ def _slice_window_stats(
             fin = padded[~nanmask]
             if fin.size:
                 shift = float(fin.mean())
-        sv = np.where(nanmask, 0.0, padded - shift)
-        ones = (~nanmask).astype(padded.dtype)
-        s = np.zeros((H, W), dtype=padded.dtype)
-        c = np.zeros((H, W), dtype=padded.dtype)
-        ssq = np.zeros((H, W), dtype=padded.dtype) if need_sq else None
+        # accumulate in float64 regardless of band dtype: float32
+        # partial sums of (x - shift)^2 lose std/var to rounding on
+        # high-dynamic-range tiles; the stencil writer casts outputs
+        # back to the band dtype
+        sv = np.where(nanmask, 0.0, padded.astype(np.float64) - shift)
+        ones = (~nanmask).astype(np.float64)
+        s = np.zeros((H, W), dtype=np.float64)
+        c = np.zeros((H, W), dtype=np.float64)
+        ssq = np.zeros((H, W), dtype=np.float64) if need_sq else None
         for dy, dx in offs:
             blk = sv[dy:dy + H, dx:dx + W]
             s += blk

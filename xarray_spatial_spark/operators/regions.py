@@ -288,9 +288,10 @@ def regions_tiled(
                 h, w = int(rec.h), int(rec.w)
                 th, tw = int(rec.th), int(rec.tw)
                 ty, tx = int(rec.ty), int(rec.tx)
-                vals = tl._decode(getattr(rec, value_col), h, w).astype(
-                    np.float64
-                )
+                # value band keeps its stored dtype (float32 rasters
+                # stay 4 B/cell through the persisted pass and the
+                # halo exchange); only lab needs float64 key exactness
+                vals = tl._decode(getattr(rec, value_col), h, w)
                 y0, x0 = ty * th, tx * tw
                 yy = (np.arange(h, dtype=np.float64) + y0)[:, None]
                 xx = (np.arange(w, dtype=np.float64) + x0)[None, :]
@@ -304,8 +305,9 @@ def regions_tiled(
                 out["w"].append(w)
                 out["th"].append(th)
                 out["tw"].append(tw)
-                for name, arr in ((value_col, vals), ("lab", lab)):
-                    a = np.ascontiguousarray(arr, dtype=np.float64)
+                for name, arr, dt in ((value_col, vals, vals.dtype),
+                                      ("lab", lab, np.float64)):
+                    a = np.ascontiguousarray(arr, dtype=dt)
                     out[name].append(a.tobytes())
                     for sfx, blob in tl._halo_blobs(a).items():
                         out[f"{name}{sfx}"].append(blob)
@@ -413,4 +415,5 @@ def regions_tiled(
     return tl.map_tiles(
         labeled, _relabel, value_cols=[value_col, "lab"],
         out_cols=[value_col, out_col],
+        out_dtypes={out_col: np.float64},  # dense ranks: exact ints
     )

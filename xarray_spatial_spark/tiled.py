@@ -532,6 +532,18 @@ def _halo_bucket(
         meta: dict = {}
         for rec in main_pdf.itertuples(index=False):
             t = (int(rec.ty), int(rec.tx))
+            want = (t[0] // block) * _BK + t[1] // block
+            if int(key[0]) != want:
+                # a stored bk from write_bucketed(block=X) grouped the
+                # raster side, but strips were keyed with the session's
+                # block size — silent NaN halos otherwise
+                raise ValueError(
+                    f"bucket halo block mismatch: tile {t} sits in "
+                    f"group {int(key[0])} but block="
+                    f"{block} expects {want}; set "
+                    "spark.xrspatial.halo.block to the write_bucketed "
+                    "block size"
+                )
             h, w = int(rec.h), int(rec.w)
             meta[t] = (h, w, int(rec.th), int(rec.tw))
             tiles[t] = {b: _decode(getattr(rec, b), h, w) for b in bands}
@@ -601,7 +613,22 @@ def _halo_broadcast(
     512 MB cap; beyond that the shuffle path is the plan).  Use it on
     STORED/cached tiled tables; on computed chains the double scan
     re-executes the upstream plan."""
-    rows = _strip_rows(tdf, r, bands).collect()
+    sdf = _strip_rows(tdf, r, bands)
+    # size the strip volume BEFORE collecting — the cap must protect
+    # the driver, not report an OOM after the fact (one tiny agg job
+    # over the perimeter-scale projection)
+    size_expr = None
+    for b in bands:
+        for sfx in ("__top", "__bot", "__l", "__r"):
+            e = F.length(F.col(f"{b}{sfx}"))
+            size_expr = e if size_expr is None else size_expr + e
+    est = sdf.agg(F.sum(size_expr).alias("n")).collect()[0]["n"] or 0
+    if est > max_bytes:
+        raise ValueError(
+            f"halo strips ({int(est) >> 20} MiB) exceed the broadcast cap "
+            f"({max_bytes >> 20} MiB); use halo strategy 'shuffle'"
+        )
+    rows = sdf.collect()
     strips: dict = {}
     total = 0
     for rec in rows:
@@ -731,22 +758,14 @@ def halo_map_tiled(
         }
         for rec in pdf.itertuples(index=False):
             sh, sw = int(rec.sh), int(rec.sw)
-            oy, ox = int(rec.gy0) - oy0, int(rec.gx0) - ox0
-            slo_y, slo_x = max(0, -oy), max(0, -ox)
-            oy, ox = max(0, oy), max(0, ox)
-            shi_y = min(sh, slo_y + (h + 2 * r) - oy)
-            shi_x = min(sw, slo_x + (w + 2 * r) - ox)
-            if shi_y <= slo_y or shi_x <= slo_x:
-                continue
             for b in bands:
                 buf = getattr(rec, b)
                 if int(rec.transposed):
                     src = _decode(buf, sw, sh).T
                 else:
                     src = _decode(buf, sh, sw)
-                padded[b][
-                    oy:oy + shi_y - slo_y, ox:ox + shi_x - slo_x
-                ] = src[slo_y:shi_y, slo_x:shi_x]
+                _clip_place(padded[b], oy0, ox0, int(rec.gy0),
+                            int(rec.gx0), sh, sw, src)
         meta = {"ty": ty, "tx": tx, "h": h, "w": w, "th": th, "tw": tw}
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", category=RuntimeWarning)
@@ -854,11 +873,17 @@ def map_tiles(
     fn: Callable[[dict[str, np.ndarray]], dict[str, np.ndarray]],
     value_cols: Sequence[str] = ("value",),
     out_cols: Sequence[str] = ("value",),
+    out_dtypes: dict | None = None,
 ) -> DataFrame:
     """Cell-local (radius-0) transform — map-side only, no shuffle.
-    ``fn`` maps dict of (h, w) arrays to dict of (h, w) arrays."""
+    ``fn`` maps dict of (h, w) arrays to dict of (h, w) arrays.
+    Output bands default to the matching input band's dtype (first
+    band's for new names); ``out_dtypes`` pins specific bands — e.g.
+    an exact-integer label band must stay float64 on a float32
+    raster."""
     bands = list(value_cols)
     ocols = list(out_cols)
+    odt = out_dtypes or {}
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -882,7 +907,8 @@ def map_tiles(
                 out["th"].append(int(rec.th))
                 out["tw"].append(int(rec.tw))
                 for b in ocols:
-                    a = np.ascontiguousarray(res[b], dtype=dts.get(b, default_dt))
+                    a = np.ascontiguousarray(
+                        res[b], dtype=odt.get(b, dts.get(b, default_dt)))
                     out[b].append(a.tobytes())
                     for sfx, blob in _halo_blobs(a).items():
                         out[f"{b}{sfx}"].append(blob)
