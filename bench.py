@@ -74,7 +74,7 @@ TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
 
 # best-of-N per measurement: single shots on this VM swing 2-3x with
 # host co-tenancy; min over REPS recovers the engine's own cost
-REPS = int(os.environ.get("BENCH_REPS", "2"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
 def ensure_tiled_terrain(spark) -> str:
