@@ -677,6 +677,25 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom-pyramid rollup zoom 6 -> 3: one shuffle of the raw docs,
+    then the cached base aggregate rolls up level-by-level
+    (operators/tiling.py:pyramid_rollup)."""
+    from xarray_spatial_spark.operators import tiling
+
+    d = _docs(spark, sf_dir)
+    return tiling.pyramid_rollup(
+        d,
+        zoom=6,
+        min_zoom=3,
+        aggs=[
+            F.count(F.lit(1)).alias("cnt_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("n_chars").alias("max_chars"),
+        ],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode + tile-assign the documents table, zonal stats
     per tile joined with nearest-hot-city allocation counts."""
@@ -734,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain": q_terrain,
         "embedding_neardup": q_embedding_neardup,
         "ivf_topk": q_ivf_topk,
+        "pyramid": q_pyramid,
     }
 
 
@@ -1463,7 +1483,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(min(dist), 6) AS total_cost
             FROM bf, dims WHERE y = my AND x = 80
         """,
+        "pyramid": _pyramid_oracle(),
     }
+
+
+def _pyramid_oracle(zoom: int = 6, min_zoom: int = 3) -> str:
+    """Zoom-pyramid rollup twin: base per-tile aggregate at ``zoom``,
+    coarser levels by integer division (same floor identity the engine
+    relies on)."""
+    zx, zy = _sql_tile_x(zoom), _sql_tile_y(zoom)
+    levels = [
+        f"""
+        SELECT CAST({zoom} AS INT) AS zoom, tile_x, tile_y,
+               cnt_docs, sum_chars, max_chars FROM base
+        """
+    ]
+    for z in range(zoom - 1, min_zoom - 1, -1):
+        k = 1 << (zoom - z)
+        levels.append(
+            f"""
+        SELECT CAST({z} AS INT) AS zoom, px AS tile_x, py AS tile_y,
+               CAST(sum(cnt_docs) AS BIGINT) AS cnt_docs,
+               CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
+               max(max_chars) AS max_chars
+        FROM (SELECT tile_x // {k} AS px, tile_y // {k} AS py,
+                     cnt_docs, sum_chars, max_chars FROM base)
+        GROUP BY px, py
+        """
+        )
+    union = " UNION ALL ".join(levels)
+    return f"""
+        WITH base AS (
+          SELECT ({zx}) AS tile_x, ({zy}) AS tile_y,
+                 count(*) AS cnt_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 max(n_chars) AS max_chars
+          FROM documents GROUP BY 1, 2
+        )
+        {union}
+    """
 
 
 def _langid_oracle() -> str:

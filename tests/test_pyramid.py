@@ -1,0 +1,82 @@
+"""pyramid_rollup — hierarchical cell aggregation (H3/S2 compact analog).
+
+Parity model: every level of the pyramid must equal a from-scratch
+aggregation of the raw points at that zoom (this exercises the
+floor-division parent identity floor(floor(v*2^z)/2^k) == floor(v*2^(z-k))
+on real coordinates, including the clamped mercator edges).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_spatial_spark import grid
+from xarray_spatial_spark.operators import tiling
+
+
+def _points(spark, n=5000):
+    # deterministic scatter incl. polar/antimeridian edges
+    return spark.range(n).select(
+        (F.col("id") % 3600 / 10.0 - 180.0).alias("lon"),
+        ((F.col("id") * 7919 % 1780) / 10.0 - 89.0).alias("lat"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+
+
+def AGGS():
+    return [
+        F.count(F.lit(1)).alias("cnt_pts"),
+        F.sum("v").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    ]
+
+
+def _direct(df, z):
+    return (
+        df.groupBy(
+            grid.tile_x_col(F.col("lon"), z).alias("tile_x"),
+            grid.tile_y_col(F.col("lat"), z).alias("tile_y"),
+        )
+        .agg(*AGGS())
+    )
+
+
+@pytest.mark.parametrize("n_salt", [0, 8])
+def test_pyramid_matches_direct_per_level(spark, n_salt):
+    pts = _points(spark)
+    out = tiling.pyramid_rollup(pts, zoom=5, min_zoom=2, aggs=AGGS(), n_salt=n_salt)
+    rows = {(r["zoom"], r["tile_x"], r["tile_y"]): (r["cnt_pts"], r["sum_v"], r["min_v"], r["max_v"])
+            for r in out.collect()}
+    assert out.columns == ["zoom", "tile_x", "tile_y", "cnt_pts", "sum_v", "min_v", "max_v"]
+    n_levels = 0
+    for z in (5, 4, 3, 2):
+        want = {(z, r["tile_x"], r["tile_y"]): (r["cnt_pts"], r["sum_v"], r["min_v"], r["max_v"])
+                for r in _direct(pts, z).collect()}
+        got = {k: v for k, v in rows.items() if k[0] == z}
+        assert got == want, f"zoom {z} mismatch"
+        n_levels += 1
+    assert len(rows) == sum(
+        _direct(pts, z).count() for z in (5, 4, 3, 2)
+    )
+
+
+def test_pyramid_single_raw_scan(spark):
+    """Coarser levels re-aggregate the cached base aggregate — the raw
+    source appears in exactly one union branch's lineage (the base);
+    every other branch reads the InMemoryRelation."""
+    pts = _points(spark, 500)
+    out = tiling.pyramid_rollup(pts, zoom=4, min_zoom=1, aggs=AGGS())
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # all 4 union branches read the cached base aggregate (the Range text
+    # inside an InMemoryRelation is its cached lineage, not a rescan)
+    assert plan.count("InMemoryRelation") == 4
+
+
+def test_pyramid_bad_args(spark):
+    pts = _points(spark, 10)
+    with pytest.raises(ValueError):
+        tiling.pyramid_rollup(pts, zoom=3, min_zoom=4, aggs=AGGS())
+    with pytest.raises(ValueError):
+        tiling.pyramid_rollup(
+            pts, zoom=3, min_zoom=1, aggs=[F.avg("v").alias("mean_v")]
+        )

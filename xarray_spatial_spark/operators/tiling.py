@@ -107,13 +107,12 @@ def salt_column(key: Column, n_salt: int) -> Column:
     return F.pmod(F.xxhash64(key), F.lit(n_salt))
 
 
-def salted_agg(df: DataFrame, key: str, aggs: list[Column], n_salt: int = 16) -> DataFrame:
-    """Two-level aggregation for skewed keys: groupBy(key, salt) partials,
-    then groupBy(key) finals.  Only associative aggs belong here (count/
-    sum/min/max); the caller composes means from sum+count."""
-    salted = df.withColumn("_salt", salt_column(F.col(key), n_salt))
-    partial = salted.groupBy(key, "_salt").agg(*aggs)
-    agg_cols = [c for c in partial.columns if c not in (key, "_salt")]
+def _combine_by_prefix(agg_cols: list[str], who: str) -> list[Column]:
+    """Re-aggregation columns for associative partials: ``cnt_``/``sum_``
+    combine with sum, ``min_`` with min, ``max_`` with max.  The prefix
+    convention is what makes two-level (salted) and multi-level
+    (pyramid) rollups composable without the caller restating combine
+    logic; means are composed from sum+count at the end."""
     finals = []
     for c in agg_cols:
         if c.startswith("cnt_") or c.startswith("sum_"):
@@ -124,6 +123,86 @@ def salted_agg(df: DataFrame, key: str, aggs: list[Column], n_salt: int = 16) ->
             finals.append(F.max(c).alias(c))
         else:
             raise ValueError(
-                f"salted_agg needs cnt_/sum_/min_/max_ prefixed aliases, got {c!r}"
+                f"{who} needs cnt_/sum_/min_/max_ prefixed aliases, got {c!r}"
             )
-    return partial.groupBy(key).agg(*finals)
+    return finals
+
+
+def salted_agg(df: DataFrame, key: str, aggs: list[Column], n_salt: int = 16) -> DataFrame:
+    """Two-level aggregation for skewed keys: groupBy(key, salt) partials,
+    then groupBy(key) finals.  Only associative aggs belong here (count/
+    sum/min/max); the caller composes means from sum+count."""
+    salted = df.withColumn("_salt", salt_column(F.col(key), n_salt))
+    partial = salted.groupBy(key, "_salt").agg(*aggs)
+    agg_cols = [c for c in partial.columns if c not in (key, "_salt")]
+    return partial.groupBy(key).agg(*_combine_by_prefix(agg_cols, "salted_agg"))
+
+
+def pyramid_rollup(
+    df: DataFrame,
+    zoom: int,
+    min_zoom: int,
+    aggs: list[Column],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    n_salt: int = 0,
+) -> DataFrame:
+    """Hierarchical cell rollup: aggregate points to Web-Mercator tiles
+    at ``zoom``, then roll the aggregates up every coarser level down to
+    ``min_zoom`` — the H3/S2 ``compact``/parent-rollup analog, and the
+    zoom-pyramid a tile server would precompute (reference quadtree
+    semantics: grid.py parent/children; xrspatial has no multi-level
+    rollup — dask rechunks instead).
+
+    Scale plan: the raw table is scanned and shuffled ONCE (the base
+    groupBy at ``zoom``; ``n_salt`` > 0 routes it through
+    :func:`salted_agg` for zipfian cell skew).  The base aggregate — at
+    most ``4**zoom`` rows, tiny next to the input — is cached and every
+    coarser level re-aggregates IT with the prefix combine rules
+    (``floor(tile/2**k)`` is exactly the tile id at ``zoom-k`` because
+    ``floor(floor(v*2^z)/2^k) == floor(v*2^(z-k))``), so level cost is
+    independent of the input size and no union branch rescans the raw
+    data.
+
+    ``aggs`` follow the :func:`salted_agg` alias convention
+    (``cnt_``/``sum_``/``min_``/``max_``).  Output:
+    ``(zoom:int, tile_x, tile_y, *aggs)`` for every level in
+    ``[min_zoom, zoom]``.
+    """
+    _check_zoom(zoom)
+    if not 0 <= min_zoom <= zoom:
+        raise ValueError(f"need 0 <= min_zoom <= zoom, got {min_zoom} > {zoom}")
+    keyed = df.select(
+        grid.tile_x_col(F.col(lon_col), zoom).alias("tile_x"),
+        grid.tile_y_col(F.col(lat_col), zoom).alias("tile_y"),
+        "*",
+    )
+    if n_salt > 0:
+        keyed = keyed.withColumn(
+            "_tkey", F.col("tile_x") * F.lit(1 << zoom) + F.col("tile_y")
+        )
+        base_s = salted_agg(keyed, "_tkey", aggs, n_salt=n_salt)
+        base = base_s.select(
+            F.floor(F.col("_tkey") / F.lit(1 << zoom)).cast("long").alias("tile_x"),
+            F.pmod(F.col("_tkey"), F.lit(1 << zoom)).cast("long").alias("tile_y"),
+            *[c for c in base_s.columns if c != "_tkey"],
+        )
+    else:
+        base = keyed.groupBy("tile_x", "tile_y").agg(*aggs)
+    agg_cols = [c for c in base.columns if c not in ("tile_x", "tile_y")]
+    base = base.persist()
+    levels = [base.select(F.lit(zoom).cast("int").alias("zoom"), "*")]
+    for z in range(zoom - 1, min_zoom - 1, -1):
+        k = zoom - z
+        levels.append(
+            base.groupBy(
+                F.floor(F.col("tile_x") / F.lit(1 << k)).cast("long").alias("tile_x"),
+                F.floor(F.col("tile_y") / F.lit(1 << k)).cast("long").alias("tile_y"),
+            )
+            .agg(*_combine_by_prefix(agg_cols, "pyramid_rollup"))
+            .select(F.lit(z).cast("int").alias("zoom"), "*")
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
