@@ -696,6 +696,58 @@ def q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-capture-per-key (Common-Crawl recrawl rule) on the
+    events table: latest event per user, ties by event_id
+    (functions/dedup.py:snapshot_dedup — max_by aggregate, no window)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = dedup.snapshot_dedup(
+        ev, key_cols="user_id", ts_col="ts", tie_cols=["event_id"]
+    )
+    return out.select("user_id", "event_id", F.round("value", 6).alias("value"))
+
+
+def _url_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic url per doc exercising userinfo/port/case/eTLD."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("user@")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"), (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".example.com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".example.co.uk"))
+        .otherwise(F.lit(".org")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/a/b/"), F.col("doc_id").cast("string"),
+    )
+    return d.select(url.alias("url"), "n_chars")
+
+
+def q_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain rollup over synthesized urls: host extraction
+    (userinfo/port/case), eTLD+1 heuristic, path depth
+    (functions/url.py)."""
+    from xarray_spatial_spark.functions import url as uf
+
+    u = _url_synth(spark, sf_dir)
+    host = uf.url_host(F.col("url"))
+    sel = u.select(
+        uf.registered_domain(host).alias("domain"),
+        host.alias("host"),
+        uf.path_depth(F.col("url")).alias("pd"),
+        "n_chars",
+    )
+    return sel.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum("pd").alias("sum_depth"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode + tile-assign the documents table, zonal stats
     per tile joined with nearest-hot-city allocation counts."""
@@ -754,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ivf_topk": q_ivf_topk,
         "pyramid": q_pyramid,
+        "snapshot_dedup": q_snapshot_dedup,
+        "host_agg": q_host_agg,
     }
 
 
@@ -1484,6 +1538,62 @@ def oracle_sql() -> dict[str, str]:
             FROM bf, dims WHERE y = my AND x = 80
         """,
         "pyramid": _pyramid_oracle(),
+        "snapshot_dedup": """
+            -- keep-latest per key == row_number twin of the max_by
+            -- aggregate (ties broken by event_id, unique)
+            SELECT user_id, event_id, round(value, 6) AS value
+            FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "host_agg": """
+            WITH u AS (
+              SELECT 'https://'
+                || CASE WHEN doc_id % 11 = 0 THEN 'user@' ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END
+                || 'site' || CAST(doc_id % 50 AS VARCHAR)
+                || CASE WHEN doc_id % 3 = 0 THEN '.example.com'
+                        WHEN doc_id % 3 = 1 THEN '.example.co.uk'
+                        ELSE '.org' END
+                || CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END
+                || '/a/b/' || CAST(doc_id AS VARCHAR) AS url,
+                n_chars
+              FROM documents
+            ),
+            h AS (
+              SELECT lower(regexp_replace(regexp_replace(
+                       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                       '^.*@', ''), ':[0-9]+$', '')) AS host,
+                     regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS p,
+                     n_chars
+              FROM u
+            ),
+            d AS (
+              SELECT host, n_chars,
+                     len(list_filter(string_split(p, '/'), x -> x <> '')) AS pd,
+                     string_split(host, '.') AS parts, len(string_split(host, '.')) AS n
+              FROM h
+            ),
+            e AS (
+              SELECT host, pd, n_chars,
+                     CASE WHEN n >= 3 AND parts[n-1] IN
+                            ('co','com','ac','gov','edu','org','net')
+                          AND length(parts[n]) = 2
+                          THEN array_to_string(parts[n-2:n], '.')
+                          ELSE array_to_string(parts[greatest(n-1,1):n], '.') END
+                       AS domain
+              FROM d
+            )
+            SELECT domain, count(*) AS n_pages,
+                   count(DISTINCT host) AS n_hosts,
+                   CAST(sum(pd) AS BIGINT) AS sum_depth,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM e GROUP BY domain
+        """,
     }
 
 

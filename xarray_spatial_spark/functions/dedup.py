@@ -76,6 +76,37 @@ def distinct_by_text(
     return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
 
 
+def snapshot_dedup(
+    df: DataFrame,
+    key_cols: list[str] | str = "url",
+    ts_col: str = "warc_ts",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep the LATEST capture per key — the Common-Crawl recrawl rule
+    (a url appears once per crawl snapshot; training pipelines keep the
+    newest page).
+
+    Scale design: ``max_by`` over a struct, NOT a row_number window —
+    the aggregate (SortAggregate; struct ordering isn't hash-aggregable)
+    still combines partials map-side, so only one candidate row per
+    (key, map task) ever shuffles, where a window would shuffle every
+    capture of every url.  Hot keys (a url recrawled millions of times)
+    stay bounded for free.
+
+    Ordering is (ts, *tie_cols) lexicographic, largest wins.  Pass
+    ``tie_cols`` that make the order total per key (e.g. a digest) or
+    equal-ts winners are documented-arbitrary.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ties = list(tie_cols or [])
+    payload = [c for c in df.columns if c not in keys]
+    ordk = F.struct(F.col(ts_col), *[F.col(t) for t in ties])
+    agg = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), ordk).alias("_r")
+    )
+    return agg.select(*keys, *[F.col(f"_r.{c}").alias(c) for c in payload])
+
+
 # ---------------------------------------------------------------------------
 # shingles + n-gram Jaccard
 # ---------------------------------------------------------------------------

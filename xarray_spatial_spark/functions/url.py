@@ -1,0 +1,79 @@
+"""URL structure functions for Common-Crawl-style corpora.
+
+Everything here is plain Catalyst string expressions (codegen, no
+Python): at 10^12 rows these run inside the scan stage, and host /
+registered-domain keys feed groupBys whose shuffle carries short
+strings only.
+
+``registered_domain`` uses a compact heuristic for the public-suffix
+rule (last two labels, or last three under common second-level
+registries like ``co.uk``) — the full Mozilla public-suffix list is a
+data file, not an algorithm; swap ``_SLD`` for a broadcast lookup to
+get exact PSL semantics.  The heuristic is deterministic and
+documented, which is what the dedup/stats pipelines need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# second-level registry labels that pull a third label into the
+# registered domain when the TLD is a 2-letter ccTLD (co.uk, com.au, ...)
+_SLD = ("co", "com", "ac", "gov", "edu", "org", "net")
+
+_AUTHORITY_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)"
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host: authority minus userinfo and port.  Empty
+    string when the value has no ``scheme://`` authority."""
+    auth = F.regexp_extract(url, _AUTHORITY_RE, 1)
+    no_user = F.regexp_replace(auth, "^.*@", "")
+    return F.lower(F.regexp_replace(no_user, ":[0-9]+$", ""))
+
+
+def url_path(url: Column) -> Column:
+    """Path component ('' when absent); query/fragment excluded."""
+    return F.regexp_extract(url, _PATH_RE, 1)
+
+
+def path_depth(url: Column) -> Column:
+    """Number of non-empty path segments: ``/a/b/c`` -> 3."""
+    segs = F.split(url_path(url), "/")
+    return F.size(F.filter(segs, lambda x: x != F.lit("")))
+
+
+def registered_domain(host: Column) -> Column:
+    """Heuristic eTLD+1: ``a.b.example.com`` -> ``example.com``,
+    ``x.example.co.uk`` -> ``example.co.uk`` (see module docstring)."""
+    parts = F.split(host, "\\.")
+    n = F.size(parts)
+    sld = F.element_at(parts, -2)
+    tld = F.element_at(parts, -1)
+    use3 = (
+        (n >= 3)
+        & sld.isin(*_SLD)
+        & (F.length(tld) == 2)
+    )
+    take = F.when(use3, F.lit(3)).otherwise(F.least(n, F.lit(2)))
+    return F.concat_ws(".", F.slice(parts, n - take + 1, take))
+
+
+def host_stats(
+    df: DataFrame, url_col: str = "url", n_chars_col: str | None = None
+) -> DataFrame:
+    """Per-registered-domain corpus stats: page count, distinct hosts,
+    (optional) total chars.  One hash aggregate; domain keys are short
+    so the shuffle is a few bytes per map-side partial."""
+    host = url_host(F.col(url_col)).alias("host")
+    dom = registered_domain(url_host(F.col(url_col))).alias("domain")
+    base = df.select(dom, host, *( [F.col(n_chars_col)] if n_chars_col else [] ))
+    aggs = [
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("host").alias("n_hosts"),
+    ]
+    if n_chars_col:
+        aggs.append(F.sum(n_chars_col).alias("sum_chars"))
+    return base.groupBy("domain").agg(*aggs)
