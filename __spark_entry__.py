@@ -748,6 +748,45 @@ def q_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with planted emails / IPs / phones
+    (functions/text.py:redact_pii; chained codegen regexp_replace)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), F.lit(" contact bob@example.com")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.col("text"), F.lit(" from 10.0.42.7 today")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.col("text"), F.lit(" call +1 (555) 123-4567 now")))
+        .otherwise(F.col("text")),
+    )
+    return planted.select("doc_id", tx.redact_pii(F.col("text")).alias("redacted"))
+
+
+def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality signals + keep flag per document
+    (functions/text.py:gopher_signals/gopher_keep)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    sig = d.select(
+        "doc_id",
+        *tx.gopher_signals(F.col("text")),
+        tx.gopher_keep(F.col("text"), min_words=30).alias("keep"),
+    )
+    return sig.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        "keep",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode + tile-assign the documents table, zonal stats
     per tile joined with nearest-hot-city allocation counts."""
@@ -808,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid": q_pyramid,
         "snapshot_dedup": q_snapshot_dedup,
         "host_agg": q_host_agg,
+        "redact": q_redact,
+        "gopher": q_gopher,
     }
 
 
@@ -1538,6 +1579,18 @@ def oracle_sql() -> dict[str, str]:
             FROM bf, dims WHERE y = my AND x = 80
         """,
         "pyramid": _pyramid_oracle(),
+        "redact": f"""
+            WITH p AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0 THEN text || ' contact bob@example.com'
+                     WHEN doc_id % 4 = 1 THEN text || ' from 10.0.42.7 today'
+                     WHEN doc_id % 4 = 2 THEN text || ' call +1 (555) 123-4567 now'
+                     ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id, {tx.redact_pii_sql("text")} AS redacted FROM p
+        """,
+        "gopher": _gopher_oracle(),
         "snapshot_dedup": """
             -- keep-latest per key == row_number twin of the max_by
             -- aggregate (ties broken by event_id, unique)
@@ -1595,6 +1648,61 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY domain
         """,
     }
+
+
+def _gopher_oracle() -> str:
+    """DuckDB twin of gopher_signals + gopher_keep(min_words=30): raw
+    (unrounded) signals feed the keep rule, rounded copies are emitted
+    — matching the Spark side where gopher_keep recomputes raw
+    signals."""
+    stop_alt = tx._alternation(tx.GOPHER_STOP)
+    return f"""
+        WITH s AS (
+          SELECT doc_id, text,
+            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                 ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+            string_split(text, chr(10)) AS ls
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+            len(toks) AS n_words, len(ls) AS n_lines,
+            CASE WHEN len(toks) > 0
+                 THEN list_sum(list_transform(toks, t -> length(t)))
+                      / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mwl,
+            len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS sym,
+            len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) AS bullets,
+            len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS ellipses,
+            len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alphaw,
+            len(list_distinct(regexp_extract_all(text, '{stop_alt}', 1))) AS stop_hits
+          FROM s
+        ),
+        r AS (
+          SELECT doc_id, n_words, n_lines, mwl, stop_hits,
+            CASE WHEN n_words > 0 THEN sym / CAST(n_words AS DOUBLE)
+                 ELSE 0.0 END AS syr,
+            CASE WHEN n_lines > 0 THEN bullets / CAST(n_lines AS DOUBLE)
+                 ELSE 0.0 END AS blf,
+            CASE WHEN n_lines > 0 THEN ellipses / CAST(n_lines AS DOUBLE)
+                 ELSE 0.0 END AS elf,
+            CASE WHEN n_words > 0 THEN alphaw / CAST(n_words AS DOUBLE)
+                 ELSE 0.0 END AS awf
+          FROM m
+        )
+        SELECT doc_id,
+          CAST(n_words AS BIGINT) AS n_words,
+          round(mwl, 6) AS mean_word_len,
+          round(syr, 6) AS symbol_word_ratio,
+          round(blf, 6) AS bullet_line_frac,
+          round(elf, 6) AS ellipsis_line_frac,
+          round(awf, 6) AS alpha_word_frac,
+          CAST(stop_hits AS BIGINT) AS stop_hits,
+          (n_words >= 30 AND n_words <= 100000
+           AND mwl >= 3.0 AND mwl <= 10.0
+           AND syr <= 0.1 AND blf <= 0.9 AND elf <= 0.3
+           AND awf >= 0.8 AND stop_hits >= 2) AS keep
+        FROM r
+    """
 
 
 def _pyramid_oracle(zoom: int = 6, min_zoom: int = 3) -> str:

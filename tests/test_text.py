@@ -159,3 +159,46 @@ def test_dup_line_fractions(spark):
     assert got[2] == (0.5, 0.5)
     assert got[3] == (0.0, 0.0)
     assert got[4] == (0.0, 0.0)
+
+
+def test_redact_pii(spark):
+    from xarray_spatial_spark.functions import text as tx
+
+    rows = [
+        (0, "mail me at john.doe+spam@sub.example.co.uk thanks"),
+        (1, "server at 192.168.0.1 and 8.8.8.8."),
+        (2, "call +1 (555) 123-4567 or 020 7946 0958 now"),
+        (3, "no pii here"),
+        # the email's digits must not survive as a phone fragment
+        (4, "x123456789@example.com"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", tx.redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[0] == "mail me at <EMAIL> thanks"
+    assert got[1] == "server at <IP> and <IP>."
+    assert got[2] == "call <PHONE> or <PHONE> now"
+    assert got[3] == "no pii here"
+    assert got[4] == "<EMAIL>"
+
+
+def test_gopher_signals_and_keep(spark):
+    from xarray_spatial_spark.functions import text as tx
+
+    good = ("the quick brown fox jumps over that lazy dog and runs off "
+            "with the bone of contention for everyone ") * 3
+    bullets = "\n".join("- item %d" % i for i in range(20))
+    symbols = "# ".join("word" for _ in range(60))
+    short = "too short"
+    df = spark.createDataFrame(
+        [(0, good), (1, bullets), (2, symbols), (3, short)],
+        schema="doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *tx.gopher_signals(F.col("text")),
+        tx.gopher_keep(F.col("text")).alias("keep")).collect()}
+    assert out[0]["keep"] is True
+    assert out[0]["stop_hits"] >= 2 and out[0]["alpha_word_frac"] == 1.0
+    assert out[1]["keep"] is False and out[1]["bullet_line_frac"] == 1.0
+    assert out[2]["keep"] is False and out[2]["symbol_word_ratio"] > 0.1
+    assert out[3]["keep"] is False and out[3]["n_words"] == 2

@@ -181,6 +181,109 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII redaction + Gopher-style quality gates
+# ---------------------------------------------------------------------------
+
+# (kind, pattern, replacement) — patterns restricted to the regex
+# subset Java (Spark) and RE2 (DuckDB) agree on, so the oracle twin is
+# the same pattern verbatim.  Order matters and is part of the
+# contract: emails before phones (an email's digits must not be eaten
+# as a phone), IPs before phones (dotted quads are not phone numbers).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column, kinds: tuple[str, ...] = ("email", "ip", "phone")) -> Column:
+    """Scrub emails / IPv4s / phone-shaped digit runs with typed
+    placeholders — the standard pre-training privacy pass.  A chain of
+    ``regexp_replace`` (codegen, scan-stage); heuristic by design —
+    swap patterns per policy, keep the ordering rule above."""
+    out = text
+    for kind, pat, rep in PII_PATTERNS:
+        if kind in kinds:
+            out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def redact_pii_sql(text_expr: str, kinds: tuple[str, ...] = ("email", "ip", "phone")) -> str:
+    """DuckDB twin of :func:`redact_pii` (same patterns, same order;
+    'g' flag because DuckDB replaces first-match by default)."""
+    out = text_expr
+    for kind, pat, rep in PII_PATTERNS:
+        if kind in kinds:
+            sql_pat = pat.replace("'", "''")
+            out = f"regexp_replace({out}, '{sql_pat}', '{rep}', 'g')"
+    return out
+
+
+# Gopher's "must contain 2 of these" word list (Rae et al. 2021, §A1.1).
+GOPHER_STOP = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _gopher_signal_map(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    n_words = F.size(toks)
+    ls = lines(text)
+    n_lines = F.size(ls)
+    sym = F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
+    bullets = F.size(F.filter(ls, lambda l: l.rlike(r"^\s*[-*•]")))
+    ellipses = F.size(F.filter(ls, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_distinct(F.regexp_extract_all(text, F.lit(_alternation(GOPHER_STOP)), 1))
+    )
+
+    def nz(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num / den.cast("double")).otherwise(F.lit(0.0))
+
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_length(text),
+        "symbol_word_ratio": nz(sym, n_words),
+        "bullet_line_frac": nz(bullets, n_lines),
+        "ellipsis_line_frac": nz(ellipses, n_lines),
+        "alpha_word_frac": nz(alpha_words, n_words),
+        "stop_hits": stop_hits,
+    }
+
+
+def gopher_signals(text: Column) -> list[Column]:
+    """The Gopher quality-filter signal set as aliased columns, all
+    pure Catalyst (one row in, a handful of scans, no shuffle/UDF):
+
+    - ``n_words``, ``mean_word_len``
+    - ``symbol_word_ratio``  — '#'/ellipsis symbols per word
+    - ``bullet_line_frac``   — lines starting with a bullet
+    - ``ellipsis_line_frac`` — lines ending with an ellipsis
+    - ``alpha_word_frac``    — words containing an alphabetic char
+    - ``stop_hits``          — DISTINCT Gopher stop words present
+    """
+    return [c.alias(name) for name, c in _gopher_signal_map(text).items()]
+
+
+def gopher_keep(text: Column, min_words: int = 50, max_words: int = 100000) -> Column:
+    """Gopher keep rule over the :func:`gopher_signals` thresholds
+    (word count window, mean word length 3-10, symbol ratio <= 0.1,
+    <= 90% bullet lines, <= 30% ellipsis lines, >= 80% alpha words,
+    >= 2 distinct stop words)."""
+    s = _gopher_signal_map(text)
+    return (
+        (s["n_words"] >= min_words)
+        & (s["n_words"] <= max_words)
+        & (s["mean_word_len"] >= 3.0)
+        & (s["mean_word_len"] <= 10.0)
+        & (s["symbol_word_ratio"] <= 0.1)
+        & (s["bullet_line_frac"] <= 0.9)
+        & (s["ellipsis_line_frac"] <= 0.3)
+        & (s["alpha_word_frac"] >= 0.8)
+        & (s["stop_hits"] >= 2)
+    )
+
+
 def fingerprint_sql(text_expr: str) -> str:
     """The identical fingerprint as DuckDB SQL: map tokens to their
     numeric contribution, then fold with a prepended 0 as the initial
