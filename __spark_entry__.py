@@ -463,12 +463,13 @@ def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest target through the RING strategy at a real zoom — the
     planner's beyond-broadcast tier (plans/joins.py), oracle-checked
     against a brute-force SQL NN.  max_distance=12 deg -> zoom 4
-    (22.5-deg cells); the lat-aware adaptive ring widens vertically
-    toward the poles, so the search is exact across |lat| <= 80."""
+    (22.5-deg cells); the exact-span ring reads its vertical extent off
+    the tile rows of lat +/- 12, so the search is exact at EVERY
+    latitude (no |lat| restriction)."""
     from xarray_spatial_spark.plans.joins import nearest_join
 
     docs = _docs(spark, sf_dir).select("doc_id", "lat", "lon")
-    pts = docs.filter(F.abs(F.col("lat")) <= 80.0)
+    pts = docs
     tgt = docs.filter(F.col("doc_id") % 13 == 0).select(
         F.col("doc_id").alias("target_id"), "lat", "lon"
     )
@@ -1095,7 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_ring": f"""
             WITH g AS ({docs_geo}),
-            p AS (SELECT doc_id, lat, lon FROM g WHERE abs(lat) <= 80.0),
+            p AS (SELECT doc_id, lat, lon FROM g),
             t AS (SELECT doc_id AS target_id, lat, lon FROM g
                   WHERE doc_id % 13 = 0),
             d AS (

@@ -168,3 +168,49 @@ def test_ring_strategy_high_latitude(spark):
         else:
             miss += 1
     assert miss < 300  # some points do have in-range targets
+
+
+def test_ring_strategy_polar_exact_span(spark):
+    """The exact-span ring (tile rows of lat +/- radius) keeps the ring
+    path exact right up to the mercator clamp — latitudes 78-85 where
+    the old cos(point_lat) heuristic under-covered."""
+    rng = np.random.default_rng(7)
+    pts = [(float(rng.uniform(-170, 170)), float(rng.uniform(78.0, 85.0)))
+           for _ in range(200)]
+    tgts = [(float(rng.uniform(-170, 170)), float(rng.uniform(78.0, 85.0)),
+             float(i + 1)) for i in range(20)]
+    pdf = spark.createDataFrame(pts, schema="lon double, lat double")
+    tdf = spark.createDataFrame(tgts, schema="lon double, lat double, value double")
+    md = 8.0
+    pid = F.struct(F.col("lon"), F.col("lat"))
+    rj = joins.nearest_join(
+        pdf.withColumn("_pid", pid), tdf.withColumn("_tid", pid),
+        max_distance=md, strategy="ring", point_id="_pid",
+        target_id="_tid", target_payload="value",
+    ).filter(F.col("dist") <= md)
+    ring_d = {(r["_pid"]["lon"], r["_pid"]["lat"]): r["dist"]
+              for r in rj.collect()}
+    bc = proximity.nearest_broadcast(pdf, tdf, target_payload="value",
+                                     max_distance=md)
+    for r in bc.collect():
+        key = (r["lon"], r["lat"])
+        if r["nearest_dist"] is not None and not math.isnan(r["nearest_dist"]):
+            assert key in ring_d, f"ring missed polar point {key}"
+            assert abs(ring_d[key] - r["nearest_dist"]) < 1e-9
+
+
+def test_ring_cell_budget_error(spark):
+    """Polar blow-up guard: a radius needing >4096 candidate cells per
+    point raises with actionable advice instead of exploding the
+    join."""
+    pdf = spark.createDataFrame([(0.0, 85.0)], schema="lon double, lat double")
+    tdf = spark.createDataFrame([(0.0, 85.0, 1.0)],
+                                schema="lon double, lat double, value double")
+    import pytest
+    with pytest.raises(Exception, match="lower the zoom"):
+        proximity.knn_ring_join(
+            pdf.withColumn("doc_id", F.lit(1)),
+            tdf.withColumn("target_id", F.lit(1)),
+            zoom=12, max_distance_deg=10.0,
+            point_id="doc_id", target_id="target_id",
+        ).collect()

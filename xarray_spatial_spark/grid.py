@@ -173,6 +173,27 @@ def neighbors_rect(cell: np.ndarray, rx: int, ry: int) -> np.ndarray:
     return encode(nx.ravel(), ny.ravel(), z).reshape(nx.shape)
 
 
+def neighbors_span(cell: np.ndarray, rx: int, up: int, dn: int) -> np.ndarray:
+    """Asymmetric rectangular neighborhood: Chebyshev ``rx`` in x
+    (wraps), y offsets ``-up .. +dn`` (clips).  The exact-cover variant
+    of ``neighbors_rect``: mercator tile lat-spans shrink toward the
+    poles asymmetrically, so an exact degree-radius cover needs
+    per-point up/down spans computed from the tile rows of
+    ``lat ± radius`` (see proximity.knn_ring_join).  Shape
+    ``(len(cell), (2rx+1)(up+dn+1))``."""
+    xt, yt, zoom = decode(np.asarray(cell))
+    n = (np.int64(1) << zoom.astype(np.int64))
+    ox = np.arange(-rx, rx + 1, dtype=np.int64)
+    oy = np.arange(-up, dn + 1, dtype=np.int64)
+    dx, dy = np.meshgrid(ox, oy, indexing="xy")
+    dx = dx.ravel()[None, :]
+    dy = dy.ravel()[None, :]
+    nx = (xt[:, None] + dx) % n[:, None]
+    ny = np.clip(yt[:, None] + dy, 0, n[:, None] - 1)
+    z = int(zoom[0]) if len(zoom) else 0
+    return encode(nx.ravel(), ny.ravel(), z).reshape(nx.shape)
+
+
 def ring(cell: np.ndarray, radius: int) -> np.ndarray:
     """Only the cells at exactly Chebyshev distance ``radius``."""
     if radius == 0:

@@ -431,32 +431,47 @@ def knn_ring_join(
     Exact whenever the true k-th neighbor lies within the ring —
     pick ``zoom`` so one cell spans the expected search radius (the same
     bound as the reference's chunk padding, proximity.py:614-618).
-    With ``max_distance_deg`` the ring is LAT-AWARE: mercator cells
-    span fewer degrees of latitude away from the equator (by
-    cos(lat)), so each point's vertical ring widens to keep the whole
-    degree-radius covered — the search stays exact at any latitude
-    instead of only near the equator.  Points whose ring holds no
+    With ``max_distance_deg`` the ring is EXACT at every latitude: the
+    vertical span is read off the mercator tile rows of
+    ``lat ± max_distance_deg`` (tile_y is monotone in lat, so those
+    two rows bound every target within the radius — no cos()
+    approximation, no |lat| restriction), widened per point via
+    ``grid.neighbors_span``.  A per-point candidate-cell budget of
+    4096 guards the polar blow-up (thin cells): beyond it the call
+    raises with the zoom to use instead.  Points whose ring holds no
     targets are left out (caller widens the ring or falls back to
     ``nearest_broadcast``)."""
     r = ring
 
     @F.pandas_udf("array<long>")
     def _disk(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lo = lon.to_numpy(np.float64)
         la = lat.to_numpy(np.float64)
-        cells = grid.cell_of(lon.to_numpy(np.float64), la, zoom)
+        cells = grid.cell_of(lo, la, zoom)
         if max_distance_deg is None:
             return pd.Series(list(grid.neighbors_disk(cells, r)))
         span = 360.0 / (1 << zoom)  # cell lon-span in degrees
         rx = max(r, int(np.ceil(max_distance_deg / span)))
-        cosl = np.cos(np.radians(np.clip(np.abs(la), 0.0, 85.06)))
-        ry = np.ceil(
-            max_distance_deg / (span * np.maximum(cosl, 1e-2))
-        ).astype(np.int64)
-        ry = np.clip(ry, r, 16)
+        _, yt = grid.lnglat_to_tile(lo, la, zoom)
+        _, ty_top = grid.lnglat_to_tile(lo, la + max_distance_deg, zoom)
+        _, ty_bot = grid.lnglat_to_tile(lo, la - max_distance_deg, zoom)
+        up = np.maximum(yt - ty_top, r)
+        dn = np.maximum(ty_bot - yt, r)
+        ncells = (2 * rx + 1) * (up + dn + 1)
+        if ncells.max() > 4096:
+            raise ValueError(
+                f"knn_ring_join: a point near lat {la[int(np.argmax(ncells))]:.2f} "
+                f"needs {int(ncells.max())} candidate cells at zoom {zoom} for "
+                f"max_distance_deg={max_distance_deg}; lower the zoom by "
+                f"~{int(np.ceil(np.log2(ncells.max() / 4096))) + 1} levels"
+            )
         out = np.empty(len(cells), dtype=object)
-        for u in np.unique(ry):
-            idx = np.flatnonzero(ry == u)
-            rect = grid.neighbors_rect(cells[idx], rx, int(u))
+        key = up * (int(dn.max()) + 1) + dn
+        for kv in np.unique(key):
+            idx = np.flatnonzero(key == kv)
+            rect = grid.neighbors_span(
+                cells[idx], rx, int(up[idx[0]]), int(dn[idx[0]])
+            )
             for j, i in enumerate(idx):
                 out[i] = rect[j]
         return pd.Series(list(out))
