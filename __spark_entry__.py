@@ -454,7 +454,9 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" edited")).alias("text"),
     )
     return (
-        dedup.simhash_near_duplicates(d.union(edited), max_hamming=4)
+        # n_blocks pinned to the classic minimal layout: results are
+        # layout-invariant, and pinning skips the planner's count job
+        dedup.simhash_near_duplicates(d.union(edited), max_hamming=4, n_blocks=5)
         .select("id_a", "id_b", "hamming")
     )
 

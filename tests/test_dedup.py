@@ -280,3 +280,54 @@ def test_ngram_contamination_text_only_eval(spark):
     ev = spark.createDataFrame([(bench_q,)], schema="text string")
     got = {r["doc_id"] for r in ngram_contamination(df, ev, n=8).collect()}
     assert got == {1}
+
+
+def test_simhash_band_plan_scales_with_corpus():
+    from xarray_spatial_spark.functions.dedup import simhash_band_plan
+
+    # tiny corpus: classic minimal d+1 single-block layout
+    nb, c = simhash_band_plan(1000, 3)
+    assert (nb, c) == (4, 1)
+    # web-scale corpus: multi-block layout with strictly longer keys
+    nb2, c2 = simhash_band_plan(10**9, 3)
+    assert nb2 > 4 and c2 == nb2 - 3
+    assert c2 * (64 // nb2) > 16  # key bits beat the minimal layout's 16
+
+
+def test_simhash_neardup_layout_invariance(spark):
+    """Any valid (n_blocks, combo) layout returns the SAME pairs —
+    pigeonhole guarantees recall, the exact hamming filter kills false
+    candidates.  Run the planted corpus through three layouts."""
+    import numpy as np
+    from xarray_spatial_spark.functions.dedup import simhash_near_duplicates
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(40):
+        toks = [words[j] for j in rng.integers(0, len(words), 30)]
+        rows.append((2 * i, " ".join(toks)))
+        toks2 = list(toks)
+        toks2[5] = "edited"
+        rows.append((2 * i + 1, " ".join(toks2)))
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    results = []
+    for nb in (13, 14):  # 13 and 91 tables
+        got = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_duplicates(
+                df, max_hamming=12, n_blocks=nb
+            ).collect()
+        )
+        results.append(got)
+    assert results[0] == results[1]
+    assert len(results[0]) > 0
+
+
+def test_simhash_neardup_table_cap(spark):
+    import pytest
+    from xarray_spatial_spark.functions.dedup import simhash_near_duplicates
+
+    df = spark.createDataFrame([(1, "a b c")], schema="doc_id long, text string")
+    with pytest.raises(ValueError, match="keys per doc"):
+        simhash_near_duplicates(df, max_hamming=12, n_blocks=24)

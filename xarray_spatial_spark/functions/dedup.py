@@ -417,38 +417,99 @@ def _fnv1a64(s: str) -> np.uint64:
     return h
 
 
+def simhash_band_plan(
+    n_docs: int, max_hamming: int, max_tables: int = 35
+) -> tuple[int, int]:
+    """Choose the (n_blocks, combo_size) banding for
+    :func:`simhash_near_duplicates` — the Manku et al. (WWW'07,
+    near-duplicate detection for web crawling) table layout, picked by
+    expected cost instead of fixed.
+
+    Split 64 bits into ``n_blocks``; any pair within Hamming distance
+    d agrees on at least ``n_blocks - d`` whole blocks (pigeonhole),
+    so keying every combination of ``combo = n_blocks - d`` blocks
+    guarantees recall.  More blocks = more tables (C(nb, c) keys per
+    doc) but LONGER keys (c * 64/nb bits) = exponentially fewer random
+    collisions.  Cost model: explode rows ``tables * n`` plus expected
+    colliding pairs ``tables * n^2 / 2^key_bits``; minimal nb wins for
+    small corpora, multi-block layouts win past ~10^6 docs.
+    """
+    d = max_hamming
+    best: tuple[float, int, int] | None = None
+    for nb in range(d + 1, min(4 * (d + 1), 32) + 1):
+        c = nb - d
+        tables = math.comb(nb, c)
+        if tables > max_tables:
+            continue
+        key_bits = c * (64 // nb)  # conservative (smallest blocks)
+        exp = tables * float(n_docs) ** 2 / (2.0 ** key_bits) + float(n_docs) * tables
+        if best is None or exp < best[0]:
+            best = (exp, nb, c)
+    assert best is not None  # nb = d+1 always fits (tables = d+1 <= 35 for d <= 34)
+    return best[1], best[2]
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_blocks: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Pairs whose simhashes differ in <= ``max_hamming`` bits.
 
-    Banded Hamming LSH: split the 64 bits into ``max_hamming + 1``
-    bands — two hashes within distance d <= max_hamming agree on at
-    least one whole band (pigeonhole), so candidates are an equi-join
-    on (band index, band bits), then bit_count(xor) verifies exactly.
-    Sub-quadratic for the same reason as MinHash banding; exact-collide
-    duplicates are the max_hamming=0 special case."""
-    nb = max_hamming + 1
-    w = 64 // nb
+    Banded Hamming LSH, generalized: 64 bits split into ``n_blocks``;
+    candidates are an equi-join on an 8-byte hash of each
+    ``n_blocks - max_hamming``-block combination (pigeonhole gives
+    guaranteed recall for ANY valid layout), then bit_count(xor)
+    verifies exactly — so the banding choice affects cost only, never
+    results.  By default the layout comes from
+    :func:`simhash_band_plan` using ``n_docs`` (pass it to avoid a
+    count job; small corpora get the classic d+1 single-block bands,
+    huge ones get Manku-style multi-block tables with ~2x the key
+    bits).  Exact-collide duplicates are the max_hamming=0 case."""
+    d = max_hamming
+    if n_blocks is None:
+        if n_docs is None:
+            n_docs = df.count()
+        n_blocks, combo = simhash_band_plan(n_docs, d)
+    else:
+        combo = n_blocks - d
+    if combo < 1:
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming ({d})"
+        )
+    n_tables = math.comb(n_blocks, combo)
+    if n_tables > 256:
+        raise ValueError(
+            f"simhash banding with n_blocks={n_blocks}, max_hamming={d} "
+            f"needs C({n_blocks},{combo}) = {n_tables} keys per doc; "
+            f"use simhash_band_plan (or n_blocks <= {d + 2}) instead"
+        )
+    # block widths: distribute 64 bits as evenly as possible
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0)
+              for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    block_cols = [
+        F.shiftrightunsigned(F.col("simhash"), offsets[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(n_blocks)
+    ]
+    from itertools import combinations
+
+    keys = [
+        F.struct(
+            F.lit(ci).alias("band"),
+            F.xxhash64(F.lit(ci), *[block_cols[b] for b in S]).alias("bh"),
+        )
+        for ci, S in enumerate(combinations(range(n_blocks), combo))
+    ]
     # both self-join sides consume the simhash subtree: persist the
     # 8-byte-per-doc signatures instead of re-running the token pass
     sig = simhash(df, text_col, id_col).persist()
-    mask = (1 << w) - 1
-    bands = []
-    for j in range(nb):
-        width_mask = mask if j < nb - 1 else (1 << (64 - w * j)) - 1
-        bands.append(
-            F.struct(
-                F.lit(j).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), j * w)
-                .bitwiseAND(F.lit(width_mask)).alias("bh"),
-            )
-        )
     banded = sig.select(
-        id_col, "simhash", F.explode(F.array(*bands)).alias("_b")
+        id_col, "simhash", F.explode(F.array(*keys)).alias("_b")
     ).select(id_col, "simhash", "_b.band", "_b.bh")
     x = banded.select(F.col(id_col).alias("id_a"),
                       F.col("simhash").alias("_ha"), "band", "bh")
