@@ -331,3 +331,15 @@ def test_simhash_neardup_table_cap(spark):
     df = spark.createDataFrame([(1, "a b c")], schema="doc_id long, text string")
     with pytest.raises(ValueError, match="keys per doc"):
         simhash_near_duplicates(df, max_hamming=12, n_blocks=24)
+
+
+def test_minhash_band_plan_knee():
+    from xarray_spatial_spark.functions.dedup import minhash_band_plan
+
+    # knees at 64 hashes: b=4 -> 0.917, b=8 -> 0.771, b=16 -> 0.5
+    assert minhash_band_plan(0.9, 64) == 4
+    assert minhash_band_plan(0.7, 64) == 8
+    assert minhash_band_plan(0.5, 64) == 16
+    for t in (0.3, 0.6, 0.85):
+        b = minhash_band_plan(t, 128)
+        assert 128 % b == 0

@@ -279,6 +279,26 @@ def minhash_signatures_fast(
     )
 
 
+def minhash_band_plan(threshold: float, num_hashes: int = 64) -> int:
+    """Band count whose LSH S-curve knee sits nearest ``threshold``.
+
+    With b bands of r = num_hashes/b rows, a pair at Jaccard s becomes
+    a candidate with prob 1-(1-s^r)^b, whose knee is ~(1/b)^(1/r)
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4.3).
+    Choosing b this way minimizes wasted verify work below the
+    threshold and missed candidates above it; a fixed band count is
+    only right for one threshold."""
+    best_b, best_gap = None, float("inf")
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        knee = (1.0 / b) ** (b / num_hashes)  # (1/b)^(1/r)
+        gap = abs(knee - threshold)
+        if gap < best_gap:
+            best_b, best_gap = b, gap
+    return best_b
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = 16,
@@ -323,7 +343,7 @@ def minhash_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.7,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = 16,
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -331,7 +351,10 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified by signature-estimated Jaccard
     (fraction of agreeing minhash slots).  ``fast`` uses the map-only
-    signature path (minhash_signatures_fast)."""
+    signature path (minhash_signatures_fast).  ``bands=None`` lets
+    :func:`minhash_band_plan` fit the banding to ``threshold``."""
+    if bands is None:
+        bands = minhash_band_plan(threshold, num_hashes)
     sig_fn = minhash_signatures_fast if fast else minhash_signatures
     # the signature subtree feeds THREE consumers (banding + both
     # verify joins) — persist it once instead of recomputing the
