@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "decontaminate",
     "repetition",
     "ngram_jaccard",
+    "pyramid",
+    "snapshot_dedup",
+    "host_agg",
+    "redact",
+    "gopher",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -50,6 +50,7 @@ def test_compiled_pipeline_has_no_python_stage(spark):
     agg.collect()  # finalize the adaptive plan so codegen spans appear
     plan = _plan(agg)
     for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+                   "FlatMapGroupsInArrow",
                    "BatchEvalPython"):
         assert marker not in plan, marker
     assert "*(" in plan  # the codegen-span marker in plan toString
@@ -159,9 +160,11 @@ def test_tiled_stencil_single_exchange_no_python_emit(spark):
     )
     sl = surface.slope(tdf)
     plan = _plan(sl)
-    # exactly two pandas nodes: the tile() pack building the fixture
-    # and the stencil assemble — the strip emit adds NO Python stage
-    assert plan.count("FlatMapGroupsInPandas") == 2
+    # exactly two Python nodes: the tile() pack building the fixture
+    # and the stencil assemble (pandas or arrow flavor) — the strip
+    # emit adds NO Python stage
+    assert (plan.count("FlatMapGroupsInPandas")
+            + plan.count("FlatMapGroupsInArrow")) == 2
     assert plan.count("MapInPandas") == 0
     # one shuffle between the emit project and the group assemble
     downstream = plan.split("Generate explode")[0]

@@ -173,7 +173,8 @@ def test_fuse_stencils_matches_chained(spark, arr):
     fused = tiled.numpy_from_tiled(fused_df)
     np.testing.assert_allclose(fused, chained, rtol=1e-12, equal_nan=True)
     plan = fused_df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FlatMapGroupsInPandas") == 2  # tile() pack + ONE stencil
+    assert (plan.count("FlatMapGroupsInPandas")
+            + plan.count("FlatMapGroupsInArrow")) == 2  # tile() pack + ONE stencil
 
 
 def test_focal_mean_multipass_fused(spark, arr):
@@ -186,7 +187,8 @@ def test_focal_mean_multipass_fused(spark, arr):
     got = tiled.numpy_from_tiled(out)
     np.testing.assert_allclose(got, expected, rtol=1e-12, equal_nan=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FlatMapGroupsInPandas") == 2  # pack + one stencil
+    assert (plan.count("FlatMapGroupsInPandas")
+            + plan.count("FlatMapGroupsInArrow")) == 2  # pack + one stencil
 
 
 def test_broadcast_halo_matches_shuffle(spark, arr):
@@ -321,3 +323,18 @@ def test_focal_stats_float32_high_dynamic_range(spark):
                 _w.simplefilter("ignore")
                 exp[y, x] = np.nanstd(pad[y:y+3, x:x+3])
     np.testing.assert_allclose(got, exp, rtol=1e-4, equal_nan=True)
+
+
+def test_arrow_assemble_matches_pandas(spark, arr):
+    """The applyInArrow assemble (zero-copy blob reads) must equal the
+    applyInPandas twin bit-for-bit on the shuffle strategy."""
+    df = raster.df_from_numpy(spark, arr)
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    outs = {}
+    for flag in ("true", "false"):
+        spark.conf.set("spark.xrspatial.halo.arrow", flag)
+        try:
+            outs[flag] = tiled.numpy_from_tiled(surface.slope(tdf))
+        finally:
+            spark.conf.unset("spark.xrspatial.halo.arrow")
+    np.testing.assert_array_equal(outs["true"], outs["false"])
