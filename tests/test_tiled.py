@@ -229,7 +229,7 @@ def test_broadcast_halo_no_shuffle_plan(spark, arr):
             sl._jdf.queryExecution(), "formatted")
         stencil = plan.split("InMemoryTableScan")[0]
         assert "Exchange" not in stencil
-        assert "MapInPandas" in stencil
+        assert "MapInPandas" in stencil or "MapInArrow" in stencil
     finally:
         spark.conf.set("spark.xrspatial.halo.strategy", "shuffle")
         tdf.unpersist()

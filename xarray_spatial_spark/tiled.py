@@ -643,37 +643,74 @@ def _halo_broadcast(
         )
     bc = tdf.sparkSession.sparkContext.broadcast(strips)
 
+    def _one(ty, tx, h, w, th, tw, blocks: dict, S) -> pd.DataFrame:
+        oy0, ox0 = ty * th - r, tx * tw - r
+        padded = {}
+        for b in bands:
+            blk = blocks[b]
+            pad = np.full((h + 2 * r, w + 2 * r), np.nan, dtype=blk.dtype)
+            pad[r:r + h, r:r + w] = blk
+            padded[b] = pad
+        for (dy, dx), kind in _NBR_STRIP.items():
+            ent = S.get((ty + dy, tx + dx))
+            if ent is None:
+                continue
+            for b in bands:
+                buf, gy0, gx0, sh, sw, tr = ent[b][kind]
+                src = (_decode(buf, sw, sh).T if tr
+                       else _decode(buf, sh, sw))
+                _clip_place(padded[b], oy0, ox0, gy0, gx0, sh, sw, src)
+        meta = {"ty": ty, "tx": tx, "h": h, "w": w, "th": th, "tw": tw}
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            return reduce_fn(meta, padded)
+
+    if _arrow_assemble_enabled(tdf.sparkSession):
+        import pyarrow as pa
+
+        target = _arrow_schema_of(out_schema)
+
+        def _run_arrow(batches):
+            S = bc.value
+            for rb in batches:
+                idx = {c: rb.schema.get_field_index(c)
+                       for c in ("ty", "tx", "h", "w", "th", "tw")}
+                scal = {c: rb.column(i).to_numpy(zero_copy_only=False)
+                        for c, i in idx.items()}
+                blob_cols = {b: rb.column(rb.schema.get_field_index(b))
+                             for b in bands}
+                outs = []
+                for i in range(rb.num_rows):
+                    h, w = int(scal["h"][i]), int(scal["w"][i])
+                    blocks = {}
+                    for b in bands:
+                        buf = blob_cols[b][i].as_buffer()
+                        isz = buf.size // (h * w) if h * w else 8
+                        blocks[b] = np.frombuffer(
+                            buf, dtype=_DTYPES[isz]).reshape(h, w)
+                    outs.append(_one(
+                        int(scal["ty"][i]), int(scal["tx"][i]), h, w,
+                        int(scal["th"][i]), int(scal["tw"][i]), blocks, S,
+                    ))
+                if outs:
+                    pdf = pd.concat(outs, ignore_index=True)
+                    yield pa.RecordBatch.from_arrays(
+                        _arrow_arrays(pdf, target), schema=target
+                    )
+
+        return tdf.mapInArrow(_run_arrow, schema=out_schema)
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         S = bc.value
         for pdf in batches:
             outs = []
             for rec in pdf.itertuples(index=False):
-                ty, tx = int(rec.ty), int(rec.tx)
                 h, w = int(rec.h), int(rec.w)
-                th, tw = int(rec.th), int(rec.tw)
-                oy0, ox0 = ty * th - r, tx * tw - r
-                padded = {}
-                for b in bands:
-                    blk = _decode(getattr(rec, b), h, w)
-                    pad = np.full((h + 2 * r, w + 2 * r), np.nan,
-                                  dtype=blk.dtype)
-                    pad[r:r + h, r:r + w] = blk
-                    padded[b] = pad
-                for (dy, dx), kind in _NBR_STRIP.items():
-                    ent = S.get((ty + dy, tx + dx))
-                    if ent is None:
-                        continue
-                    for b in bands:
-                        buf, gy0, gx0, sh, sw, tr = ent[b][kind]
-                        src = (_decode(buf, sw, sh).T if tr
-                               else _decode(buf, sh, sw))
-                        _clip_place(padded[b], oy0, ox0, gy0, gx0,
-                                    sh, sw, src)
-                meta = {"ty": ty, "tx": tx, "h": h, "w": w,
-                        "th": th, "tw": tw}
-                with warnings.catch_warnings():
-                    warnings.simplefilter("ignore", category=RuntimeWarning)
-                    outs.append(reduce_fn(meta, padded))
+                blocks = {b: _decode(getattr(rec, b), h, w) for b in bands}
+                outs.append(_one(
+                    int(rec.ty), int(rec.tx), h, w,
+                    int(rec.th), int(rec.tw), blocks, S,
+                ))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
@@ -793,6 +830,21 @@ def _arrow_schema_of(ddl: str):
     return to_arrow_schema(_parse_datatype_string(ddl))
 
 
+def _arrow_arrays(pdf: pd.DataFrame, target) -> list:
+    """pandas frame -> arrow arrays against the TARGET schema (pandas
+    int defaults are 64-bit; the tiled schema carries int32 fields)."""
+    import pyarrow as pa
+
+    arrays = []
+    for field in target:
+        col = pdf[field.name]
+        if col.dtype == object:
+            arrays.append(pa.array(col.tolist(), type=field.type))
+        else:
+            arrays.append(pa.array(col.to_numpy(), type=field.type))
+    return arrays
+
+
 def _assemble_arrow_grouped(
     msgs: DataFrame, r: int, bands: Sequence[str], reduce_fn, out_schema: str
 ) -> DataFrame:
@@ -809,14 +861,7 @@ def _assemble_arrow_grouped(
     target = _arrow_schema_of(out_schema)
 
     def _to_table(pdf: pd.DataFrame) -> pa.Table:
-        arrays = []
-        for field in target:
-            col = pdf[field.name]
-            if col.dtype == object:
-                arrays.append(pa.array(col.tolist(), type=field.type))
-            else:
-                arrays.append(pa.array(col.to_numpy(), type=field.type))
-        return pa.Table.from_arrays(arrays, schema=target)
+        return pa.Table.from_arrays(_arrow_arrays(pdf, target), schema=target)
 
     def _assemble(key: tuple, tbl: "pa.Table") -> "pa.Table":
         n = tbl.num_rows
