@@ -292,7 +292,8 @@ def test_bucket_halo_bucketed_table_no_main_exchange(spark, arr, tmp_path):
         plan = sl._sc._jvm.PythonSQLUtils.explainString(
             sl._jdf.queryExecution(), "formatted")
         assert plan.count("Exchange") == 2  # strips side only (+legend)
-        assert "FlatMapCoGroupsInPandas" in plan
+        assert ("FlatMapCoGroupsInPandas" in plan
+                    or "FlatMapCoGroupsInArrow" in plan)
         got = tiled.numpy_from_tiled(sl, value_col="value")
         np.testing.assert_array_equal(base, got)
     finally:

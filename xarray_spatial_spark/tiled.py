@@ -525,36 +525,21 @@ def _halo_bucket(
     )
     strips = _block_strip_rows(tdf, r, bands, block)
 
-    def _asm(key, main_pdf: pd.DataFrame, strips_pdf: pd.DataFrame):
-        if len(main_pdf) == 0:
-            return _empty_frame(out_schema)
-        tiles: dict = {}
-        meta: dict = {}
-        for rec in main_pdf.itertuples(index=False):
-            t = (int(rec.ty), int(rec.tx))
-            want = (t[0] // block) * _BK + t[1] // block
-            if int(key[0]) != want:
-                # a stored bk from write_bucketed(block=X) grouped the
-                # raster side, but strips were keyed with the session's
-                # block size — silent NaN halos otherwise
-                raise ValueError(
-                    f"bucket halo block mismatch: tile {t} sits in "
-                    f"group {int(key[0])} but block="
-                    f"{block} expects {want}; set "
-                    "spark.xrspatial.halo.block to the write_bucketed "
-                    "block size"
-                )
-            h, w = int(rec.h), int(rec.w)
-            meta[t] = (h, w, int(rec.th), int(rec.tw))
-            tiles[t] = {b: _decode(getattr(rec, b), h, w) for b in bands}
-        sp = strips_pdf.rename(
-            columns={c: c[2:] for c in strips_pdf.columns
-                     if c.startswith("s_")}
-        )
-        sdict = {
-            (int(rec.ty), int(rec.tx)): _strip_entries(rec, bands, r)
-            for rec in sp.itertuples(index=False)
-        }
+    def _check_block(key0: int, t: tuple) -> None:
+        want = (t[0] // block) * _BK + t[1] // block
+        if key0 != want:
+            # a stored bk from write_bucketed(block=X) grouped the
+            # raster side, but strips were keyed with the session's
+            # block size — silent NaN halos otherwise
+            raise ValueError(
+                f"bucket halo block mismatch: tile {t} sits in "
+                f"group {key0} but block="
+                f"{block} expects {want}; set "
+                "spark.xrspatial.halo.block to the write_bucketed "
+                "block size"
+            )
+
+    def _asm_core(tiles: dict, meta: dict, sdict: dict) -> pd.DataFrame:
         outs = []
         for t, arrs in tiles.items():
             h, w, th, tw = meta[t]
@@ -586,6 +571,72 @@ def _halo_bucket(
                 warnings.simplefilter("ignore", category=RuntimeWarning)
                 outs.append(reduce_fn(m, padded))
         return pd.concat(outs, ignore_index=True)
+
+    def _strips_dict(strips_pdf: pd.DataFrame) -> dict:
+        sp = strips_pdf.rename(
+            columns={c: c[2:] for c in strips_pdf.columns
+                     if c.startswith("s_")}
+        )
+        return {
+            (int(rec.ty), int(rec.tx)): _strip_entries(rec, bands, r)
+            for rec in sp.itertuples(index=False)
+        }
+
+    if _arrow_assemble_enabled(tdf.sparkSession):
+        import pyarrow as pa
+
+        target = _arrow_schema_of(out_schema)
+
+        def _asm_arrow(key, main_tbl, strips_tbl):
+            if main_tbl.num_rows == 0:
+                return target.empty_table()
+            key0 = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+            scal = {c: main_tbl.column(
+                        main_tbl.schema.get_field_index(c)
+                    ).to_numpy(zero_copy_only=False)
+                    for c in ("ty", "tx", "h", "w", "th", "tw")}
+            blob_cols = {b: main_tbl.column(
+                             main_tbl.schema.get_field_index(b)
+                         ).combine_chunks() for b in bands}
+            tiles: dict = {}
+            meta: dict = {}
+            for i in range(main_tbl.num_rows):
+                t = (int(scal["ty"][i]), int(scal["tx"][i]))
+                _check_block(key0, t)
+                h, w = int(scal["h"][i]), int(scal["w"][i])
+                meta[t] = (h, w, int(scal["th"][i]), int(scal["tw"][i]))
+                blocks = {}
+                for b in bands:
+                    buf = blob_cols[b][i].as_buffer()
+                    isz = buf.size // (h * w) if h * w else 8
+                    blocks[b] = np.frombuffer(
+                        buf, dtype=_DTYPES[isz]).reshape(h, w)
+                tiles[t] = blocks
+            # strips are perimeter-scale: pandas conversion is cheap
+            sdict = _strips_dict(strips_tbl.to_pandas())
+            return pa.Table.from_arrays(
+                _arrow_arrays(_asm_core(tiles, meta, sdict), target),
+                schema=target,
+            )
+
+        return (
+            main.groupBy("bk")
+            .cogroup(strips.groupBy("bk"))
+            .applyInArrow(_asm_arrow, schema=out_schema)
+        )
+
+    def _asm(key, main_pdf: pd.DataFrame, strips_pdf: pd.DataFrame):
+        if len(main_pdf) == 0:
+            return _empty_frame(out_schema)
+        tiles: dict = {}
+        meta: dict = {}
+        for rec in main_pdf.itertuples(index=False):
+            t = (int(rec.ty), int(rec.tx))
+            _check_block(int(key[0]), t)
+            h, w = int(rec.h), int(rec.w)
+            meta[t] = (h, w, int(rec.th), int(rec.tw))
+            tiles[t] = {b: _decode(getattr(rec, b), h, w) for b in bands}
+        return _asm_core(tiles, meta, _strips_dict(strips_pdf))
 
     return (
         main.groupBy("bk")
