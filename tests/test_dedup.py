@@ -343,3 +343,16 @@ def test_minhash_band_plan_knee():
     for t in (0.3, 0.6, 0.85):
         b = minhash_band_plan(t, 128)
         assert 128 % b == 0
+
+
+def test_simhash_band_plan_large_hamming():
+    """d >= 35: the minimal d+1 layout stays admissible even past the
+    alternative-table cap (regression: the planner used to die)."""
+    from xarray_spatial_spark.functions.dedup import simhash_band_plan
+
+    for d in (32, 40, 63):
+        nb, c = simhash_band_plan(10**6, d)
+        assert nb >= d + 1 and c == nb - d
+    import pytest
+    with pytest.raises(ValueError):
+        simhash_band_plan(1000, 64)

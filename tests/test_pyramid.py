@@ -80,3 +80,26 @@ def test_pyramid_bad_args(spark):
         tiling.pyramid_rollup(
             pts, zoom=3, min_zoom=1, aggs=[F.avg("v").alias("mean_v")]
         )
+
+
+def test_pyramid_salted_high_zoom_exact_keys(spark):
+    """At zoom 27 the packed salt key reaches 2^54 — the decomposition
+    must be integer bit ops, not double division (which rounds)."""
+    pts = spark.range(200).select(
+        (179.9 - F.col("id") * 0.0001).alias("lon"),
+        (-84.9 + F.col("id") * 0.0007).alias("lat"),
+        F.lit(1.0).alias("v"),
+    )
+    aggs = [F.count(F.lit(1)).alias("cnt_pts"), F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"), F.max("v").alias("max_v")]
+    plain = tiling.pyramid_rollup(pts, zoom=27, min_zoom=27, aggs=aggs)
+    salted = tiling.pyramid_rollup(pts, zoom=27, min_zoom=27, aggs=aggs, n_salt=8)
+    a = {(r["tile_x"], r["tile_y"]): r["cnt_pts"] for r in plain.collect()}
+    b = {(r["tile_x"], r["tile_y"]): r["cnt_pts"] for r in salted.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_pyramid_rejects_conflicting_columns(spark):
+    pts = _points(spark, 10).withColumn("tile_x", F.lit(1))
+    with pytest.raises(ValueError, match="tile_x"):
+        tiling.pyramid_rollup(pts, zoom=3, min_zoom=2, aggs=AGGS())

@@ -458,17 +458,26 @@ def simhash_band_plan(
     small corpora, multi-block layouts win past ~10^6 docs.
     """
     d = max_hamming
-    best: tuple[float, int, int] | None = None
-    for nb in range(d + 1, min(4 * (d + 1), 32) + 1):
+    if not 0 <= d <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {d}")
+
+    def cost(nb: int) -> float:
         c = nb - d
         tables = math.comb(nb, c)
-        if tables > max_tables:
-            continue
         key_bits = c * (64 // nb)  # conservative (smallest blocks)
-        exp = tables * float(n_docs) ** 2 / (2.0 ** key_bits) + float(n_docs) * tables
-        if best is None or exp < best[0]:
-            best = (exp, nb, c)
-    assert best is not None  # nb = d+1 always fits (tables = d+1 <= 35 for d <= 34)
+        return tables * float(n_docs) ** 2 / (2.0 ** key_bits) \
+            + float(n_docs) * tables
+
+    # the minimal pigeonhole layout (d+1 single-block bands) is always
+    # admissible — it is what the pre-planner code hard-wired — even
+    # when d+1 exceeds max_tables; alternatives must fit the cap
+    best = (cost(d + 1), d + 1, 1)
+    for nb in range(d + 2, min(4 * (d + 1), 64) + 1):
+        if math.comb(nb, nb - d) > max_tables:
+            continue
+        exp = cost(nb)
+        if exp < best[0]:
+            best = (exp, nb, nb - d)
     return best[1], best[2]
 
 

@@ -463,7 +463,8 @@ def knn_ring_join(
                 f"knn_ring_join: a point near lat {la[int(np.argmax(ncells))]:.2f} "
                 f"needs {int(ncells.max())} candidate cells at zoom {zoom} for "
                 f"max_distance_deg={max_distance_deg}; lower the zoom by "
-                f"~{int(np.ceil(np.log2(ncells.max() / 4096))) + 1} levels"
+                # cells shrink ~4x per level (rx and up/dn each halve)
+                f"~{int(np.ceil(np.log2(ncells.max() / 4096) / 2))} levels"
             )
         out = np.empty(len(cells), dtype=object)
         key = up * (int(dn.max()) + 1) + dn

@@ -172,6 +172,11 @@ def pyramid_rollup(
     _check_zoom(zoom)
     if not 0 <= min_zoom <= zoom:
         raise ValueError(f"need 0 <= min_zoom <= zoom, got {min_zoom} > {zoom}")
+    if "tile_x" in df.columns or "tile_y" in df.columns:
+        raise ValueError(
+            "pyramid_rollup derives tile_x/tile_y itself; rename or drop "
+            "the input's tile_x/tile_y columns first"
+        )
     keyed = df.select(
         grid.tile_x_col(F.col(lon_col), zoom).alias("tile_x"),
         grid.tile_y_col(F.col(lat_col), zoom).alias("tile_y"),
@@ -182,14 +187,19 @@ def pyramid_rollup(
             "_tkey", F.col("tile_x") * F.lit(1 << zoom) + F.col("tile_y")
         )
         base_s = salted_agg(keyed, "_tkey", aggs, n_salt=n_salt)
+        # integer bit ops, NOT double division: _tkey reaches 2^56 at
+        # max zoom, past float64's exact-integer range
         base = base_s.select(
-            F.floor(F.col("_tkey") / F.lit(1 << zoom)).cast("long").alias("tile_x"),
-            F.pmod(F.col("_tkey"), F.lit(1 << zoom)).cast("long").alias("tile_y"),
+            F.shiftrightunsigned(F.col("_tkey"), zoom).alias("tile_x"),
+            F.col("_tkey").bitwiseAND(F.lit((1 << zoom) - 1)).alias("tile_y"),
             *[c for c in base_s.columns if c != "_tkey"],
         )
     else:
         base = keyed.groupBy("tile_x", "tile_y").agg(*aggs)
     agg_cols = [c for c in base.columns if c not in ("tile_x", "tile_y")]
+    # the cache lives until the session drops it (spark.catalog.clearCache
+    # or base-level unpersist); at <= 4**zoom rows per call that is the
+    # intended trade for never rescanning the raw input per level
     base = base.persist()
     levels = [base.select(F.lit(zoom).cast("int").alias("zoom"), "*")]
     for z in range(zoom - 1, min_zoom - 1, -1):

@@ -934,7 +934,8 @@ def _assemble_arrow_grouped(
 
         def _view(b: str, i: int) -> np.ndarray:
             buf = blob_cols[b][i].as_buffer()
-            isz = buf.size // (int(scal["sh"][i]) * int(scal["sw"][i]))
+            area = int(scal["sh"][i]) * int(scal["sw"][i])
+            isz = buf.size // area if area else 8
             return np.frombuffer(buf, dtype=_DTYPES[isz])
 
         padded = {}
