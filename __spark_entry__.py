@@ -790,6 +790,35 @@ def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pass (functions/corpus.py):
+    Gopher-filter -> exact dedup (planted copies) -> PII redaction
+    (planted emails/IPs), as ONE pipeline with the production stage
+    order."""
+    from xarray_spatial_spark.functions import corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # the synthetic corpus has no English function words, so the
+    # stop-word gate would reject everything: plant a stop-rich lead
+    # sentence on 2/3 of the docs (the rest exercise the reject path)
+    base = d.withColumn(
+        "text",
+        F.concat(
+            F.when(F.col("doc_id") % 3 != 2,
+                   F.lit("the shape of the data and that of the run ")
+                   ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.lit(" contact bob@example.com 10.1.2.3")).otherwise(F.lit("")),
+        ),
+    )
+    dup = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    out = corpus.prepare_corpus(base.unionByName(dup), min_words=30)
+    return out.select("doc_id", "text")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode + tile-assign the documents table, zonal stats
     per tile joined with nearest-hot-city allocation counts."""
@@ -852,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_agg": q_host_agg,
         "redact": q_redact,
         "gopher": q_gopher,
+        "corpus": q_corpus,
     }
 
 
@@ -1594,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {tx.redact_pii_sql("text")} AS redacted FROM p
         """,
         "gopher": _gopher_oracle(),
+        "corpus": _corpus_oracle(),
         "snapshot_dedup": """
             -- keep-latest per key == row_number twin of the max_by
             -- aggregate (ties broken by event_id, unique)
@@ -1653,19 +1684,17 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _gopher_oracle() -> str:
-    """DuckDB twin of gopher_signals + gopher_keep(min_words=30): raw
-    (unrounded) signals feed the keep rule, rounded copies are emitted
-    — matching the Spark side where gopher_keep recomputes raw
-    signals."""
+def _gopher_m_sql(src: str) -> str:
+    """The s/m CTE pair computing raw Gopher signals per doc over the
+    relation ``src`` (must expose doc_id, text) — shared by the gopher
+    and corpus oracles."""
     stop_alt = tx._alternation(tx.GOPHER_STOP)
-    return f"""
-        WITH s AS (
+    return f"""s AS (
           SELECT doc_id, text,
             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                  ELSE string_split_regex(trim(text), '\\s+') END AS toks,
             string_split(text, chr(10)) AS ls
-          FROM documents
+          FROM {src}
         ),
         m AS (
           SELECT doc_id,
@@ -1679,7 +1708,31 @@ def _gopher_oracle() -> str:
             len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alphaw,
             len(list_distinct(regexp_extract_all(text, '{stop_alt}', 1))) AS stop_hits
           FROM s
-        ),
+        )"""
+
+
+def _gopher_keep_pred(min_words: int = 30) -> str:
+    """The keep rule over m's RAW signals (matches gopher_keep)."""
+    return f"""(n_words >= {min_words} AND n_words <= 100000
+           AND mwl >= 3.0 AND mwl <= 10.0
+           AND (CASE WHEN n_words > 0 THEN sym / CAST(n_words AS DOUBLE)
+                ELSE 0.0 END) <= 0.1
+           AND (CASE WHEN n_lines > 0 THEN bullets / CAST(n_lines AS DOUBLE)
+                ELSE 0.0 END) <= 0.9
+           AND (CASE WHEN n_lines > 0 THEN ellipses / CAST(n_lines AS DOUBLE)
+                ELSE 0.0 END) <= 0.3
+           AND (CASE WHEN n_words > 0 THEN alphaw / CAST(n_words AS DOUBLE)
+                ELSE 0.0 END) >= 0.8
+           AND stop_hits >= 2)"""
+
+
+def _gopher_oracle() -> str:
+    """DuckDB twin of gopher_signals + gopher_keep(min_words=30): raw
+    (unrounded) signals feed the keep rule, rounded copies are emitted
+    — matching the Spark side where gopher_keep recomputes raw
+    signals."""
+    return f"""
+        WITH {_gopher_m_sql("documents")},
         r AS (
           SELECT doc_id, n_words, n_lines, mwl, stop_hits,
             CASE WHEN n_words > 0 THEN sym / CAST(n_words AS DOUBLE)
@@ -1705,6 +1758,45 @@ def _gopher_oracle() -> str:
            AND syr <= 0.1 AND blf <= 0.9 AND elf <= 0.3
            AND awf >= 0.8 AND stop_hits >= 2) AS keep
         FROM r
+    """
+
+
+def _corpus_oracle() -> str:
+    """prepare_corpus twin: plant PII + duplicate copies, Gopher-keep
+    (raw signals), keep smallest doc_id per identical text, redact."""
+    red = tx.redact_pii_sql("text")
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 <> 2
+                      THEN 'the shape of the data and that of the run '
+                      ELSE '' END
+                 || text
+                 || CASE WHEN doc_id % 10 = 0
+                         THEN ' contact bob@example.com 10.1.2.3'
+                         ELSE '' END AS text
+          FROM documents
+        ),
+        dupped AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM base
+          WHERE doc_id % 7 = 0
+        ),
+        {_gopher_m_sql("dupped")},
+        keepers AS (
+          SELECT d.doc_id, d.text
+          FROM dupped d JOIN m ON d.doc_id = m.doc_id
+          WHERE {_gopher_keep_pred(30)}
+        ),
+        uniq AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY text
+                        ORDER BY doc_id ASC) AS rn
+            FROM keepers) WHERE rn = 1
+        )
+        SELECT doc_id, {red} AS text FROM uniq
     """
 
 

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "host_agg",
     "redact",
     "gopher",
+    "corpus",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -1,0 +1,44 @@
+"""prepare_corpus — the composed quality->dedup->redact pass."""
+
+from pyspark.sql import functions as F
+
+from xarray_spatial_spark.functions import corpus
+
+
+GOOD = ("the quick brown fox jumps over that lazy dog and runs off "
+        "with the bone of contention for everyone here today ") * 3
+
+
+def test_prepare_corpus_stages(spark):
+    rows = [
+        (0, GOOD + " mail me: a@b.co"),          # keeps, redacted
+        (1, GOOD + " mail me: a@b.co"),          # exact dup of 0 -> dropped
+        (2, "too short"),                        # fails word gate
+        (3, "\n".join("- x" for _ in range(60))),  # bullet wall
+        (4, GOOD + " distinct tail"),            # keeps
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in corpus.prepare_corpus(df, min_words=30).collect()}
+    assert set(out) == {0, 4}
+    assert "a@b.co" not in out[0] and "<EMAIL>" in out[0]
+
+    st = corpus.corpus_stats(
+        corpus.prepare_corpus(df, min_words=30)).collect()[0]
+    assert st["n_docs"] == 2 and st["n_tokens"] > 60
+
+
+def test_prepare_corpus_lang_gate(spark):
+    # the German doc passes the (English) Gopher stop gate via its
+    # planted lead but langid still classifies it de — only the lang
+    # gate can reject it
+    de = ("to be with that " +
+          "der hund und die katze sind nicht ein paar mit dem vogel "
+          "das ist der satz und der rest ") * 3
+    df = spark.createDataFrame(
+        [(0, GOOD), (1, de)], schema="doc_id long, text string"
+    )
+    no_gate = corpus.prepare_corpus(df, min_words=20)
+    assert {r["doc_id"] for r in no_gate.collect()} == {0, 1}
+    kept = corpus.prepare_corpus(df, min_words=20, lang="en")
+    assert [r["doc_id"] for r in kept.collect()] == [0]

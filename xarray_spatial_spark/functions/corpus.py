@@ -1,0 +1,67 @@
+"""End-to-end corpus preparation — the composed training-data pass.
+
+``prepare_corpus`` chains the engine's text-pipeline stages in the
+order a production pretraining pipeline runs them (C4/RefinedWeb
+shape):
+
+1. quality gate   — :func:`text.gopher_keep` (codegen, scan stage)
+2. language gate  — :func:`text.langid` == ``lang`` (optional)
+3. exact dedup    — keep the smallest id per byte-identical text
+                    (:func:`dedup.distinct_by_text`; only 8-byte
+                    hashes shuffle)
+4. PII redaction  — :func:`text.redact_pii` on the survivors
+
+The stage ORDER is part of the contract and of the cost model:
+filters run before the dedup shuffle (shrink the shuffle), redaction
+runs last (only surviving rows pay the regex chain).  All stages are
+single-scan Catalyst except the one dedup shuffle.
+
+``corpus_stats`` summarizes any corpus frame in one aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xarray_spatial_spark.functions import dedup
+from xarray_spatial_spark.functions import text as tx
+
+
+def prepare_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100000,
+    lang: str | None = None,
+    redact: bool = True,
+) -> DataFrame:
+    """Filter -> dedup -> redact; returns the surviving rows with the
+    text column redacted in place.  See module docstring for the
+    stage order rationale."""
+    out = df.filter(
+        tx.gopher_keep(F.col(text_col), min_words=min_words,
+                       max_words=max_words)
+    )
+    if lang is not None:
+        out = out.filter(tx.langid(F.col(text_col)) == lang)
+    out = dedup.distinct_by_text(out, text_col=text_col, id_col=id_col)
+    if redact:
+        out = out.withColumn(text_col, tx.redact_pii(F.col(text_col)))
+    return out
+
+
+def corpus_stats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """One-aggregate corpus summary: docs, tokens, chars, mean doc
+    length — the numbers a pipeline run reports per stage."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.token_count(F.col(text_col))).alias("n_tokens"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+        F.round(F.avg(tx.token_count(F.col(text_col))), 4).alias(
+            "mean_tokens"
+        ),
+    )
