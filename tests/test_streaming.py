@@ -104,3 +104,42 @@ def test_streaming_dedup_keeps_one_per_content(spark, tmp_path):
         F.xxhash64("text").alias("h")).distinct().count()
     assert got.count() == n_distinct_texts
     assert got.select("_content_hash").distinct().count() == n_distinct_texts
+
+
+def test_streaming_corpus_pass(spark, tmp_path):
+    """prepare_corpus_stream: quality gate + watermark dedup + PII
+    redaction over a file stream; survivors match the batch twin's
+    CONTENT set (streaming keeps first-seen, batch keeps smallest id —
+    same distinct texts either way)."""
+    from xarray_spatial_spark.functions import corpus
+
+    src = str(tmp_path / "docs_corpus")
+    d = documents(spark, 400).select("doc_id", "warc_ts", "text").withColumn(
+        "text",
+        F.concat(F.lit("the shape of the data and that of the run "),
+                 F.col("text"), F.lit(" ping ab@cd.ef")),
+    )
+    dup = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    d.union(dup).write.parquet(src)
+
+    schema = "doc_id long, warc_ts timestamp, text string"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 4
+    ).parquet(src)
+    out = corpus.prepare_corpus_stream(stream, min_words=20,
+                                       watermark="10 minutes")
+    q = se.run_to_sink(
+        out.select("doc_id", "text"),
+        str(tmp_path / "corpus_out"), str(tmp_path / "corpus_ckpt"),
+        mode="append",
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "corpus_out"))
+    batch = corpus.prepare_corpus(d.union(dup), min_words=20)
+    got_texts = {r["text"] for r in got.collect()}
+    want_texts = {r["text"] for r in batch.collect()}
+    assert got_texts == want_texts and len(got_texts) > 0
+    assert not any("ab@cd.ef" in t for t in got_texts)

@@ -52,6 +52,38 @@ def prepare_corpus(
     return out
 
 
+def prepare_corpus_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "2 hours",
+    min_words: int = 50,
+    max_words: int = 100000,
+    lang: str | None = None,
+    redact: bool = True,
+) -> DataFrame:
+    """Streaming twin of :func:`prepare_corpus` for an unbounded crawl
+    (``spark.readStream`` input).  Same stage order; the dedup stage is
+    the watermark-bounded keep-FIRST-SEEN of
+    :func:`streaming.events.streaming_dedup` (a global keep-smallest-id
+    dedup over an unbounded stream is a batch job over the accumulated
+    table — the state store must be horizon-bounded).  Stateless stages
+    (quality gate, language gate, redaction) apply unchanged."""
+    from xarray_spatial_spark.streaming.events import streaming_dedup
+
+    out = docs.filter(
+        tx.gopher_keep(F.col(text_col), min_words=min_words,
+                       max_words=max_words)
+    )
+    if lang is not None:
+        out = out.filter(tx.langid(F.col(text_col)) == lang)
+    out = streaming_dedup(out, watermark=watermark, ts_col=ts_col,
+                          text_col=text_col).drop("_content_hash")
+    if redact:
+        out = out.withColumn(text_col, tx.redact_pii(F.col(text_col)))
+    return out
+
+
 def corpus_stats(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
