@@ -161,3 +161,74 @@ def test_png_through_sniff_and_image_features(spark):
     assert len(feats[0]["features"]) == 14
     # decoded mean matches the source image exactly
     np.testing.assert_allclose(feats[0]["features"][0], img[:, :, 0].mean())
+
+
+def _palette():
+    return np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255],
+         [255, 255, 0], [255, 255, 255]], dtype=np.uint8)
+
+
+def test_gif_roundtrip_still(spark):
+    from xarray_spatial_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    pal = _palette()
+    idx = rng.integers(0, len(pal), size=(23, 31)).astype(np.uint8)
+    buf = mm.encode_gif(idx, pal)
+    img = mm.decode_gif(buf)
+    np.testing.assert_array_equal(img, pal[idx])
+    # sniff dispatch reaches the GIF path
+    np.testing.assert_array_equal(mm.sniff_and_decode(buf), pal[idx])
+
+
+def test_gif_interlaced_roundtrip(spark):
+    from xarray_spatial_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(13)
+    pal = _palette()
+    idx = rng.integers(0, len(pal), size=(17, 9)).astype(np.uint8)
+    buf = mm.encode_gif(idx, pal, interlace=True)
+    np.testing.assert_array_equal(mm.decode_gif(buf), pal[idx])
+
+
+def test_gif_animation_frames_and_transparency(spark):
+    from xarray_spatial_spark.operators import multimodal as mm
+
+    pal = _palette()
+    f0 = np.full((8, 8), 1, dtype=np.uint8)          # red field
+    f1 = np.full((8, 8), 0, dtype=np.uint8)          # transparent idx 0
+    f1[2:4, 2:4] = 2                                  # green patch
+    buf = bytearray(mm.encode_gif([f0, f1], pal, delays_ms=[40, 60]))
+    # mark frame 2's GCE transparent-color flag for index 0: find the
+    # second 0x21 0xF9 extension and set flag+index
+    pos = bytes(buf).find(b"\x21\xf9", bytes(buf).find(b"\x21\xf9") + 2)
+    buf[pos + 3] |= 0x01   # packed: transparency on
+    buf[pos + 6] = 0       # transparent index
+    frames, delays = mm.decode_gif_frames(bytes(buf))
+    assert delays == [40, 60]
+    np.testing.assert_array_equal(frames[0], pal[f0])
+    want = pal[f0].copy()
+    want[2:4, 2:4] = pal[2]   # transparent pixels keep frame 0's red
+    np.testing.assert_array_equal(frames[1], want)
+
+
+def test_gif_frames_operator(spark):
+    from xarray_spatial_spark.operators import multimodal as mm
+
+    pal = _palette()
+    rng = np.random.default_rng(17)
+    rows = []
+    for mid in range(4):
+        frames = [rng.integers(0, len(pal), size=(6, 7)).astype(np.uint8)
+                  for _ in range(3)]
+        rows.append((mid, bytearray(mm.encode_gif(frames, pal,
+                                                  delays_ms=[30, 30, 30]))))
+    df = spark.createDataFrame(rows, schema="media_id long, payload binary")
+    out = mm.gif_frames(df).collect()
+    assert len(out) == 12
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in out}
+    assert by_key[(2, 2)]["ts_ms"] == 60
+    r = by_key[(1, 0)]
+    img = np.frombuffer(r["rgb"], np.uint8).reshape(r["h"], r["w"], 3)
+    assert img.shape == (6, 7, 3)

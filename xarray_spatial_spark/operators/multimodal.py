@@ -226,6 +226,284 @@ def decode_png(buf: bytes) -> np.ndarray:
     return img[:, :, 0] if ch == 1 else img
 
 
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): pure-stdlib LZW — still images AND animations, which
+# makes animated GIF the lib-free "video" container for the
+# frame-sampling path (gif_frames)
+# ---------------------------------------------------------------------------
+
+
+def _gif_interlace_rows(h: int) -> list[int]:
+    """GIF 4-pass interlace row order (start/step: 0/8, 4/8, 2/4, 1/2)."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    """GIF LZW -> pixel indices (uint8, length ``expected``).  Per-code
+    Python loop with a small rolling bit buffer (O(n)); codecs are the
+    correctness path, throughput lives in the Arrow batching above."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while len(out) < expected:
+        while nbits < code_size and pos < n:
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < code_size:
+            break
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("truncated GIF image data")
+    return np.frombuffer(bytes(out[:expected]), dtype=np.uint8)
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Minimal valid GIF LZW: each pixel emitted as a literal code with
+    a CLEAR before the code table would force a width change — decodes
+    everywhere, compresses nothing (encoder exists for round-trip
+    tests and synthetic fixtures)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    budget = (1 << code_size) - end - 2  # literals before width would grow
+    for i, px in enumerate(indices.tolist()):
+        if i and i % max(budget, 1) == 0:
+            emit(clear)
+        emit(int(px))
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif_frames(
+    buf: bytes, max_frames: int | None = None
+) -> tuple[list[np.ndarray], list[int]]:
+    """GIF87a/89a -> (frames as (h, w, 3) uint8 RGB, per-frame delay
+    ms).  Handles global/local color tables, interlace, transparency,
+    and disposal 0-2 (composited onto the running canvas)."""
+    if buf[:4] != b"GIF8":
+        raise ValueError("not a GIF")
+    w = int.from_bytes(buf[6:8], "little")
+    h = int.from_bytes(buf[8:10], "little")
+    packed = buf[10]
+    bg_idx = buf[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        sz = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf, np.uint8, count=sz * 3, offset=pos).reshape(sz, 3)
+        pos += sz * 3
+    canvas = np.zeros((h, w), dtype=np.uint8)
+    if gct is not None:
+        canvas[:] = bg_idx
+    painted = np.zeros((h, w), dtype=bool)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent: int | None = None
+    disposal = 0
+    delay_ms = 0
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = buf[pos]
+            pos += 1
+            subs = []
+            while buf[pos]:
+                ln = buf[pos]
+                subs.append(buf[pos + 1: pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1  # terminator
+            if label == 0xF9 and subs:  # graphic control
+                gce = subs[0]
+                disposal = (gce[0] >> 2) & 0x07
+                transparent = gce[3] if gce[0] & 0x01 else None
+                delay_ms = int.from_bytes(gce[1:3], "little") * 10
+            continue
+        if block != 0x2C:  # image descriptor expected
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        fx = int.from_bytes(buf[pos: pos + 2], "little")
+        fy = int.from_bytes(buf[pos + 2: pos + 4], "little")
+        fw = int.from_bytes(buf[pos + 4: pos + 6], "little")
+        fh = int.from_bytes(buf[pos + 6: pos + 8], "little")
+        ipk = buf[pos + 8]
+        pos += 9
+        ct = gct
+        if ipk & 0x80:
+            sz = 2 << (ipk & 0x07)
+            ct = np.frombuffer(buf, np.uint8, count=sz * 3, offset=pos).reshape(sz, 3)
+            pos += sz * 3
+        if ct is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = buf[pos]
+        pos += 1
+        chunks = []
+        while buf[pos]:
+            ln = buf[pos]
+            chunks.append(buf[pos + 1: pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(b"".join(chunks), min_code, fw * fh).reshape(fh, fw)
+        if ipk & 0x40:  # interlaced: rows arrive in 4-pass order
+            dest = np.empty_like(idx)
+            dest[_gif_interlace_rows(fh)] = idx
+            idx = dest
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[fy: fy + fh, fx: fx + fw]
+        pregion = painted[fy: fy + fh, fx: fx + fw]
+        if transparent is not None:
+            opaque = idx != transparent
+            region[opaque] = idx[opaque]
+            pregion[opaque] = True
+        else:
+            region[:] = idx
+            pregion[:] = True
+        frames.append(ct[np.minimum(canvas, len(ct) - 1)].copy())
+        delays.append(delay_ms)
+        if disposal == 2:  # restore to background
+            region[:] = bg_idx
+            pregion[:] = False
+        elif disposal == 3 and before is not None:
+            canvas[:] = before
+        transparent = None
+        disposal = 0
+        delay_ms = 0
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames, delays
+
+
+def decode_gif(buf: bytes) -> np.ndarray:
+    """First frame of a GIF as (h, w, 3) uint8 RGB."""
+    return decode_gif_frames(buf, max_frames=1)[0][0]
+
+
+def encode_gif(
+    frames: list[np.ndarray] | np.ndarray,
+    palette: np.ndarray,
+    delays_ms: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Palette-indexed frames -> GIF89a (store-only LZW).  ``frames``
+    are (h, w) uint8 INDEX arrays into ``palette`` (n, 3); exists for
+    round-trip tests and deterministic fixtures."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    h, w = frames[0].shape
+    bits = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
+    sz = 1 << bits
+    pal = np.zeros((sz, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += pal.tobytes()
+    for i, fr in enumerate(frames):
+        if delays_ms is not None:
+            out += bytes([0x21, 0xF9, 4, 0])
+            out += (delays_ms[i] // 10).to_bytes(2, "little")
+            out += bytes([0, 0])
+        out += bytes([0x2C]) + b"\x00\x00\x00\x00"
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0x40 if interlace else 0])
+        arr = fr
+        if interlace:
+            arr = fr[_gif_interlace_rows(h)]
+        data = _gif_lzw_encode(arr.reshape(-1).astype(np.uint8), bits)
+        out += bytes([bits])
+        for off in range(0, len(data), 255):
+            blk = data[off: off + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def gif_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Animated-GIF frame explode — the REAL frame-sampling path for
+    the one video-ish container this environment can decode natively:
+    (id, frame_idx, ts_ms, h, w, rgb binary) rows via Arrow batches."""
+    schema = (f"{id_col} long, frame_idx int, ts_ms long, "
+              "h int, w int, rgb binary")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    (id_col, "frame_idx", "ts_ms", "h", "w", "rgb")}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames, delays = decode_gif_frames(bytes(payload), max_frames)
+                ts = 0
+                for j, (fr, d) in enumerate(zip(frames, delays)):
+                    rows[id_col].append(mid)
+                    rows["frame_idx"].append(j)
+                    rows["ts_ms"].append(ts)
+                    rows["h"].append(fr.shape[0])
+                    rows["w"].append(fr.shape[1])
+                    rows["rgb"].append(fr.tobytes())
+                    ts += d
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(_op, schema=schema)
+
+
 def sniff_and_decode(buf: bytes) -> np.ndarray:
     """Dispatch on magic bytes.  Real decode for the lib-free formats
     plus PNG (stdlib zlib); remaining compressed formats name
@@ -239,12 +517,13 @@ def sniff_and_decode(buf: bytes) -> np.ndarray:
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
         return img[:, :, :3]  # drop alpha for the (h, w, 3) contract
-    for magic, name in ((b"\xff\xd8", "JPEG"),
-                        (b"GIF8", "GIF"), (b"RIFF", "RIFF/WebP")):
+    if buf.startswith(b"GIF8"):
+        return decode_gif(buf)
+    for magic, name in ((b"\xff\xd8", "JPEG"), (b"RIFF", "RIFF/WebP")):
         if buf.startswith(magic):
             raise NotImplementedError(
                 f"{name} decoding requires a codec library not present in "
-                "this environment (PPM/BMP/PNG decode natively; or "
+                "this environment (PPM/BMP/PNG/GIF decode natively; or "
                 "fake=True)"
             )
     raise NotImplementedError("unrecognized image format")
