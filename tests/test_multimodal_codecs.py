@@ -53,12 +53,14 @@ def test_decode_image_real_ppm_distributed(spark):
         )
 
 
-def test_decode_image_jpeg_raises(spark):
+def test_decode_image_webp_raises(spark):
+    """JPEG now decodes natively; WebP remains the honest stub."""
     df = spark.createDataFrame(
-        [(0, "image", bytearray(b"\xff\xd8\xff\xe0junk"), 4, 4, 0, "jpeg")],
+        [(0, "image", bytearray(b"RIFF\x00\x00\x00\x00WEBPjunk"), 4, 4, 0,
+          "webp")],
         schema=mm.MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="JPEG"):
+    with pytest.raises(Exception, match="WebP"):
         mm.decode_image(df).collect()
 
 
@@ -232,3 +234,61 @@ def test_gif_frames_operator(spark):
     r = by_key[(1, 0)]
     img = np.frombuffer(r["rgb"], np.uint8).reshape(r["h"], r["w"], 3)
     assert img.shape == (6, 7, 3)
+
+
+def test_jpeg_dct_pair_and_huffman_canonical():
+    from xarray_spatial_spark.operators import jpeg
+
+    rng = np.random.default_rng(0)
+    b = rng.uniform(-128, 127, (8, 8))
+    np.testing.assert_allclose(jpeg.idct2(jpeg.fdct2(b)), b, atol=1e-10)
+    codes = jpeg._huff_codes(*jpeg.HUFF_DC_LUMA)
+    assert codes[0] == (0b00, 2)       # T.81 canonical: first len-2 code
+    assert codes[11] == (0b111111110, 9)
+    lens = sorted(ln for _, ln in codes.values())
+    assert lens == sorted(lens)        # canonical lengths are feasible
+
+
+def test_jpeg_roundtrip_gray(spark):
+    from xarray_spatial_spark.operators import jpeg
+
+    flat = np.full((16, 16), 128, dtype=np.uint8)
+    assert (jpeg.decode_jpeg(jpeg.encode_jpeg(flat)) == 128).all()
+    yy, xx = np.mgrid[0:30, 0:37]  # non-multiple-of-8 dims
+    img = (150 + 80 * np.sin(yy / 9.0) * np.cos(xx / 12.0)).clip(0, 255).astype(np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 10 and err.mean() < 2.0
+
+
+def test_jpeg_roundtrip_rgb_and_sniff(spark):
+    from xarray_spatial_spark.operators import jpeg, multimodal as mm
+
+    yy, xx = np.mgrid[0:32, 0:40]
+    base = (150 + 80 * np.sin(yy / 9.0) * np.cos(xx / 12.0)).clip(0, 255)
+    img = np.stack([base, np.roll(base, 5, 0), np.roll(base, 3, 1)],
+                   axis=2).astype(np.uint8)
+    buf = jpeg.encode_jpeg(img)
+    out = jpeg.decode_jpeg(buf)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 5.0  # lossy: chroma table is coarse
+    sniffed = mm.sniff_and_decode(buf)
+    np.testing.assert_array_equal(sniffed, out)
+
+
+def test_jpeg_decode_image_operator(spark):
+    from xarray_spatial_spark.operators import jpeg, multimodal as mm
+    from pyspark.sql import functions as F
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    rows = []
+    for i in range(6):
+        img = ((yy * 5 + xx * 3 + i * 17) % 200 + 20).astype(np.uint8)
+        rows.append((i, bytearray(jpeg.encode_jpeg(img)), 16, 16))
+    df = spark.createDataFrame(
+        rows, schema="media_id long, payload binary, width int, height int"
+    )
+    out = mm.decode_image(df)
+    got = out.select("media_id", F.size("pixels").alias("n")).collect()
+    assert {r["n"] for r in got} == {16 * 16 * 3}

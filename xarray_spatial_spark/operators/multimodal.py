@@ -519,13 +519,19 @@ def sniff_and_decode(buf: bytes) -> np.ndarray:
         return img[:, :, :3]  # drop alpha for the (h, w, 3) contract
     if buf.startswith(b"GIF8"):
         return decode_gif(buf)
-    for magic, name in ((b"\xff\xd8", "JPEG"), (b"RIFF", "RIFF/WebP")):
-        if buf.startswith(magic):
-            raise NotImplementedError(
-                f"{name} decoding requires a codec library not present in "
-                "this environment (PPM/BMP/PNG/GIF decode natively; or "
-                "fake=True)"
-            )
+    if buf.startswith(b"\xff\xd8"):
+        from xarray_spatial_spark.operators.jpeg import decode_jpeg
+
+        img = decode_jpeg(buf)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img
+    if buf.startswith(b"RIFF"):
+        raise NotImplementedError(
+            "RIFF/WebP decoding requires a codec library not present in "
+            "this environment (PPM/BMP/PNG/GIF/JPEG decode natively; or "
+            "fake=True)"
+        )
     raise NotImplementedError("unrecognized image format")
 
 
@@ -537,11 +543,12 @@ def decode_image(
 ) -> DataFrame:
     """binary -> flattened pixel array + decoded shape columns.
 
-    PPM (P6) and 24-bit BMP payloads decode natively (pure numpy, no
-    codec libs).  Compressed formats raise ``NotImplementedError``
-    per-row with the format name unless ``fake=True`` (deterministic
-    stand-in keyed on the payload hash).  width/height are REPLACED by
-    the decoded dimensions on the real path."""
+    PPM (P6), 24-bit BMP, PNG, GIF, and baseline JPEG payloads decode
+    natively (pure stdlib + numpy, no codec libs).  Remaining formats
+    (WebP, ...) raise ``NotImplementedError`` per-row with the format
+    name unless ``fake=True`` (deterministic stand-in keyed on the
+    payload hash).  width/height are REPLACED by the decoded
+    dimensions on the real path."""
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in df.schema if f.name not in ("width", "height"))
     schema += f", width int, height int, {out_col} array<int>"
