@@ -292,3 +292,23 @@ def test_jpeg_decode_image_operator(spark):
     out = mm.decode_image(df)
     got = out.select("media_id", F.size("pixels").alias("n")).collect()
     assert {r["n"] for r in got} == {16 * 16 * 3}
+
+
+@pytest.mark.skipif(not __import__("glob").glob("/root/reference/img/*.png"),
+                    reason="reference image assets not present")
+def test_png_decodes_real_world_files():
+    """Third-party-encoded PNGs (reference repo's doc images — real
+    encoder output with mixed row filters) must all decode; shapes and
+    channel counts must be sane."""
+    import glob
+
+    n = 0
+    # sample: the per-pixel Paeth path makes big files ~2 s each
+    for p in sorted(glob.glob("/root/reference/img/*.png"))[:8]:
+        img = mm.decode_png(open(p, "rb").read())
+        assert img.dtype == np.uint8
+        assert img.ndim in (2, 3) and img.shape[0] > 0 and img.shape[1] > 0
+        if img.ndim == 3:
+            assert img.shape[2] in (3, 4)
+        n += 1
+    assert n >= 5
