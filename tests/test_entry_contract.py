@@ -88,3 +88,24 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.schema is not None
+
+
+def test_reference_parity_namespace():
+    """Every name the reference re-exports at top level
+    (xrspatial/__init__.py:1-40) resolves on our package too."""
+    import xarray_spatial_spark as xs
+
+    ref_names = [
+        "aspect", "bump", "binary", "box_plot", "head_tail_breaks",
+        "maximum_breaks", "percentiles", "std_mean", "diagnose",
+        "equal_interval", "natural_breaks", "quantile", "reclassify",
+        "curvature", "mean", "hillshade", "arvi", "evi", "nbr", "ndvi",
+        "savi", "sipi", "a_star_search", "perlin", "allocation",
+        "direction", "euclidean_distance", "great_circle_distance",
+        "manhattan_distance", "proximity", "slope", "generate_terrain",
+        "viewshed", "zonal_apply", "crop", "trim", "zonal_crosstab",
+        "regions", "zonal_stats", "suggest_zonal_canvas",
+    ]
+    for name in ref_names:
+        assert callable(getattr(xs, name)), name
+    assert set(ref_names) <= set(xs.__all__)
