@@ -1697,7 +1697,7 @@ def _gopher_m_sql(src: str) -> str:
           FROM {src}
         ),
         m AS (
-          SELECT doc_id,
+          SELECT doc_id, text,
             len(toks) AS n_words, len(ls) AS n_lines,
             CASE WHEN len(toks) > 0
                  THEN list_sum(list_transform(toks, t -> length(t)))
@@ -1785,8 +1785,10 @@ def _corpus_oracle() -> str:
         ),
         {_gopher_m_sql("dupped")},
         keepers AS (
-          SELECT d.doc_id, d.text
-          FROM dupped d JOIN m ON d.doc_id = m.doc_id
+          -- keep predicate inline over m (which carries text): a join
+          -- back to dupped on doc_id would cross-match if the +1e6
+          -- duplicate offset ever collided with real ids
+          SELECT doc_id, text FROM m
           WHERE {_gopher_keep_pred(30)}
         ),
         uniq AS (

@@ -312,3 +312,58 @@ def test_png_decodes_real_world_files():
             assert img.shape[2] in (3, 4)
         n += 1
     assert n >= 5
+
+
+def test_gif_local_color_table_compositing():
+    """Per-frame local palettes must not recolor earlier frames: the
+    canvas composites in RGB, not indices."""
+    from xarray_spatial_spark.operators import multimodal as mm
+
+    pal = _palette()
+    f0 = np.full((6, 6), 1, dtype=np.uint8)  # red via global table
+    buf = bytearray(mm.encode_gif(f0, pal))
+    # append a second frame covering only a 2x2 subrect, with a LOCAL
+    # 4-entry table where index 0 = green
+    local = np.array([[0, 255, 0], [1, 2, 3], [4, 5, 6], [7, 8, 9]],
+                     dtype=np.uint8)
+    buf = buf[:-1]  # drop trailer
+    buf += bytes([0x2C]) + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    buf += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    buf += bytes([0x80 | 0x01])  # local table, 4 entries
+    buf += local.tobytes()
+    data = mm._gif_lzw_encode(np.zeros(4, dtype=np.uint8), 2)
+    buf += bytes([2, len(data)]) + data + b"\x00\x3B"
+    frames, _ = mm.decode_gif_frames(bytes(buf))
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[1][0, 0], [255, 0, 0])   # still red
+    np.testing.assert_array_equal(frames[1][2, 2], [0, 255, 0])   # local green
+    np.testing.assert_array_equal(frames[1][5, 5], [255, 0, 0])
+
+
+def test_gif_encode_rejects_mixed_shapes():
+    from xarray_spatial_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError, match="share one shape"):
+        mm.encode_gif([np.zeros((8, 8), np.uint8), np.zeros((4, 4), np.uint8)],
+                      _palette())
+
+
+def test_jpeg_fill_bytes_and_scan_mismatch():
+    from xarray_spatial_spark.operators import jpeg
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    buf = jpeg.encode_jpeg(img)
+    # insert a fill byte before the first DQT marker — still spec-valid
+    i = buf.index(b"\xff\xdb")
+    padded = buf[:i] + b"\xff" + buf[i:]
+    np.testing.assert_array_equal(jpeg.decode_jpeg(padded),
+                                  jpeg.decode_jpeg(buf))
+    # a scan whose component count mismatches SOF raises, not garbage
+    rgb = jpeg.encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+    j = rgb.index(b"\xff\xda")
+    ln = int.from_bytes(rgb[j + 2: j + 4], "big")
+    bad = rgb[:j] + b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1]) \
+        + rgb[j + 5: j + 7] + rgb[j + 2 + ln - 3: j + 2 + ln] \
+        + rgb[j + 2 + ln:]
+    with pytest.raises(NotImplementedError, match="SOS components"):
+        jpeg.decode_jpeg(bad)

@@ -202,6 +202,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         if buf[pos] != 0xFF:
             pos += 1
             continue
+        if buf[pos + 1] == 0xFF:  # fill byte (T.81 B.1.1.2)
+            pos += 1
+            continue
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI (no SOS seen)
@@ -240,6 +243,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "only interleaved baseline scans (SOS components == "
+                    f"SOF components; got {ns} vs {len(comps)})"
+                )
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -265,7 +273,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 pred = {cid: 0 for cid, *_ in comps}
             n_mcu += 1
             for (cid, hs, vs, tq), (cs, td, ta) in zip(comps, scan):
-                assert cid == cs
+                if cid != cs:
+                    raise NotImplementedError(
+                        "scan component order differs from SOF order"
+                    )
                 for by in range(vs):
                     for bx in range(hs):
                         zz = np.zeros(64, dtype=np.int64)

@@ -6,9 +6,12 @@ shapes) is real and tested.  Codecs:
 
 - REAL decoders, pure numpy + stdlib (no external libs): PPM (P6),
   BMP (24-bit uncompressed), PNG (8-bit gray/RGB/RGBA, zlib inflate +
-  all five row filters), WAV (PCM16) — sniffed from magic bytes.
-- Remaining compressed formats (JPEG/GIF/WebP/MP3/...) need codec
-  libraries absent from this environment: ``decode_image`` raises
+  all five row filters), GIF (LZW, still + animated — the lib-free
+  "video" container for ``gif_frames``), baseline JPEG
+  (operators/jpeg.py: Huffman + DCT + YCbCr), WAV (PCM16) — sniffed
+  from magic bytes.
+- Remaining formats (WebP/MP3/MP4/...) need codec libraries absent
+  from this environment: ``decode_image`` raises
   ``NotImplementedError`` naming the format, or pass ``fake=True``
   for a clearly-marked deterministic stand-in (keyed hash stream of
   the payload) that exercises every downstream stage.
@@ -329,7 +332,10 @@ def decode_gif_frames(
 ) -> tuple[list[np.ndarray], list[int]]:
     """GIF87a/89a -> (frames as (h, w, 3) uint8 RGB, per-frame delay
     ms).  Handles global/local color tables, interlace, transparency,
-    and disposal 0-2 (composited onto the running canvas)."""
+    and disposal 0-3.  Frames composite in RGB space — each frame's
+    pixels go through ITS OWN color table before landing on the
+    canvas, so palette-optimized animations (per-frame local tables)
+    keep earlier frames' true colors."""
     if buf[:4] != b"GIF8":
         raise ValueError("not a GIF")
     w = int.from_bytes(buf[6:8], "little")
@@ -342,10 +348,9 @@ def decode_gif_frames(
         sz = 2 << (packed & 0x07)
         gct = np.frombuffer(buf, np.uint8, count=sz * 3, offset=pos).reshape(sz, 3)
         pos += sz * 3
-    canvas = np.zeros((h, w), dtype=np.uint8)
-    if gct is not None:
-        canvas[:] = bg_idx
-    painted = np.zeros((h, w), dtype=bool)
+    bg_rgb = (gct[min(bg_idx, len(gct) - 1)] if gct is not None
+              else np.zeros(3, dtype=np.uint8))
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
     frames: list[np.ndarray] = []
     delays: list[int] = []
     transparent: int | None = None
@@ -400,20 +405,17 @@ def decode_gif_frames(
             dest[_gif_interlace_rows(fh)] = idx
             idx = dest
         before = canvas.copy() if disposal == 3 else None
+        rgb = ct[np.minimum(idx, len(ct) - 1)]
         region = canvas[fy: fy + fh, fx: fx + fw]
-        pregion = painted[fy: fy + fh, fx: fx + fw]
         if transparent is not None:
             opaque = idx != transparent
-            region[opaque] = idx[opaque]
-            pregion[opaque] = True
+            region[opaque] = rgb[opaque]
         else:
-            region[:] = idx
-            pregion[:] = True
-        frames.append(ct[np.minimum(canvas, len(ct) - 1)].copy())
+            region[:] = rgb
+        frames.append(canvas.copy())
         delays.append(delay_ms)
         if disposal == 2:  # restore to background
-            region[:] = bg_idx
-            pregion[:] = False
+            region[:] = bg_rgb
         elif disposal == 3 and before is not None:
             canvas[:] = before
         transparent = None
@@ -443,6 +445,8 @@ def encode_gif(
     if isinstance(frames, np.ndarray):
         frames = [frames]
     h, w = frames[0].shape
+    if any(fr.shape != (h, w) for fr in frames):
+        raise ValueError("encode_gif frames must share one shape")
     bits = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
     sz = 1 << bits
     pal = np.zeros((sz, 3), dtype=np.uint8)
