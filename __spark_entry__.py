@@ -819,6 +819,20 @@ def q_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential sample packing via the distributed prefix sum
+    (functions/corpus.py:pack_sequences over plans/ranks.global_cumsum):
+    per-bin doc counts and token sums at a 5000-token target."""
+    from xarray_spatial_spark.functions import corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    packed = corpus.pack_sequences(d, target_tokens=5000)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode + tile-assign the documents table, zonal stats
     per tile joined with nearest-hot-city allocation counts."""
@@ -882,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact": q_redact,
         "gopher": q_gopher,
         "corpus": q_corpus,
+        "pack": q_pack,
     }
 
 
@@ -1625,6 +1640,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher": _gopher_oracle(),
         "corpus": _corpus_oracle(),
+        "pack": """
+            -- greedy sequential packing == window prefix sum cut at
+            -- the 5000-token target (doc joins the bin of its start)
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum
+              FROM t
+            )
+            SELECT CAST(floor((cum - n_tokens) / 5000.0) AS BIGINT) AS bin_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM c GROUP BY 1
+        """,
         "snapshot_dedup": """
             -- keep-latest per key == row_number twin of the max_by
             -- aggregate (ties broken by event_id, unique)

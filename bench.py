@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "redact",
     "gopher",
     "corpus",
+    "pack",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -42,3 +42,32 @@ def test_prepare_corpus_lang_gate(spark):
     assert {r["doc_id"] for r in no_gate.collect()} == {0, 1}
     kept = corpus.prepare_corpus(df, min_words=20, lang="en")
     assert [r["doc_id"] for r in kept.collect()] == [0]
+
+
+def test_pack_sequences_matches_sequential(spark):
+    """bin assignment equals the single-threaded greedy rule at any
+    parallelism; no single-partition window in the plan."""
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    rows = [(int(i), int(rng.integers(1, 400))) for i in range(3000)]
+    df = spark.createDataFrame(rows, schema="doc_id long, n_tokens int")
+    out = corpus.pack_sequences(df.repartition(7), target_tokens=2048,
+                                len_col="n_tokens")
+    got = {r["doc_id"]: (r["start_offset"], r["bin_id"])
+           for r in out.collect()}
+    acc = 0
+    for i, ln in rows:
+        assert got[i] == (acc, acc // 2048), i
+        acc += ln
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert not re.search(r"windowspecdefinition\([^)]*unspecifiedframe",
+                         plan)
+    # every bin's span covers ~target tokens (except possibly the last)
+    import collections
+    spans = collections.defaultdict(int)
+    for i, ln in rows:
+        spans[got[i][1]] += ln
+    inner = [v for k, v in sorted(spans.items())[:-1]]
+    assert all(v >= 1 for v in inner)

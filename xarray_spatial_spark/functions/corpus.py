@@ -84,6 +84,43 @@ def prepare_corpus_stream(
     return out
 
 
+def pack_sequences(
+    df: DataFrame,
+    target_tokens: int,
+    len_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequential sample packing: concatenate documents in
+    ``id_col`` order and cut every ``target_tokens`` — each doc gets
+    the ``bin_id`` of its starting offset (the standard pretraining
+    packing rule; a doc may straddle its bin's end, exactly as the
+    concatenated token stream would).
+
+    Distributed scan, not a single-task window: the global running
+    token count comes from :func:`plans.ranks.global_cumsum` (range
+    partition + parallel local cumsum + broadcast offsets), so packing
+    10^12 docs costs two small shuffles.  Adds ``n_tokens``,
+    ``start_offset``, ``bin_id``."""
+    if target_tokens <= 0:
+        raise ValueError("target_tokens must be positive")
+    from xarray_spatial_spark.plans.ranks import global_cumsum
+
+    lens = df.withColumn(
+        "n_tokens",
+        F.col(len_col) if len_col else tx.token_count(F.col(text_col)),
+    )
+    cum = global_cumsum(lens, order_col=id_col, value_col="n_tokens",
+                        out_col="_cum")
+    return (
+        cum.withColumn("start_offset", F.col("_cum") - F.col("n_tokens"))
+        .withColumn(
+            "bin_id", F.floor(F.col("start_offset") / target_tokens)
+        )
+        .drop("_cum")
+    )
+
+
 def corpus_stats(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:

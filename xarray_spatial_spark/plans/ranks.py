@@ -21,6 +21,50 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = INCLUSIVE prefix sum of ``value_col`` in
+    ``order_col`` order — the distributed scan primitive (sequence
+    packing, offset assignment, quota cuts).  Same two-phase plan as
+    :func:`global_row_number`: range partition, per-partition window
+    cumsum (parallel), per-partition totals collected (<= #partitions
+    rows) into broadcast offsets.  Pass a unique ``order_col`` for a
+    deterministic total order."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n, order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # local feeds TWO consumers (totals collect + final join): persist
+    # so both see ONE materialized range partitioning — re-executed
+    # range sampling may draw different boundaries, silently skewing
+    # the offsets
+    local = parts.withColumn("_cs", F.sum(value_col).over(w)).persist()
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_tot")).collect()
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((int(row["_pid"]), acc))
+        acc += int(row["_tot"])
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    off_df = spark.createDataFrame(offsets, schema="_pid int, _off long")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_cs") + F.col("_off"))
+        .drop("_pid", "_cs", "_off")
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_col: str,
@@ -40,7 +84,7 @@ def global_row_number(
     )
     local = parts.withColumn(
         "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(order_col))
-    )
+    ).persist()  # two consumers; boundaries must match (see global_cumsum)
     counts = local.groupBy("_pid").agg(F.max("_rn").alias("_cnt")).collect()
     base = 1 if not zero_based else 0
     offsets, acc = [], base - 1
