@@ -833,6 +833,22 @@ def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token quota (functions/corpus.py:token_quota):
+    sources capped at 5000 tokens, docs taken in id order; per-source
+    kept-doc counts and token sums."""
+    from xarray_spatial_spark.functions import corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    kept = corpus.token_quota(d, per_source_tokens=5000)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode + tile-assign the documents table, zonal stats
     per tile joined with nearest-hot-city allocation counts."""
@@ -897,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher": q_gopher,
         "corpus": q_corpus,
         "pack": q_pack,
+        "quota": q_quota,
     }
 
 
@@ -1661,6 +1678,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
             FROM c GROUP BY 1
+        """,
+        "quota": """
+            WITH t AS (
+              SELECT doc_id, source,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum
+              FROM t
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM c WHERE cum - n_tokens < 5000 GROUP BY source
         """,
         "snapshot_dedup": """
             -- keep-latest per key == row_number twin of the max_by

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "gopher",
     "corpus",
     "pack",
+    "quota",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -71,3 +71,39 @@ def test_pack_sequences_matches_sequential(spark):
         spans[got[i][1]] += ln
     inner = [v for k, v in sorted(spans.items())[:-1]]
     assert all(v >= 1 for v in inner)
+
+
+def test_sample_mixture_deterministic_and_proportional(spark):
+    rows = [(i, ["web", "code", "wiki"][i % 3]) for i in range(9000)]
+    df = spark.createDataFrame(rows, schema="doc_id long, source string")
+    frac = {"web": 0.25, "code": 1.0}
+    a = corpus.sample_mixture(df, frac)
+    b = corpus.sample_mixture(df.repartition(13), frac)
+    ka = {r["doc_id"] for r in a.collect()}
+    kb = {r["doc_id"] for r in b.collect()}
+    assert ka == kb                       # parallelism-invariant
+    by = {s: len([i for i in ka if rows[i][1] == s])
+          for s in ("web", "code", "wiki")}
+    assert by["code"] == 3000             # frac 1.0 keeps all
+    assert by["wiki"] == 0                # default 0.0 drops all
+    assert 0.18 * 3000 < by["web"] < 0.32 * 3000
+    # different salt -> different (but same-rate) subset
+    kc = {r["doc_id"] for r in corpus.sample_mixture(df, frac, salt=7).collect()}
+    assert kc != ka
+
+
+def test_token_quota_cuts_per_source(spark):
+    rows = [(i, "a" if i < 50 else "b", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, schema="doc_id long, source string, n_tokens int")
+    out = corpus.token_quota(df, per_source_tokens=1000, len_col="n_tokens")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(got["a"]) == list(range(10))       # 10 * 100 = quota
+    assert sorted(got["b"]) == list(range(50, 60))
+    # soft cut: a doc straddling the line is kept
+    df2 = spark.createDataFrame([(0, "a", 900), (1, "a", 900), (2, "a", 900)],
+                                schema="doc_id long, source string, n_tokens int")
+    kept = [r["doc_id"] for r in corpus.token_quota(
+        df2, 1000, len_col="n_tokens").collect()]
+    assert sorted(kept) == [0, 1]

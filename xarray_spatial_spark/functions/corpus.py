@@ -121,6 +121,68 @@ def pack_sequences(
     )
 
 
+def sample_mixture(
+    df: DataFrame,
+    fractions: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-source subsampling to a target mixture
+    (DoReMi-style static domain weights): keep a doc iff
+    ``pmod(xxhash64(id, salt), 1e6) < frac(source) * 1e6``.
+
+    Hash-based, not rand(): the same doc keeps/drops at any
+    parallelism, on resume, and in the SQL oracle — the engine's
+    determinism rule.  Sources absent from ``fractions`` get
+    ``default``.  Pure codegen filter in the scan stage."""
+    M = 1_000_000
+    expr = F.lit(int(default * M))
+    for src, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {src!r} must be in [0, 1]")
+        expr = F.when(F.col(source_col) == src, F.lit(int(frac * M))).otherwise(expr)
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(M))
+    return df.filter(bucket < expr)
+
+
+def token_quota(
+    df: DataFrame,
+    per_source_tokens: int,
+    source_col: str = "source",
+    len_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap each source's contribution at ``per_source_tokens``: docs
+    are taken in ``id_col`` order until the source's running token sum
+    would exceed the quota (the doc that crosses the line is the last
+    one kept — quota is a soft cut at doc granularity).
+
+    The cumsum here is a PARTITIONED window (per source), which Spark
+    parallelizes across sources — no single-task global window; a
+    source so hot that its own rows overwhelm one task is exactly the
+    case where you'd subsample it first (:func:`sample_mixture`)."""
+    if per_source_tokens <= 0:
+        raise ValueError("per_source_tokens must be positive")
+    from pyspark.sql import Window
+
+    lens = df.withColumn(
+        "n_tokens",
+        F.col(len_col) if len_col else tx.token_count(F.col(text_col)),
+    )
+    w = (
+        Window.partitionBy(source_col).orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = lens.withColumn("_cum", F.sum("n_tokens").over(w))
+    return (
+        cum.filter(F.col("_cum") - F.col("n_tokens") < per_source_tokens)
+        .drop("_cum")
+    )
+
+
 def corpus_stats(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
