@@ -849,6 +849,25 @@ def q_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (5 iterations) over a deterministic host link
+    graph derived from the documents table
+    (functions/graph.py:pagerank; oracle = unrolled CTE chain)."""
+    from xarray_spatial_spark.functions import graph
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    parts = [
+        d.select(
+            (F.col("doc_id") % 40).alias("src"),
+            ((F.col("doc_id") * 7 + k) % 40).alias("dst"),
+        )
+        for k in (1, 2, 3)
+    ]
+    edges = parts[0].union(parts[1]).union(parts[2]).distinct()
+    pr = graph.pagerank(edges, iters=5)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode + tile-assign the documents table, zonal stats
     per tile joined with nearest-hot-city allocation counts."""
@@ -914,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus": q_corpus,
         "pack": q_pack,
         "quota": q_quota,
+        "pagerank": q_pagerank,
     }
 
 
@@ -1657,6 +1677,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher": _gopher_oracle(),
         "corpus": _corpus_oracle(),
+        "pagerank": _pagerank_oracle(),
         "pack": """
             -- greedy sequential packing == window prefix sum cut at
             -- the 5000-token target (doc joins the bin of its start)
@@ -1873,6 +1894,41 @@ def _corpus_oracle() -> str:
         )
         SELECT doc_id, {red} AS text FROM uniq
     """
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Damped PageRank twin: the iteration count is small and fixed,
+    so the recurrence unrolls into a chain of CTEs — no recursive-CTE
+    aggregate restrictions to fight."""
+    ctes = [
+        """edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id % 40 AS src, (doc_id * 7 + 1) % 40 AS dst FROM documents
+            UNION ALL
+            SELECT doc_id % 40, (doc_id * 7 + 2) % 40 FROM documents
+            UNION ALL
+            SELECT doc_id % 40, (doc_id * 7 + 3) % 40 FROM documents
+          )
+        )""",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        """nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+        )""",
+        "pr0 AS (SELECT node, 1.0 AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""pr{i + 1} AS (
+          SELECT n.node, 0.15 + 0.85 * COALESCE(c.s, 0.0) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.rank / d.d) AS s
+            FROM pr{i} p JOIN edges e ON e.src = p.node
+                         JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) c ON c.node = n.node
+        )""")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT node, round(rank, 6) AS rank FROM pr{iters}")
 
 
 def _pyramid_oracle(zoom: int = 6, min_zoom: int = 3) -> str:

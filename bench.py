@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "corpus",
     "pack",
     "quota",
+    "pagerank",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
