@@ -868,6 +868,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected connected components over a deterministic
+    block-structured host graph (functions/graph.py:
+    connected_components; min-label fixed point == the recursive SQL
+    twin's, independent of round counts)."""
+    from xarray_spatial_spark.functions import graph
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    s = (F.col("doc_id") % 300)
+    edges = d.select(
+        s.alias("src"),
+        (s - (s % 10) + (s + F.col("doc_id")) % 10).alias("dst"),
+    ).distinct()
+    return graph.connected_components(edges).select("node", "label")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode + tile-assign the documents table, zonal stats
     per tile joined with nearest-hot-city allocation counts."""
@@ -934,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack": q_pack,
         "quota": q_quota,
         "pagerank": q_pagerank,
+        "components": q_components,
     }
 
 
@@ -1678,6 +1695,31 @@ def oracle_sql() -> dict[str, str]:
         "gopher": _gopher_oracle(),
         "corpus": _corpus_oracle(),
         "pagerank": _pagerank_oracle(),
+        "components": """
+            -- min-label fixed point; 12 bounded rounds >= any block
+            -- diameter here, and the fixed point is round-count
+            -- independent (same invariant as the regions CCL oracle)
+            WITH RECURSIVE
+            e0 AS (
+              SELECT DISTINCT (doc_id % 300) AS src,
+                     (doc_id % 300) - ((doc_id % 300) % 10)
+                       + ((doc_id % 300 + doc_id) % 10) AS dst
+              FROM documents
+            ),
+            sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            adj AS (SELECT src, dst FROM sym
+                    UNION SELECT node, node FROM nodes),
+            cc AS (
+              SELECT 0 AS it, node, node AS label FROM nodes
+              UNION ALL
+              SELECT c.it + 1, a.dst AS node, MIN(c.label) AS label
+              FROM cc c JOIN adj a ON a.src = c.node
+              WHERE c.it < 12
+              GROUP BY c.it, a.dst
+            )
+            SELECT node, label FROM cc WHERE it = 12
+        """,
         "pack": """
             -- greedy sequential packing == window prefix sum cut at
             -- the 5000-token target (doc joins the bin of its start)

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "pack",
     "quota",
     "pagerank",
+    "components",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -28,6 +28,58 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, label) where label = the smallest node id in the node's
+    undirected component — min-label propagation with a per-round
+    convergence check and eager checkpoints (see module docstring for
+    why caching alone dies on iterative lineage).
+
+    Each round does a neighbor-min step AND a pointer-jump step
+    (label <- label's label), so propagation distance roughly doubles
+    per round — O(log diameter) rounds, not O(diameter); the classic
+    shortcutting trick (the raster CCL in operators/regions.py uses
+    the same jump over its run graph)."""
+    sym = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .union(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+    )
+    nodes = sym.select(F.col("_s").alias("node")).distinct()
+    # self-loops make one min-aggregation cover both "keep my label"
+    # and "take a neighbor's" — the monotone step of the fixed point
+    adj = sym.union(nodes.select(F.col("node").alias("_s"),
+                                 F.col("node").alias("_d"))).localCheckpoint()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    for _ in range(max_iters):
+        stepped = (
+            adj.join(labels, adj["_s"] == labels["node"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: every label IS a node id, so label(label) exists
+        m = stepped.select(F.col("node").alias("_ln"),
+                           F.col("label").alias("_ll"))
+        new_labels = (
+            stepped.join(m, stepped["label"] == m["_ln"])
+            .select("node", F.col("_ll").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 10,
