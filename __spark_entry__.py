@@ -884,6 +884,18 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components(edges).select("node", "label")
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style self-perplexity: add-alpha bigram LM counted from
+    the corpus scores every doc (functions/text.py:lm_cross_entropy)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = tx.lm_cross_entropy(d)
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode + tile-assign the documents table, zonal stats
     per tile joined with nearest-hot-city allocation counts."""
@@ -951,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota": q_quota,
         "pagerank": q_pagerank,
         "components": q_components,
+        "lm_score": q_lm_score,
     }
 
 
@@ -1695,6 +1708,43 @@ def oracle_sql() -> dict[str, str]:
         "gopher": _gopher_oracle(),
         "corpus": _corpus_oracle(),
         "pagerank": _pagerank_oracle(),
+        "lm_score": """
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE string_split_regex(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            uni AS (
+              SELECT w1, count(*) AS c1
+              FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1
+            ),
+            v AS (SELECT count(*) AS V FROM uni),
+            bgl AS (
+              SELECT doc_id,
+                list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1]) AS grams,
+                list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i]) AS w1s
+              FROM t WHERE len(toks) >= 2
+            ),
+            bg AS (SELECT doc_id, unnest(grams) AS gram, unnest(w1s) AS w1
+                   FROM bgl),
+            bic AS (SELECT gram, count(*) AS c12 FROM bg GROUP BY gram),
+            j AS (
+              SELECT b.doc_id,
+                -ln((COALESCE(bc.c12, 0) + 0.5)
+                    / (COALESCE(u.c1, 0) + 0.5 * v.V)) AS nll
+              FROM bg b LEFT JOIN bic bc USING (gram)
+                        LEFT JOIN uni u ON u.w1 = b.w1, v
+            ),
+            agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(nll) AS h
+                    FROM j GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                   round(a.h, 6) AS cross_entropy
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN agg a USING (doc_id)
+        """,
         "components": """
             -- min-label fixed point; 12 bounded rounds >= any block
             -- diameter here, and the fixed point is round-count

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "quota",
     "pagerank",
     "components",
+    "lm_score",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -202,3 +202,38 @@ def test_gopher_signals_and_keep(spark):
     assert out[1]["keep"] is False and out[1]["bullet_line_frac"] == 1.0
     assert out[2]["keep"] is False and out[2]["symbol_word_ratio"] > 0.1
     assert out[3]["keep"] is False and out[3]["n_words"] == 2
+
+
+def test_lm_cross_entropy_orders_fluency(spark):
+    from xarray_spatial_spark.functions import text as tx
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    train_rows = [(i, common) for i in range(20)] + [
+        (100 + i, f"doc number {i} about cats and dogs on mats") for i in range(10)
+    ]
+    train = spark.createDataFrame(train_rows, schema="doc_id long, text string")
+    score_rows = [
+        (0, "the cat sat on the mat"),        # in-domain: low H
+        (1, "zqx vlk wmp qrs ttv bbn"),       # gibberish: high H
+        (2, "one"),                           # < 2 tokens: NULL
+    ]
+    score = spark.createDataFrame(score_rows, schema="doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           tx.lm_cross_entropy(train, score).collect()}
+    assert got[0]["cross_entropy"] < got[1]["cross_entropy"]
+    assert got[2]["n_bigrams"] == 0 and got[2]["cross_entropy"] is None
+    # hand-check one bigram's probability: 'the cat' vs smoothing math
+    import math
+    uni = {}
+    bi = {}
+    for _, t in train_rows:
+        ws = t.split()
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    V = len(uni)
+    doc = score_rows[0][1].split()
+    nll = [-math.log((bi.get((a, b), 0) + 0.5) / (uni.get(a, 0) + 0.5 * V))
+           for a, b in zip(doc, doc[1:])]
+    assert abs(got[0]["cross_entropy"] - sum(nll) / len(nll)) < 1e-9

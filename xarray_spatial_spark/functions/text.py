@@ -284,6 +284,85 @@ def gopher_keep(text: Column, min_words: int = 50, max_words: int = 100000) -> C
     )
 
 
+# ---------------------------------------------------------------------------
+# n-gram LM cross-entropy (CCNet-style perplexity quality signal)
+# ---------------------------------------------------------------------------
+
+
+def bigrams(text: Column) -> Column:
+    """Array of 'w1 w2' token bigrams ([] for < 2 tokens)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lm_cross_entropy(
+    train, score=None, alpha: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id",
+):
+    """Per-doc cross-entropy under an add-alpha-smoothed bigram LM
+    counted from ``train`` — the CCNet-style perplexity filter shape
+    (score docs against a reference corpus LM; here the LM is built
+    with the same engine instead of an external KenLM binary):
+
+        H(doc) = mean over bigrams of -ln (c(w1 w2) + a) / (c(w1) + a V)
+
+    Low H ~= fluent in-domain text; high H ~= gibberish/outliers.
+
+    Scale design: the LM is two count tables (unigrams, bigrams) built
+    by hash aggregation — counts, never text, shuffle.  Scoring is two
+    equi-joins on the gram string; frequent-gram skew is an AQE
+    skew-join case, and a small LM broadcasts automatically under the
+    session's autoBroadcast threshold.  Returns
+    ``(id, n_bigrams, cross_entropy)``; docs with < 2 tokens score
+    NULL.  ``score`` defaults to ``train`` (self-perplexity)."""
+    from pyspark.sql import DataFrame  # noqa: F401  (doc typing)
+
+    if score is None:
+        score = train
+    uni = (
+        train.select(F.explode(tokens(F.col(text_col))).alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+        .persist()
+    )
+    vocab = uni.count()
+    bi = (
+        train.select(F.explode(bigrams(F.col(text_col))).alias("gram"))
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("_c12"))
+    )
+    doc_bi = score.select(
+        F.col(id_col), F.explode(bigrams(F.col(text_col))).alias("gram")
+    ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+    joined = (
+        doc_bi.join(bi, "gram", "left")
+        .join(uni, "w1", "left")
+        .withColumn(
+            "_nll",
+            -F.log(
+                (F.coalesce("_c12", F.lit(0)) + F.lit(alpha))
+                / (F.coalesce("_c1", F.lit(0)) + F.lit(alpha * vocab))
+            ),
+        )
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("_nll").alias("cross_entropy"),
+    )
+    ids = score.select(id_col).distinct()
+    return ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.col("cross_entropy"),
+    )
+
+
 def fingerprint_sql(text_expr: str) -> str:
     """The identical fingerprint as DuckDB SQL: map tokens to their
     numeric contribution, then fold with a prepended 0 as the initial
