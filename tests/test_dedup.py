@@ -356,3 +356,31 @@ def test_simhash_band_plan_large_hamming():
     import pytest
     with pytest.raises(ValueError):
         simhash_band_plan(1000, 64)
+
+
+def test_near_dup_groups_transitive(spark):
+    """A-B and B-C similar (A-C never paired) still collapse into one
+    group keyed by the smallest id."""
+    from xarray_spatial_spark.functions.dedup import near_dup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], schema="id_a long, id_b long")
+    got = {r["doc_id"]: r["group_id"] for r in near_dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_groups_end_to_end_minhash(spark):
+    from xarray_spatial_spark.functions.dedup import (
+        minhash_dedup_pairs, near_dup_groups,
+    )
+
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+            "do eiusmod tempor incididunt ut labore et dolore magna")
+    rows = [(0, base), (1, base + " x"), (2, base + " x y"),
+            (3, "a totally different unrelated document about engines")]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    pairs = minhash_dedup_pairs(df, threshold=0.7, k=5)
+    groups = {r["doc_id"]: r["group_id"]
+              for r in near_dup_groups(pairs).collect()}
+    assert groups[0] == groups[1] == groups[2] == 0
+    assert 3 not in groups  # unpaired docs form no group rows
