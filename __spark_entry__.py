@@ -896,6 +896,15 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per doc by smoothed tf-idf
+    (functions/text.py:tf_idf; per-doc window, equi-join idf)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = tx.tf_idf(d, top_k=3)
+    return out.select("doc_id", "term",
+                      F.round("tf_idf", 6).alias("tf_idf"), "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode + tile-assign the documents table, zonal stats
     per tile joined with nearest-hot-city allocation counts."""
@@ -964,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "components": q_components,
         "lm_score": q_lm_score,
+        "tfidf": q_tfidf,
     }
 
 
@@ -1708,6 +1718,37 @@ def oracle_sql() -> dict[str, str]:
         "gopher": _gopher_oracle(),
         "corpus": _corpus_oracle(),
         "pagerank": _pagerank_oracle(),
+        "tfidf": """
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE string_split_regex(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+            tf AS (SELECT doc_id, term, count(*) AS tc
+                   FROM terms GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS dln
+                   FROM terms GROUP BY doc_id),
+            dfq AS (SELECT term, count(DISTINCT doc_id) AS dfc
+                    FROM terms GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS N FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.term,
+                (tf.tc / CAST(dl.dln AS DOUBLE))
+                  * (ln((n.N + 1) / CAST(dfq.dfc + 1 AS DOUBLE)) + 1.0)
+                  AS tfidf
+              FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term), n
+            ),
+            r AS (
+              SELECT doc_id, term, tfidf,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+              FROM s
+            )
+            SELECT doc_id, term, round(tfidf, 6) AS tf_idf, rank
+            FROM r WHERE rank <= 3
+        """,
         "lm_score": """
             WITH t AS (
               SELECT doc_id,

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "pagerank",
     "components",
     "lm_score",
+    "tfidf",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

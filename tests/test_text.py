@@ -237,3 +237,27 @@ def test_lm_cross_entropy_orders_fluency(spark):
     nll = [-math.log((bi.get((a, b), 0) + 0.5) / (uni.get(a, 0) + 0.5 * V))
            for a, b in zip(doc, doc[1:])]
     assert abs(got[0]["cross_entropy"] - sum(nll) / len(nll)) < 1e-9
+
+
+def test_tf_idf_top_terms(spark):
+    from xarray_spatial_spark.functions import text as tx
+    import math
+
+    rows = [
+        (0, "apple apple apple banana the the"),
+        (1, "banana cherry the the the"),
+        (2, "the the the the"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf_idf"])
+           for r in tx.tf_idf(df, top_k=2).collect()}
+    # doc 0's top term is 'apple' (frequent in-doc, rare in corpus)
+    assert got[(0, 1)][0] == "apple"
+    # smooth idf floors at 1.0: doc 1's dominant 'the' (tf 0.6) still
+    # outranks the rare terms; among those, cherry (df=1, idf 1.69)
+    # beats banana (df=2, idf 1.29) at equal tf
+    assert got[(1, 1)][0] == "the"
+    assert got[(1, 2)][0] == "cherry"
+    # exact values: doc0 apple = 3/6 * (ln(4/2)+1); doc1 the = 3/5 * 1
+    assert abs(got[(0, 1)][1] - (3 / 6) * (math.log(4 / 2) + 1)) < 1e-12
+    assert abs(got[(1, 1)][1] - 3 / 5) < 1e-12

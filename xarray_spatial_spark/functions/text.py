@@ -284,6 +284,49 @@ def gopher_keep(text: Column, min_words: int = 50, max_words: int = 100000) -> C
     )
 
 
+def tf_idf(
+    df, top_k: int = 10, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Top-k terms per document by smoothed tf-idf:
+
+        tfidf(t, d) = (count(t in d) / len(d)) * (ln((N+1)/(df_t+1)) + 1)
+
+    (the sklearn-style smooth idf).  Ties break (score desc, term asc)
+    so output is deterministic.  Scale shape: term counts are hash
+    aggregates; the idf join is an equi-join on the term (frequent
+    terms are AQE skew-join keys; a small vocabulary auto-broadcasts);
+    the top-k window partitions BY DOCUMENT — never a global sort.
+    Returns (id, term, tf_idf, rank)."""
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tc"))
+    doclen = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = (
+        terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(doclen, id_col)
+        .join(dfreq, "term")
+        .withColumn(
+            "tf_idf",
+            (F.col("_tc") / F.col("_dl"))
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1.0),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf_idf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf_idf", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram LM cross-entropy (CCNet-style perplexity quality signal)
 # ---------------------------------------------------------------------------
