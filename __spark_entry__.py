@@ -411,6 +411,55 @@ def q_classify_box_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("cls").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_classify_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six classifiers (equal_interval / quantile / reclassify /
+    std_mean / percentiles / box_plot) unioned with a method tag —
+    one driver-correctness row covering the whole classify family
+    (operators/classify.py) so the driver's 50-query window has room
+    for every oracle-backed operator."""
+    from functools import reduce
+
+    parts = [
+        ("equal_interval", q_classify_equal_interval),
+        ("quantile", q_classify_quantile),
+        ("reclassify", q_classify_reclassify),
+        ("std_mean", q_classify_std_mean),
+        ("percentiles", q_classify_percentiles),
+        ("box_plot", q_classify_box_plot),
+    ]
+    dfs = [
+        fn(spark, sf_dir).select(F.lit(name).alias("method"), "cls", "n")
+        for name, fn in parts
+    ]
+    return reduce(DataFrame.unionByName, dfs)
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint invariant: html binary -> byte-identical extracted
+    text per url (sources/documents.py extract_text).  testdata has no
+    html column, so the query synthesizes the CC-style wrapper
+    deterministically from text, round-trips it through the binary
+    codec + tag-stripper, and emits the per-doc byte-equality verdict
+    plus extracted length — all pure Catalyst expressions."""
+    from xarray_spatial_spark.sources.documents import extract_text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    html = F.encode(
+        F.concat(
+            F.lit('<html><head><meta charset="utf-8"/></head><body><p>'),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    ext = extract_text(html)
+    return d.select(
+        "doc_id",
+        F.length(ext).cast("long").alias("n_extracted"),
+        (ext == F.col("text")).alias("byte_identical"),
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select(
@@ -914,57 +963,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ORDER MATTERS: the driver's correctness run evaluates the first
+    50 entries.  Every oracle-backed query (an ``oracle_sql()`` key)
+    comes first so each one gets a hard hash-compare row in
+    CORRECTNESS_r{N}.json; the rows-only checks (seeded-hash /
+    probabilistic / tie-broken-geometry queries whose deterministic
+    projections ARE oracle-backed above) trail at the end."""
     return {
+        # --- oracle-backed (must all sit inside the driver's window) ---
         "tile_assign": q_tile_assign,
         "zonal_stats": q_zonal_stats,
         "zonal_crosstab": q_zonal_crosstab,
         "zonal_apply": q_zonal_apply,
         "zonal_crop": q_zonal_crop,
         "zonal_stats_tiled": q_zonal_stats_tiled,
-        "classify_equal_interval": q_classify_equal_interval,
-        "classify_quantile": q_classify_quantile,
-        "classify_reclassify": q_classify_reclassify,
-        "classify_std_mean": q_classify_std_mean,
+        "zonal_stats_fused": q_zonal_stats_fused,
+        "classify_maps": q_classify_maps,
         "multispectral": q_multispectral,
         "local_cellstats": q_local_cellstats,
         "proximity_nn": q_proximity_nn,
         "knn3": q_knn3,
+        "knn_ring": q_knn_ring,
         "surface_slope": q_surface_slope,
         "focal_mean": q_focal_mean,
-        "text_stats": q_text_stats,
-        "langid": q_langid,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "window_events": q_window_events,
-        "similarity_topk": q_similarity_topk,
-        "pip_assign": q_pip_assign,
-        "zonal_stats_fused": q_zonal_stats_fused,
-        "resample_down": q_resample_down,
-        "classify_percentiles": q_classify_percentiles,
-        "classify_box_plot": q_classify_box_plot,
-        "quality_score": q_quality_score,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_groups": q_simhash_groups,
-        "simhash_neardup": q_simhash_neardup,
-        "knn_ring": q_knn_ring,
-        "color_viz": q_color_viz,
         "hotspots": q_hotspots,
         "regions": q_regions,
-        "polygonize": q_polygonize,
         "polygonize_area": q_polygonize_area,
-        "a_star": q_a_star,
         "a_star_cost": q_a_star_cost,
+        "viewshed_vis": q_viewshed_vis,
+        "resample_down": q_resample_down,
+        "color_viz": q_color_viz,
+        "pyramid": q_pyramid,
+        "pip_assign": q_pip_assign,
+        "text_stats": q_text_stats,
+        "langid": q_langid,
+        "quality_score": q_quality_score,
+        "extract_text": q_extract_text,
+        "dedup_exact": q_dedup_exact,
+        "snapshot_dedup": q_snapshot_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
-        "viewshed": q_viewshed,
-        "viewshed_vis": q_viewshed_vis,
-        "terrain": q_terrain,
-        "embedding_neardup": q_embedding_neardup,
-        "ivf_topk": q_ivf_topk,
-        "pyramid": q_pyramid,
-        "snapshot_dedup": q_snapshot_dedup,
-        "host_agg": q_host_agg,
         "redact": q_redact,
         "gopher": q_gopher,
         "corpus": q_corpus,
@@ -974,6 +1014,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components": q_components,
         "lm_score": q_lm_score,
         "tfidf": q_tfidf,
+        "similarity_topk": q_similarity_topk,
+        "ivf_topk": q_ivf_topk,
+        "host_agg": q_host_agg,
+        "window_events": q_window_events,
+        # --- rows-only (no SQL twin; deterministic projections above) ---
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_groups": q_simhash_groups,
+        "simhash_neardup": q_simhash_neardup,
+        "polygonize": q_polygonize,
+        "a_star": q_a_star,
+        "viewshed": q_viewshed,
+        "terrain": q_terrain,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -1075,49 +1128,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT rz.y, rz.x, rz.zone, rz.value FROM rz, box
             WHERE rz.y BETWEEN box.y0 AND box.y1 AND rz.x BETWEEN box.x0 AND box.x1
         """,
-        "classify_equal_interval": """
+        "classify_maps": """
             WITH r AS (SELECT value FROM events),
             mm AS (SELECT min(value) lo, max(value) hi,
-                          (max(value) - min(value)) / 5 AS w FROM r)
-            SELECT CASE WHEN value <= lo + w THEN 0.0
+                          (max(value) - min(value)) / 5 AS w FROM r),
+            qq AS (SELECT quantile_cont(value, 0.25) q1, quantile_cont(value, 0.5) q2,
+                          quantile_cont(value, 0.75) q3, quantile_cont(value, 1.0) q4
+                   FROM r),
+            s AS (SELECT avg(value) m, stddev_pop(value) sd, max(value) mx FROM r),
+            sb AS (SELECT m - 2*sd AS b0, m - sd AS b1, m + sd AS b2,
+                          m + 2*sd AS b3, mx AS b4 FROM s),
+            pp AS (SELECT quantile_cont(value, 0.10) p1, quantile_cont(value, 0.50) p2,
+                          quantile_cont(value, 0.90) p3, max(value) mx FROM r),
+            bq AS (SELECT quantile_cont(value, 0.25) q1, quantile_cont(value, 0.5) q2,
+                          quantile_cont(value, 0.75) q3, max(value) mx FROM r),
+            bb AS (SELECT q1 - 1.5*(q3-q1) AS b0, q1 AS b1, q2 AS b2, q3 AS b3,
+                          least(q3 + 1.5*(q3-q1), mx) AS b4,
+                          greatest(q3 + 1.5*(q3-q1), mx) AS b5 FROM bq)
+            SELECT 'equal_interval' AS method,
+                   CASE WHEN value <= lo + w THEN 0.0
                         WHEN value <= lo + 2*w THEN 1.0
                         WHEN value <= lo + 3*w THEN 2.0
                         WHEN value <= lo + 4*w THEN 3.0
                         WHEN value <= hi THEN 4.0 END AS cls,
                    count(*) AS n
-            FROM r, mm GROUP BY 1
-        """,
-        "classify_quantile": """
-            WITH r AS (SELECT value FROM events),
-            q AS (SELECT quantile_cont(value, 0.25) q1, quantile_cont(value, 0.5) q2,
-                         quantile_cont(value, 0.75) q3, quantile_cont(value, 1.0) q4
-                  FROM r)
-            SELECT CASE WHEN value <= q1 THEN 0.0
+            FROM r, mm GROUP BY 1, 2
+            UNION ALL
+            SELECT 'quantile' AS method,
+                   CASE WHEN value <= q1 THEN 0.0
                         WHEN value <= q2 THEN 1.0
                         WHEN value <= q3 THEN 2.0
                         WHEN value <= q4 THEN 3.0 END AS cls,
                    count(*) AS n
-            FROM r, q GROUP BY 1
-        """,
-        "classify_reclassify": """
-            SELECT CASE WHEN l_quantity <= 10 THEN 1.0
+            FROM r, qq GROUP BY 1, 2
+            UNION ALL
+            SELECT 'reclassify' AS method,
+                   CASE WHEN l_quantity <= 10 THEN 1.0
                         WHEN l_quantity <= 25 THEN 2.0
                         WHEN l_quantity <= 50 THEN 3.0 END AS cls,
                    count(*) AS n
-            FROM lineitem GROUP BY 1
-        """,
-        "classify_std_mean": """
-            WITH r AS (SELECT value FROM events),
-            s AS (SELECT avg(value) m, stddev_pop(value) sd, max(value) mx FROM r),
-            b AS (SELECT m - 2*sd AS b0, m - sd AS b1, m + sd AS b2,
-                         m + 2*sd AS b3, mx AS b4 FROM s)
-            SELECT CASE WHEN value <= b0 THEN 0.0
+            FROM lineitem GROUP BY 1, 2
+            UNION ALL
+            SELECT 'std_mean' AS method,
+                   CASE WHEN value <= b0 THEN 0.0
                         WHEN value <= b1 THEN 1.0
                         WHEN value <= b2 THEN 2.0
                         WHEN value <= b3 THEN 3.0
                         WHEN value <= b4 THEN 4.0 END AS cls,
                    count(*) AS n
-            FROM r, b GROUP BY 1
+            FROM r, sb GROUP BY 1, 2
+            UNION ALL
+            SELECT 'percentiles' AS method,
+                   CASE WHEN value <= p1 THEN 0.0
+                        WHEN value <= p2 THEN 1.0
+                        WHEN value <= p3 THEN 2.0
+                        WHEN value <= mx THEN 3.0 END AS cls,
+                   count(*) AS n
+            FROM r, pp GROUP BY 1, 2
+            UNION ALL
+            SELECT 'box_plot' AS method,
+                   CASE WHEN value <= b0 THEN 0.0
+                        WHEN value <= b1 THEN 1.0
+                        WHEN value <= b2 THEN 2.0
+                        WHEN value <= b3 THEN 3.0
+                        WHEN value <= b4 THEN 4.0
+                        WHEN value <= b5 THEN 5.0 END AS cls,
+                   count(*) AS n
+            FROM r, bb GROUP BY 1, 2
+        """,
+        "extract_text": """
+            WITH h AS (
+              SELECT doc_id, text,
+                     '<html><head><meta charset="utf-8"/></head><body><p>'
+                       || text || '</p></body></html>' AS html
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(regexp_replace(html, '<[^>]*>', '', 'g'))
+                        AS BIGINT) AS n_extracted,
+                   regexp_replace(html, '<[^>]*>', '', 'g') = text
+                     AS byte_identical
+            FROM h
         """,
         "multispectral": """
             WITH b AS (
@@ -1367,33 +1458,6 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS value
             FROM r GROUP BY 1, 2
         """,
-        "classify_percentiles": """
-            WITH r AS (SELECT value FROM events),
-            q AS (SELECT quantile_cont(value, 0.10) p1, quantile_cont(value, 0.50) p2,
-                         quantile_cont(value, 0.90) p3, max(value) mx FROM r)
-            SELECT CASE WHEN value <= p1 THEN 0.0
-                        WHEN value <= p2 THEN 1.0
-                        WHEN value <= p3 THEN 2.0
-                        WHEN value <= mx THEN 3.0 END AS cls,
-                   count(*) AS n
-            FROM r, q GROUP BY 1
-        """,
-        "classify_box_plot": """
-            WITH r AS (SELECT value FROM events),
-            q AS (SELECT quantile_cont(value, 0.25) q1, quantile_cont(value, 0.5) q2,
-                         quantile_cont(value, 0.75) q3, max(value) mx FROM r),
-            b AS (SELECT q1 - 1.5*(q3-q1) AS b0, q1 AS b1, q2 AS b2, q3 AS b3,
-                         least(q3 + 1.5*(q3-q1), mx) AS b4,
-                         greatest(q3 + 1.5*(q3-q1), mx) AS b5 FROM q)
-            SELECT CASE WHEN value <= b0 THEN 0.0
-                        WHEN value <= b1 THEN 1.0
-                        WHEN value <= b2 THEN 2.0
-                        WHEN value <= b3 THEN 3.0
-                        WHEN value <= b4 THEN 4.0
-                        WHEN value <= b5 THEN 5.0 END AS cls,
-                   count(*) AS n
-            FROM r, b GROUP BY 1
-        """,
         "quality_score": """
             WITH t AS (
               SELECT doc_id, text,
@@ -1596,22 +1660,26 @@ def oracle_sql() -> dict[str, str]:
                     AS zone, value FROM r),
             h AS (SELECT zone, value AS v, count(*) AS c
                   FROM z GROUP BY zone, value),
+            -- two-pass var: mean first, then sum((v-mean)^2 * c).
+            -- Mirrors _finals_from_hist (operators/zonal.py) so the
+            -- round(...,6) projection is ~1e-11 from the Spark value
+            -- instead of a summation-order midpoint lottery.
+            m2 AS (SELECT zone, sum(v * c) / sum(c) AS mean
+                   FROM h GROUP BY zone),
             f AS (
-              SELECT zone,
+              SELECT h.zone,
                      CAST(sum(c) AS BIGINT) AS count,
                      sum(v * c) AS s, min(v) AS mn, max(v) AS mx,
-                     sum(v * v * c) AS ssq,
+                     sum((v - m2.mean) * (v - m2.mean) * c) AS wss,
                      min(struct_pack(n := -c, v := v)) AS m
-              FROM h GROUP BY zone
+              FROM h JOIN m2 ON h.zone = m2.zone GROUP BY h.zone
             )
             SELECT zone,
                    round(s / count, 6) AS mean,
                    round(mx, 6) AS max, round(mn, 6) AS min,
                    round(s, 4) AS sum,
-                   round(sqrt(greatest(ssq / count - (s/count)*(s/count),
-                                       0.0)), 6) AS std,
-                   round(greatest(ssq / count - (s/count)*(s/count),
-                                  0.0), 6) AS var,
+                   round(sqrt(greatest(wss / count, 0.0)), 6) AS std,
+                   round(greatest(wss / count, 0.0), 6) AS var,
                    count,
                    round(m.v, 6) AS majority
             FROM f

@@ -129,18 +129,35 @@ def stats_fused(
 
 def _finals_from_hist(hist: DataFrame) -> DataFrame:
     """(zone, _v, _c) value histogram -> per-zone finals incl.
-    majority (count/sum/min/max/mean/std/var from sum/sum² combine,
-    majority = highest count then smallest value)."""
+    majority (count/sum/min/max/mean/std/var, majority = highest
+    count then smallest value).
+
+    var is TWO-PASS over the histogram — ``sum((v-mean)²·c)/count``
+    with the mean taken from a zone-partitioned window — not the
+    one-pass ``sumsq/count − mean²`` catastrophic-cancellation form:
+    the one-pass residual depends on float accumulation order across
+    partitions (~1e-6 absolute at raster magnitudes), which made
+    round(var, 6) a midpoint lottery against any independent engine.
+    Two-pass shrinks the order-dependence to ~1e-11.  Cost: one extra
+    exchange of the COLLAPSED histogram (zones × distinct values —
+    the final groupBy still ships only #zones map-side partials), a
+    rounding error next to the cell-scale first aggregation for the
+    classed rasters this path exists for."""
+    w = Window.partitionBy("zone")
+    hist = hist.withColumn(
+        "_mean", F.sum(F.col("_v") * F.col("_c")).over(w) / F.sum("_c").over(w)
+    )
+    dev = F.col("_v") - F.col("_mean")
     out = hist.groupBy("zone").agg(
         F.sum("_c").alias("count"),
         F.sum(F.col("_v") * F.col("_c")).alias("sum"),
         F.min("_v").alias("min"),
         F.max("_v").alias("max"),
-        F.sum(F.col("_v") * F.col("_v") * F.col("_c")).alias("_sumsq"),
+        F.sum(dev * dev * F.col("_c")).alias("_wss"),
         F.min(F.struct((-F.col("_c")).alias("_n"), F.col("_v").alias("v"))).alias("_m"),
     )
     mean = F.col("sum") / F.col("count")
-    var = F.col("_sumsq") / F.col("count") - mean * mean
+    var = F.col("_wss") / F.col("count")
     return out.select(
         "zone",
         mean.alias("mean"),
