@@ -673,9 +673,10 @@ def q_a_star_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_spatial_spark.operators.viewshed import viewshed
 
+    # observer row 5: every sf tier's events raster is >=10 rows tall
+    # (sf0.001 = 1000 events = 10x100), so no extent probe job
     r = _events_raster(spark, sf_dir)
-    h = r.agg(F.max("y")).collect()[0][0]
-    out = viewshed(r, x=50, y=min(5, int(h)), observer_elev=50.0)
+    out = viewshed(r, x=50, y=5, observer_elev=50.0)
     return out.select(
         (F.col("visibility") >= 0).cast("int").alias("visible")
     ).groupBy("visible").agg(F.count(F.lit(1)).alias("n"))
@@ -691,8 +692,7 @@ def q_viewshed_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_spatial_spark.operators.viewshed import viewshed
 
     r = _events_raster(spark, sf_dir)
-    h = r.agg(F.max("y")).collect()[0][0]
-    out = viewshed(r, x=50, y=min(5, int(h)), observer_elev=50.0)
+    out = viewshed(r, x=50, y=5, observer_elev=50.0)
     return out.select(
         "y", "x", (F.col("visibility") >= 0).cast("int").alias("visible")
     )

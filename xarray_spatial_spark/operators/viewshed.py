@@ -80,12 +80,25 @@ def viewshed(
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in raster.schema)
     schema += f", {out_col} double"
 
+    # LOS tests parallelize over TARGET cells, but a compact raster
+    # read can arrive as one file split -> one task pinning the whole
+    # sweep to a single core.  Fan out only when there is real kernel
+    # work to split (~100k cells/task ~= 0.5 s of LOS math): below
+    # that the round-robin shuffle costs more than the single-task
+    # sweep (measured ~0.23 s fixed at sf0.1 vs a ~0.3 s kernel);
+    # above it the scan is either already many splits or the
+    # repartition pays for itself.
+    par = spark.sparkContext.defaultParallelism
+    want = min(par, max(1, (H * W) // 100_000))
+    if raster.rdd.getNumPartitions() < want:
+        raster = raster.repartition(want)
+
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         terrain = bc.value
         for b in batches:
             ty = b["y"].to_numpy(np.int64)
             tx = b["x"].to_numpy(np.int64)
-            tz = np.array([terrain[r, c] for r, c in zip(ty, tx)])
+            tz = terrain[ty, tx]
             dy = ty - oy
             dx = tx - ox
             dist = np.sqrt((dx.astype(float)) ** 2 + (dy.astype(float)) ** 2)
@@ -99,31 +112,51 @@ def viewshed(
             # step along the dominant axis; linear interp on the other
             fy = np.where(n_steps > 0, dy / np.maximum(n_steps, 1), 0.0)
             fx = np.where(n_steps > 0, dx / np.maximum(n_steps, 1), 0.0)
-            # chunked over k: one (cells x chunk) vectorized LOS round
-            # instead of one python iteration per ray step (same
-            # per-element IEEE expressions, so results are bit-equal
-            # to the scalar loop — the viewshed_vis oracle depends on
-            # that).  Chunks GROW exponentially: most rays block
-            # within their first steps, so early rounds re-filter the
-            # active set cheaply while long survivors amortize into
-            # big vector ops
-            k0, chunk = 1, 4
-            while k0 < max_k:
-                act = visible & (n_steps > k0)
-                if not act.any():
+            # Hybrid stepping (per-element IEEE expressions identical
+            # in both phases, so the visible set is bit-equal to a
+            # pure scalar loop — the viewshed_vis oracle depends on
+            # that):
+            #   phase 1 — one vectorized step per k while the active
+            #   set is LARGE: re-filtering every step exploits early
+            #   termination (most rays block within their first
+            #   steps), and the python-loop overhead is noise next to
+            #   the wide array ops.
+            #   phase 2 — once few rays survive, step in WIDE chunks:
+            #   the remaining cost is per-iteration python overhead
+            #   (tiny arrays, huge max_k), which chunking amortizes;
+            #   dead-lane overshoot is cheap there because the active
+            #   set is already small.
+            # Round 2 chunked from k=1 with exponential growth, which
+            # dragged blocked lanes through up to 256 extra columns
+            # while the active set was still huge — 1.5-4x slower on
+            # noise terrain (BENCH_r02 viewshed 1.17 -> 2.08 s);
+            # measured crossover favors scalar until ~2k active rays.
+            TAIL_ACT = 2048
+            TAIL_CHUNK = 1024
+            k = 1
+            while k < max_k:
+                act = visible & (n_steps > k)
+                n_act = int(np.count_nonzero(act))
+                if n_act == 0:
                     break
-                ks = np.arange(k0, min(k0 + chunk, max_k), dtype=np.int64)
-                k0 += chunk
-                chunk = min(chunk * 2, 256)
-                live = ks[None, :] < n_steps[act, None]
-                py = oy + fy[act, None] * ks[None, :]
-                px = ox + fx[act, None] * ks[None, :]
+                scalar_step = n_act > TAIL_ACT
+                if scalar_step:
+                    ks = np.float64(k)          # shape (): broadcasts 1-D
+                    afy, afx = fy[act], fx[act]
+                    k += 1
+                else:
+                    ks = np.arange(k, min(k + TAIL_CHUNK, max_k),
+                                   dtype=np.int64)[None, :]
+                    afy, afx = fy[act, None], fx[act, None]
+                    k += TAIL_CHUNK
+                py = oy + afy * ks
+                px = ox + afx * ks
                 y0 = np.floor(py).astype(int)
                 x0 = np.floor(px).astype(int)
                 wy = py - y0
                 wx = px - x0
-                # dead lanes (k >= n_steps, masked by `live` below) walk
-                # past the target and off the raster — clamp their
+                # dead lanes (k >= n_steps, masked below) walk past
+                # the target and off the raster — clamp their
                 # indices; live lanes are in-bounds by construction so
                 # the clip never changes a contributing value
                 y0 = np.clip(y0, 0, terrain.shape[0] - 1)
@@ -137,13 +170,15 @@ def viewshed(
                     + terrain[y1, x0] * wy * (1 - wx)
                     + terrain[y1, x1] * wy * wx
                 )
-                ds = np.sqrt((fy[act, None] * ks[None, :]) ** 2
-                             + (fx[act, None] * ks[None, :]) ** 2)
+                ds = np.sqrt((afy * ks) ** 2 + (afx * ks) ** 2)
                 grad = (zs - vp_elev) / np.maximum(ds, 1e-300)
-                blocked = grad > tgt_grad[act, None]    # strictly higher blocks
-                blocked |= np.isnan(zs)                 # NODATA blocks the ray
-                blocked &= live
-                idx = np.flatnonzero(act)[blocked.any(axis=1)]
+                blocked = grad > (tgt_grad[act] if scalar_step
+                                  else tgt_grad[act, None])
+                blocked |= np.isnan(zs)         # NODATA blocks the ray
+                if not scalar_step:
+                    blocked &= ks < n_steps[act, None]
+                    blocked = blocked.any(axis=1)
+                idx = np.flatnonzero(act)[blocked]
                 visible[idx] = False
             ang = _vertical_angle(tz + target_elev - vp_elev, dist)
             out = np.where(visible, ang, INVISIBLE)
