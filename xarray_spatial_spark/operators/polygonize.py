@@ -3,15 +3,17 @@ xrspatial/experimental/polygonize.py:1-27 algorithm, :524-613 public).
 
 Distributed plan (SURVEY §7 deferred tier):
 
-1. label connected regions (operators/regions.py — already 2 shuffles),
-2. per-tile boundary-edge extraction: every unit cell edge whose two
-   sides carry different region labels (or raster boundary) is emitted
-   as a directed segment in corner coordinates, interior-on-the-left
-   (one halo pass, vectorized),
-3. groupBy(region).applyInPandas ring assembly: walk the directed
-   edges corner-to-corner until closed; the ring with the largest
-   |area| is the exterior, the rest are holes (grouped with their
-   exterior, like the reference).
+1. per-tile CCL labels (regions._tile_label),
+2. ONE haloed boundary pass (regions._boundary_pass(geometry=True))
+   emitting label-equivalence edges, directed perimeter segments in
+   corner coordinates (interior-on-the-left), and per-label metadata
+   together — the only two cell-scale scans in the whole operator,
+3. perimeter-scale finish: driver union-find over the equivalences,
+   scan-order region ids ranked from the metadata, segments
+   relabelled via broadcast, then partition-level ring assembly: walk
+   the directed edges corner-to-corner until closed; the ring with
+   the largest |area| is the exterior, the rest are holes (grouped
+   with their exterior, like the reference).
 
 Edge counts are O(region perimeter), so the per-region group is tiny
 relative to region area; ring walking is dict-chasing in Python but
@@ -25,76 +27,11 @@ Output: one row per region —
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from xarray_spatial_spark.operators.halo import with_halo
-from xarray_spatial_spark.operators.regions import regions
-
-
-def _edge_extract(conn_df: DataFrame, tile_h: int, tile_w: int) -> DataFrame:
-    """Directed boundary segments per region (interior on the left):
-    for each cell, any of its 4 sides facing a different label emits
-    one segment in corner coordinates."""
-    haloed = with_halo(conn_df.select("y", "x", "region"), 1, tile_h, tile_w)
-
-    def _op(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ty, tx = int(key[0]), int(key[1])
-        H, W = tile_h + 2, tile_w + 2
-        lab = np.full((H, W), np.nan)
-        py = pdf["y"].to_numpy(np.int64) - (ty * tile_h - 1)
-        px = pdf["x"].to_numpy(np.int64) - (tx * tile_w - 1)
-        lab[py, px] = pdf["region"].to_numpy(np.float64)
-        interior = np.zeros((H, W), dtype=bool)
-        own = pdf["_halo"].to_numpy() == 0
-        interior[py[own], px[own]] = True
-
-        ys = pdf["y"].to_numpy(np.int64)[own]
-        xs = pdf["x"].to_numpy(np.int64)[own]
-        cy = py[own]
-        cx = px[own]
-        lc = lab[cy, cx]
-        segs = {"region": [], "x1": [], "y1": [], "x2": [], "y2": []}
-
-        def diff(ny, nx):
-            nv = lab[ny, nx]
-            return np.isnan(nv) | (nv != lc)
-
-        # N side (y): left->right looking from inside below? directed so
-        # interior is on the LEFT walking the segment
-        m = diff(cy - 1, cx)
-        segs["region"].append(lc[m]); segs["x1"].append(xs[m] + 1); segs["y1"].append(ys[m])
-        segs["x2"].append(xs[m]); segs["y2"].append(ys[m])
-        # S side
-        m = diff(cy + 1, cx)
-        segs["region"].append(lc[m]); segs["x1"].append(xs[m]); segs["y1"].append(ys[m] + 1)
-        segs["x2"].append(xs[m] + 1); segs["y2"].append(ys[m] + 1)
-        # W side
-        m = diff(cy, cx - 1)
-        segs["region"].append(lc[m]); segs["x1"].append(xs[m]); segs["y1"].append(ys[m])
-        segs["x2"].append(xs[m]); segs["y2"].append(ys[m] + 1)
-        # E side
-        m = diff(cy, cx + 1)
-        segs["region"].append(lc[m]); segs["x1"].append(xs[m] + 1); segs["y1"].append(ys[m] + 1)
-        segs["x2"].append(xs[m] + 1); segs["y2"].append(ys[m])
-
-        return pd.DataFrame(
-            {
-                "region": np.concatenate(segs["region"]).astype(np.int64),
-                "x1": np.concatenate(segs["x1"]).astype(np.int64),
-                "y1": np.concatenate(segs["y1"]).astype(np.int64),
-                "x2": np.concatenate(segs["x2"]).astype(np.int64),
-                "y2": np.concatenate(segs["y2"]).astype(np.int64),
-            }
-        )
-
-    return haloed.groupBy("_ty", "_tx").applyInPandas(
-        _op, schema="region long, x1 long, y1 long, x2 long, y2 long"
-    )
 
 
 def _assemble_one(region: int, pdf: pd.DataFrame) -> dict:
@@ -170,19 +107,68 @@ def polygonize(
     tile_w: int = 256,
 ) -> DataFrame:
     """Vectorize connected equal-valued regions.  Returns one row per
-    region: (region, value, n_rings, exterior ring corners, area)."""
-    # regions() output feeds both the edge extraction and the value
-    # lookup join — persist across the two consumers
-    labeled = regions(
-        raster, neighborhood=neighborhood, value_col=value_col,
-        tile_h=tile_h, tile_w=tile_w,
+    region: (region, value, n_rings, exterior ring corners, area).
+
+    Fused plan: the cell-scale data is touched exactly twice (tile CCL,
+    then ONE haloed boundary pass that emits equivalence edges,
+    geometry segments AND per-label metadata together —
+    regions._boundary_pass(geometry=True)).  Everything after is
+    perimeter-scale: union-find on the collected equivalences, label →
+    scan-order region ids ranked from the metadata rows, geometry
+    relabelled through a broadcast map.  Replaces the round-2 shape
+    (full regions() with its cell-scale relabel join + persist, plus a
+    SECOND halo pass for geometry) which paid ~2x the cell traffic and
+    ~3.3 s fixed overhead at sf0.1."""
+    if neighborhood not in (4, 8):
+        raise ValueError("neighborhood must be 4 or 8")
+    from xarray_spatial_spark.operators.regions import (
+        _boundary_pass,
+        _tile_label,
+        _union_find,
+    )
+
+    spark = raster.sparkSession
+    labeled = _tile_label(raster, neighborhood, value_col, tile_h, tile_w)
+    # single cell-scale consumer (the halo pass) -> no cell-scale
+    # persist; the fused output is perimeter-scale, persist THAT
+    fused = _boundary_pass(
+        labeled, neighborhood, value_col, tile_h, tile_w, geometry=True
     ).persist()
-    edges = _edge_extract(labeled, tile_h, tile_w)
-    polys = edges.repartition("region").mapInPandas(
+
+    equiv = (
+        fused.filter(F.col("kind") == 0).select("la", "lb").distinct().collect()
+    )
+    # label-count-scale driver finish: union-find, scan-order dense
+    # region ids, per-region values — all from the tiny metadata rows.
+    # Driver footprint is one row per tile-local label, the SAME
+    # ceiling as the broadcast relabel LUT the segment pass needs
+    # anyway (regions() shares it), so nothing is lost vs a
+    # distributed rank — and ~4 small jobs are.
+    meta_rows = fused.filter(F.col("kind") == 2).select("la", "v").collect()
+    root_of = dict(_union_find(equiv))
+    root_val: dict = {}
+    for r in meta_rows:
+        root_val.setdefault(root_of.get(r["la"], r["la"]), r["v"])
+    region_of = {root: i for i, root in enumerate(sorted(root_val))}
+    lab_region = [
+        (int(r["la"]), region_of[root_of.get(r["la"], r["la"])])
+        for r in meta_rows
+    ]
+    map_df = spark.createDataFrame(lab_region, schema="la long, region long")
+    vals = spark.createDataFrame(
+        [(region_of[rt], float('nan') if v is None else float(v))
+         for rt, v in root_val.items()],
+        schema=f"region long, {value_col} double",
+    )
+
+    geom = (
+        fused.filter(F.col("kind") == 1)
+        .select("la", "x1", "y1", "x2", "y2")
+        .join(F.broadcast(map_df), "la")
+        .select("region", "x1", "y1", "x2", "y2")
+    )
+    polys = geom.repartition("region").mapInPandas(
         _assemble_partition,
         schema="region long, n_rings int, exterior array<array<double>>, area double",
     )
-    vals = labeled.groupBy(F.col("region").cast("long").alias("region")).agg(
-        F.first(value_col).alias(value_col)
-    )
-    return polys.join(vals, "region")
+    return polys.join(F.broadcast(vals), "region")

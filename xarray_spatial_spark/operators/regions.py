@@ -106,22 +106,12 @@ def _tile_ccl(
     return np.where(present, out, np.nan)
 
 
-def regions(
-    df: DataFrame,
-    neighborhood: int = 4,
-    value_col: str = "value",
-    out_col: str = "region",
-    tile_h: int = 256,
-    tile_w: int = 256,
+def _tile_label(
+    df: DataFrame, conn: int, value_col: str, th: int, tw: int
 ) -> DataFrame:
-    """Label connected equal-valued regions; output adds ``out_col``
-    with a dense 0-based region id in scan order."""
-    if neighborhood not in (4, 8):
-        raise ValueError("neighborhood must be 4 or 8")
-    conn = neighborhood
-    th, tw = tile_h, tile_w
-
-    # ---- pass 1: per-tile CCL ------------------------------------------
+    """Pass 1: per-tile CCL -> (y, x, value, _lab) with tile-local
+    labels keyed by each component's minimum scan key (y*2^32+x).
+    NOT persisted — callers with multiple consumers persist."""
     src = df.select("y", "x", value_col)
     tiles = src.withColumn("_ty", F.floor(F.col("y") / th).cast("long")).withColumn(
         "_tx", F.floor(F.col("x") / tw).cast("long")
@@ -148,14 +138,38 @@ def regions(
             }
         )
 
-    # the CCL pass feeds the edge collect, the root-distinct rank, and
-    # the final relabel join — persist it once instead of re-running
-    # the per-tile labeling per action
-    labeled = tiles.groupBy("_ty", "_tx").applyInPandas(
+    return tiles.groupBy("_ty", "_tx").applyInPandas(
         _label, schema=f"y int, x int, {value_col} double, _lab long"
-    ).persist()
+    )
 
-    # ---- pass 2: cross-tile boundary edges ------------------------------
+
+def _boundary_pass(
+    labeled: DataFrame,
+    conn: int,
+    value_col: str,
+    th: int,
+    tw: int,
+    geometry: bool = False,
+) -> DataFrame:
+    """Pass 2: ONE haloed per-tile pass over the CCL labels.
+
+    ``geometry=False`` (regions): cross-tile label equivalence edges
+    ``(la, lb)``.
+
+    ``geometry=True`` (polygonize): the same pass additionally emits
+    everything polygonize needs, so the cell-scale data is scanned
+    exactly once and all downstream work is perimeter-scale:
+      kind 0 — equivalence edges (la, lb);
+      kind 1 — directed boundary segments (la = owning cell's
+        tile-local label, corner coords x1..y2, interior on the left).
+        The boundary test is on VALUES, not labels: side-adjacent
+        equal-valued cells are one region under both 4- and 8-conn,
+        so value-diff == region-diff for sides — which is what lets
+        segments be keyed by the PRE-merge label and relabelled later
+        on perimeter-scale rows;
+      kind 2 — per-label metadata (la, v = class value), one row per
+        tile-local label, for region values and the scan-order rank
+        without revisiting cells."""
     haloed = with_halo(labeled, 1, th, tw)
 
     def _edges(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -190,18 +204,78 @@ def regions(
             a = np.concatenate(out_a)
             b = np.concatenate(out_b)
             lo, hi = np.minimum(a, b), np.maximum(a, b)
-            return pd.DataFrame({"la": lo, "lb": hi}).drop_duplicates()
-        return pd.DataFrame({"la": pd.Series(dtype="int64"),
-                             "lb": pd.Series(dtype="int64")})
+            equiv = pd.DataFrame({"la": lo, "lb": hi}).drop_duplicates()
+        else:
+            equiv = pd.DataFrame({"la": pd.Series(dtype="int64"),
+                                  "lb": pd.Series(dtype="int64")})
+        if not geometry:
+            return equiv
 
-    edges = (
-        haloed.groupBy("_ty", "_tx")
-        .applyInPandas(_edges, schema="la long, lb long")
-        .distinct()
-        .collect()
+        # ---- fused geometry + metadata (own cells only) ---------------
+        own = pdf["_halo"].to_numpy() == 0
+        ys = pdf["y"].to_numpy(np.int64)[own]
+        xs = pdf["x"].to_numpy(np.int64)[own]
+        cy = py[own]
+        cx = px[own]
+        lc_lab = labs[cy, cx]
+        lc_val = vals[cy, cx]
+
+        def boundary(ny, nx):
+            # neighbor absent (NaN label) or different CLASS value
+            return np.isnan(labs[ny, nx]) | ~eq(vals[ny, nx], lc_val)
+
+        segs = []
+        # (mask-source, x1, y1, x2, y2) per side, interior on the LEFT
+        m = boundary(cy - 1, cx)    # N
+        segs.append((lc_lab[m], xs[m] + 1, ys[m], xs[m], ys[m]))
+        m = boundary(cy + 1, cx)    # S
+        segs.append((lc_lab[m], xs[m], ys[m] + 1, xs[m] + 1, ys[m] + 1))
+        m = boundary(cy, cx - 1)    # W
+        segs.append((lc_lab[m], xs[m], ys[m], xs[m], ys[m] + 1))
+        m = boundary(cy, cx + 1)    # E
+        segs.append((lc_lab[m], xs[m] + 1, ys[m] + 1, xs[m] + 1, ys[m]))
+        g_lab = np.concatenate([a[0] for a in segs]).astype(np.int64)
+        gx1 = np.concatenate([a[1] for a in segs]).astype(np.int32)
+        gy1 = np.concatenate([a[2] for a in segs]).astype(np.int32)
+        gx2 = np.concatenate([a[3] for a in segs]).astype(np.int32)
+        gy2 = np.concatenate([a[4] for a in segs]).astype(np.int32)
+
+        u_lab, u_first = np.unique(lc_lab.astype(np.int64), return_index=True)
+        parts = [
+            pd.DataFrame({
+                "kind": np.int32(0), "la": equiv["la"], "lb": equiv["lb"],
+                "x1": np.int32(0), "y1": np.int32(0),
+                "x2": np.int32(0), "y2": np.int32(0), "v": np.nan,
+            }),
+            pd.DataFrame({
+                "kind": np.ones(len(g_lab), dtype=np.int32), "la": g_lab,
+                "lb": np.zeros(len(g_lab), dtype=np.int64),
+                "x1": gx1, "y1": gy1, "x2": gx2, "y2": gy2,
+                "v": np.full(len(g_lab), np.nan),
+            }),
+            pd.DataFrame({
+                "kind": np.full(len(u_lab), 2, dtype=np.int32), "la": u_lab,
+                "lb": np.zeros(len(u_lab), dtype=np.int64),
+                "x1": np.zeros(len(u_lab), dtype=np.int32),
+                "y1": np.zeros(len(u_lab), dtype=np.int32),
+                "x2": np.zeros(len(u_lab), dtype=np.int32),
+                "y2": np.zeros(len(u_lab), dtype=np.int32),
+                "v": lc_val[u_first],
+            }),
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    schema = (
+        "kind int, la long, lb long, x1 int, y1 int, x2 int, y2 int, v double"
+        if geometry else "la long, lb long"
     )
+    return haloed.groupBy("_ty", "_tx").applyInPandas(_edges, schema=schema)
 
-    # ---- driver union-find ----------------------------------------------
+
+def _union_find(edges) -> list[tuple[int, int]]:
+    """Driver union-find over cross-tile equivalence edges (rows with
+    ``la``/``lb``); returns (label, root) for every MERGED label.
+    Edge count is perimeter-scale (tile-boundary matches only)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -218,7 +292,32 @@ def regions(
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    mapping = [(k, find(k)) for k in list(parent)]
+    return [(k, find(k)) for k in list(parent)]
+
+
+def regions(
+    df: DataFrame,
+    neighborhood: int = 4,
+    value_col: str = "value",
+    out_col: str = "region",
+    tile_h: int = 256,
+    tile_w: int = 256,
+) -> DataFrame:
+    """Label connected equal-valued regions; output adds ``out_col``
+    with a dense 0-based region id in scan order."""
+    if neighborhood not in (4, 8):
+        raise ValueError("neighborhood must be 4 or 8")
+    conn = neighborhood
+    th, tw = tile_h, tile_w
+
+    # the CCL pass feeds the edge collect, the root-distinct rank, and
+    # the final relabel join — persist it once instead of re-running
+    # the per-tile labeling per action
+    labeled = _tile_label(df, conn, value_col, th, tw).persist()
+
+    edges = _boundary_pass(labeled, conn, value_col, th, tw).distinct().collect()
+
+    mapping = _union_find(edges)
     spark = df.sparkSession
     if mapping:
         map_df = spark.createDataFrame(mapping, schema="_lab long, _root long")
