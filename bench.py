@@ -108,6 +108,15 @@ def ensure_tiled_terrain(spark) -> str:
     return path
 
 
+def _fused_chain_kernel():
+    from xarray_spatial_spark.operators.focal import mean_stencil
+    from xarray_spatial_spark.operators.surface import slope_stencil
+    from xarray_spatial_spark.tiled import fuse_stencils
+
+    fn, r = fuse_stencils([mean_stencil(), slope_stencil(), mean_stencil()])
+    return fn, r
+
+
 def tiled_stencil_bench(spark) -> dict[str, float]:
     """Halo-stencil family over the stored dense-tile raster — the
     throughput headline for the raster side (cells/sec alongside)."""
@@ -129,6 +138,12 @@ def tiled_stencil_bench(spark) -> dict[str, float]:
             ("hillshade_tiled", lambda d: surface.hillshade(d)),
             ("focal_mean_tiled", lambda d: focal.mean(d)),
             ("summarize_terrain_tiled", lambda d: surface.summarize_terrain(d)),
+            # 3-op sequential chain (smooth -> slope -> smooth) fused
+            # into ONE halo exchange via the public kernel factories —
+            # the multi-op pipeline cost should sit within ~15% of a
+            # single op (tests assert equality with the 3-exchange run)
+            ("fused_chain_tiled", lambda d: tiled.apply_stencil_tiled(
+                d, *_fused_chain_kernel())),
         ]:
             best = float("inf")
             for _ in range(REPS):

@@ -339,3 +339,48 @@ def test_arrow_assemble_matches_pandas(spark, arr):
         finally:
             spark.conf.unset("spark.xrspatial.halo.arrow")
     np.testing.assert_array_equal(outs["true"], outs["false"])
+
+
+def test_heterogeneous_fused_chain_matches_sequential(spark, arr):
+    """smooth -> slope -> smooth as ONE fused exchange == the three
+    operators run sequentially (3 exchanges), using the public kernel
+    factories (focal.mean_stencil / surface.slope_stencil)."""
+    from xarray_spatial_spark.operators.focal import mean_stencil
+    from xarray_spatial_spark.operators.surface import slope_stencil
+
+    df = raster.df_from_numpy(spark, arr)
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    seq = tiled.numpy_from_tiled(
+        focal.mean(surface.slope(focal.mean(tdf)))
+    )
+    fn, r = tiled.fuse_stencils(
+        [mean_stencil(), slope_stencil(), mean_stencil()]
+    )
+    assert r == 3
+    fused_df = tiled.apply_stencil_tiled(tdf, fn, r)
+    fused = tiled.numpy_from_tiled(fused_df)
+    np.testing.assert_allclose(fused, seq, rtol=1e-6, equal_nan=True)
+
+
+def test_auto_dispatch_bucket_for_bucketed_table(spark, arr, tmp_path):
+    """With NO strategy conf set, a write_bucketed raster (carries the
+    bk super-tile key) takes the bucket plan; a plain tiled raster
+    takes shuffle.  Results identical either way."""
+    df = raster.df_from_numpy(spark, arr)
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    name = tiled.write_bucketed(tdf, "t_auto_bucket", buckets=4, block=2,
+                                path=str(tmp_path / "t_auto_bucket"))
+    try:
+        spark.conf.unset("spark.xrspatial.halo.strategy")
+        bt = tiled.read_table(spark, name)
+        out_b = surface.slope(bt)
+        plan = out_b._jdf.queryExecution().executedPlan().toString()
+        # bucket plan signature: a cogroup node (pandas or arrow flavor)
+        assert ("FlatMapCoGroups" in plan), plan
+        a_bucket = tiled.numpy_from_tiled(out_b)
+        a_shuffle = tiled.numpy_from_tiled(surface.slope(tdf))
+        np.testing.assert_array_equal(a_bucket, a_shuffle)
+    finally:
+        spark.conf.unset("spark.xrspatial.halo.strategy")
+        spark.sql("DROP TABLE IF EXISTS t_auto_bucket")
+        tiled.table_scan_conf(spark)

@@ -136,6 +136,34 @@ def mean(
     """3x3 nan-mean smoothing; ``excludes`` values pass through
     unchanged; ``passes`` iterations = that many halo shuffles
     (focal.py:37-265)."""
+    _fn, _ = mean_stencil(excludes, value_col)
+    from xarray_spatial_spark import tiled as _tiled
+
+    n = max(1, passes)
+    if n > 1 and _tiled.is_tiled(df):
+        # fuse the passes into ONE halo exchange (radius n) instead of
+        # n shuffles — per-pass kernels run back-to-back on the padded
+        # block (tiled.fuse_stencils)
+        fn, r = _tiled.fuse_stencils([(_fn, 1)] * n)
+        return apply_stencil(
+            df, fn, r, value_cols=(value_col,), out_cols=(value_col,),
+            tile_h=tile_h, tile_w=tile_w,
+        )
+    out = df
+    for _ in range(n):
+        out = apply_stencil(
+            out, _fn, 1, value_cols=(value_col,), out_cols=(value_col,),
+            tile_h=tile_h, tile_w=tile_w,
+        )
+    return out
+
+
+def mean_stencil(
+    excludes: Iterable[float] = (np.nan,),
+    value_col: str = "value",
+):
+    """The 3x3 nan-mean kernel as a ``(fn, radius)`` pair, composable
+    into multi-op single-exchange chains via ``tiled.fuse_stencils``."""
     ex_finite = [float(e) for e in excludes if e == e]
     ex_nan = any(e != e for e in excludes)
 
@@ -163,25 +191,8 @@ def mean(
             excluded |= interior == e
         return {value_col: np.where(excluded, interior, sm)}
 
-    from xarray_spatial_spark import tiled as _tiled
+    return _fn, 1
 
-    n = max(1, passes)
-    if n > 1 and _tiled.is_tiled(df):
-        # fuse the passes into ONE halo exchange (radius n) instead of
-        # n shuffles — per-pass kernels run back-to-back on the padded
-        # block (tiled.fuse_stencils)
-        fn, r = _tiled.fuse_stencils([(_fn, 1)] * n)
-        return apply_stencil(
-            df, fn, r, value_cols=(value_col,), out_cols=(value_col,),
-            tile_h=tile_h, tile_w=tile_w,
-        )
-    out = df
-    for _ in range(n):
-        out = apply_stencil(
-            out, _fn, 1, value_cols=(value_col,), out_cols=(value_col,),
-            tile_h=tile_h, tile_w=tile_w,
-        )
-    return out
 
 
 def apply(

@@ -48,6 +48,21 @@ def slope(
     (slope.py:58); pass float64 when comparing against a
     double-precision SQL oracle."""
     out = out_col or value_col
+    fn, r = slope_stencil(cellsize_x, cellsize_y, value_col, out, compute_dtype)
+    return apply_stencil(df, fn, r, (value_col,), (out,), tile_h, tile_w)
+
+
+def slope_stencil(
+    cellsize_x: float = 1.0,
+    cellsize_y: float = 1.0,
+    value_col: str = "value",
+    out_col: str | None = None,
+    compute_dtype=np.float32,
+):
+    """The Horn-slope kernel as a ``(fn, radius)`` pair, composable
+    into multi-op single-exchange chains via ``tiled.fuse_stencils``
+    (e.g. smooth -> slope -> smooth costs ONE halo shuffle)."""
+    out = out_col or value_col
 
     def _fn(arrs):
         a = arrs[value_col].astype(compute_dtype)
@@ -61,7 +76,7 @@ def slope(
         p = (dz_dx * dz_dx + dz_dy * dz_dy) ** 0.5
         return {out: np.arctan(p) * 57.29578}
 
-    return apply_stencil(df, _fn, 1, (value_col,), (out,), tile_h, tile_w)
+    return _fn, 1
 
 
 def aspect(

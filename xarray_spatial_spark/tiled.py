@@ -472,6 +472,12 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(name)
+    # the block size is part of the physical layout — carry it on the
+    # table so read_table can restore spark.xrspatial.halo.block and
+    # the bucket halo's group key matches the stored bk
+    spark.sql(
+        f"ALTER TABLE {name} SET TBLPROPERTIES ('xrspatial.halo.block' = '{block}')"
+    )
     return name
 
 
@@ -783,8 +789,10 @@ def halo_map_tiled(
     stencils return one tiled row (apply_stencil_tiled), graph ops
     return edge lists (regions), etc.
 
-    Two physical strategies (``strategy`` param, else the Spark conf
-    ``spark.xrspatial.halo.strategy``, default ``shuffle``):
+    Three physical strategies (``strategy`` param, else the Spark conf
+    ``spark.xrspatial.halo.strategy``; BOTH unset = auto-dispatch:
+    ``bucket`` when the raster carries the ``write_bucketed``
+    super-tile key and is eligible, else ``shuffle``):
 
     - ``shuffle``: JVM strip emit -> ONE groupBy(ty, tx) shuffle ->
       assemble.  One scan, raster-scale shuffle.  The 100-TB plan.
@@ -808,8 +816,18 @@ def halo_map_tiled(
     have_edges = all(f"{b}__le" in tdf.columns for b in bands)
     if strategy is None:
         strategy = tdf.sparkSession.conf.get(
-            "spark.xrspatial.halo.strategy", "shuffle"
+            "spark.xrspatial.halo.strategy", None
         )
+    if strategy is None:
+        # auto-dispatch: a raster carrying the super-tile bucket key
+        # (written via write_bucketed, scanned with a known
+        # HashPartitioning) defaults to the exchange-free bucket plan
+        # when eligible; everything else takes the works-anywhere
+        # shuffle plan
+        if "bk" in tdf.columns and r <= EDGE and have_edges:
+            strategy = "bucket"
+        else:
+            strategy = "shuffle"
     if strategy in ("broadcast", "bucket") and (r > EDGE or not have_edges):
         raise ValueError(
             f"{strategy} halo needs radius <= EDGE and edge blobs"
@@ -1159,7 +1177,16 @@ def read_table(
     """Open a ``write_bucketed`` tiled table with the same reader-batch
     sizing as ``read`` — ``spark.table`` alone leaves the 4096-row
     vectorized-reader default, which aborts/OOMs on multi-MB binary
-    tile cells."""
+    tile cells.  Also restores ``spark.xrspatial.halo.block`` from the
+    table's stored layout property so the bucket halo groups match the
+    stored ``bk`` without manual conf bookkeeping."""
+    try:
+        props = spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+        for r in props:
+            if r["key"] == "xrspatial.halo.block":
+                spark.conf.set("spark.xrspatial.halo.block", r["value"])
+    except Exception:
+        pass  # not a catalog table (e.g. direct path read) — keep conf
     return _sized_scan(spark, spark.table(name), tile_bytes)
 
 
