@@ -191,8 +191,12 @@ def ivf_topk(
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast((cents, cnorm))
 
-    def _assign(probe: int, out_name: str):
-        schema_a = f"_tmp_id long, {out_name} array<int>"
+    def _assign(probe: int, out_name: str, vec_out: str, vec_type: str):
+        # the vector rides THROUGH the Arrow pass (same element type as
+        # the source) instead of being re-fetched with a shuffle join
+        # back onto the source table — bucket assignment stays a
+        # zero-shuffle map stage per side
+        schema_a = f"_tmp_id long, {out_name} array<int>, {vec_out} {vec_type}"
 
         def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             c, cn = bc.value
@@ -205,24 +209,29 @@ def ivf_topk(
                 sims = (vecs @ c.T) / (norms[:, None] * cn[None, :])
                 order = np.argsort(-sims, axis=1)[:, :probe].astype(np.int32)
                 yield pd.DataFrame(
-                    {"_tmp_id": pdf.iloc[:, 0].to_numpy(), out_name: list(order)}
+                    {"_tmp_id": pdf.iloc[:, 0].to_numpy(),
+                     out_name: list(order),
+                     vec_out: pdf.iloc[:, 1]}
                 )
 
         return _op, schema_a
 
-    op_c, sch_c = _assign(1, "bucket")
+    ctype = corpus.schema[vec_col].dataType.simpleString()
+    qtype = queries.schema[vec_col].dataType.simpleString()
+    op_c, sch_c = _assign(1, "bucket", "_cvec", ctype)
     corpus_b = (
         corpus.select(F.col(id_col).alias("_tmp_id"), vec_col)
         .mapInPandas(op_c, schema=sch_c)
-        .select(F.col("_tmp_id").alias(id_col), F.element_at("bucket", 1).alias("bucket"))
-        .join(corpus.select(id_col, vec_col), id_col)
+        .select(F.col("_tmp_id").alias(id_col),
+                F.element_at("bucket", 1).alias("bucket"),
+                F.col("_cvec").alias(vec_col))
     )
-    op_q, sch_q = _assign(n_probe, "buckets")
+    op_q, sch_q = _assign(n_probe, "buckets", "_qvec", qtype)
     queries_b = (
         queries.select(F.col(query_id).alias("_tmp_id"), vec_col)
         .mapInPandas(op_q, schema=sch_q)
-        .select(F.col("_tmp_id").alias(query_id), F.explode("buckets").alias("bucket"))
-        .join(queries.select(query_id, F.col(vec_col).alias("_qvec")), query_id)
+        .select(F.col("_tmp_id").alias(query_id),
+                F.explode("buckets").alias("bucket"), "_qvec")
     )
     joined = corpus_b.join(queries_b, "bucket")
     dot = F.aggregate(

@@ -1,0 +1,538 @@
+"""Pure-numpy WebP *lossless* (VP8L) codec — the multimodal tier's
+RIFF boundary, implemented from the public VP8L bitstream spec from
+scratch (no codec libraries in this image; reference repo has no
+image codecs at all).
+
+Scope (documented, tested):
+
+- decode: full entropy layer (canonical Huffman with simple and
+  normal code-length coding, meta-Huffman groups, color cache, LZ77
+  backward references with plain distances), SUBTRACT_GREEN and
+  PREDICTOR inverse transforms (the two transforms every ``cwebp -z``
+  stream uses).
+- encode: a valid literal-only subset used for round-trip fixtures —
+  no transforms or optional subtract-green, one Huffman group, normal
+  code-length coding, no LZ77 / cache.
+
+Named boundaries (raise, never corrupt): the COLOR / COLOR_INDEXING
+inverse transforms and the spec's 120-entry short-distance
+neighborhood map (my encoder always emits plain distances; real
+streams that use the short map get a NotImplementedError naming it).
+Lossy VP8 chunks raise as before.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# code-length-code read order (VP8L spec)
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+class _BitReader:
+    """LSB-first bit reader over bytes."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0  # bit position
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.buf[(self.pos + i) >> 3]
+            v |= ((byte >> ((self.pos + i) & 7)) & 1) << i
+        self.pos += n
+        return v
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def bits(self, v: int, n: int) -> None:
+        for i in range(n):
+            self.cur |= ((v >> i) & 1) << self.nbits
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+class _Huffman:
+    """Canonical prefix code: decode by accumulating bits MSB-first
+    (each successive stream bit descends the tree)."""
+
+    def __init__(self, lengths):
+        lengths = list(lengths)
+        self.single = None
+        used = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if len(used) == 1:
+            # one-symbol code reads/writes ZERO bits per symbol
+            self.single = used[0][1]
+            self.codes = {self.single: (0, 0)}
+            return
+        # canonical assignment: by length, then symbol order
+        self.table: dict[tuple[int, int], int] = {}
+        code = 0
+        max_len = max(l for l, _ in used)
+        bl_count = [0] * (max_len + 1)
+        for l, _ in used:
+            bl_count[l] += 1
+        next_code = [0] * (max_len + 2)
+        for l in range(1, max_len + 1):
+            code = (code + bl_count[l - 1]) << 1
+            next_code[l] = code
+        for s, l in enumerate(lengths):
+            if l > 0:
+                self.table[(l, next_code[l])] = s
+                next_code[l] += 1
+        # encoder side: symbol -> (code, len)
+        self.codes = {s: None for s in range(len(lengths))}
+        for (l, c), s in self.table.items():
+            self.codes[s] = (c, l)
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        length = 0
+        while True:
+            code = (code << 1) | br.bits(1)
+            length += 1
+            hit = self.table.get((length, code))
+            if hit is not None:
+                return hit
+            if length > 15:
+                raise ValueError("corrupt VP8L: bad huffman code")
+
+    def write(self, bw: _BitWriter, sym: int) -> None:
+        c, l = self.codes[sym]
+        # codes are consumed MSB-first by the reader
+        for i in range(l - 1, -1, -1):
+            bw.bits((c >> i) & 1, 1)
+
+
+def _read_code_lengths(br: _BitReader, alphabet_size: int) -> list[int]:
+    """The 'normal' code: code-length-code lengths, then RLE-coded
+    symbol code lengths (VP8L spec)."""
+    n_cl = br.bits(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(n_cl):
+        cl_lengths[_CL_ORDER[i]] = br.bits(3)
+    cl_tree = _Huffman(cl_lengths)
+
+    if br.bits(1):  # use max_symbol
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+
+    lengths = [0] * alphabet_size
+    symbol = 0
+    prev = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        s = cl_tree.read(br)
+        if s < 16:
+            lengths[symbol] = s
+            symbol += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.bits(2)
+            lengths[symbol:symbol + rep] = [prev] * min(rep, alphabet_size - symbol)
+            symbol += rep
+        elif s == 17:
+            symbol += 3 + br.bits(3)
+        else:
+            symbol += 11 + br.bits(7)
+    return lengths
+
+
+def _read_huffman(br: _BitReader, alphabet_size: int) -> _Huffman:
+    if br.bits(1):  # simple code
+        n_sym = br.bits(1) + 1
+        if br.bits(1):  # first symbol is 8 bits
+            s0 = br.bits(8)
+        else:
+            s0 = br.bits(1)
+        lengths = [0] * alphabet_size
+        if n_sym == 1:
+            lengths[s0] = 1
+        else:
+            s1 = br.bits(8)
+            lengths[s0] = 1
+            lengths[s1] = 1
+        return _Huffman(lengths)
+    return _Huffman(_read_code_lengths(br, alphabet_size))
+
+
+def _prefix_value(br: _BitReader, sym: int) -> int:
+    """LZ77 length / distance prefix decoding (VP8L spec)."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+_PRED_BLACK = (255, 0, 0, 0)  # (a, r, g, b) opaque black
+
+
+def _avg2(a, b):
+    return (int(a) + int(b)) // 2
+
+
+def _clamp_add_sub_full(c, a, b):
+    return min(255, max(0, int(a) + int(c) - int(b)))
+
+
+def _clamp_add_sub_half(c, b):
+    ave = (int(c) + int(b)) // 2
+    return min(255, max(0, ave + (ave - int(b)) // 2))
+
+
+def _predict(mode: int, px, left, top, topleft, topright):
+    """VP8L predictor modes (spec 0..13) on (a, r, g, b) tuples."""
+    if mode == 0:
+        return _PRED_BLACK
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return topright
+    if mode == 4:
+        return topleft
+    if mode == 5:
+        return tuple(_avg2(_avg2(left[i], topright[i]), top[i]) for i in range(4))
+    if mode == 6:
+        return tuple(_avg2(left[i], topleft[i]) for i in range(4))
+    if mode == 7:
+        return tuple(_avg2(left[i], top[i]) for i in range(4))
+    if mode == 8:
+        return tuple(_avg2(topleft[i], top[i]) for i in range(4))
+    if mode == 9:
+        return tuple(_avg2(top[i], topright[i]) for i in range(4))
+    if mode == 10:
+        return tuple(
+            _avg2(_avg2(left[i], topleft[i]), _avg2(top[i], topright[i]))
+            for i in range(4)
+        )
+    if mode == 11:  # Select
+        p_l = sum(abs(int(top[i]) - int(topleft[i])) for i in range(4))
+        p_t = sum(abs(int(left[i]) - int(topleft[i])) for i in range(4))
+        return left if p_l < p_t else top
+    if mode == 12:
+        return tuple(
+            _clamp_add_sub_full(top[i], left[i], topleft[i]) for i in range(4)
+        )
+    if mode == 13:
+        return tuple(
+            _clamp_add_sub_half(_avg2(left[i], top[i]), topleft[i])
+            for i in range(4)
+        )
+    raise ValueError(f"bad predictor mode {mode}")
+
+
+def _decode_entropy_image(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """Recursive: subimages (predictor image, meta-huffman image) are
+    themselves VP8L-entropy-coded images WITHOUT transforms."""
+    return _decode_image_data(br, w, h, allow_meta=False)
+
+
+def _decode_image_data(
+    br: _BitReader, w: int, h: int, allow_meta: bool = True
+) -> np.ndarray:
+    """Entropy-coded ARGB image -> (h, w, 4) uint8 [a, r, g, b]."""
+    cache_bits = 0
+    cache = None
+    if br.bits(1):
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("corrupt VP8L: cache_bits")
+        cache = np.zeros(1 << cache_bits, dtype=np.uint32)
+
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and br.bits(1):
+        meta_bits = br.bits(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_entropy_image(br, mw, mh)
+        meta = (meta_img[:, :, 1].astype(np.int64) << 8) | meta_img[:, :, 2]
+        n_groups = int(meta.max()) + 1
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    sizes = [256 + 24 + cache_size, 256, 256, 256, 40]
+    groups = []
+    for _ in range(n_groups):
+        groups.append([_read_huffman(br, s) for s in sizes])
+
+    out = np.zeros((h, w, 4), dtype=np.uint8)
+    n_px = w * h
+    pos = 0
+    flat = out.reshape(-1, 4)
+
+    def emit(pos: int, a: int, r: int, g: int, b: int) -> None:
+        flat[pos] = (a, r, g, b)
+        if cache is not None:
+            argb = (a << 24) | (r << 16) | (g << 8) | b
+            idx = (np.uint64(0x1E35A7BD) * np.uint64(argb)) & np.uint64(0xFFFFFFFF)
+            cache[int(idx) >> (32 - cache_bits)] = argb
+
+    while pos < n_px:
+        if meta is not None:
+            y, x = divmod(pos, w)
+            gidx = int(meta[y >> meta_bits, x >> meta_bits])
+        else:
+            gidx = 0
+        g_tree, r_tree, b_tree, a_tree, d_tree = groups[gidx]
+        s = g_tree.read(br)
+        if s < 256:
+            g = s
+            r = r_tree.read(br)
+            b = b_tree.read(br)
+            a = a_tree.read(br)
+            emit(pos, a, r, g, b)
+            pos += 1
+        elif s < 256 + 24:
+            length = _prefix_value(br, s - 256)
+            dist_code = _prefix_value(br, d_tree.read(br))
+            if dist_code <= 120:
+                raise NotImplementedError(
+                    "VP8L short-distance neighborhood map (dist codes "
+                    "<= 120) not implemented; plain distances decode"
+                )
+            dist = dist_code - 120
+            if dist > pos:
+                raise ValueError("corrupt VP8L: LZ77 before start")
+            for i in range(length):
+                src = flat[pos - dist]
+                emit(pos, int(src[0]), int(src[1]), int(src[2]), int(src[3]))
+                pos += 1
+                if pos >= n_px:
+                    break
+        else:
+            if cache is None:
+                raise ValueError("corrupt VP8L: cache symbol, no cache")
+            argb = int(cache[s - 256 - 24])
+            emit(pos, (argb >> 24) & 255, (argb >> 16) & 255,
+                 (argb >> 8) & 255, argb & 255)
+            pos += 1
+    return out
+
+
+def decode_vp8l(data: bytes) -> np.ndarray:
+    """VP8L chunk payload -> (h, w, 4) uint8 RGBA."""
+    br = _BitReader(data)
+    if br.bits(8) != 0x2F:
+        raise ValueError("bad VP8L signature")
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bits(1)  # alpha hint
+    if br.bits(3) != 0:
+        raise ValueError("bad VP8L version")
+
+    transforms = []
+    while br.bits(1):
+        ttype = br.bits(2)
+        if ttype == 2:  # SUBTRACT_GREEN
+            transforms.append(("subtract_green", None))
+        elif ttype == 0:  # PREDICTOR
+            size_bits = br.bits(3) + 2
+            bw_ = (w + (1 << size_bits) - 1) >> size_bits
+            bh_ = (h + (1 << size_bits) - 1) >> size_bits
+            pred_img = _decode_entropy_image(br, bw_, bh_)
+            transforms.append(("predictor", (size_bits, pred_img[:, :, 2])))
+        else:
+            raise NotImplementedError(
+                "VP8L transform %d (COLOR / COLOR_INDEXING) not implemented"
+                % ttype
+            )
+
+    img = _decode_image_data(br, w, h)  # (h, w, 4) a,r,g,b
+
+    for name, arg in reversed(transforms):
+        if name == "subtract_green":
+            g = img[:, :, 2].astype(np.int64)
+            img[:, :, 1] = (img[:, :, 1] + g) & 255
+            img[:, :, 3] = (img[:, :, 3] + g) & 255
+        elif name == "predictor":
+            size_bits, modes = arg
+            a = img.astype(np.int64)
+            res = np.empty_like(a)
+            for y in range(h):
+                for x in range(w):
+                    if y == 0 and x == 0:
+                        pred = _PRED_BLACK
+                    elif y == 0:
+                        pred = tuple(res[0, x - 1])
+                    elif x == 0:
+                        pred = tuple(res[y - 1, 0])
+                    else:
+                        mode = int(modes[y >> size_bits, x >> size_bits])
+                        left = tuple(res[y, x - 1])
+                        top = tuple(res[y - 1, x])
+                        topleft = tuple(res[y - 1, x - 1])
+                        topright = (
+                            tuple(res[y - 1, x + 1]) if x + 1 < w
+                            else tuple(res[y - 1, 0])
+                        )
+                        pred = _predict(mode, None, left, top, topleft, topright)
+                    res[y, x] = (a[y, x] + np.asarray(pred, dtype=np.int64)) & 255
+            img = res.astype(np.uint8)
+
+    # (a, r, g, b) -> RGBA
+    return img[:, :, [1, 2, 3, 0]]
+
+
+def decode_webp(buf: bytes) -> np.ndarray:
+    """RIFF/WEBP container -> (h, w, 4) uint8 RGBA (lossless only)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    pos = 12
+    while pos + 8 <= len(buf):
+        tag = buf[pos:pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        payload = buf[pos + 8:pos + 8 + size]
+        if tag == b"VP8L":
+            return decode_vp8l(payload)
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 WebP needs a DCT codec library absent here; "
+                "lossless VP8L decodes natively"
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("no VP8L chunk in WebP container")
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture-grade subset: literal-only, 1 group, normal codes)
+# ---------------------------------------------------------------------------
+
+
+def _huffman_lengths(freqs: list[int], max_len: int = 15) -> list[int]:
+    """Code lengths from symbol frequencies: heap Huffman with depth
+    accounting.  Raises past ``max_len`` instead of silently emitting
+    an invalid (Kraft-violating) code — 8-bit alphabets over image
+    planes never get near depth 15 in practice."""
+    import heapq
+
+    out = [0] * len(freqs)
+    used = [(f, s) for s, f in enumerate(freqs) if f > 0]
+    if not used:
+        return out
+    if len(used) == 1:
+        out[used[0][1]] = 1
+        return out
+    heap = [(f, i, [s]) for i, (f, s) in enumerate(used)]
+    heapq.heapify(heap)
+    depth = {s: 0 for _, s in used}
+    tie = len(heap)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, tie, s1 + s2))
+        tie += 1
+    for s, d in depth.items():
+        if d > max_len:
+            raise ValueError(f"huffman depth {d} exceeds {max_len}")
+        out[s] = d
+    return out
+
+
+def _write_huffman(bw: _BitWriter, lengths: list[int]) -> _Huffman:
+    """Write a 'normal' code (code-length-code + plain per-symbol
+    lengths, no RLE) and return the canonical tree for symbol writes."""
+    bw.bits(0, 1)  # not simple
+    used = sorted(set(lengths))
+    cl_freq = [0] * 19
+    for l in lengths:
+        cl_freq[l] += 1
+    cl_len = _huffman_lengths(cl_freq, max_len=7)
+    bw.bits(19 - 4, 4)
+    for sym in _CL_ORDER:
+        bw.bits(cl_len[sym], 3)
+    cl_tree = _Huffman(cl_len)
+    bw.bits(0, 1)  # no max_symbol shortcut
+    for l in lengths:
+        cl_tree.write(bw, l)
+    return _Huffman(lengths)
+
+
+def encode_webp_lossless(img: np.ndarray, subtract_green: bool = False) -> bytes:
+    """(h, w, 3|4) uint8 -> lossless WebP (literal-only subset)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w = img.shape[:2]
+    if img.shape[2] == 3:
+        alpha = np.full((h, w), 255, dtype=np.uint8)
+        rgba = np.dstack([img, alpha])
+    else:
+        rgba = img
+    r = rgba[:, :, 0].astype(np.int64)
+    g = rgba[:, :, 1].astype(np.int64)
+    b = rgba[:, :, 2].astype(np.int64)
+    a = rgba[:, :, 3].astype(np.int64)
+    if subtract_green:
+        r = (r - g) & 255
+        b = (b - g) & 255
+
+    bw = _BitWriter()
+    bw.bits(0x2F, 8)
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(int((rgba[:, :, 3] != 255).any()), 1)
+    bw.bits(0, 3)  # version
+    if subtract_green:
+        bw.bits(1, 1)  # transform present
+        bw.bits(2, 2)  # SUBTRACT_GREEN
+    bw.bits(0, 1)  # no more transforms
+    bw.bits(0, 1)  # no color cache
+    bw.bits(0, 1)  # no meta-huffman
+
+    planes = [g.ravel(), r.ravel(), b.ravel(), a.ravel()]
+    sizes = [256 + 24, 256, 256, 256, 40]
+    trees = []
+    for i, size in enumerate(sizes):
+        freqs = [0] * size
+        if i < 4:
+            vals, counts = np.unique(planes[i], return_counts=True)
+            for v, c in zip(vals, counts):
+                freqs[int(v)] = int(c)
+        else:
+            freqs[0] = 1  # unused distance tree still needs a code
+        trees.append(_write_huffman(bw, _huffman_lengths(freqs)))
+
+    gt, rt, bt, at, _ = trees
+    for i in range(h * w):
+        gt.write(bw, int(planes[0][i]))
+        rt.write(bw, int(planes[1][i]))
+        bt.write(bw, int(planes[2][i]))
+        at.write(bw, int(planes[3][i]))
+
+    payload = bw.finish()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
