@@ -8,10 +8,11 @@ shapes) is real and tested.  Codecs:
   BMP (24-bit uncompressed), PNG (8-bit gray/RGB/RGBA, zlib inflate +
   all five row filters), GIF (LZW, still + animated — the lib-free
   "video" container for ``gif_frames``), baseline JPEG
-  (operators/jpeg.py: Huffman + DCT + YCbCr), WAV (PCM16) — sniffed
-  from magic bytes.
-- Remaining formats (WebP/MP3/MP4/...) need codec libraries absent
-  from this environment: ``decode_image`` raises
+  (operators/jpeg.py: Huffman + DCT + YCbCr), lossless WebP
+  (operators/webp.py: VP8L entropy + transforms), WAV (PCM16) —
+  sniffed from magic bytes.
+- Remaining formats (lossy VP8 WebP/MP3/MP4/...) need codec libraries
+  absent from this environment: ``decode_image`` raises
   ``NotImplementedError`` naming the format, or pass ``fake=True``
   for a clearly-marked deterministic stand-in (keyed hash stream of
   the payload) that exercises every downstream stage.
@@ -531,11 +532,10 @@ def sniff_and_decode(buf: bytes) -> np.ndarray:
             img = np.repeat(img[:, :, None], 3, axis=2)
         return img
     if buf.startswith(b"RIFF"):
-        raise NotImplementedError(
-            "RIFF/WebP decoding requires a codec library not present in "
-            "this environment (PPM/BMP/PNG/GIF/JPEG decode natively; or "
-            "fake=True)"
-        )
+        from xarray_spatial_spark.operators.webp import decode_webp
+
+        img = decode_webp(buf)  # lossless VP8L decodes natively
+        return img[:, :, :3]  # drop alpha for the (h, w, 3) contract
     raise NotImplementedError("unrecognized image format")
 
 
@@ -547,9 +547,10 @@ def decode_image(
 ) -> DataFrame:
     """binary -> flattened pixel array + decoded shape columns.
 
-    PPM (P6), 24-bit BMP, PNG, GIF, and baseline JPEG payloads decode
-    natively (pure stdlib + numpy, no codec libs).  Remaining formats
-    (WebP, ...) raise ``NotImplementedError`` per-row with the format
+    PPM (P6), 24-bit BMP, PNG, GIF, baseline JPEG, and lossless WebP
+    (VP8L) payloads decode natively (pure stdlib + numpy, no codec
+    libs).  Remaining formats
+    (lossy VP8, ...) raise ``NotImplementedError`` per-row with the format
     name unless ``fake=True`` (deterministic stand-in keyed on the
     payload hash).  width/height are REPLACED by the decoded
     dimensions on the real path."""
