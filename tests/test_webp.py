@@ -270,3 +270,70 @@ def test_multimodal_sniff_routes_webp():
     img = rng.integers(0, 256, (6, 5, 3)).astype(np.uint8)
     out = sniff_and_decode(encode_webp_lossless(img))
     np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("n_colors,shape", [(2, (5, 9)), (4, (7, 6)),
+                                            (16, (8, 11)), (200, (12, 13))])
+def test_palette_roundtrip(n_colors, shape):
+    """COLOR_INDEXING round trip across every packing width (8/4/2/1
+    px per byte), odd widths included (packing pad)."""
+    rng = np.random.default_rng(n_colors)
+    pal = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+    idx = rng.integers(0, n_colors, shape)
+    img = pal[idx]
+    out = decode_webp(encode_webp_lossless(img, palette=True))
+    np.testing.assert_array_equal(out[:, :, :3], img)
+    assert (out[:, :, 3] == 255).all()
+
+
+def test_color_transform_handwoven():
+    """Cross-color (COLOR) inverse: residual stream + single-block
+    multipliers decodes back to the target (forward transform done
+    independently in the test, signed 3.5 fixed-point)."""
+    rng = np.random.default_rng(9)
+    h, w = 4, 4
+    target = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)  # a,r,g,b
+    g2r, g2b, r2b = 37, -12, 100  # int8 multipliers
+
+    def s8(v):
+        v = int(v) & 255
+        return v - 256 if v >= 128 else v
+
+    res = target.astype(np.int64).copy()
+    for y in range(h):
+        for x in range(w):
+            a_, r_, g_, b_ = (int(v) for v in target[y, x])
+            nr = (r_ - ((g2r * s8(g_)) >> 5)) & 255
+            nb = (b_ - ((g2b * s8(g_)) >> 5) - ((r2b * s8(r_)) >> 5)) & 255
+            res[y, x] = (a_, nr, g_, nb)
+
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.bits(1, 1)   # transform present
+    bw.bits(1, 2)   # COLOR
+    bw.bits(0, 3)   # size_bits=2 -> one 4x4 block -> 1x1 subimage
+    # cte pixel: blue=g2r, green=g2b, red=r2b (stored as uint8)
+    bw.bits(0, 1)   # no cache (subimage)
+    cg = _tree(bw, {g2b & 255: 1}, 256 + 24)
+    cr = _tree(bw, {r2b & 255: 1}, 256)
+    cb = _tree(bw, {g2r & 255: 1}, 256)
+    ca = _tree(bw, {255: 1}, 256)
+    _tree(bw, {0: 1}, 40)
+    cg.write(bw, g2b & 255); cr.write(bw, r2b & 255)
+    cb.write(bw, g2r & 255); ca.write(bw, 255)
+    bw.bits(0, 1)   # no more transforms
+    bw.bits(0, 1)   # no cache
+    bw.bits(0, 1)   # no meta
+    gt = _tree(bw, {int(v): 1 for v in np.unique(res[:, :, 2])}, 256 + 24)
+    rt = _tree(bw, {int(v): 1 for v in np.unique(res[:, :, 1])}, 256)
+    bt = _tree(bw, {int(v): 1 for v in np.unique(res[:, :, 3])}, 256)
+    at = _tree(bw, {int(v): 1 for v in np.unique(res[:, :, 0])}, 256)
+    _tree(bw, {0: 1}, 40)
+    for y in range(h):
+        for x in range(w):
+            gt.write(bw, int(res[y, x, 2]))
+            rt.write(bw, int(res[y, x, 1]))
+            bt.write(bw, int(res[y, x, 3]))
+            at.write(bw, int(res[y, x, 0]))
+    out = decode_vp8l(bw.finish())  # RGBA
+    np.testing.assert_array_equal(out[:, :, [3, 0, 1, 2]], target)

@@ -7,18 +7,18 @@ Scope (documented, tested):
 
 - decode: full entropy layer (canonical Huffman with simple and
   normal code-length coding, meta-Huffman groups, color cache, LZ77
-  backward references with plain distances), SUBTRACT_GREEN and
-  PREDICTOR inverse transforms (the two transforms every ``cwebp -z``
-  stream uses).
+  backward references with plain distances) and ALL FOUR inverse
+  transforms — SUBTRACT_GREEN, PREDICTOR, COLOR (cross-color, signed
+  3.5 fixed-point per-block multipliers), COLOR_INDEXING (delta-coded
+  palette with packed-index width reduction).
 - encode: a valid literal-only subset used for round-trip fixtures —
-  no transforms or optional subtract-green, one Huffman group, normal
-  code-length coding, no LZ77 / cache.
+  plain, subtract-green, or palette (COLOR_INDEXING) streams, one
+  Huffman group, normal code-length coding, no LZ77 / cache.
 
-Named boundaries (raise, never corrupt): the COLOR / COLOR_INDEXING
-inverse transforms and the spec's 120-entry short-distance
-neighborhood map (my encoder always emits plain distances; real
-streams that use the short map get a NotImplementedError naming it).
-Lossy VP8 chunks raise as before.
+Named boundaries (raise, never corrupt): the spec's 120-entry
+short-distance neighborhood map (my encoder always emits plain
+distances; real streams that use the short map get a
+NotImplementedError naming it) and lossy VP8 chunks.
 """
 
 from __future__ import annotations
@@ -349,36 +349,100 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     if br.bits(3) != 0:
         raise ValueError("bad VP8L version")
 
+    # transforms are read at the CURRENT effective width: a
+    # color-indexing transform with packed indices SHRINKS the width
+    # for everything read after it (later transforms' block subimages
+    # and the main image); inverses run in reverse read order and
+    # restore the width step by step
     transforms = []
+    xsize = w
     while br.bits(1):
         ttype = br.bits(2)
         if ttype == 2:  # SUBTRACT_GREEN
             transforms.append(("subtract_green", None))
         elif ttype == 0:  # PREDICTOR
             size_bits = br.bits(3) + 2
-            bw_ = (w + (1 << size_bits) - 1) >> size_bits
+            bw_ = (xsize + (1 << size_bits) - 1) >> size_bits
             bh_ = (h + (1 << size_bits) - 1) >> size_bits
             pred_img = _decode_entropy_image(br, bw_, bh_)
             transforms.append(("predictor", (size_bits, pred_img[:, :, 2])))
-        else:
-            raise NotImplementedError(
-                "VP8L transform %d (COLOR / COLOR_INDEXING) not implemented"
-                % ttype
+        elif ttype == 1:  # COLOR (cross-color)
+            size_bits = br.bits(3) + 2
+            bw_ = (xsize + (1 << size_bits) - 1) >> size_bits
+            bh_ = (h + (1 << size_bits) - 1) >> size_bits
+            cte = _decode_entropy_image(br, bw_, bh_)
+            transforms.append(("color", (size_bits, cte)))
+        else:  # COLOR_INDEXING
+            n_colors = br.bits(8) + 1
+            pal_img = _decode_entropy_image(br, n_colors, 1)[0]  # (n, 4) argb
+            # palette entries are component-delta-coded
+            pal = pal_img.astype(np.int64)
+            for i in range(1, n_colors):
+                pal[i] = (pal[i] + pal[i - 1]) & 255
+            if n_colors <= 2:
+                width_bits = 3
+            elif n_colors <= 4:
+                width_bits = 2
+            elif n_colors <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            full_w = xsize
+            xsize = (xsize + (1 << width_bits) - 1) >> width_bits
+            transforms.append(
+                ("color_indexing", (pal.astype(np.uint8), width_bits, full_w))
             )
 
-    img = _decode_image_data(br, w, h)  # (h, w, 4) a,r,g,b
+    img = _decode_image_data(br, xsize, h)  # (h, xsize, 4) a,r,g,b
 
     for name, arg in reversed(transforms):
         if name == "subtract_green":
             g = img[:, :, 2].astype(np.int64)
             img[:, :, 1] = (img[:, :, 1] + g) & 255
             img[:, :, 3] = (img[:, :, 3] + g) & 255
+        elif name == "color":
+            size_bits, cte = arg
+            hh, ww = img.shape[:2]
+            by = np.arange(hh) >> size_bits
+            bx = np.arange(ww) >> size_bits
+            # per-block signed 3.5 fixed-point multipliers: stored as
+            # blue = green_to_red, green = green_to_blue, red = red_to_blue
+            g2r = cte[:, :, 3].astype(np.int8)[np.ix_(by, bx)].astype(np.int64)
+            g2b = cte[:, :, 2].astype(np.int8)[np.ix_(by, bx)].astype(np.int64)
+            r2b = cte[:, :, 1].astype(np.int8)[np.ix_(by, bx)].astype(np.int64)
+            green_s = img[:, :, 2].astype(np.int8).astype(np.int64)
+            red = (img[:, :, 1].astype(np.int64)
+                   + ((g2r * green_s) >> 5)) & 255
+            red_s = red.astype(np.uint8).astype(np.int8).astype(np.int64)
+            blue = (img[:, :, 3].astype(np.int64)
+                    + ((g2b * green_s) >> 5) + ((r2b * red_s) >> 5)) & 255
+            img[:, :, 1] = red.astype(np.uint8)
+            img[:, :, 3] = blue.astype(np.uint8)
+        elif name == "color_indexing":
+            pal, width_bits, full_w = arg
+            hh = img.shape[0]
+            packed = img[:, :, 2]  # indices ride the green channel
+            if width_bits:
+                ppu = 1 << width_bits
+                bits = 8 >> width_bits
+                mask = (1 << bits) - 1
+                shifts = (np.arange(ppu) * bits)[None, None, :]
+                idx = ((packed[:, :, None].astype(np.int64) >> shifts)
+                       & mask).reshape(hh, -1)[:, :full_w]
+            else:
+                idx = packed
+            oob = idx >= len(pal)
+            out = pal[np.minimum(idx, len(pal) - 1)]
+            if oob.any():
+                out[oob] = 0  # spec: out-of-range index -> transparent black
+            img = out
         elif name == "predictor":
             size_bits, modes = arg
+            hh, ww = img.shape[:2]
             a = img.astype(np.int64)
             res = np.empty_like(a)
-            for y in range(h):
-                for x in range(w):
+            for y in range(hh):
+                for x in range(ww):
                     if y == 0 and x == 0:
                         pred = _PRED_BLACK
                     elif y == 0:
@@ -391,7 +455,7 @@ def decode_vp8l(data: bytes) -> np.ndarray:
                         top = tuple(res[y - 1, x])
                         topleft = tuple(res[y - 1, x - 1])
                         topright = (
-                            tuple(res[y - 1, x + 1]) if x + 1 < w
+                            tuple(res[y - 1, x + 1]) if x + 1 < ww
                             else tuple(res[y - 1, 0])
                         )
                         pred = _predict(mode, None, left, top, topleft, topright)
@@ -478,39 +542,15 @@ def _write_huffman(bw: _BitWriter, lengths: list[int]) -> _Huffman:
     return _Huffman(lengths)
 
 
-def encode_webp_lossless(img: np.ndarray, subtract_green: bool = False) -> bytes:
-    """(h, w, 3|4) uint8 -> lossless WebP (literal-only subset)."""
-    img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        img = np.repeat(img[:, :, None], 3, axis=2)
-    h, w = img.shape[:2]
-    if img.shape[2] == 3:
-        alpha = np.full((h, w), 255, dtype=np.uint8)
-        rgba = np.dstack([img, alpha])
-    else:
-        rgba = img
-    r = rgba[:, :, 0].astype(np.int64)
-    g = rgba[:, :, 1].astype(np.int64)
-    b = rgba[:, :, 2].astype(np.int64)
-    a = rgba[:, :, 3].astype(np.int64)
-    if subtract_green:
-        r = (r - g) & 255
-        b = (b - g) & 255
-
-    bw = _BitWriter()
-    bw.bits(0x2F, 8)
-    bw.bits(w - 1, 14)
-    bw.bits(h - 1, 14)
-    bw.bits(int((rgba[:, :, 3] != 255).any()), 1)
-    bw.bits(0, 3)  # version
-    if subtract_green:
-        bw.bits(1, 1)  # transform present
-        bw.bits(2, 2)  # SUBTRACT_GREEN
-    bw.bits(0, 1)  # no more transforms
+def _write_literal_planes(bw: _BitWriter, g, r, b, a, main: bool) -> None:
+    """Literal-only entropy-coded image body: no cache, no LZ77; one
+    huffman group.  ``main`` images carry the meta-huffman bit,
+    entropy subimages (palette, predictor) don't."""
     bw.bits(0, 1)  # no color cache
-    bw.bits(0, 1)  # no meta-huffman
-
-    planes = [g.ravel(), r.ravel(), b.ravel(), a.ravel()]
+    if main:
+        bw.bits(0, 1)  # no meta-huffman
+    planes = [np.asarray(g).ravel(), np.asarray(r).ravel(),
+              np.asarray(b).ravel(), np.asarray(a).ravel()]
     sizes = [256 + 24, 256, 256, 256, 40]
     trees = []
     for i, size in enumerate(sizes):
@@ -522,13 +562,96 @@ def encode_webp_lossless(img: np.ndarray, subtract_green: bool = False) -> bytes
         else:
             freqs[0] = 1  # unused distance tree still needs a code
         trees.append(_write_huffman(bw, _huffman_lengths(freqs)))
-
     gt, rt, bt, at, _ = trees
-    for i in range(h * w):
+    for i in range(len(planes[0])):
         gt.write(bw, int(planes[0][i]))
         rt.write(bw, int(planes[1][i]))
         bt.write(bw, int(planes[2][i]))
         at.write(bw, int(planes[3][i]))
+
+
+def encode_webp_lossless(
+    img: np.ndarray, subtract_green: bool = False, palette: bool = False
+) -> bytes:
+    """(h, w, 3|4) uint8 -> lossless WebP (literal-only subset).
+
+    ``palette=True`` writes a COLOR_INDEXING stream (requires <= 256
+    distinct colors; indices packed per the spec's width reduction) —
+    the shape every palette-ish web image uses.  Otherwise plain
+    literals, optionally behind SUBTRACT_GREEN."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w = img.shape[:2]
+    if img.shape[2] == 3:
+        alpha = np.full((h, w), 255, dtype=np.uint8)
+        rgba = np.dstack([img, alpha])
+    else:
+        rgba = img
+
+    bw = _BitWriter()
+    bw.bits(0x2F, 8)
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(int((rgba[:, :, 3] != 255).any()), 1)
+    bw.bits(0, 3)  # version
+
+    if palette:
+        colors, inv = np.unique(
+            rgba.reshape(-1, 4), axis=0, return_inverse=True
+        )
+        n = len(colors)
+        if n > 256:
+            raise ValueError(f"palette encoding needs <= 256 colors, got {n}")
+        idx = inv.reshape(h, w).astype(np.int64)
+        bw.bits(1, 1)  # transform present
+        bw.bits(3, 2)  # COLOR_INDEXING
+        bw.bits(n - 1, 8)
+        # palette subimage: 1 x n, (a, r, g, b) component-delta-coded
+        pal = colors[:, [3, 0, 1, 2]].astype(np.int64)  # argb
+        delta = pal.copy()
+        delta[1:] = (pal[1:] - pal[:-1]) & 255
+        _write_literal_planes(
+            bw, delta[:, 2], delta[:, 1], delta[:, 3], delta[:, 0],
+            main=False,
+        )
+        bw.bits(0, 1)  # no more transforms
+        if n <= 2:
+            width_bits = 3
+        elif n <= 4:
+            width_bits = 2
+        elif n <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        if width_bits:
+            ppu = 1 << width_bits
+            bits = 8 >> width_bits
+            wd = (w + ppu - 1) // ppu
+            pad = np.zeros((h, wd * ppu), dtype=np.int64)
+            pad[:, :w] = idx
+            packed = np.zeros((h, wd), dtype=np.int64)
+            for k in range(ppu):
+                packed |= pad[:, k::ppu] << (k * bits)
+        else:
+            wd = w
+            packed = idx
+        zero = np.zeros((h, wd), dtype=np.int64)
+        _write_literal_planes(
+            bw, packed, zero, zero, np.full((h, wd), 255, np.int64), main=True
+        )
+    else:
+        r = rgba[:, :, 0].astype(np.int64)
+        g = rgba[:, :, 1].astype(np.int64)
+        b = rgba[:, :, 2].astype(np.int64)
+        a = rgba[:, :, 3].astype(np.int64)
+        if subtract_green:
+            r = (r - g) & 255
+            b = (b - g) & 255
+            bw.bits(1, 1)  # transform present
+            bw.bits(2, 2)  # SUBTRACT_GREEN
+        bw.bits(0, 1)  # no more transforms
+        _write_literal_planes(bw, g, r, b, a, main=True)
 
     payload = bw.finish()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
