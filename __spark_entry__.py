@@ -954,6 +954,48 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("tf_idf", 6).alias("tf_idf"), "rank")
 
 
+
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quality cap (functions/corpus.py host_cap): keep the
+    top-3 docs per host by n_chars — the crawl-curation stage that
+    stops one domain dominating the corpus."""
+    from xarray_spatial_spark.functions import url as uf
+    from xarray_spatial_spark.functions.corpus import host_cap
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("user@")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"), (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".example.com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".example.co.uk"))
+        .otherwise(F.lit(".org")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/a/b/"), F.col("doc_id").cast("string"),
+    )
+    sel = df.select(
+        "doc_id", "n_chars", uf.url_host(url).alias("host")
+    )
+    out = host_cap(sel, k=3, score_col="n_chars", id_col="doc_id",
+                   host_col="host")
+    return out.select("doc_id", "host", "n_chars", "host_rank")
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking with overlap (functions/corpus.py
+    chunk_documents): 24-token windows every 16 tokens."""
+    from xarray_spatial_spark.functions.corpus import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = chunk_documents(d, chunk_tokens=24, stride=16)
+    return out.select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode + tile-assign the documents table, zonal stats
     per tile joined with nearest-hot-city allocation counts."""
@@ -1017,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "ivf_topk": q_ivf_topk,
         "host_agg": q_host_agg,
+        "host_cap": q_host_cap,
+        "chunk_docs": q_chunk_docs,
         "window_events": q_window_events,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "minhash_pairs": q_minhash_pairs,
@@ -1195,6 +1239,57 @@ def oracle_sql() -> dict[str, str]:
                         WHEN value <= b5 THEN 5.0 END AS cls,
                    count(*) AS n
             FROM r, bb GROUP BY 1, 2
+        """,
+        "host_cap": """
+            WITH u AS (
+              SELECT doc_id, n_chars,
+                'https://'
+                || CASE WHEN doc_id % 11 = 0 THEN 'user@' ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END
+                || 'site' || CAST(doc_id % 50 AS VARCHAR)
+                || CASE WHEN doc_id % 3 = 0 THEN '.example.com'
+                        WHEN doc_id % 3 = 1 THEN '.example.co.uk'
+                        ELSE '.org' END
+                || CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END
+                || '/a/b/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, n_chars,
+                     lower(regexp_replace(regexp_replace(
+                       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                       '^.*@', ''), ':[0-9]+$', '')) AS host
+              FROM u
+            ),
+            r AS (
+              SELECT doc_id, host, n_chars,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY n_chars DESC, doc_id ASC)
+                       AS host_rank
+              FROM h
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, host,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(host_rank AS INT) AS host_rank
+            FROM r WHERE host_rank <= 3
+        """,
+        "chunk_docs": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents
+            ),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            st AS (
+              SELECT doc_id, toks, n,
+                     unnest(range(0, greatest(n - 1, 0) + 1, 16)) AS start
+              FROM n
+            )
+            SELECT doc_id,
+                   CAST(start / 16 AS INT) AS chunk_id,
+                   array_to_string(toks[start + 1:start + 24], ' ')
+                     AS chunk_text,
+                   CAST(least(n - start, 24) AS INT) AS chunk_tokens
+            FROM st
         """,
         "extract_text": """
             WITH h AS (

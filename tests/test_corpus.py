@@ -107,3 +107,59 @@ def test_token_quota_cuts_per_source(spark):
     kept = [r["doc_id"] for r in corpus.token_quota(
         df2, 1000, len_col="n_tokens").collect()]
     assert sorted(kept) == [0, 1]
+
+
+def test_host_cap(spark):
+    from xarray_spatial_spark.functions.corpus import host_cap
+
+    rows = [(i, f"https://h{i % 2}.org/p/{i}", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, score double")
+    out = host_cap(df, k=3, score_col="score").collect()
+    assert len(out) == 6  # 3 per host
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["url"].split("/")[2], []).append(r)
+    for host, rs in by_host.items():
+        # top-3 scores of that host, rank 1..3 descending score
+        scores = sorted((r["score"] for r in rs), reverse=True)
+        want = sorted(
+            (float(i) for i in range(10) if f"h{i % 2}" in host), reverse=True
+        )[:3]
+        assert scores == want
+        assert sorted(r["host_rank"] for r in rs) == [1, 2, 3]
+
+
+def test_host_cap_tie_breaks_by_id(spark):
+    from xarray_spatial_spark.functions.corpus import host_cap
+
+    rows = [(i, "https://same.org/x", 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, score double")
+    out = host_cap(df, k=2, score_col="score").collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1]  # lowest ids win ties
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from xarray_spatial_spark.functions.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "solo"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, stride=3)
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["chunk_tokens"])
+           for r in out.collect()}
+    # doc 1: starts 0,3,6,9 -> 4 chunks; last is the 1-token tail
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w3 w4 w5 w6", 4)   # stride 3 overlaps by 1
+    assert got[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert got[(1, 3)] == ("w9", 1)
+    assert got[(2, 0)] == ("solo", 1)
+    assert got[(3, 0)] == ("a b c d", 4)
+    assert got[(3, 1)] == ("d", 1)
+    # every original token appears in some chunk (coverage invariant)
+    covered = set()
+    for (d, _), (txt, _) in got.items():
+        if d == 1:
+            covered.update(txt.split())
+    assert covered == set(words.split())

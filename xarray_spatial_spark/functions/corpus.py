@@ -196,3 +196,88 @@ def corpus_stats(
             "mean_tokens"
         ),
     )
+
+
+def host_cap(
+    df: DataFrame,
+    k: int,
+    score_col: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    host_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``k`` docs per host, best ``score_col`` first —
+    the standard crawl-curation stage that stops a single domain from
+    dominating the corpus (per-host caps in CC pipelines).
+
+    Adds ``host_rank`` (1-based within host).  The rank is a
+    host-partitioned window: hosts are numerous, so the window
+    parallelizes; a zipfian megahost concentrates ITS rows in one
+    task, which is the correct cost model — the cap is exactly the
+    operator that then throws most of those rows away.  Ties break by
+    ``id_col`` for run-to-run and oracle determinism."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    from xarray_spatial_spark.functions.url import url_host
+
+    host = F.col(host_col) if host_col else url_host(F.col(url_col))
+    w = Window.partitionBy(host).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= k)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows (whitespace
+    tokens) with optional overlap — the long-document stage before
+    sequence packing: every chunk is at most ``chunk_tokens`` tokens,
+    windows start every ``stride`` tokens (default = chunk_tokens,
+    i.e. disjoint).
+
+    One row per (doc, chunk): (id, chunk_id, chunk_text, n_tokens).
+    Pure Catalyst: split -> sequence of window starts -> posexplode ->
+    slice/join — no Python, no shuffle (explode happens in the scan
+    stage); the downstream packer handles global layout."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    stride = stride or chunk_tokens
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # window starts: 0, stride, 2*stride, ... covering every token;
+    # empty/whitespace-only docs produce one empty chunk row
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    out = (
+        df.withColumn("_toks", toks)
+        .withColumn("_n", n)
+        .select(
+            "*",
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .withColumn(
+            "chunk_text",
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+            ),
+        )
+        .withColumn(
+            "chunk_tokens",
+            F.least(F.col("_n") - F.col("_start"), F.lit(chunk_tokens)),
+        )
+        .drop("_toks", "_n", "_start")
+    )
+    return out
