@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "tile_assign",
     "zonal_stats",
     "zonal_crosstab",
-    "classify_quantile",
+    "classify_maps",
     "multispectral",
     "local_cellstats",
     "proximity_nn",
@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "pyramid",
     "snapshot_dedup",
     "host_agg",
+    "host_cap",
+    "chunk_docs",
+    "extract_text",
     "redact",
     "gopher",
     "corpus",

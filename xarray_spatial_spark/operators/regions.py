@@ -150,6 +150,7 @@ def _boundary_pass(
     th: int,
     tw: int,
     geometry: bool = False,
+    meta: bool = False,
 ) -> DataFrame:
     """Pass 2: ONE haloed per-tile pass over the CCL labels.
 
@@ -169,7 +170,12 @@ def _boundary_pass(
         on perimeter-scale rows;
       kind 2 — per-label metadata (la, v = class value), one row per
         tile-local label, for region values and the scan-order rank
-        without revisiting cells."""
+        without revisiting cells.
+
+    ``meta=True`` (regions): kind 0 + kind 2 only — the equivalence
+    edges plus the label roster that lets the dense scan-order ids be
+    ranked driver-side in the same collect pass, instead of a
+    distributed rank job chain over cell-derived roots."""
     haloed = with_halo(labeled, 1, th, tw)
 
     def _edges(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -208,8 +214,27 @@ def _boundary_pass(
         else:
             equiv = pd.DataFrame({"la": pd.Series(dtype="int64"),
                                   "lb": pd.Series(dtype="int64")})
-        if not geometry:
+        if not geometry and not meta:
             return equiv
+        if not geometry:
+            # meta-only: equivalences + one metadata row per label
+            own = pdf["_halo"].to_numpy() == 0
+            lc_lab = labs[py[own], px[own]]
+            lc_val = vals[py[own], px[own]]
+            u_lab, u_first = np.unique(lc_lab.astype(np.int64),
+                                       return_index=True)
+            return pd.concat([
+                pd.DataFrame({
+                    "kind": np.zeros(len(equiv), dtype=np.int32),
+                    "la": equiv["la"], "lb": equiv["lb"], "v": np.nan,
+                }),
+                pd.DataFrame({
+                    "kind": np.full(len(u_lab), 2, dtype=np.int32),
+                    "la": u_lab,
+                    "lb": np.zeros(len(u_lab), dtype=np.int64),
+                    "v": lc_val[u_first],
+                }),
+            ], ignore_index=True)
 
         # ---- fused geometry + metadata (own cells only) ---------------
         own = pdf["_halo"].to_numpy() == 0
@@ -265,10 +290,13 @@ def _boundary_pass(
         ]
         return pd.concat(parts, ignore_index=True)
 
-    schema = (
-        "kind int, la long, lb long, x1 int, y1 int, x2 int, y2 int, v double"
-        if geometry else "la long, lb long"
-    )
+    if geometry:
+        schema = ("kind int, la long, lb long, "
+                  "x1 int, y1 int, x2 int, y2 int, v double")
+    elif meta:
+        schema = "kind int, la long, lb long, v double"
+    else:
+        schema = "la long, lb long"
     return haloed.groupBy("_ty", "_tx").applyInPandas(_edges, schema=schema)
 
 
@@ -310,34 +338,34 @@ def regions(
     conn = neighborhood
     th, tw = tile_h, tile_w
 
-    # the CCL pass feeds the edge collect, the root-distinct rank, and
-    # the final relabel join — persist it once instead of re-running
-    # the per-tile labeling per action
+    # the CCL pass feeds the boundary collect and the final relabel
+    # join — persist it once instead of re-running the per-tile
+    # labeling per action
     labeled = _tile_label(df, conn, value_col, th, tw).persist()
 
-    edges = _boundary_pass(labeled, conn, value_col, th, tw).distinct().collect()
+    fused = _boundary_pass(labeled, conn, value_col, th, tw, meta=True).persist()
+    equiv = fused.filter(F.col("kind") == 0).select("la", "lb").distinct().collect()
+    labs = [r["la"] for r in
+            fused.filter(F.col("kind") == 2).select("la").collect()]
 
-    mapping = _union_find(edges)
+    # label-count-scale driver finish (same pattern as polygonize):
+    # union-find, dense 0-based ids in scan order (root key = min
+    # y*2^32+x of region, roots sort by it), then ONE broadcast
+    # relabel join lab -> region.  The broadcast LUT existed in the
+    # prior shape too (root map + ranked map); this collapses ~4 rank
+    # jobs and the second join into the collect already being paid.
+    root_of = dict(_union_find(equiv))
+    region_of = {rt: i for i, rt in
+                 enumerate(sorted({root_of.get(l, l) for l in labs}))}
+    lab_region = [
+        (int(l), float(region_of[root_of.get(l, l)])) for l in labs
+    ]
     spark = df.sparkSession
-    if mapping:
-        map_df = spark.createDataFrame(mapping, schema="_lab long, _root long")
-        labeled = (
-            labeled.join(F.broadcast(map_df), "_lab", "left")
-            .withColumn("_root", F.coalesce("_root", "_lab"))
-        )
-    else:
-        labeled = labeled.withColumn("_root", F.col("_lab"))
-
-    # dense 0-based ids in scan order (root key = min y*2^32+x of region).
-    # Two-phase distributed rank — a bare orderBy window would drag every
-    # distinct region through ONE task (millions at 100-TB scale).
-    from xarray_spatial_spark.plans.ranks import global_row_number
-
-    roots = labeled.select("_root").distinct()
-    ranked = global_row_number(roots, "_root", out_col, zero_based=True)
-    ranked = ranked.withColumn(out_col, F.col(out_col).cast("double"))
+    map_df = spark.createDataFrame(
+        lab_region, schema=f"_lab long, {out_col} double"
+    )
     return (
-        labeled.join(F.broadcast(ranked), "_root")
+        labeled.join(F.broadcast(map_df), "_lab")
         .select("y", "x", value_col, out_col)
     )
 
