@@ -996,6 +996,34 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
 
 
+
+def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k stratified sample per source (functions/corpus.py
+    stratified_sample): deterministic Knuth-hash order, so the SQL
+    oracle reproduces the identical sample."""
+    from xarray_spatial_spark.functions.corpus import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = stratified_sample(d, k=25, strata_col="source")
+    return out.select("doc_id", "source", "n_chars", "sample_rank")
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup (functions/similarity.py
+    semantic_dedup) — kept-row roster; kmeans buckets have no sane
+    SQL twin, so this is a rows-only check (planted-cluster pytest
+    carries the semantics)."""
+    from xarray_spatial_spark.functions.similarity import semantic_dedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    out = semantic_dedup(e, threshold=0.98, n_clusters=8)
+    return out.select("vec_id", "label")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode + tile-assign the documents table, zonal stats
     per tile joined with nearest-hot-city allocation counts."""
@@ -1061,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_agg": q_host_agg,
         "host_cap": q_host_cap,
         "chunk_docs": q_chunk_docs,
+        "strat_sample": q_strat_sample,
         "window_events": q_window_events,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "minhash_pairs": q_minhash_pairs,
@@ -1071,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed": q_viewshed,
         "terrain": q_terrain,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1290,6 +1320,19 @@ def oracle_sql() -> dict[str, str]:
                      AS chunk_text,
                    CAST(least(n - start, 24) AS INT) AS chunk_tokens
             FROM st
+        """,
+        "strat_sample": """
+            WITH r AS (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * 2654435761) % 1000000007 ASC,
+                                doc_id ASC) AS sample_rank
+              FROM documents
+            )
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(sample_rank AS INT) AS sample_rank
+            FROM r WHERE sample_rank <= 25
         """,
         "extract_text": """
             WITH h AS (

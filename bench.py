@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "host_cap",
     "chunk_docs",
     "extract_text",
+    "strat_sample",
+    "semantic_dedup",
     "redact",
     "gopher",
     "corpus",

@@ -163,3 +163,21 @@ def test_chunk_documents_overlap_and_edges(spark):
         if d == 1:
             covered.update(txt.split())
     assert covered == set(words.split())
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from xarray_spatial_spark.functions.corpus import stratified_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, k=7, strata_col="source").collect()
+    from collections import Counter
+    counts = Counter(r["source"] for r in out)
+    assert counts == {"a": 7, "b": 7, "c": 7}
+    # deterministic: same sample at different parallelism
+    out2 = stratified_sample(df.repartition(13), k=7, strata_col="source")
+    assert sorted(r["doc_id"] for r in out2.collect()) == \
+        sorted(r["doc_id"] for r in out)
+    # small stratum: returns all of it
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
+    assert stratified_sample(tiny, k=5).count() == 2

@@ -57,7 +57,7 @@ def test_oracle_keys_subset_of_queries():
     assert set(QUERIES) - set(ORACLES) == {
         "minhash_pairs", "simhash_groups", "simhash_neardup",
         "polygonize", "a_star", "viewshed", "terrain",
-        "embedding_neardup",
+        "embedding_neardup", "semantic_dedup",
     }
 
 

@@ -122,3 +122,42 @@ def test_ivf_centroids_deterministic(spark):
     a = _centroids(df, 4, "embedding", "vec_id")
     b = _centroids(df.repartition(7), 4, "embedding", "vec_id")
     np.testing.assert_allclose(a, b)
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """Two tight clusters + one singleton: within-cluster near-dups
+    collapse to the lowest id; distinct vectors all survive.
+    n_clusters=2 so each near-identical group provably shares one
+    bucket (more centroids than natural clusters can SPLIT a group —
+    the operator's documented cross-cluster recall miss)."""
+    import numpy as np
+
+    from xarray_spatial_spark.functions.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(3, 16))
+    rows = []
+    vid = 0
+    for ci in range(2):          # clusters of 5 near-identical vectors
+        for _ in range(5):
+            v = base[ci] + rng.normal(scale=1e-3, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    rows.append((vid, [float(x) for x in base[2]]))  # singleton
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, threshold=0.99, n_clusters=2).collect()
+    )
+    assert kept == [0, 5, 10]    # lowest id per cluster + the singleton
+
+
+def test_semantic_dedup_no_dups_keeps_all(spark):
+    import numpy as np
+
+    from xarray_spatial_spark.functions.similarity import semantic_dedup
+
+    rng = np.random.default_rng(4)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert semantic_dedup(df, threshold=0.999, n_clusters=4).count() == 30

@@ -281,3 +281,32 @@ def chunk_documents(
         .drop("_toks", "_n", "_start")
     )
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY min(k, n_stratum) rows per stratum, chosen by a
+    deterministic hash order — the fixed-budget evaluation/holdout
+    sampler (``sample_mixture`` gives *fractions*; this gives exact
+    counts).
+
+    Order key is a Knuth multiplicative hash of ``id_col`` (pure
+    int64 arithmetic, so the identical rule runs in any engine — the
+    SQL oracle reproduces the exact same sample).  Window is
+    partitioned by stratum: parallel across strata; a single hot
+    stratum concentrates in one task, which the rank then cuts to k —
+    subsample hot strata first if that task is the bottleneck."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    order = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(1_000_000_007))
+    w = Window.partitionBy(strata_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -248,3 +248,75 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pruning: cluster the
+    corpus with the deterministic spherical k-means centroids, compare
+    pairs WITHIN a cluster only, and drop every row whose cosine to a
+    LOWER-id cluster-mate exceeds ``threshold``.  Returns the kept
+    rows (a strict subset of the corpus, dedup semantics like
+    ``exact_duplicates``: lowest id survives).
+
+    Scale shape: centroid assignment is a zero-shuffle Arrow map
+    stage; the candidate generation is a bucketed self-equi-join on
+    the cluster id (never all-pairs); within-cluster pair counts are
+    the operator's cost model, which is exactly the SemDeDup paper's
+    trade — raise ``n_clusters`` to shrink buckets.  Cross-cluster
+    near-duplicates are missed by design (the recall/cost knob)."""
+    cents = _centroids(corpus, n_clusters, vec_col, id_col, method="kmeans")
+    cnorm = np.linalg.norm(cents, axis=1)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((cents, cnorm))
+    ctype = corpus.schema[vec_col].dataType.simpleString()
+    schema_a = f"{id_col} long, _bkt int, _v {ctype}"
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c, cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (vecs @ c.T) / (norms[:, None] * cn[None, :])
+            yield pd.DataFrame({
+                id_col: pdf.iloc[:, 0].to_numpy(),
+                "_bkt": np.argmax(sims, axis=1).astype(np.int32),
+                "_v": pdf.iloc[:, 1],
+            })
+
+    assigned = (
+        corpus.select(id_col, vec_col).mapInPandas(_op, schema=schema_a)
+        .persist()  # feeds both join sides + the final anti-join
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), "_bkt", F.col("_v").alias("_va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), "_bkt", F.col("_v").alias("_vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(
+        F.col("_va"), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v
+    ))
+    nb = F.sqrt(F.aggregate(
+        F.col("_vb"), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v
+    ))
+    dupes = (
+        a.join(b, "_bkt")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(dot / (na * nb) > threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(dupes, id_col, "left_anti")
