@@ -48,3 +48,26 @@ def test_polygonize_tiling_invariance(spark, tile):
     base = polygonize(df_from_numpy(spark, data), tile_h=256, tile_w=256)
     want = {(r["region"]): (r["area"], r["n_rings"], r["value"]) for r in base.collect()}
     assert rows == want
+
+
+def test_polygonize_plan_two_cell_scale_passes(spark):
+    """The fused plan touches cell-scale data exactly twice: the tile
+    CCL applyInPandas and the haloed boundary applyInPandas.  A third
+    grouped-pandas node would mean the round-2 shape (separate
+    geometry pass / cell-scale relabel) crept back."""
+    import re
+
+    import numpy as np
+
+    from xarray_spatial_spark import raster
+
+    a = np.array([[1.0, 1.0, 2.0], [3.0, 1.0, 2.0], [3.0, 3.0, 2.0]])
+    out = polygonize(raster.df_from_numpy(spark, a), tile_h=2, tile_w=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # InMemoryRelation prints its cached subtree twice in toString, so
+    # count DISTINCT grouped kernels, not node occurrences
+    kernels = set(re.findall(
+        r"FlatMapGroupsIn(?:Pandas|Arrow) \[[^]]*\], (\w+)\(", plan))
+    assert kernels == {"_label", "_edges"}, kernels
+    # the ring assembly is a mapInPandas over perimeter rows
+    assert "MapInPandas" in plan or "MapInArrow" in plan
