@@ -265,9 +265,10 @@ def semantic_dedup(
     ``exact_duplicates``: lowest id survives).
 
     Scale shape: centroid assignment is a zero-shuffle Arrow map
-    stage; the candidate generation is a bucketed self-equi-join on
-    the cluster id (never all-pairs); within-cluster pair counts are
-    the operator's cost model, which is exactly the SemDeDup paper's
+    stage; comparison is ONE bucket-keyed shuffle followed by a
+    per-bucket vectorized matmul (never all-pairs, never per-pair
+    expression evaluation); the b x b per-bucket sim matrix is the
+    operator's cost model, which is exactly the SemDeDup paper's
     trade — raise ``n_clusters`` to shrink buckets.  Cross-cluster
     near-duplicates are missed by design (the recall/cost knob)."""
     cents = _centroids(corpus, n_clusters, vec_col, id_col, method="kmeans")
@@ -292,31 +293,29 @@ def semantic_dedup(
                 "_v": pdf.iloc[:, 1],
             })
 
-    assigned = (
-        corpus.select(id_col, vec_col).mapInPandas(_op, schema=schema_a)
-        .persist()  # feeds both join sides + the final anti-join
-    )
-    a = assigned.select(
-        F.col(id_col).alias("_ida"), "_bkt", F.col("_v").alias("_va")
-    )
-    b = assigned.select(
-        F.col(id_col).alias("_idb"), "_bkt", F.col("_v").alias("_vb")
-    )
-    dot = F.aggregate(
-        F.zip_with("_va", "_vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v,
-    )
-    na = F.sqrt(F.aggregate(
-        F.col("_va"), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v
-    ))
-    nb = F.sqrt(F.aggregate(
-        F.col("_vb"), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v
-    ))
-    dupes = (
-        a.join(b, "_bkt")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(dot / (na * nb) > threshold)
-        .select(F.col("_idb").alias(id_col))
-        .distinct()
+    assigned = corpus.select(id_col, vec_col).mapInPandas(_op, schema=schema_a)
+
+    # within-bucket comparison as ONE vectorized matmul per bucket
+    # (applyInPandas), not a pair-explosion self-join: a b-vector
+    # bucket costs O(b^2) similarity CELLS either way, but the matmul
+    # does them at numpy speed while a join evaluates a Catalyst HOF
+    # per pair (~50x slower measured at sf0.1).  Peak memory is the
+    # bucket's b x b float64 sim matrix — n_clusters is the knob that
+    # bounds b (the SemDeDup cost/recall trade).
+    def _bucket_dupes(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = np.stack(pdf["_v"].to_numpy())[order].astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        x = vecs / norms[:, None]
+        sims = x @ x.T
+        upper = np.triu(sims > threshold, k=1)  # (lower_id, higher_id)
+        dup = upper.any(axis=0)
+        return pd.DataFrame({id_col: ids[dup]})
+
+    dupes = assigned.groupBy("_bkt").applyInPandas(
+        _bucket_dupes, schema=f"{id_col} long"
     )
     return corpus.join(dupes, id_col, "left_anti")
