@@ -162,3 +162,50 @@ def test_pip_matches_bruteforce_on_random_points(spark):
             assert gotv is None or np.isnan(gotv)
         else:
             assert gotv == want
+
+
+def test_pip_join_many_polygons_bucketed_path(spark):
+    """2,000-polygon set takes the grid-bucketed candidate path (the
+    broadcast R-tree role at web scale); assignments verified against
+    the analytic ground truth of a disjoint square grid."""
+    import numpy as np
+
+    from xarray_spatial_spark.operators import pip
+
+    # 50 x 40 = 2000 disjoint squares: cell (i, j) covers
+    # lon [i, i+0.8], lat [j, j+0.8] (gap 0.2 -> some points miss)
+    polys = {}
+    for i in range(50):
+        for j in range(40):
+            zid = i * 40 + j
+            lon0, lat0 = i - 25.0, j - 20.0
+            polys[zid] = np.array([
+                [lon0, lat0], [lon0 + 0.8, lat0],
+                [lon0 + 0.8, lat0 + 0.8], [lon0, lat0 + 0.8],
+            ])
+    assert len(polys) > 64  # forces the bucketed many-polygon path
+
+    rng = np.random.default_rng(11)
+    lons = rng.uniform(-25, 25, 20000)
+    lats = rng.uniform(-20, 20, 20000)
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(20000), "lon": lons, "lat": lats})
+    )
+    out = pip.pip_join(df, polys).toPandas().set_index("pid")
+
+    ii = np.floor(lons + 25).astype(int)
+    jj = np.floor(lats + 20).astype(int)
+    in_cell = ((lons + 25 - ii) <= 0.8) & ((lats + 20 - jj) <= 0.8) \
+        & (ii < 50) & (jj < 40)
+    want = np.where(in_cell, (ii * 40 + jj).astype(float), np.nan)
+    got = out.loc[np.arange(20000), "zone"].to_numpy()
+    # boundary points follow the ray-cast half-open rule; keep the
+    # check exact by dropping the measure-zero boundary set
+    on_edge = (np.isclose((lons + 25 - ii) % 1, 0.8) |
+               np.isclose((lats + 20 - jj) % 1, 0.8) |
+               np.isclose((lons + 25 - ii) % 1, 0.0) |
+               np.isclose((lats + 20 - jj) % 1, 0.0))
+    keep = ~on_edge
+    np.testing.assert_array_equal(got[keep], want[keep])
+    assert np.isnan(want[keep]).sum() > 1000  # gaps genuinely exercised
