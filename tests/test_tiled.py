@@ -384,3 +384,26 @@ def test_auto_dispatch_bucket_for_bucketed_table(spark, arr, tmp_path):
         spark.conf.unset("spark.xrspatial.halo.strategy")
         spark.sql("DROP TABLE IF EXISTS t_auto_bucket")
         tiled.table_scan_conf(spark)
+
+
+def test_slope_tiled_jvm_matches_python(spark, arr):
+    """Compiled JVM slope kernel (jvm/xss_kernels.jar) == the Python
+    kernel to float32 ulp (atan comes from different libms), same NaN
+    domain edges.  Builds the jar on first run; skips if no JDK."""
+    import subprocess
+
+    if tiled.jvm_kernels_jar() is None:
+        r = subprocess.run(["sh", "scripts/build_jvm_kernels.sh"],
+                           capture_output=True, cwd="/root/repo")
+        if r.returncode != 0 or tiled.jvm_kernels_jar() is None:
+            pytest.skip("JDK/javac unavailable; JVM kernel not built")
+    df = raster.df_from_numpy(spark, arr)
+    tdf = tiled.tile(df, tile_h=32, tile_w=32, dtype=np.float32)
+    spark.conf.set("spark.xrspatial.halo.strategy", "shuffle")
+    try:
+        py = tiled.numpy_from_tiled(surface.slope(tdf))
+        jv = tiled.numpy_from_tiled(tiled.slope_tiled_jvm(tdf))
+    finally:
+        spark.conf.unset("spark.xrspatial.halo.strategy")
+    assert (np.isnan(py) == np.isnan(jv)).all()
+    np.testing.assert_allclose(jv, py, atol=1e-4, equal_nan=True)

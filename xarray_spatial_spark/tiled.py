@@ -1236,3 +1236,70 @@ def fuse_stencils(stages: "Sequence[tuple[StencilFn, int]]") -> tuple[StencilFn,
         return cur
 
     return _fused, total
+
+
+# ---------------------------------------------------------------------------
+# experimental JVM kernel path (jvm/xss_kernels.jar)
+# ---------------------------------------------------------------------------
+
+def jvm_kernels_jar() -> str | None:
+    """Path to the compiled kernel jar (scripts/build_jvm_kernels.sh),
+    or None when it hasn't been built."""
+    import os
+
+    p = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "jvm", "xss_kernels.jar")
+    return p if os.path.exists(p) else None
+
+
+def slope_tiled_jvm(tdf: DataFrame, value_col: str = "value") -> DataFrame:
+    """Horn slope with a compiled JVM kernel: the same one-shuffle
+    strip plan as the shuffle halo strategy, but the halo assembly AND
+    the kernel run inside the JVM (collect_list of strip pieces ->
+    Java UDF), so raster bytes never cross into Python at all.
+
+    The experiment that quantifies the stencil family's remaining
+    Python/Arrow overhead (NOTES_r2 measured the kernel at ~6% of the
+    core budget).  Numerics: float32 Horn like the Python kernel;
+    atan comes from the JVM's libm, so results match the Python path
+    to ~1 ulp (tests assert allclose, not bit-equality).  Raises if
+    the jar isn't built."""
+    jar = jvm_kernels_jar()
+    if jar is None:
+        raise RuntimeError(
+            "JVM kernels not built; run scripts/build_jvm_kernels.sh"
+        )
+    spark = tdf.sparkSession
+    if not spark.conf.get("spark.xrspatial.jvmkernels.loaded", None):
+        from pyspark.sql.types import ArrayType, BinaryType
+
+        spark.sql(f"ADD JAR '{jar}'")
+        spark.udf.registerJavaFunction(
+            "xss_slope_tile", "xss.SlopeTile", ArrayType(BinaryType())
+        )
+        spark.conf.set("spark.xrspatial.jvmkernels.loaded", "true")
+
+    msgs = _jvm_messages(tdf, 1, [value_col])
+    grouped = (
+        msgs.groupBy("ty", "tx")
+        .agg(
+            F.max(F.when(F.col("iscenter") == 1, F.col("sh"))).alias("h"),
+            F.max(F.when(F.col("iscenter") == 1, F.col("sw"))).alias("w"),
+            F.first("th").alias("th"),
+            F.first("tw").alias("tw"),
+            F.collect_list(
+                F.struct("gy0", "gx0", "sh", "sw", "iscenter", "transposed",
+                         F.col(value_col).alias("data"))
+            ).alias("pieces"),
+        )
+        .filter(F.col("h").isNotNull())
+    )
+    blobs = F.expr("xss_slope_tile(ty, tx, th, tw, pieces)")
+    out = grouped.select(
+        "ty", "tx", "h", "w", "th", "tw", blobs.alias("_r")
+    )
+    sel = ["ty", "tx", "h", "w", "th", "tw",
+           F.col("_r")[0].alias(value_col)]
+    for i, sfx in enumerate(BLOB_SUFFIXES):
+        sel.append(F.col("_r")[i + 1].alias(f"{value_col}{sfx}"))
+    return out.select(*sel)
