@@ -1305,10 +1305,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_docs": """
             WITH t AS (
-              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+                     trim(text) = '' AS _empty
               FROM documents
             ),
-            n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            n AS (SELECT doc_id, toks,
+                         CASE WHEN _empty THEN 0 ELSE len(toks) END AS n
+                  FROM t),
             st AS (
               SELECT doc_id, toks, n,
                      unnest(range(0, greatest(n - 1, 0) + 1, 16)) AS start
@@ -1318,7 +1321,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start / 16 AS INT) AS chunk_id,
                    array_to_string(toks[start + 1:start + 24], ' ')
                      AS chunk_text,
-                   CAST(least(n - start, 24) AS INT) AS chunk_tokens
+                   CAST(greatest(least(n - start, 24), 0) AS INT)
+                     AS chunk_tokens
             FROM st
         """,
         "strat_sample": """
@@ -1326,7 +1330,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source, n_chars,
                      row_number() OVER (
                        PARTITION BY source
-                       ORDER BY (doc_id * 2654435761) % 1000000007 ASC,
+                       ORDER BY ((doc_id % 1000000007) * 2654435761)
+                                  % 1000000007 ASC,
                                 doc_id ASC) AS sample_rank
               FROM documents
             )

@@ -181,3 +181,33 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     # small stratum: returns all of it
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
     assert stratified_sample(tiny, k=5).count() == 2
+
+
+def test_chunk_documents_empty_doc_and_no_text_column(spark):
+    from xarray_spatial_spark.functions.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "", "web"), (2, "   ", "web"), (3, "a b", "book")],
+        "doc_id long, text string, source string",
+    )
+    out = chunk_documents(df, chunk_tokens=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # empty/whitespace docs keep one 0-token row (roster preserved)
+    assert rows[1]["chunk_tokens"] == 0 and rows[1]["chunk_text"] == ""
+    assert rows[2]["chunk_tokens"] == 0
+    assert rows[3]["chunk_tokens"] == 2 and rows[3]["chunk_text"] == "a b"
+    # the full text never rides the chunk rows; other columns do
+    assert "text" not in out.columns
+    assert rows[3]["source"] == "book"
+
+
+def test_stratified_sample_huge_ids_no_overflow(spark):
+    """Order key must stay in int64 for any id (a bare id*mult wraps
+    past id ~3.5e9 and errors on ANSI engines)."""
+    from xarray_spatial_spark.functions.corpus import stratified_sample
+
+    big = 2**62
+    rows = [(big + i, "s") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, k=4)
+    assert out.count() == 4

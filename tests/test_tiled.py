@@ -407,3 +407,29 @@ def test_slope_tiled_jvm_matches_python(spark, arr):
         spark.conf.unset("spark.xrspatial.halo.strategy")
     assert (np.isnan(py) == np.isnan(jv)).all()
     np.testing.assert_allclose(jv, py, atol=1e-4, equal_nan=True)
+
+
+def test_two_bucketed_tables_different_blocks_coexist(spark, arr, tmp_path):
+    """Block size rides each DataFrame's bk metadata: opening a
+    second table with a different block must not poison the first
+    (the round-3 review caught conf last-read-wins doing exactly
+    that)."""
+    df = raster.df_from_numpy(spark, arr)
+    tdf = tiled.tile(df, tile_h=32, tile_w=32)
+    a = tiled.write_bucketed(tdf, "t_blk2", buckets=4, block=2,
+                             path=str(tmp_path / "b2"))
+    b = tiled.write_bucketed(tdf, "t_blk4", buckets=4, block=4,
+                             path=str(tmp_path / "b4"))
+    try:
+        spark.conf.unset("spark.xrspatial.halo.strategy")
+        da = tiled.read_table(spark, a)
+        db = tiled.read_table(spark, b)  # would clobber a conf-based block
+        out_a = tiled.numpy_from_tiled(surface.slope(da))
+        out_b = tiled.numpy_from_tiled(surface.slope(db))
+        ref = tiled.numpy_from_tiled(surface.slope(tdf))
+        np.testing.assert_array_equal(out_a, ref)
+        np.testing.assert_array_equal(out_b, ref)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_blk2")
+        spark.sql("DROP TABLE IF EXISTS t_blk4")
+        tiled.table_scan_conf(spark)

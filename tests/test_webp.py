@@ -211,7 +211,24 @@ def _forward_predict(img_argb: np.ndarray, mode: int, size_bits: int):
     return res
 
 
-@pytest.mark.parametrize("mode", [1, 2, 7, 11, 12])
+def test_clamp_add_sub_half_spec_values():
+    """Direct spec check of predictor 13 (the round-3 review found the
+    first cut re-averaging with topleft and using floor division):
+    pred = Clamp(ave + trunc((ave - TL) / 2)), ave = Average2(L, T)."""
+    from xarray_spatial_spark.operators.webp import (
+        _avg2, _clamp_add_sub_half)
+
+    # L = T = 100, TL = 50 -> ave 100, d 50 -> 125
+    assert _clamp_add_sub_half(_avg2(100, 100), 50) == 125
+    # negative correction truncates toward zero: ave 10, TL 15 ->
+    # d = -5, trunc(-5/2) = -2 -> 8 (floor would give 7)
+    assert _clamp_add_sub_half(10, 15) == 8
+    # clamping both ends
+    assert _clamp_add_sub_half(250, 0) == 255
+    assert _clamp_add_sub_half(2, 200) == 0
+
+
+@pytest.mark.parametrize("mode", [1, 2, 5, 6, 7, 10, 11, 12, 13])
 def test_predictor_transform(mode):
     """Residual stream + single-mode predictor image decodes back to
     the target (forward transform built independently in the test)."""

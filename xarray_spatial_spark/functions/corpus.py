@@ -245,27 +245,32 @@ def chunk_documents(
     windows start every ``stride`` tokens (default = chunk_tokens,
     i.e. disjoint).
 
-    One row per (doc, chunk): (id, chunk_id, chunk_text, n_tokens).
-    Pure Catalyst: split -> sequence of window starts -> posexplode ->
-    slice/join — no Python, no shuffle (explode happens in the scan
-    stage); the downstream packer handles global layout."""
+    One row per (doc, chunk): every source column except
+    ``text_col`` passes through (carrying the full text on every
+    chunk row would multiply shuffled bytes by the chunk count),
+    plus (chunk_id, chunk_text, chunk_tokens).  Empty/whitespace-only
+    docs keep one row with chunk_tokens = 0, so the doc roster is
+    preserved and token budgets stay exact.  Pure Catalyst: split ->
+    sequence of window starts -> posexplode -> slice/join — no
+    Python, no shuffle (explode happens in the scan stage); the
+    downstream packer handles global layout."""
     if chunk_tokens <= 0:
         raise ValueError("chunk_tokens must be positive")
     stride = stride or chunk_tokens
     if stride <= 0:
         raise ValueError("stride must be positive")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    # window starts: 0, stride, 2*stride, ... covering every token;
-    # empty/whitespace-only docs produce one empty chunk row
+    # split('') yields [''] (size 1); count empty docs as 0 tokens
+    n = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
     starts = F.sequence(
         F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
     )
+    keep = [c for c in df.columns if c != text_col]
     out = (
         df.withColumn("_toks", toks)
         .withColumn("_n", n)
         .select(
-            "*",
+            *keep, "_toks", "_n",
             F.posexplode(starts).alias("chunk_id", "_start"),
         )
         .withColumn(
@@ -276,7 +281,10 @@ def chunk_documents(
         )
         .withColumn(
             "chunk_tokens",
-            F.least(F.col("_n") - F.col("_start"), F.lit(chunk_tokens)),
+            F.greatest(
+                F.least(F.col("_n") - F.col("_start"), F.lit(chunk_tokens)),
+                F.lit(0),
+            ),
         )
         .drop("_toks", "_n", "_start")
     )
@@ -294,9 +302,13 @@ def stratified_sample(
     sampler (``sample_mixture`` gives *fractions*; this gives exact
     counts).
 
-    Order key is a Knuth multiplicative hash of ``id_col`` (pure
-    int64 arithmetic, so the identical rule runs in any engine — the
-    SQL oracle reproduces the exact same sample).  Window is
+    Order key is a Knuth multiplicative hash of ``id_col``, computed
+    as ``((id % P) * 2654435761) % P`` with P = 1e9+7 so the product
+    stays under 2^63 for ANY int64 id (a bare ``id * mult`` overflows
+    at id ~3.5e9 — silently wrapping on non-ANSI Spark and ERRORING
+    on DuckDB/ANSI, which would split the engines).  Pure integer
+    arithmetic, so the identical rule runs in any engine — the SQL
+    oracle reproduces the exact same sample.  Window is
     partitioned by stratum: parallel across strata; a single hot
     stratum concentrates in one task, which the rank then cuts to k —
     subsample hot strata first if that task is the bottleneck."""
@@ -304,7 +316,9 @@ def stratified_sample(
         raise ValueError("k must be positive")
     from pyspark.sql import Window
 
-    order = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(1_000_000_007))
+    P = 1_000_000_007
+    order = F.pmod(F.pmod(F.col(id_col), F.lit(P)) * F.lit(2654435761),
+                   F.lit(P))
     w = Window.partitionBy(strata_col).orderBy(order.asc(), F.col(id_col).asc())
     return (
         df.withColumn("sample_rank", F.row_number().over(w))

@@ -347,6 +347,9 @@ def regions(
     equiv = fused.filter(F.col("kind") == 0).select("la", "lb").distinct().collect()
     labs = [r["la"] for r in
             fused.filter(F.col("kind") == 2).select("la").collect()]
+    # both consumers of the boundary pass are done; labeled stays
+    # cached (the returned DataFrame's relabel join reads it)
+    fused.unpersist()
 
     # label-count-scale driver finish (same pattern as polygonize):
     # union-find, dense 0-based ids in scan order (root key = min

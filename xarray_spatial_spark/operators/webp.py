@@ -201,9 +201,13 @@ def _clamp_add_sub_full(c, a, b):
     return min(255, max(0, int(a) + int(c) - int(b)))
 
 
-def _clamp_add_sub_half(c, b):
-    ave = (int(c) + int(b)) // 2
-    return min(255, max(0, ave + (ave - int(b)) // 2))
+def _clamp_add_sub_half(ave, b):
+    # spec / libwebp ClampedAddSubtractHalf: ave is ALREADY
+    # Average2(left, top); the correction term divides with C
+    # truncation toward zero, not Python floor
+    d = int(ave) - int(b)
+    half = d // 2 if d >= 0 else -((-d) // 2)
+    return min(255, max(0, int(ave) + half))
 
 
 def _predict(mode: int, px, left, top, topleft, topright):
@@ -527,7 +531,6 @@ def _write_huffman(bw: _BitWriter, lengths: list[int]) -> _Huffman:
     """Write a 'normal' code (code-length-code + plain per-symbol
     lengths, no RLE) and return the canonical tree for symbol writes."""
     bw.bits(0, 1)  # not simple
-    used = sorted(set(lengths))
     cl_freq = [0] * 19
     for l in lengths:
         cl_freq[l] += 1

@@ -104,6 +104,34 @@ def collect_dense(
     whole array in one process)."""
     import pandas as pd
 
+    def _refuse(H: int, W: int) -> None:
+        if H * W > cap_cells:
+            raise ValueError(
+                f"raster has {H}x{W} = {H*W} cells, above the driver "
+                f"materialization cap ({cap_cells}). This operator is "
+                "inherently global; restrict the window (margin/filter) "
+                "or raise cap_cells explicitly."
+            )
+
+    # the cap must fire BEFORE the driver collect (that is its whole
+    # point): explicit shape is checked for free; unknown shape pays
+    # one cheap min/max aggregation scan first (round-3 briefly
+    # derived the extent from the collected blobs to save that job —
+    # which moved the refusal after the driver had materialized
+    # everything the cap exists to refuse)
+    if shape is not None:
+        _refuse(*shape)
+    else:
+        row = df.agg(
+            F.max("y").alias("my"), F.max("x").alias("mx"),
+            F.min("y").alias("ny"), F.min("x").alias("nx"),
+        ).collect()[0]
+        if row["my"] is None:
+            return np.full((0, 0), np.nan)
+        y0, x0 = int(row["ny"]), int(row["nx"])
+        shape = (int(row["my"]) - y0 + 1, int(row["mx"]) - x0 + 1)
+        _refuse(*shape)
+
     def _pack(batches):
         ys, xs, vs = [], [], []
         for pdf in batches:
@@ -117,34 +145,12 @@ def collect_dense(
                 "vb": [np.concatenate(vs).tobytes()],
             })
 
-    # ONE job: the raster extent comes off the collected index arrays
-    # on the driver (they are being materialized anyway), not from a
-    # separate min/max aggregation scan.  The cell cap still holds —
-    # the collected blobs are 24 bytes/cell, so a raster over
-    # cap_cells would already have failed the broadcast/driver budget
-    # this cap protects; the check just moves after the collect for
-    # the shape-unknown path.
     parts = (
         df.select("y", "x", value_col)
         .mapInPandas(_pack, schema="yb binary, xb binary, vb binary")
         .collect()
     )
-    if shape is None:
-        if not parts:
-            return np.full((0, 0), np.nan)
-        y0 = min(int(np.frombuffer(r["yb"], np.int64).min()) for r in parts)
-        x0 = min(int(np.frombuffer(r["xb"], np.int64).min()) for r in parts)
-        my = max(int(np.frombuffer(r["yb"], np.int64).max()) for r in parts)
-        mx = max(int(np.frombuffer(r["xb"], np.int64).max()) for r in parts)
-        shape = (my - y0 + 1, mx - x0 + 1)
     H, W = shape
-    if H * W > cap_cells:
-        raise ValueError(
-            f"raster has {H}x{W} = {H*W} cells, above the driver "
-            f"materialization cap ({cap_cells}). This operator is "
-            "inherently global; restrict the window (margin/filter) or "
-            "raise cap_cells explicitly."
-        )
     out = np.full((H, W), np.nan)
     for r in parts:
         yy = np.frombuffer(r["yb"], np.int64) - y0

@@ -448,6 +448,19 @@ def block_key_col(block: int):
     ).cast("long")
 
 
+def _bucket_block(tdf: DataFrame) -> int:
+    """Resolve the super-tile block size for a bucketed raster: the
+    ``bk`` column's schema metadata (attached by ``read_table`` from
+    the stored table property — travels WITH the DataFrame, so two
+    open tables with different blocks can't poison each other), else
+    the session conf, else 4."""
+    if "bk" in tdf.columns:
+        meta = tdf.schema["bk"].metadata or {}
+        if "block" in meta:
+            return int(meta["block"])
+    return int(tdf.sparkSession.conf.get("spark.xrspatial.halo.block", "4"))
+
+
 def write_bucketed(
     tdf: DataFrame,
     name: str,
@@ -839,10 +852,8 @@ def halo_map_tiled(
         return _halo_broadcast(tdf, r, bands, reduce_fn, out_schema,
                                max_bytes)
     if strategy == "bucket":
-        block = int(tdf.sparkSession.conf.get(
-            "spark.xrspatial.halo.block", "4"
-        ))
-        return _halo_bucket(tdf, r, bands, reduce_fn, out_schema, block)
+        return _halo_bucket(tdf, r, bands, reduce_fn, out_schema,
+                            _bucket_block(tdf))
     if r <= EDGE and have_edges:
         msgs = _jvm_messages(tdf, r, bands)
     else:
@@ -1177,17 +1188,21 @@ def read_table(
     """Open a ``write_bucketed`` tiled table with the same reader-batch
     sizing as ``read`` — ``spark.table`` alone leaves the 4096-row
     vectorized-reader default, which aborts/OOMs on multi-MB binary
-    tile cells.  Also restores ``spark.xrspatial.halo.block`` from the
-    table's stored layout property so the bucket halo groups match the
-    stored ``bk`` without manual conf bookkeeping."""
+    tile cells.  Also attaches the table's stored block-size property
+    as ``bk`` column metadata, so the bucket halo groups match the
+    stored layout per-DataFrame (two open tables with different
+    blocks stay independent — a session conf would be
+    last-read-wins)."""
+    df = spark.table(name)
     try:
         props = spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
         for r in props:
-            if r["key"] == "xrspatial.halo.block":
-                spark.conf.set("spark.xrspatial.halo.block", r["value"])
+            if r["key"] == "xrspatial.halo.block" and "bk" in df.columns:
+                # per-DataFrame: rides the bk column's schema metadata
+                df = df.withMetadata("bk", {"block": int(r["value"])})
     except Exception:
-        pass  # not a catalog table (e.g. direct path read) — keep conf
-    return _sized_scan(spark, spark.table(name), tile_bytes)
+        pass  # not a catalog table (e.g. direct path read)
+    return _sized_scan(spark, df, tile_bytes)
 
 
 def _sized_scan(
