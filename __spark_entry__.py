@@ -1305,8 +1305,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_docs": """
             WITH t AS (
-              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
-                     trim(text) = '' AS _empty
+              SELECT doc_id,
+                     string_split_regex(coalesce(trim(text), ''), '\\s+')
+                       AS toks,
+                     coalesce(trim(text), '') = '' AS _empty
               FROM documents
             ),
             n AS (SELECT doc_id, toks,
@@ -1330,7 +1332,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source, n_chars,
                      row_number() OVER (
                        PARTITION BY source
-                       ORDER BY ((doc_id % 1000000007) * 2654435761)
+                       ORDER BY (((doc_id % 1000000007 + 1000000007)
+                                   % 1000000007) * 2654435761)
                                   % 1000000007 ASC,
                                 doc_id ASC) AS sample_rank
               FROM documents

@@ -183,7 +183,7 @@ def tiled_stencil_bench(spark) -> dict[str, float]:
     # bucketed-table path: write once (untimed), then slope with NO
     # strategy conf set — the round-3 auto-dispatch must pick the
     # exchange-free bucket plan from the stored super-tile key
-    name = "bench_terrain_bucketed"
+    name = f"bench_terrain_bucketed_{TILE_RASTER}"
     bpath = os.path.join(
         os.environ.get("BENCH_CACHE", "/tmp/xss_bench_cache"),
         f"terrain_bucket_{TILE_RASTER}",

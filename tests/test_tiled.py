@@ -393,8 +393,10 @@ def test_slope_tiled_jvm_matches_python(spark, arr):
     import subprocess
 
     if tiled.jvm_kernels_jar() is None:
+        import os
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         r = subprocess.run(["sh", "scripts/build_jvm_kernels.sh"],
-                           capture_output=True, cwd="/root/repo")
+                           capture_output=True, cwd=repo)
         if r.returncode != 0 or tiled.jvm_kernels_jar() is None:
             pytest.skip("JDK/javac unavailable; JVM kernel not built")
     df = raster.df_from_numpy(spark, arr)

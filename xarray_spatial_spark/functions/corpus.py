@@ -259,9 +259,11 @@ def chunk_documents(
     stride = stride or chunk_tokens
     if stride <= 0:
         raise ValueError("stride must be positive")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # split('') yields [''] (size 1); count empty docs as 0 tokens
-    n = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    txt = F.coalesce(F.trim(F.col(text_col)), F.lit(""))
+    toks = F.split(txt, r"\s+")
+    # split('') yields [''] (size 1); NULL and empty docs are both 0
+    # tokens (size(NULL) would be -1 / an ANSI drop — engine-splitting)
+    n = F.when(txt == "", F.lit(0)).otherwise(F.size(toks))
     starts = F.sequence(
         F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
     )

@@ -485,9 +485,9 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(name)
-    # the block size is part of the physical layout — carry it on the
-    # table so read_table can restore spark.xrspatial.halo.block and
-    # the bucket halo's group key matches the stored bk
+    # the block size is part of the physical layout — carry it as a
+    # table property so read_table can attach it to the bk column's
+    # metadata and the bucket halo's group key matches the stored bk
     spark.sql(
         f"ALTER TABLE {name} SET TBLPROPERTIES ('xrspatial.halo.block' = '{block}')"
     )
