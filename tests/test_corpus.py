@@ -211,3 +211,20 @@ def test_stratified_sample_huge_ids_no_overflow(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string")
     out = stratified_sample(df, k=4)
     assert out.count() == 4
+
+
+def test_prepare_corpus_host_cap_stage(spark):
+    from xarray_spatial_spark.functions.corpus import prepare_corpus
+
+    base = "\n".join(
+        f"The quick brown fox number {j} jumps over the lazy dog "
+        f"and that mutt will have been dealt with in style."
+        for j in range(8)
+    )
+    rows = [(i, base + f"\nClosing tail line {i}.", f"https://h{i % 2}.org/{i}")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = prepare_corpus(df, redact=False, url_col="url", host_cap_k=2)
+    assert out.count() == 4  # 2 hosts x cap 2
+    # default path unchanged
+    assert prepare_corpus(df, redact=False).count() == 12

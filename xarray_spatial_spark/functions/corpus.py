@@ -36,10 +36,14 @@ def prepare_corpus(
     max_words: int = 100000,
     lang: str | None = None,
     redact: bool = True,
+    url_col: str | None = None,
+    host_cap_k: int | None = None,
 ) -> DataFrame:
-    """Filter -> dedup -> redact; returns the surviving rows with the
-    text column redacted in place.  See module docstring for the
-    stage order rationale."""
+    """Filter -> dedup -> [host cap] -> redact; returns the surviving
+    rows with the text column redacted in place.  See module docstring
+    for the stage order rationale.  ``host_cap_k`` (with ``url_col``)
+    inserts the per-host quality cap after dedup — capping before
+    dedup would let duplicates consume a host's budget."""
     out = df.filter(
         tx.gopher_keep(F.col(text_col), min_words=min_words,
                        max_words=max_words)
@@ -47,6 +51,13 @@ def prepare_corpus(
     if lang is not None:
         out = out.filter(tx.langid(F.col(text_col)) == lang)
     out = dedup.distinct_by_text(out, text_col=text_col, id_col=id_col)
+    if host_cap_k is not None:
+        if url_col is None:
+            raise ValueError("host_cap_k needs url_col")
+        out = host_cap(
+            out.withColumn("_q", tx.quality_score(F.col(text_col))),
+            k=host_cap_k, score_col="_q", url_col=url_col, id_col=id_col,
+        ).drop("_q", "host_rank")
     if redact:
         out = out.withColumn(text_col, tx.redact_pii(F.col(text_col)))
     return out
