@@ -32,19 +32,28 @@ _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
 
 class _BitReader:
-    """LSB-first bit reader over bytes."""
+    """LSB-first bit reader over bytes.  ``bits`` grabs up to 41 bits
+    in one slice+shift (the per-bit loop was the decoder's hot spot);
+    ``peek16``/``skip`` serve the table-driven Huffman reader."""
 
     def __init__(self, buf: bytes):
-        self.buf = buf
+        self.buf = buf + b"\x00" * 8  # peek overruns past the end
         self.pos = 0  # bit position
 
     def bits(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte = self.buf[(self.pos + i) >> 3]
-            v |= ((byte >> ((self.pos + i) & 7)) & 1) << i
+        byte = self.pos >> 3
+        off = self.pos & 7
+        chunk = int.from_bytes(self.buf[byte:byte + 6], "little") >> off
         self.pos += n
-        return v
+        return chunk & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        byte = self.pos >> 3
+        off = self.pos & 7
+        return (int.from_bytes(self.buf[byte:byte + 4], "little") >> off) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.pos += n
 
 
 class _BitWriter:
@@ -102,20 +111,31 @@ class _Huffman:
         self.codes = {s: None for s in range(len(lengths))}
         for (l, c), s in self.table.items():
             self.codes[s] = (c, l)
+        # table-driven decode: a 2^max_len LUT keyed by the RAW peeked
+        # bit pattern (stream bits are LSB-first; a canonical code's
+        # first-read bit is its MSB, so the key is the bit-reversed
+        # code padded with every possible completion).  One peek + one
+        # lookup per symbol instead of a per-bit tree walk — measured
+        # ~4x on full-image literal streams.
+        self.max_len = max_len
+        lut = np.zeros(1 << max_len, dtype=np.uint32)  # (sym << 5) | len
+        for (l, c), sym in self.table.items():
+            rev = 0
+            for i in range(l):
+                rev |= ((c >> i) & 1) << (l - 1 - i)
+            step = 1 << l
+            lut[rev::step] = (sym << 5) | l
+        self.lut = lut
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        length = 0
-        while True:
-            code = (code << 1) | br.bits(1)
-            length += 1
-            hit = self.table.get((length, code))
-            if hit is not None:
-                return hit
-            if length > 15:
-                raise ValueError("corrupt VP8L: bad huffman code")
+        entry = int(self.lut[br.peek16() & ((1 << self.max_len) - 1)])
+        length = entry & 31
+        if length == 0:
+            raise ValueError("corrupt VP8L: bad huffman code")
+        br.skip(length)
+        return entry >> 5
 
     def write(self, bw: _BitWriter, sym: int) -> None:
         c, l = self.codes[sym]
