@@ -354,3 +354,42 @@ def test_color_transform_handwoven():
             at.write(bw, int(res[y, x, 0]))
     out = decode_vp8l(bw.finish())  # RGBA
     np.testing.assert_array_equal(out[:, :, [3, 0, 1, 2]], target)
+
+
+def test_inverse_predictor_vectorized_matches_naive():
+    """Row/segment-vectorized predictor inverse == the naive per-pixel
+    scan on random residuals with RANDOM per-block modes (stresses
+    segment boundaries, row 0 / col 0 chains, topright wrap)."""
+    from xarray_spatial_spark.operators.webp import (
+        _PRED_BLACK, _inverse_predictor, _predict)
+
+    rng = np.random.default_rng(21)
+    hh, ww, size_bits = 21, 27, 2
+    a = rng.integers(0, 256, (hh, ww, 4)).astype(np.uint8)
+    modes = rng.integers(0, 14, ((hh >> size_bits) + 1,
+                                 (ww >> size_bits) + 1)).astype(np.uint8)
+
+    def naive(img):
+        arr = img.astype(np.int64)
+        res = np.empty_like(arr)
+        for y in range(hh):
+            for x in range(ww):
+                if y == 0 and x == 0:
+                    pred = _PRED_BLACK
+                elif y == 0:
+                    pred = tuple(res[0, x - 1])
+                elif x == 0:
+                    pred = tuple(res[y - 1, 0])
+                else:
+                    mode = int(modes[y >> size_bits, x >> size_bits])
+                    left = tuple(res[y, x - 1])
+                    top = tuple(res[y - 1, x])
+                    topleft = tuple(res[y - 1, x - 1])
+                    topright = (tuple(res[y - 1, x + 1]) if x + 1 < ww
+                                else tuple(res[y - 1, 0]))
+                    pred = _predict(mode, None, left, top, topleft, topright)
+                res[y, x] = (arr[y, x] + np.asarray(pred, np.int64)) & 255
+        return res.astype(np.uint8)
+
+    np.testing.assert_array_equal(
+        _inverse_predictor(a, modes, size_bits), naive(a))
