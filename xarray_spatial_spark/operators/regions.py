@@ -57,6 +57,18 @@ def _tile_ccl(
     min-id run, so root keys match the per-cell relaxation exactly."""
     present = ~np.isnan(keys)
 
+    # single-class fast path: a fully-present tile of one value (or
+    # all-NaN values) is one component rooted at its scan-order first
+    # cell — common for quantized/classed rasters where whole tiles
+    # sit inside one region (the bench's floor(terrain/400) makes
+    # most 512^2 tiles uniform); skips the run machinery entirely
+    if present.all():
+        v0 = vals.flat[0]
+        uniform = (np.isnan(vals).all() if np.isnan(v0)
+                   else bool((vals == v0).all()))
+        if uniform:
+            return np.full(vals.shape, keys[0, 0])
+
     def eq(a, b):
         return ((a == b) | (np.isnan(a) & np.isnan(b)))
 
