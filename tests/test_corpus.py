@@ -228,3 +228,29 @@ def test_prepare_corpus_host_cap_stage(spark):
     assert out.count() == 4  # 2 hosts x cap 2
     # default path unchanged
     assert prepare_corpus(df, redact=False).count() == 12
+
+
+def test_chunk_then_pack_composition(spark):
+    """chunk_documents feeds pack_sequences end-to-end: chunk token
+    counts drive the packer's global cumsum, bins cut at the target,
+    and the total token budget is conserved."""
+    from xarray_spatial_spark.functions.corpus import (
+        chunk_documents, pack_sequences)
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(10 + 7 * (i % 4))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_tokens=8).withColumn(
+        "cid", __import__("pyspark").sql.functions.expr(
+            "doc_id * 1000 + chunk_id")
+    )
+    packed = pack_sequences(chunks, target_tokens=64, len_col="chunk_tokens",
+                            id_col="cid")
+    pdf = packed.toPandas().sort_values("cid")
+    total = pdf["chunk_tokens"].sum()
+    # every chunk got a bin; bins are the concatenated-stream cuts
+    assert pdf["bin_id"].notna().all()
+    assert pdf["bin_id"].max() == (int(total) - 1) // 64
+    # tokens conserved through chunking (ceil-division per doc)
+    want = sum(10 + 7 * (i % 4) for i in range(40))
+    assert int(total) == want

@@ -53,15 +53,29 @@ def test_decode_image_real_ppm_distributed(spark):
         )
 
 
-def test_decode_image_webp_raises(spark):
-    """JPEG now decodes natively; WebP remains the honest stub."""
-    df = spark.createDataFrame(
-        [(0, "image", bytearray(b"RIFF\x00\x00\x00\x00WEBPjunk"), 4, 4, 0,
-          "webp")],
-        schema=mm.MEDIA_SCHEMA,
-    )
-    with pytest.raises(Exception, match="WebP"):
-        mm.decode_image(df).collect()
+def test_decode_image_webp_distributed(spark):
+    """Lossless WebP (VP8L) decodes natively through the Spark path;
+    lossy VP8 stays a named boundary."""
+    from xarray_spatial_spark.operators.webp import encode_webp_lossless
+
+    rng = np.random.default_rng(8)
+    imgs = [rng.integers(0, 256, (5 + i, 7, 3)).astype(np.uint8)
+            for i in range(3)]
+    rows = [(i, "image", bytearray(encode_webp_lossless(im)), 0, 0, 0,
+             "webp") for i, im in enumerate(imgs)]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.decode_image(df).collect()}
+    for i, im in enumerate(imgs):
+        assert (out[i]["height"], out[i]["width"]) == im.shape[:2]
+        got = np.array(out[i]["pixels"], dtype=np.uint8).reshape(im.shape)
+        np.testing.assert_array_equal(got, im)
+
+    lossy = bytearray(
+        encode_webp_lossless(imgs[0]).replace(b"VP8L", b"VP8 ", 1))
+    bad = spark.createDataFrame(
+        [(9, "image", lossy, 4, 4, 0, "webp")], schema=mm.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="VP8"):
+        mm.decode_image(bad).collect()
 
 
 def test_wav_features_distributed(spark):
