@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xarray_spatial_spark import grid
@@ -761,10 +761,10 @@ def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", F.round("value", 6).alias("value"))
 
 
-def _url_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic url per doc exercising userinfo/port/case/eTLD."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
-    url = F.concat(
+def _synth_url_expr() -> Column:
+    """Deterministic url per doc exercising userinfo/port/case/eTLD
+    (shared by q_host_agg's source and q_host_cap)."""
+    return F.concat(
         F.lit("https://"),
         F.when(F.col("doc_id") % 11 == 0, F.lit("user@")).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 7 == 0, F.lit("WWW.")).otherwise(F.lit("")),
@@ -775,7 +775,11 @@ def _url_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 13 == 0, F.lit(":8080")).otherwise(F.lit("")),
         F.lit("/a/b/"), F.col("doc_id").cast("string"),
     )
-    return d.select(url.alias("url"), "n_chars")
+
+
+def _url_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    return d.select(_synth_url_expr().alias("url"), "n_chars")
 
 
 def q_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,19 +969,8 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "n_chars"
     )
-    url = F.concat(
-        F.lit("https://"),
-        F.when(F.col("doc_id") % 11 == 0, F.lit("user@")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 7 == 0, F.lit("WWW.")).otherwise(F.lit("")),
-        F.lit("site"), (F.col("doc_id") % 50).cast("string"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit(".example.com"))
-        .when(F.col("doc_id") % 3 == 1, F.lit(".example.co.uk"))
-        .otherwise(F.lit(".org")),
-        F.when(F.col("doc_id") % 13 == 0, F.lit(":8080")).otherwise(F.lit("")),
-        F.lit("/a/b/"), F.col("doc_id").cast("string"),
-    )
     sel = df.select(
-        "doc_id", "n_chars", uf.url_host(url).alias("host")
+        "doc_id", "n_chars", uf.url_host(_synth_url_expr()).alias("host")
     )
     out = host_cap(sel, k=3, score_col="n_chars", id_col="doc_id",
                    host_col="host")
