@@ -4,12 +4,12 @@ encoder never emits (LZ77 refs, color cache, simple codes,
 meta-Huffman groups, predictor transform).
 
 Honesty note: with no codec library in this image there are no
-third-party WebP fixtures; the hand-woven streams are built directly
-from the public bitstream layout (bit-level, not via the encoder), so
-encoder/decoder bugs cannot cancel for those paths — but a shared
-misreading of the spec itself would.  The named-boundary paths
-(COLOR/COLOR_INDEXING transforms, short-distance map, lossy VP8)
-raise rather than corrupt."""
+third-party lossless WebP fixtures; the hand-woven streams are built
+directly from the public bitstream layout (bit-level, not via the
+encoder), so encoder/decoder bugs cannot cancel for those paths — but
+a shared misreading of the spec itself would.  The one named-boundary
+path left (lossy VP8) raises rather than corrupts; truncated payloads
+raise."""
 
 import struct
 
@@ -201,9 +201,11 @@ def _forward_predict(img_argb: np.ndarray, mode: int, size_bits: int):
                 left = tuple(img_argb[y, x - 1])
                 top = tuple(img_argb[y - 1, x])
                 topleft = tuple(img_argb[y - 1, x - 1])
+                # spec: upper_row[width] aliases current_row[0], so
+                # the last column's topright is THIS row's col-0 pixel
                 topright = (
                     tuple(img_argb[y - 1, x + 1]) if x + 1 < w
-                    else tuple(img_argb[y - 1, 0])
+                    else tuple(img_argb[y, 0])
                 )
                 pred = _predict(mode, None, left, top, topleft, topright)
             res[y, x] = (img_argb[y, x].astype(np.int64)
@@ -228,7 +230,7 @@ def test_clamp_add_sub_half_spec_values():
     assert _clamp_add_sub_half(2, 200) == 0
 
 
-@pytest.mark.parametrize("mode", [1, 2, 5, 6, 7, 10, 11, 12, 13])
+@pytest.mark.parametrize("mode", [1, 2, 3, 5, 6, 7, 9, 10, 11, 12, 13])
 def test_predictor_transform(mode):
     """Residual stream + single-mode predictor image decodes back to
     the target (forward transform built independently in the test)."""
@@ -386,10 +388,100 @@ def test_inverse_predictor_vectorized_matches_naive():
                     top = tuple(res[y - 1, x])
                     topleft = tuple(res[y - 1, x - 1])
                     topright = (tuple(res[y - 1, x + 1]) if x + 1 < ww
-                                else tuple(res[y - 1, 0]))
+                                else tuple(res[y, 0]))  # spec TR alias
                     pred = _predict(mode, None, left, top, topleft, topright)
                 res[y, x] = (arr[y, x] + np.asarray(pred, np.int64)) & 255
         return res.astype(np.uint8)
 
     np.testing.assert_array_equal(
         _inverse_predictor(a, modes, size_bits), naive(a))
+
+
+def test_short_dist_table_matches_spec():
+    """The generated 120-entry neighborhood map has the spec's domain
+    and ordering: dy 0..7, dx -7..8 (dx >= 1 on row 0), sorted by
+    squared distance with |dx|-ascending / positive-first ties; the
+    head must equal the published table rows verbatim."""
+    from xarray_spatial_spark.operators.webp import _SHORT_DIST
+
+    assert len(_SHORT_DIST) == 120
+    assert len(set(_SHORT_DIST)) == 120
+    d2 = [x * x + y * y for x, y in _SHORT_DIST]
+    assert d2 == sorted(d2)
+    for x, y in _SHORT_DIST:
+        assert 0 <= y <= 7 and -7 <= x <= 8
+        assert y > 0 or x >= 1
+    assert _SHORT_DIST[:16] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    ]
+    # spot-check published groups deeper in the table
+    i25 = d2.index(25)
+    assert _SHORT_DIST[i25:i25 + 6] == [
+        (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0)]
+    assert _SHORT_DIST[d2.index(64)] == (8, 0)
+    assert _SHORT_DIST[-1] == (8, 7)
+
+
+def test_short_distance_copy_row_above():
+    """4x3 image: 4 literals then a length-8 copy with short-distance
+    code 1 = (dx 0, dy 1) -> dist = w -> every row repeats row 0."""
+    bw = _BitWriter()
+    _vp8l_header(bw, 4, 3)
+    bw.bits(0, 1)  # no transforms
+    bw.bits(0, 1)  # no cache
+    bw.bits(0, 1)  # no meta
+    g = _tree(bw, {1: 1, 2: 1, 3: 1, 4: 1, 256 + 5: 1}, 256 + 24)
+    r = _tree(bw, {7: 1}, 256)
+    b = _tree(bw, {9: 1}, 256)
+    a = _tree(bw, {255: 1}, 256)
+    d = _tree(bw, {0: 1}, 40)  # dist prefix 0 -> dist_code 1 (short map)
+    for gv in (1, 2, 3, 4):
+        g.write(bw, gv); r.write(bw, 7); b.write(bw, 9); a.write(bw, 255)
+    g.write(bw, 256 + 5)        # length prefix 5: 7 + extra bit
+    bw.bits(1, 1)               # extra -> length 8
+    d.write(bw, 0)              # short code 1 -> (0,1) -> dist 4
+    out = decode_vp8l(bw.finish())
+    assert out.shape == (3, 4, 4)
+    for y in range(3):
+        for x in range(4):
+            assert tuple(out[y, x]) == (7, x + 1, 9, 255)
+
+
+def test_short_distance_negative_dx_overlap():
+    """Short code 4 = (dx -1, dy 1) -> dist = w - 1 = 3 on a 4-wide
+    image; the length-4 copy overlaps its own output (LZ77 rule)."""
+    bw = _BitWriter()
+    _vp8l_header(bw, 4, 2)
+    bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1)
+    g = _tree(bw, {1: 1, 2: 1, 3: 1, 4: 1, 256 + 3: 1}, 256 + 24)
+    r = _tree(bw, {7: 1}, 256)
+    b = _tree(bw, {9: 1}, 256)
+    a = _tree(bw, {255: 1}, 256)
+    d = _tree(bw, {3: 1}, 40)  # dist prefix 3 -> dist_code 4 (short map)
+    for gv in (1, 2, 3, 4):
+        g.write(bw, gv); r.write(bw, 7); b.write(bw, 9); a.write(bw, 255)
+    g.write(bw, 256 + 3)        # length prefix 3 -> length 4, no extra
+    d.write(bw, 3)              # short code 4 -> (-1,1) -> dist 3
+    out = decode_vp8l(bw.finish())
+    want_g = [2, 3, 4, 2]       # copies from pos 1,2,3 then own pos 4
+    for x in range(4):
+        assert tuple(out[1, x]) == (7, want_g[x], 9, 255)
+
+
+def test_truncated_payload_raises():
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    buf = encode_webp_lossless(img)
+    (size,) = struct.unpack("<I", buf[16:20])
+    payload = buf[20:20 + size]
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        decode_vp8l(payload[:len(payload) // 2])
+
+
+def test_encode_dimension_guard():
+    img = np.zeros((1, 16385, 3), np.uint8)
+    with pytest.raises(ValueError, match="16384"):
+        encode_webp_lossless(img)
+    with pytest.raises(ValueError, match="16384"):
+        encode_webp_lossless(np.zeros((16385, 1, 3), np.uint8))

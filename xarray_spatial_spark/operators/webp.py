@@ -7,18 +7,18 @@ Scope (documented, tested):
 
 - decode: full entropy layer (canonical Huffman with simple and
   normal code-length coding, meta-Huffman groups, color cache, LZ77
-  backward references with plain distances) and ALL FOUR inverse
-  transforms — SUBTRACT_GREEN, PREDICTOR, COLOR (cross-color, signed
-  3.5 fixed-point per-block multipliers), COLOR_INDEXING (delta-coded
-  palette with packed-index width reduction).
+  backward references with plain distances AND the spec's 120-entry
+  short-distance neighborhood map) and ALL FOUR inverse transforms —
+  SUBTRACT_GREEN, PREDICTOR, COLOR (cross-color, signed 3.5
+  fixed-point per-block multipliers), COLOR_INDEXING (delta-coded
+  palette with packed-index width reduction).  Truncated payloads
+  raise (the bit reader tracks the true bit length) instead of
+  decoding fabricated zero bits.
 - encode: a valid literal-only subset used for round-trip fixtures —
   plain, subtract-green, or palette (COLOR_INDEXING) streams, one
   Huffman group, normal code-length coding, no LZ77 / cache.
 
-Named boundaries (raise, never corrupt): the spec's 120-entry
-short-distance neighborhood map (my encoder always emits plain
-distances; real streams that use the short map get a
-NotImplementedError naming it) and lossy VP8 chunks.
+Named boundary (raise, never corrupt): lossy VP8 chunks.
 """
 
 from __future__ import annotations
@@ -37,6 +37,7 @@ class _BitReader:
     ``peek16``/``skip`` serve the table-driven Huffman reader."""
 
     def __init__(self, buf: bytes):
+        self.limit = len(buf) * 8  # true bit length: reads past it raise
         self.buf = buf + b"\x00" * 8  # peek overruns past the end
         self.pos = 0  # bit position
 
@@ -45,6 +46,8 @@ class _BitReader:
         off = self.pos & 7
         chunk = int.from_bytes(self.buf[byte:byte + 6], "little") >> off
         self.pos += n
+        if self.pos > self.limit:
+            raise ValueError("truncated VP8L payload")
         return chunk & ((1 << n) - 1)
 
     def peek16(self) -> int:
@@ -54,6 +57,8 @@ class _BitReader:
 
     def skip(self, n: int) -> None:
         self.pos += n
+        if self.pos > self.limit:
+            raise ValueError("truncated VP8L payload")
 
 
 class _BitWriter:
@@ -210,6 +215,29 @@ def _prefix_value(br: _BitReader, sym: int) -> int:
     return offset + br.bits(extra) + 1
 
 
+def _short_dist_table() -> list[tuple[int, int]]:
+    """The VP8L short-distance neighborhood map: distance codes 1..120
+    address nearby pixels as (dx, dy) offsets instead of plain
+    distances.  The spec's table enumerates the 120 offsets with
+    dy in 0..7 and dx in -7..8 (dx >= 1 when dy == 0), ordered by
+    increasing squared Euclidean distance, ties broken by |dx|
+    ascending then positive dx before negative — generating it from
+    that rule reproduces the published table exactly (first rows:
+    (0,1),(1,0),(1,1),(-1,1),(0,2),(2,0),(1,2),(-1,2),(2,1),(-2,1)…)
+    and is property-tested in test_webp.py."""
+    pts = [
+        (x, y)
+        for y in range(8)
+        for x in range(-7, 9)
+        if not (y == 0 and x < 1)
+    ]
+    pts.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1],
+                            abs(p[0]), 0 if p[0] > 0 else 1))
+    return pts
+
+
+_SHORT_DIST = _short_dist_table()
+
 _PRED_BLACK = (255, 0, 0, 0)  # (a, r, g, b) opaque black
 
 
@@ -338,12 +366,13 @@ def _decode_image_data(
         elif s < 256 + 24:
             length = _prefix_value(br, s - 256)
             dist_code = _prefix_value(br, d_tree.read(br))
-            if dist_code <= 120:
-                raise NotImplementedError(
-                    "VP8L short-distance neighborhood map (dist codes "
-                    "<= 120) not implemented; plain distances decode"
-                )
-            dist = dist_code - 120
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _SHORT_DIST[dist_code - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
             if dist > pos:
                 raise ValueError("corrupt VP8L: LZ77 before start")
             for i in range(length):
@@ -384,11 +413,13 @@ def _inverse_predictor(img: np.ndarray, modes: np.ndarray,
 
     for y in range(1, hh):
         prev = res[y - 1]
-        # topright of the last column wraps to prev row's col 0 (spec)
+        res[y, 0] = (a[y, 0] + prev[0]) & 255   # col 0 predicts from top
+        # topright of the last column: the spec's upper_row[width]
+        # aliases the CURRENT row's col-0 pixel (libwebp row layout),
+        # which is already decoded by the line above
         tr_row = np.empty_like(prev)
         tr_row[:-1] = prev[1:]
-        tr_row[-1] = prev[0]
-        res[y, 0] = (a[y, 0] + prev[0]) & 255   # col 0 predicts from top
+        tr_row[-1] = res[y, 0]
         x = 1
         while x < ww:
             seg_end = min(((x >> size_bits) + 1) * block, ww)
@@ -650,6 +681,11 @@ def encode_webp_lossless(
     if img.ndim == 2:
         img = np.repeat(img[:, :, None], 3, axis=2)
     h, w = img.shape[:2]
+    if w > 16384 or h > 16384:
+        raise ValueError(
+            f"VP8L dimension limit is 16384, got {w}x{h} "
+            "(14-bit header fields would silently wrap)"
+        )
     if img.shape[2] == 3:
         alpha = np.full((h, w), 255, dtype=np.uint8)
         rgba = np.dstack([img, alpha])
