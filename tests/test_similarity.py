@@ -161,3 +161,97 @@ def test_semantic_dedup_no_dups_keeps_all(spark):
     rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(30)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     assert semantic_dedup(df, threshold=0.999, n_clusters=4).count() == 30
+
+
+def test_semantic_dedup_skewed_bucket_split(spark):
+    """One region holds ~60% of rows (10 tight near-dup groups of 30)
+    plus 200 spread singletons: with max_bucket=64 the hot cluster
+    MUST be recursively split, and the planted groups still collapse
+    to their lowest id while singletons all survive."""
+    import numpy as np
+
+    from xarray_spatial_spark.functions.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    hot = rng.normal(size=16)
+    hot /= np.linalg.norm(hot)
+    rows = []
+    vid = 0
+    group_leads = []
+    for g in range(10):          # tight groups inside the hot region
+        base = hot + rng.normal(scale=0.05, size=16)
+        group_leads.append(vid)
+        for _ in range(30):
+            v = base + rng.normal(scale=1e-4, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    singles = []
+    for _ in range(200):         # spread, far from hot and each other
+        v = rng.normal(size=16) * 3.0
+        singles.append(vid)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, threshold=0.999, n_clusters=4,
+                                max_bucket=64).collect()
+    )
+    # contract: every group lead and every singleton survives; a few
+    # EXTRA group members may survive when a nested split slices a
+    # group across buckets (the documented recall trade) — they must
+    # be group members, and most of each group must still collapse
+    must = set(group_leads) | set(singles)
+    assert must <= set(kept)
+    extra = [k for k in kept if k not in must]
+    assert all(e < 300 for e in extra)       # only group members
+    assert len(extra) <= 5                   # 295 of 300 dups removed
+
+
+def test_bounded_buckets_enforces_cap(spark):
+    """The split helper gets every bucket at or under max_bucket on a
+    deliberately degenerate assignment (ALL rows in one bucket)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from xarray_spatial_spark.functions.similarity import _bounded_buckets
+
+    rng = np.random.default_rng(12)
+    rows = [(i, 0, [float(x) for x in rng.normal(size=8)])
+            for i in range(1000)]
+    schema_a = "vec_id long, _bkt long, _v array<double>"
+    assigned = spark.createDataFrame(rows, schema_a).persist()
+    out = _bounded_buckets(assigned, n_clusters=4, max_bucket=100,
+                           max_split_rounds=8, id_col="vec_id",
+                           schema_a=schema_a)
+    sizes = [r["n"] for r in
+             out.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert sum(sizes) == 1000
+    assert max(sizes) <= 100
+
+
+def test_semantic_dedup_chunked_matches_unchunked(spark):
+    """chunk smaller than the bucket gives identical results to one
+    full-matrix pass (slab scan covers exactly the i<j pairs)."""
+    import numpy as np
+
+    from xarray_spatial_spark.functions.similarity import semantic_dedup
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(5, 12))
+    rows = []
+    vid = 0
+    for ci in range(5):
+        for _ in range(8):
+            v = base[ci] + rng.normal(scale=1e-3, size=12)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(r["vec_id"] for r in
+               semantic_dedup(df, threshold=0.99, n_clusters=3,
+                              chunk=4).collect())
+    b = sorted(r["vec_id"] for r in
+               semantic_dedup(df, threshold=0.99, n_clusters=3,
+                              chunk=10**6).collect())
+    assert a == b and len(a) <= 5 * 3  # collapsed per (cluster, bucket)

@@ -117,25 +117,50 @@ def cosine_topk_broadcast(
     )
 
 
+def _spherical_kmeans(x: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
+    """Deterministic spherical Lloyd's over pre-normalized rows:
+    assign to max-cosine centroid, recentre, renormalize; empty
+    clusters respawn on the worst-served points.  Init is the first k
+    rows (callers pass hash-ordered samples, so no RNG anywhere)."""
+    c = x[: min(k, len(x))].copy()
+    k = len(c)
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = np.argmax(sims, axis=1)
+        newc = np.zeros_like(c)
+        np.add.at(newc, assign, x)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        if empty.any():
+            worst = np.argsort(sims[np.arange(len(x)), assign])
+            newc[empty] = x[worst[: int(empty.sum())]]
+            counts[empty] = 1
+        newc /= np.linalg.norm(newc, axis=1, keepdims=True).clip(1e-12)
+        if np.allclose(newc, c, atol=1e-9):
+            return newc
+        c = newc
+    return c
+
+
 def _centroids(
     corpus: DataFrame,
     n_centroids: int,
     vec_col: str,
     id_col: str,
     method: str = "kmeans",
-    sample: int = 16384,
+    sample: int | None = None,
     iters: int = 12,
 ):
     """Deterministic IVF centroids.
 
     ``kmeans`` (default): spherical Lloyd's on a hash-ordered sample
-    (deterministic — no RNG, no parallelism dependence): normalize,
-    assign to max-cosine centroid, recentre, renormalize; empty
-    clusters respawn on the farthest points.  On clustered real
-    embeddings this is what gives IVF its recall; the old hash-pick
-    kept buckets well-spread only for uniform synthetic data.
+    (deterministic — no RNG, no parallelism dependence).  The sample
+    SCALES with the centroid count (>= 256 points per centroid, floor
+    16384) instead of a fixed 16k, so large-k fits aren't starved.
     ``hash``: the n lowest xxhash64(id) vectors (cheap, uniform-data
     only)."""
+    if sample is None:
+        sample = max(16384, 256 * n_centroids)
     n_pick = n_centroids if method == "hash" else max(sample, n_centroids)
     rows = (
         corpus.select(id_col, vec_col)
@@ -148,26 +173,7 @@ def _centroids(
         return vecs[:n_centroids]
     norms = np.linalg.norm(vecs, axis=1)
     norms[norms == 0] = 1.0
-    x = vecs / norms[:, None]
-    c = x[:n_centroids].copy()  # deterministic init: first hash-ordered
-    for _ in range(iters):
-        sims = x @ c.T
-        assign = np.argmax(sims, axis=1)
-        newc = np.zeros_like(c)
-        np.add.at(newc, assign, x)
-        counts = np.bincount(assign, minlength=n_centroids)
-        empty = counts == 0
-        if empty.any():
-            # respawn empty clusters on the worst-served points
-            worst = np.argsort(sims[np.arange(len(x)), assign])
-            newc[empty] = x[worst[: int(empty.sum())]]
-            counts[empty] = 1
-        newc /= np.linalg.norm(newc, axis=1, keepdims=True).clip(1e-12)
-        if np.allclose(newc, c, atol=1e-9):
-            c = newc
-            break
-        c = newc
-    return c
+    return _spherical_kmeans(vecs / norms[:, None], n_centroids, iters)
 
 
 def ivf_topk(
@@ -250,12 +256,102 @@ def ivf_topk(
     )
 
 
+def _bounded_buckets(
+    assigned: DataFrame,
+    n_clusters: int,
+    max_bucket: int,
+    max_split_rounds: int,
+    id_col: str,
+    schema_a: str,
+) -> DataFrame:
+    """Recursively split buckets over ``max_bucket`` rows with a
+    nested deterministic spherical k-means (hierarchical SemDeDup).
+
+    Each round: one size-count job finds oversized buckets; a
+    deterministic hash sample of each (threshold sized from the EXACT
+    count just collected, 3x oversampled, driver-cut in hash order —
+    never a per-key window sort that would put the hot bucket in one
+    task) fits sub-centroids; one zero-shuffle Arrow map reassigns
+    only the oversized buckets' rows.  Child key = parent*(k+1)+1+sub,
+    untouched key = parent*(k+1): keys stay unique across rounds.
+
+    Input must be persisted; each generation is persisted and the
+    prior one released."""
+    sc = assigned.sparkSession.sparkContext
+    base = n_clusters + 1
+    hash_mod = 1 << 20
+    target = max(256, 8 * n_clusters)  # sample per oversized bucket
+    for _ in range(max_split_rounds):
+        sizes = (assigned.groupBy("_bkt")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .filter(F.col("n") > max_bucket).collect())
+        if not sizes:
+            break
+        over = {int(r["_bkt"]): int(r["n"]) for r in sizes}
+        thr = {b: min(hash_mod, -(-hash_mod * 3 * target // n))
+               for b, n in over.items()}
+        thr_expr = F.lit(0)
+        for b, t in thr.items():
+            thr_expr = F.when(F.col("_bkt") == b, F.lit(t)).otherwise(thr_expr)
+        hs = F.pmod(F.xxhash64(F.col(id_col)), F.lit(hash_mod))
+        samp = (assigned.filter(F.col("_bkt").isin(list(over)) &
+                                (hs < thr_expr))
+                .select("_bkt", F.col(id_col).alias("_id"),
+                        hs.alias("_hs"), "_v")
+                .collect())
+        by_bkt: dict[int, list] = {b: [] for b in over}
+        for r in samp:
+            by_bkt[int(r["_bkt"])].append((int(r["_hs"]), int(r["_id"]), r["_v"]))
+        subs = {}
+        for b, rows in by_bkt.items():
+            if not rows:
+                continue  # hash sample missed entirely (tiny target)
+            rows.sort(key=lambda t: (t[0], t[1]))
+            vecs = np.stack([np.asarray(v, np.float64)
+                             for _, _, v in rows[:target]])
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            subs[b] = _spherical_kmeans(vecs / norms[:, None], n_clusters)
+        bc_subs = sc.broadcast(subs)
+
+        def _resplit(batches: Iterator[pd.DataFrame],
+                     _bc=bc_subs) -> Iterator[pd.DataFrame]:
+            sm = _bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                bkt = pdf["_bkt"].to_numpy(np.int64)
+                newb = bkt * base
+                for b in np.unique(bkt):
+                    c = sm.get(int(b))
+                    if c is None:
+                        continue
+                    m = bkt == b
+                    vecs = np.stack(pdf["_v"].to_numpy()[m]).astype(np.float64)
+                    norms = np.linalg.norm(vecs, axis=1)
+                    norms[norms == 0] = 1.0
+                    sims = (vecs / norms[:, None]) @ c.T
+                    newb[m] += 1 + np.argmax(sims, axis=1)
+                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                    "_bkt": newb,
+                                    "_v": pdf["_v"]})
+
+        nxt = assigned.mapInPandas(_resplit, schema=schema_a).persist()
+        nxt.count()
+        assigned.unpersist()
+        assigned = nxt
+    return assigned
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
     n_clusters: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket: int = 16384,
+    max_split_rounds: int = 8,
+    chunk: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pruning: cluster the
     corpus with the deterministic spherical k-means centroids, compare
@@ -267,16 +363,32 @@ def semantic_dedup(
     Scale shape: centroid assignment is a zero-shuffle Arrow map
     stage; comparison is ONE bucket-keyed shuffle followed by a
     per-bucket vectorized matmul (never all-pairs, never per-pair
-    expression evaluation); the b x b per-bucket sim matrix is the
-    operator's cost model, which is exactly the SemDeDup paper's
-    trade — raise ``n_clusters`` to shrink buckets.  Cross-cluster
-    near-duplicates are missed by design (the recall/cost knob)."""
+    expression evaluation).  Per-task memory is BOUNDED two ways:
+
+    - ``max_bucket`` caps bucket cardinality: buckets over the cap are
+      recursively split with a NESTED spherical k-means (SemDeDup's
+      hierarchical variant) — each round is one size-count job plus
+      one zero-shuffle reassignment over the oversized buckets only,
+      fitted on a deterministic hash sample whose size the driver
+      bounds using the exact counts it just collected (no per-key
+      window sort on a hot bucket).  A 100-TB corpus where one
+      cluster holds half the rows therefore never materializes that
+      cluster in one task.  Near-duplicate pairs straddling a nested
+      split are missed, like pairs straddling top-level clusters —
+      the paper's recall/cost trade, deepened one level.
+    - ``chunk`` bounds the similarity matrix: the within-bucket
+      compare runs in chunk x b slabs, never the full b x b.
+
+    If ``max_split_rounds`` of splitting can't get a bucket under the
+    cap (pathological: > max_bucket near-identical vectors defeating
+    k-means), the chunked compare still bounds the sim matrix; only
+    the bucket's raw vectors remain per-task."""
     cents = _centroids(corpus, n_clusters, vec_col, id_col, method="kmeans")
     cnorm = np.linalg.norm(cents, axis=1)
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast((cents, cnorm))
     ctype = corpus.schema[vec_col].dataType.simpleString()
-    schema_a = f"{id_col} long, _bkt int, _v {ctype}"
+    schema_a = f"{id_col} long, _bkt long, _v {ctype}"
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c, cn = bc.value
@@ -289,19 +401,21 @@ def semantic_dedup(
             sims = (vecs @ c.T) / (norms[:, None] * cn[None, :])
             yield pd.DataFrame({
                 id_col: pdf.iloc[:, 0].to_numpy(),
-                "_bkt": np.argmax(sims, axis=1).astype(np.int32),
+                "_bkt": np.argmax(sims, axis=1).astype(np.int64),
                 "_v": pdf.iloc[:, 1],
             })
 
-    assigned = corpus.select(id_col, vec_col).mapInPandas(_op, schema=schema_a)
+    # persisted: the size-check jobs and the final compare both read it
+    assigned = (corpus.select(id_col, vec_col)
+                .mapInPandas(_op, schema=schema_a).persist())
+    assigned = _bounded_buckets(
+        assigned, n_clusters, max_bucket, max_split_rounds, id_col, schema_a)
 
-    # within-bucket comparison as ONE vectorized matmul per bucket
-    # (applyInPandas), not a pair-explosion self-join: a b-vector
-    # bucket costs O(b^2) similarity CELLS either way, but the matmul
-    # does them at numpy speed while a join evaluates a Catalyst HOF
-    # per pair (~50x slower measured at sf0.1).  Peak memory is the
-    # bucket's b x b float64 sim matrix — n_clusters is the knob that
-    # bounds b (the SemDeDup cost/recall trade).
+    # within-bucket comparison as vectorized matmul slabs per bucket
+    # (applyInPandas), not a pair-explosion self-join: O(b^2) cells
+    # either way, but numpy-speed vs a Catalyst HOF per pair (~50x
+    # slower measured at sf0.1).  chunk x b slabs keep peak memory at
+    # chunk * max_bucket * 8 bytes instead of b^2 * 8.
     def _bucket_dupes(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy(np.int64)
         order = np.argsort(ids)
@@ -310,9 +424,16 @@ def semantic_dedup(
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         x = vecs / norms[:, None]
-        sims = x @ x.T
-        upper = np.triu(sims > threshold, k=1)  # (lower_id, higher_id)
-        dup = upper.any(axis=0)
+        b = len(ids)
+        dup = np.zeros(b, dtype=bool)
+        for s in range(0, b, chunk):
+            e = min(s + chunk, b)
+            sims = x[s:e] @ x[s:].T  # columns j >= s only (need i < j)
+            hit = sims > threshold
+            # require global row i = s+ri strictly below global col
+            # j = s+cj: ri < cj masks the diagonal block's lower half
+            tri = np.arange(e - s)[:, None] < np.arange(b - s)[None, :]
+            dup[s:] |= (hit & tri).any(axis=0)
         return pd.DataFrame({id_col: ids[dup]})
 
     dupes = assigned.groupBy("_bkt").applyInPandas(

@@ -535,47 +535,62 @@ def regions_tiled(
         .select("_m.*")
     )
 
-    def _cmp(key, pdf):
-        import pandas as pd
-
-        lo = pdf[pdf["pos"] == 0]
-        hi = pdf[pdf["pos"] == 1]
-        if not len(lo) or not len(hi):
-            return pd.DataFrame({"la": pd.Series(dtype="int64"),
-                                 "lb": pd.Series(dtype="int64")})
-        a, b = lo.iloc[0], hi.iloc[0]
-        la = np.frombuffer(a["labS"], np.float64)
-        lb = np.frombuffer(b["labS"], np.float64)
-        n = len(la)
-        visz = len(a["valS"]) // n
-        vdt = tl._DTYPES[visz]
-        va = np.frombuffer(a["valS"], vdt).astype(np.float64)
-        vb = np.frombuffer(b["valS"], vdt).astype(np.float64)
+    # pair the two sides of every boundary inside ONE mapInPandas per
+    # partition instead of groupBy().applyInPandas(): with hundreds of
+    # 1-2-row groups, the per-group Arrow round trip dominated the
+    # whole operator (~2 s of a 2.9 s run at 67M cells for ~480
+    # boundary groups).  repartition co-locates both sides of a
+    # boundary key; a dict pairs them across arrow batches within the
+    # partition.  Duplicate edges across boundaries are harmless
+    # (union-find is idempotent), so no distinct() shuffle either.
+    def _pair_edges(batches) -> Iterator[pd.DataFrame]:
+        store: dict[tuple, tuple] = {}
+        acc_a: list[np.ndarray] = []
+        acc_b: list[np.ndarray] = []
 
         def eq(x, y):
             return (x == y) | (np.isnan(x) & np.isnan(y))
 
-        pairs_a, pairs_b = [], []
-        m = eq(va, vb)
-        pairs_a.append(la[m]); pairs_b.append(lb[m])
-        if conn == 8 and int(key[2]) in (0, 1) and n > 1:
-            m = eq(va[1:], vb[:-1])
-            pairs_a.append(la[1:][m]); pairs_b.append(lb[:-1][m])
-            m = eq(va[:-1], vb[1:])
-            pairs_a.append(la[:-1][m]); pairs_b.append(lb[1:][m])
-        pa = np.concatenate(pairs_a).astype(np.int64)
-        pb = np.concatenate(pairs_b).astype(np.int64)
-        if not len(pa):
-            return pd.DataFrame({"la": pd.Series(dtype="int64"),
-                                 "lb": pd.Series(dtype="int64")})
-        return pd.DataFrame(
-            {"la": np.minimum(pa, pb), "lb": np.maximum(pa, pb)}
-        ).drop_duplicates()
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                k = (rec.bty, rec.btx, rec.orient)
+                other = store.pop(k, None)
+                if other is None:
+                    store[k] = (int(rec.pos), rec.labS, rec.valS)
+                    continue
+                if int(rec.pos) == 0:
+                    aL, aV, bL, bV = rec.labS, rec.valS, other[1], other[2]
+                else:
+                    aL, aV, bL, bV = other[1], other[2], rec.labS, rec.valS
+                la = np.frombuffer(aL, np.float64)
+                lb = np.frombuffer(bL, np.float64)
+                n = len(la)
+                vdt = tl._DTYPES[len(aV) // n]
+                va = np.frombuffer(aV, vdt)
+                vb = np.frombuffer(bV, vdt)
+                m = eq(va, vb)
+                pa = [la[m]]
+                pb = [lb[m]]
+                if conn == 8 and int(rec.orient) in (0, 1) and n > 1:
+                    m2 = eq(va[1:], vb[:-1])
+                    pa.append(la[1:][m2]); pb.append(lb[:-1][m2])
+                    m3 = eq(va[:-1], vb[1:])
+                    pa.append(la[:-1][m3]); pb.append(lb[1:][m3])
+                A = np.concatenate(pa).astype(np.int64)
+                B = np.concatenate(pb).astype(np.int64)
+                if len(A):
+                    pair = np.unique(  # per-boundary dedup only
+                        np.stack([np.minimum(A, B), np.maximum(A, B)], 1),
+                        axis=0)
+                    acc_a.append(pair[:, 0]); acc_b.append(pair[:, 1])
+        yield pd.DataFrame({
+            "la": np.concatenate(acc_a) if acc_a else np.array([], np.int64),
+            "lb": np.concatenate(acc_b) if acc_b else np.array([], np.int64),
+        })
 
     edges = (
-        strips.groupBy("bty", "btx", "orient")
-        .applyInPandas(_cmp, schema="la long, lb long")
-        .distinct()
+        strips.repartition("bty", "btx", "orient")
+        .mapInPandas(_pair_edges, schema="la long, lb long")
         .collect()
     )
     all_labels = np.concatenate([
