@@ -81,6 +81,16 @@ def _events_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_raster_shape(sf_dir: str) -> tuple[int, int]:
+    """(H, W) of the events raster from parquet FOOTER metadata
+    (driver-side, no Spark job) — feeds viewshed's ``shape`` so
+    collect_dense skips its extent-probe aggregation."""
+    from xarray_spatial_spark.sources import parquet_row_count
+
+    n = parquet_row_count(f"{sf_dir}/events.parquet")
+    return (-(-n // 100), 100)
+
+
 SQL_EVENTS_RASTER = (
     "SELECT CAST(floor(event_id / 100) AS INT) AS y, "
     "CAST(event_id % 100 AS INT) AS x, value FROM events"
@@ -674,9 +684,11 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_spatial_spark.operators.viewshed import viewshed
 
     # observer row 5: every sf tier's events raster is >=10 rows tall
-    # (sf0.001 = 1000 events = 10x100), so no extent probe job
+    # (sf0.001 = 1000 events = 10x100); shape from parquet footers, so
+    # collect_dense runs ZERO probe jobs before its blob collect
     r = _events_raster(spark, sf_dir)
-    out = viewshed(r, x=50, y=5, observer_elev=50.0)
+    out = viewshed(r, x=50, y=5, observer_elev=50.0,
+                   shape=_events_raster_shape(sf_dir))
     return out.select(
         (F.col("visibility") >= 0).cast("int").alias("visible")
     ).groupBy("visible").agg(F.count(F.lit(1)).alias("n"))
@@ -692,7 +704,8 @@ def q_viewshed_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_spatial_spark.operators.viewshed import viewshed
 
     r = _events_raster(spark, sf_dir)
-    out = viewshed(r, x=50, y=5, observer_elev=50.0)
+    out = viewshed(r, x=50, y=5, observer_elev=50.0,
+                   shape=_events_raster_shape(sf_dir))
     return out.select(
         "y", "x", (F.col("visibility") >= 0).cast("int").alias("visible")
     )
@@ -977,6 +990,29 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "host", "n_chars", "host_rank")
 
 
+def q_host_cap_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """host_cap on a DELIBERATELY zipfian host map (70% of docs on one
+    megahost) through the exact two-phase salted pre-cut
+    (functions/corpus.py host_cap n_salts): the megahost's final
+    window task sees <= n_salts*k rows instead of 70% of the corpus.
+    Salted == plain equality is pytest-asserted
+    (tests/test_corpus.py::test_host_cap_salted_equals_plain)."""
+    from xarray_spatial_spark.functions.corpus import host_cap
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    sel = df.select(
+        "doc_id", "n_chars",
+        F.when(F.col("doc_id") % 10 < 7, F.lit("mega.example.com"))
+        .otherwise(F.concat(F.lit("s"), (F.col("doc_id") % 997).cast("string"),
+                            F.lit(".example.org"))).alias("host"),
+    )
+    out = host_cap(sel, k=3, score_col="n_chars", id_col="doc_id",
+                   host_col="host", n_salts=16)
+    return out.select("doc_id", "host", "n_chars", "host_rank")
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token chunking with overlap (functions/corpus.py
     chunk_documents): 24-token windows every 16 tokens."""
@@ -1094,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain": q_terrain,
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
+        "host_cap_salted": q_host_cap_salted,
     }
 
 

@@ -254,3 +254,73 @@ def test_chunk_then_pack_composition(spark):
     # tokens conserved through chunking (ceil-division per doc)
     want = sum(10 + 7 * (i % 4) for i in range(40))
     assert int(total) == want
+
+
+def _skewed_docs(spark, n=600):
+    """~70% of rows on one megahost/source, rest spread thin."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(n):
+        if i % 10 < 7:
+            host, source = "mega.example.com", "mega"
+        else:
+            j = int(rng.integers(0, 40))
+            host, source = f"s{j}.example.org", f"src{j % 7}"
+        rows.append((
+            i, f"https://{host}/p/{i}",
+            float(rng.normal()),                       # score
+            "tok " * int(rng.integers(1, 30)),         # text
+            source,
+        ))
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, score double, text string, "
+              "source string")
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_host_cap_salted_equals_plain(spark):
+    from xarray_spatial_spark.functions.corpus import host_cap
+
+    df = _skewed_docs(spark)
+    plain = host_cap(df, k=5, score_col="score")
+    salted = host_cap(df, k=5, score_col="score", n_salts=8)
+    assert _sorted_rows(plain) == _sorted_rows(salted)
+
+
+def test_stratified_sample_salted_equals_plain(spark):
+    from xarray_spatial_spark.functions.corpus import stratified_sample
+
+    df = _skewed_docs(spark)
+    plain = stratified_sample(df, k=7, strata_col="source")
+    salted = stratified_sample(df, k=7, strata_col="source", n_salts=8)
+    assert _sorted_rows(plain) == _sorted_rows(salted)
+
+
+def test_token_quota_salted_equals_plain(spark):
+    from xarray_spatial_spark.functions.corpus import token_quota
+
+    df = _skewed_docs(spark)
+    plain = token_quota(df, per_source_tokens=100)
+    salted = token_quota(df, per_source_tokens=100, n_salts=8)
+    assert _sorted_rows(plain) == _sorted_rows(salted)
+    # the crossing doc is kept (soft cut) in both
+    assert plain.count() > 0
+
+
+def test_token_quota_salted_tiny_quota_edge(spark):
+    """Quota smaller than any single doc: exactly the first doc per
+    source survives in both paths (the crossing-doc rule)."""
+    from xarray_spatial_spark.functions.corpus import token_quota
+
+    df = _skewed_docs(spark)
+    plain = token_quota(df, per_source_tokens=1)
+    salted = token_quota(df, per_source_tokens=1, n_salts=16)
+    assert _sorted_rows(plain) == _sorted_rows(salted)
+    n_sources = df.select("source").distinct().count()
+    assert plain.count() == n_sources

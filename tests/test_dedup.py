@@ -384,3 +384,35 @@ def test_near_dup_groups_end_to_end_minhash(spark):
               for r in near_dup_groups(pairs).collect()}
     assert groups[0] == groups[1] == groups[2] == 0
     assert 3 not in groups  # unpaired docs form no group rows
+
+
+def test_simhash_default_layout_runs_no_job(spark):
+    """Omitting n_docs/n_blocks must not trigger a count job: the
+    layout comes from optimizer stats.  An accumulator canary inside
+    the source proves nothing executed at plan-build time."""
+    import pandas as pd
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def canary(batches):
+        for pdf in batches:
+            acc.add(1)
+            yield pdf
+
+    base = spark.createDataFrame(
+        [(i, f"doc number {i} words here") for i in range(50)],
+        "doc_id long, text string",
+    )
+    src = base.mapInPandas(canary, base.schema)
+    out = dedup.simhash_near_duplicates(src, max_hamming=4)  # build only
+    assert acc.value == 0
+    out.count()                                        # executes fine
+    assert acc.value > 0
+
+
+def test_approx_rows_sane(spark):
+    from xarray_spatial_spark.functions.dedup import _approx_rows
+
+    df = spark.range(1000).selectExpr("id", "repeat('x', 200) as text")
+    n = _approx_rows(df)
+    assert n >= 1

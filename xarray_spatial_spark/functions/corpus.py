@@ -165,6 +165,7 @@ def token_quota(
     len_col: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Cap each source's contribution at ``per_source_tokens``: docs
     are taken in ``id_col`` order until the source's running token sum
@@ -172,9 +173,17 @@ def token_quota(
     one kept — quota is a soft cut at doc granularity).
 
     The cumsum here is a PARTITIONED window (per source), which Spark
-    parallelizes across sources — no single-task global window; a
-    source so hot that its own rows overwhelm one task is exactly the
-    case where you'd subsample it first (:func:`sample_mixture`)."""
+    parallelizes across sources — no single-task global window.
+    ``n_salts`` bounds a hot source's task with an EXACT two-phase
+    pre-cut: a (source, salt) cumsum first drops docs whose
+    salt-local prefix already exceeds the quota.  That is lossless:
+    a doc's salt prefix is <= its global prefix, so every globally
+    kept doc survives phase 1; and every phase-1-dropped doc has a
+    LARGER id than every kept doc (its global prefix crossed the
+    quota, so all later docs are dropped too), which means removing
+    it cannot change any kept doc's prefix sum.  The hot-source task
+    then cumsums ~n_salts * quota tokens' worth of rows, not the
+    source's whole corpus share (equality is pytest-asserted)."""
     if per_source_tokens <= 0:
         raise ValueError("per_source_tokens must be positive")
     from pyspark.sql import Window
@@ -183,6 +192,17 @@ def token_quota(
         "n_tokens",
         F.col(len_col) if len_col else tx.token_count(F.col(text_col)),
     )
+    if n_salts:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+        w1 = (
+            Window.partitionBy(source_col, salt).orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        lens = (
+            lens.withColumn("_c1", F.sum("n_tokens").over(w1))
+            .filter(F.col("_c1") - F.col("n_tokens") < per_source_tokens)
+            .drop("_c1")
+        )
     w = (
         Window.partitionBy(source_col).orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -216,6 +236,7 @@ def host_cap(
     url_col: str = "url",
     id_col: str = "doc_id",
     host_col: str | None = None,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Keep at most ``k`` docs per host, best ``score_col`` first —
     the standard crawl-curation stage that stops a single domain from
@@ -223,10 +244,15 @@ def host_cap(
 
     Adds ``host_rank`` (1-based within host).  The rank is a
     host-partitioned window: hosts are numerous, so the window
-    parallelizes; a zipfian megahost concentrates ITS rows in one
-    task, which is the correct cost model — the cap is exactly the
-    operator that then throws most of those rows away.  Ties break by
-    ``id_col`` for run-to-run and oracle determinism."""
+    parallelizes.  A zipfian megahost concentrates ITS rows in one
+    task; ``n_salts`` bounds that task with an EXACT two-phase
+    pre-cut — a (host, salt) window first keeps each salt's top k
+    (every true global top-k row is inside its salt's top k, so the
+    final per-host window over the <= n_salts*k survivors returns
+    byte-identical rows and ranks; equality is pytest-asserted).  The
+    megahost task then sorts n_salts*k rows, not the host's corpus
+    share.  Ties break by ``id_col`` for run-to-run and oracle
+    determinism."""
     if k <= 0:
         raise ValueError("k must be positive")
     from pyspark.sql import Window
@@ -234,6 +260,16 @@ def host_cap(
     from xarray_spatial_spark.functions.url import url_host
 
     host = F.col(host_col) if host_col else url_host(F.col(url_col))
+    if n_salts:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+        w1 = Window.partitionBy(host, salt).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        df = (
+            df.withColumn("_pr", F.row_number().over(w1))
+            .filter(F.col("_pr") <= k)
+            .drop("_pr")
+        )
     w = Window.partitionBy(host).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
@@ -309,6 +345,7 @@ def stratified_sample(
     k: int,
     strata_col: str = "source",
     id_col: str = "doc_id",
+    n_salts: int | None = None,
 ) -> DataFrame:
     """EXACTLY min(k, n_stratum) rows per stratum, chosen by a
     deterministic hash order — the fixed-budget evaluation/holdout
@@ -322,9 +359,10 @@ def stratified_sample(
     on DuckDB/ANSI, which would split the engines).  Pure integer
     arithmetic, so the identical rule runs in any engine — the SQL
     oracle reproduces the exact same sample.  Window is
-    partitioned by stratum: parallel across strata; a single hot
-    stratum concentrates in one task, which the rank then cuts to k —
-    subsample hot strata first if that task is the bottleneck."""
+    partitioned by stratum: parallel across strata; ``n_salts``
+    bounds a hot stratum's task with the exact two-phase pre-cut
+    (per-(stratum, salt) top k first — every global top-k row is in
+    its salt's top k, so results and ranks are byte-identical)."""
     if k <= 0:
         raise ValueError("k must be positive")
     from pyspark.sql import Window
@@ -332,6 +370,16 @@ def stratified_sample(
     P = 1_000_000_007
     order = F.pmod(F.pmod(F.col(id_col), F.lit(P)) * F.lit(2654435761),
                    F.lit(P))
+    if n_salts:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+        w1 = Window.partitionBy(strata_col, salt).orderBy(
+            order.asc(), F.col(id_col).asc()
+        )
+        df = (
+            df.withColumn("_pr", F.row_number().over(w1))
+            .filter(F.col("_pr") <= k)
+            .drop("_pr")
+        )
     w = Window.partitionBy(strata_col).orderBy(order.asc(), F.col(id_col).asc())
     return (
         df.withColumn("sample_rank", F.row_number().over(w))

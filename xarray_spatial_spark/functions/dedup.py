@@ -497,6 +497,19 @@ def simhash_band_plan(
     return best[1], best[2]
 
 
+def _approx_rows(df: DataFrame, bytes_per_row: int = 200) -> int:
+    """Order-of-magnitude row-count UPPER bound from optimizer stats
+    (plan sizeInBytes / a conservative 200 B/row) — runs NO job.
+
+    Only feeds banding cost models, which need decade accuracy;
+    overestimating rows errs toward longer keys (cheaper joins), and
+    an unknown-size plan (Long.MaxValue bytes) degrades to the
+    longest-key admissible layout rather than a scan."""
+    raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    size = raw if isinstance(raw, int) else int(raw.toString())
+    return max(1, size // bytes_per_row)
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     max_hamming: int = 3,
@@ -513,14 +526,16 @@ def simhash_near_duplicates(
     guaranteed recall for ANY valid layout), then bit_count(xor)
     verifies exactly — so the banding choice affects cost only, never
     results.  By default the layout comes from
-    :func:`simhash_band_plan` using ``n_docs`` (pass it to avoid a
-    count job; small corpora get the classic d+1 single-block bands,
-    huge ones get Manku-style multi-block tables with ~2x the key
-    bits).  Exact-collide duplicates are the max_hamming=0 case."""
+    :func:`simhash_band_plan` using ``n_docs``; when neither
+    ``n_docs`` nor ``n_blocks`` is given, the row count is estimated
+    from optimizer statistics (:func:`_approx_rows`, NO job — the
+    cost model needs decade accuracy only, and the estimate errs
+    toward longer keys).  Pass the exact ``n_docs`` when you already
+    hold it.  Exact-collide duplicates are the max_hamming=0 case."""
     d = max_hamming
     if n_blocks is None:
         if n_docs is None:
-            n_docs = df.count()
+            n_docs = _approx_rows(df)
         n_blocks, combo = simhash_band_plan(n_docs, d)
     else:
         combo = n_blocks - d

@@ -58,10 +58,16 @@ def viewshed(
     target_elev: float = 0.0,
     value_col: str = "value",
     out_col: str = "visibility",
+    shape: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Visibility of every cell from observer at pixel (y, x).
     Output adds ``out_col``: vertical angle for visible cells,
-    -1 invisible, 180 at the viewpoint (viewshed.py:1173)."""
+    -1 invisible, 180 at the viewpoint (viewshed.py:1173).
+
+    ``shape`` (H, W), when the caller knows it (e.g. from parquet
+    footer metadata, :func:`sources.parquet_row_count`), skips the
+    extent-probe aggregation job inside ``collect_dense`` — the size
+    cap still fires on the declared shape."""
     from xarray_spatial_spark.raster import collect_dense
 
     spark = raster.sparkSession
@@ -69,7 +75,7 @@ def viewshed(
     # per-row toPandas of the raster (the R3 algorithm needs the dense
     # terrain on every executor; the broadcast is inherent, the driver
     # row materialization was not)
-    z = collect_dense(raster, value_col)
+    z = collect_dense(raster, value_col, shape=shape)
     H, W = z.shape
     if not (0 <= y < H and 0 <= x < W):
         raise ValueError("observer location outside the raster")
