@@ -270,14 +270,23 @@ def test_predictor_transform(mode):
     np.testing.assert_array_equal(out[:, :, [3, 0, 1, 2]], target)
 
 
-def test_named_boundaries():
+def test_named_boundaries(monkeypatch):
+    from xarray_spatial_spark.operators import webp as W
+
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (4, 4, 3)).astype(np.uint8)
     good = encode_webp_lossless(img)
-    # lossy VP8 chunk raises with the format named
     lossy = good.replace(b"VP8L", b"VP8 ", 1)
+    # without a system libwebp, lossy VP8 raises with the format named
+    monkeypatch.setattr(W, "_LIBWEBP", None)
     with pytest.raises(NotImplementedError, match="VP8"):
         decode_webp(lossy)
+    # with libwebp present this fake-lossy stream is simply corrupt —
+    # either way it never decodes silently
+    monkeypatch.setattr(W, "_LIBWEBP", "unset")
+    if W._libwebp() is not None:
+        with pytest.raises(ValueError):
+            decode_webp(lossy)
     with pytest.raises(ValueError):
         decode_webp(b"RIFF\x00\x00\x00\x00AVI ")
 

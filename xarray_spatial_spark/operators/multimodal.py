@@ -549,11 +549,12 @@ def decode_image(
 
     PPM (P6), 24-bit BMP, PNG, GIF, baseline JPEG, and lossless WebP
     (VP8L) payloads decode natively (pure stdlib + numpy, no codec
-    libs).  Remaining formats
-    (lossy VP8, ...) raise ``NotImplementedError`` per-row with the format
-    name unless ``fake=True`` (deterministic stand-in keyed on the
-    payload hash).  width/height are REPLACED by the decoded
-    dimensions on the real path."""
+    libs); lossy VP8 WebP decodes through the system libwebp when one
+    is installed (ctypes, per-worker load).  Remaining formats raise
+    ``NotImplementedError`` per-row with the format name unless
+    ``fake=True`` (deterministic stand-in keyed on the payload hash).
+    width/height are REPLACED by the decoded dimensions on the real
+    path."""
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in df.schema if f.name not in ("width", "height"))
     schema += f", width int, height int, {out_col} array<int>"

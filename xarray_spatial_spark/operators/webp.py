@@ -18,14 +18,59 @@ Scope (documented, tested):
   plain, subtract-green, or palette (COLOR_INDEXING) streams, one
   Huffman group, normal code-length coding, no LZ77 / cache.
 
-Named boundary (raise, never corrupt): lossy VP8 chunks.
+Lossy VP8 chunks are OUTSIDE the from-scratch scope (a DCT codec):
+they decode through the SYSTEM libwebp via ctypes when one is
+installed (no Python bindings needed), else raise by name — never
+corrupt.  The pure-numpy VP8L path above is itself cross-validated
+against libwebp-encoded real streams in
+tests/test_webp_libwebp_oracle.py.
 """
 
 from __future__ import annotations
 
+import ctypes
+import ctypes.util
 import struct
 
 import numpy as np
+
+_LIBWEBP: object = "unset"
+
+
+def _libwebp():
+    """The system libwebp shared library (ctypes) or None; cached.
+    Used ONLY for lossy VP8 (and as a test oracle) — VP8L always
+    decodes through the pure-numpy path."""
+    global _LIBWEBP
+    if _LIBWEBP == "unset":
+        _LIBWEBP = None
+        for name in ("libwebp.so.7", "libwebp.so", "libwebp.dylib",
+                     ctypes.util.find_library("webp")):
+            if not name:
+                continue
+            try:
+                lw = ctypes.CDLL(name)
+                lw.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+                lw.WebPDecodeRGBA.argtypes = [
+                    ctypes.c_char_p, ctypes.c_size_t,
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int)]
+                _LIBWEBP = lw
+                break
+            except OSError:
+                continue
+    return _LIBWEBP
+
+
+def _decode_rgba_libwebp(buf: bytes) -> np.ndarray:
+    lw = _libwebp()
+    w, h = ctypes.c_int(), ctypes.c_int()
+    p = lw.WebPDecodeRGBA(buf, len(buf), ctypes.byref(w), ctypes.byref(h))
+    if not p:
+        raise ValueError("libwebp failed to decode WebP payload")
+    out = np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
+    lw.WebPFree(p)
+    return out
 
 # code-length-code read order (VP8L spec)
 _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
@@ -566,7 +611,13 @@ def decode_vp8l(data: bytes) -> np.ndarray:
 
 
 def decode_webp(buf: bytes) -> np.ndarray:
-    """RIFF/WEBP container -> (h, w, 4) uint8 RGBA (lossless only)."""
+    """RIFF/WEBP container -> (h, w, 4) uint8 RGBA.
+
+    Lossless VP8L decodes through the from-scratch pure-numpy path
+    (including inside VP8X extended containers).  Lossy ``VP8 ``
+    frames route the WHOLE file through the system libwebp (so an
+    accompanying ALPH chunk is honored) when one is installed, else
+    raise the codec boundary by name."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     pos = 12
@@ -577,9 +628,11 @@ def decode_webp(buf: bytes) -> np.ndarray:
         if tag == b"VP8L":
             return decode_vp8l(payload)
         if tag == b"VP8 ":
+            if _libwebp() is not None:
+                return _decode_rgba_libwebp(buf)
             raise NotImplementedError(
-                "lossy VP8 WebP needs a DCT codec library absent here; "
-                "lossless VP8L decodes natively"
+                "lossy VP8 WebP needs a DCT codec (no system libwebp "
+                "found); lossless VP8L decodes natively"
             )
         pos += 8 + size + (size & 1)
     raise ValueError("no VP8L chunk in WebP container")
