@@ -58,6 +58,12 @@ def get_spark(
         # mapInPandas/applyInPandas hot paths (rows here are narrow)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
+        # the default 100-entry whole-stage-codegen class cache
+        # thrashes under a many-query workload (each query compiles
+        # 10-20 units; an interleaved 60-query suite recompiles
+        # EVERYTHING every pass — measured +20-45% on small pure-
+        # Catalyst queries).  Cached classes are tiny; hold thousands.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         # 16g, NOT bigger: on this VM an oversized heap collapses
         # 32-thread throughput ~7x (first-touch page faults across a
         # huge young gen dominate; measured sha2-100M: 48g->24s,
