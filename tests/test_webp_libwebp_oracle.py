@@ -156,3 +156,41 @@ def test_real_crawl_lossy_fixture_decodes():
     a = out[:, :, 3]
     assert (a < 255).any() and (a > 0).any()   # ALPH chunk applied
     np.testing.assert_array_equal(out, lw_decode(buf))
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+    HAVE_HYP = True
+except ImportError:          # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+
+    @st.composite
+    def _rand_image(draw):
+        h = draw(st.integers(1, 24))
+        w = draw(st.integers(1, 24))
+        kind = draw(st.sampled_from(["noise", "fewcolor", "gradient"]))
+        seed = draw(st.integers(0, 2**31 - 1))
+        rng = np.random.default_rng(seed)
+        if kind == "noise":
+            img = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        elif kind == "fewcolor":
+            pal = rng.integers(0, 256, (draw(st.integers(1, 6)), 4))
+            img = pal[rng.integers(0, len(pal), (h, w))].astype(np.uint8)
+        else:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([(yy * 3 + xx) % 256, (xx * 5) % 256,
+                            (yy + 7 * xx) % 256,
+                            np.full((h, w), 200)], 2).astype(np.uint8)
+        img[:, :, 3] = np.maximum(img[:, :, 3], 1)  # dodge exact=0
+        return img
+
+    @settings(max_examples=40, deadline=None)
+    @given(_rand_image())
+    def test_fuzz_real_streams_bit_exact(img):
+        """Property: ANY image libwebp encodes losslessly, the
+        from-scratch decoder reproduces bit-exact."""
+        np.testing.assert_array_equal(
+            decode_webp(lw_encode_lossless(img)), img)

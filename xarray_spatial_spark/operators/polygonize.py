@@ -135,16 +135,21 @@ def polygonize(
         labeled, neighborhood, value_col, tile_h, tile_w, geometry=True
     ).persist()
 
-    equiv = (
-        fused.filter(F.col("kind") == 0).select("la", "lb").distinct().collect()
-    )
+    # ONE collect for equivalences AND metadata (kinds 0 and 2 — both
+    # perimeter-scale): two filtered collects paid two jobs against
+    # the persisted relation for no reason, and the distinct() shuffle
+    # on edges is pointless when the driver union-find is idempotent
+    # to duplicates (each boundary edge arrives twice, once per side)
+    rows = fused.filter(F.col("kind") != 1).select(
+        "kind", "la", "lb", "v").collect()
+    equiv = [r for r in rows if r["kind"] == 0]
     # label-count-scale driver finish: union-find, scan-order dense
     # region ids, per-region values — all from the tiny metadata rows.
     # Driver footprint is one row per tile-local label, the SAME
     # ceiling as the broadcast relabel LUT the segment pass needs
     # anyway (regions() shares it), so nothing is lost vs a
     # distributed rank — and ~4 small jobs are.
-    meta_rows = fused.filter(F.col("kind") == 2).select("la", "v").collect()
+    meta_rows = [r for r in rows if r["kind"] == 2]
     root_of = dict(_union_find(equiv))
     root_val: dict = {}
     for r in meta_rows:

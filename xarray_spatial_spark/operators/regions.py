@@ -355,13 +355,15 @@ def regions(
     # labeling per action
     labeled = _tile_label(df, conn, value_col, th, tw).persist()
 
-    fused = _boundary_pass(labeled, conn, value_col, th, tw, meta=True).persist()
-    equiv = fused.filter(F.col("kind") == 0).select("la", "lb").distinct().collect()
-    labs = [r["la"] for r in
-            fused.filter(F.col("kind") == 2).select("la").collect()]
-    # both consumers of the boundary pass are done; labeled stays
-    # cached (the returned DataFrame's relabel join reads it)
-    fused.unpersist()
+    # ONE collect for equivalences and the label roster (kinds 0/2,
+    # both perimeter-scale); duplicate edges (each boundary emits its
+    # pair from both sides) are harmless to the union-find, so no
+    # distinct() shuffle and no persist of the fused relation either
+    # — it now has exactly one consumer
+    fused = _boundary_pass(labeled, conn, value_col, th, tw, meta=True)
+    rows = fused.select("kind", "la", "lb").collect()
+    equiv = [r for r in rows if r["kind"] == 0]
+    labs = [r["la"] for r in rows if r["kind"] == 2]
 
     # label-count-scale driver finish (same pattern as polygonize):
     # union-find, dense 0-based ids in scan order (root key = min
