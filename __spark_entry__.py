@@ -423,25 +423,44 @@ def q_classify_box_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_classify_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All six classifiers (equal_interval / quantile / reclassify /
-    std_mean / percentiles / box_plot) unioned with a method tag —
-    one driver-correctness row covering the whole classify family
+    std_mean / percentiles / box_plot) with a method tag — one
+    driver-correctness row covering the whole classify family
     (operators/classify.py) so the driver's 50-query window has room
-    for every oracle-backed operator."""
-    from functools import reduce
+    for every oracle-backed operator.
 
-    parts = [
-        ("equal_interval", q_classify_equal_interval),
-        ("quantile", q_classify_quantile),
-        ("reclassify", q_classify_reclassify),
-        ("std_mean", q_classify_std_mean),
-        ("percentiles", q_classify_percentiles),
-        ("box_plot", q_classify_box_plot),
-    ]
-    dfs = [
-        fn(spark, sf_dir).select(F.lit(name).alias("method"), "cls", "n")
-        for name, fn in parts
-    ]
-    return reduce(DataFrame.unionByName, dfs)
+    Plan shape: the five stat-driven classifiers share ONE global
+    statistics job (classify.fused_breaks) and ONE stacked scan of
+    the events raster (previously: five separate pre-pass jobs plus
+    a six-legged union — identical numbers, ~6x the fixed job
+    latency); reclassify reads lineitem, so it stays its own union
+    leg."""
+    from xarray_spatial_spark.operators.classify import bin_expr
+
+    r = _events_raster(spark, sf_dir)
+    breaks = classify.fused_breaks(r, [
+        ("equal_interval", "equal_interval", {"k": 5}),
+        ("quantile", "quantile", {"k": 4}),
+        ("std_mean", "std_mean", {}),
+        ("percentiles", "percentiles", {"pct": (10, 50, 90)}),
+        ("box_plot", "box_plot", {}),
+    ])
+    stack_args: list = [F.lit(len(breaks))]
+    for name in ("equal_interval", "quantile", "std_mean",
+                 "percentiles", "box_plot"):
+        bins = breaks[name]
+        stack_args += [
+            F.lit(name),
+            bin_expr(F.col("value"), bins, list(range(len(bins)))),
+        ]
+    stacked = (
+        r.select(F.stack(*stack_args).alias("method", "cls"))
+        .groupBy("method", "cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    recls = q_classify_reclassify(spark, sf_dir).select(
+        F.lit("reclassify").alias("method"), "cls", "n"
+    )
+    return stacked.unionByName(recls)
 
 
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -83,6 +83,80 @@ def _classify_with(raster, bins, value_col, out_col):
     return reclassify(raster, bins, list(range(len(bins))), value_col, out_col)
 
 
+def fused_breaks(
+    raster: DataFrame,
+    specs: Sequence[tuple[str, str, dict]],
+    value_col: str = "value",
+) -> dict[str, list[float]]:
+    """Bin edges for SEVERAL stat-driven classifiers from ONE
+    aggregation job.
+
+    ``specs`` is a list of (name, method, kwargs) with method one of
+    quantile / equal_interval / std_mean / percentiles / box_plot.
+    Every percentile fraction any spec needs rides one exact
+    `F.percentile` array; min/max/mean/stddev ride alongside — so a
+    dashboard running all five classifiers pays one tiny global pass
+    instead of five (each separate pass is a full fixed-cost job:
+    ~5x the pre-pass latency at bench scale for identical numbers).
+    The per-method edge formulas are exactly the single-classifier
+    ones (same exact percentile, same interpolation)."""
+    fracs: list[float] = []
+    slices: dict[str, tuple[int, int]] = {}
+    for name, method, kw in specs:
+        if method == "quantile":
+            k = kw.get("k", 4)
+            w = 100.0 / k
+            ps = [min(w * i, 100.0) / 100.0 for i in range(1, k + 1)]
+        elif method == "percentiles":
+            ps = [p / 100.0 for p in kw.get("pct", (1, 10, 50, 90, 99))]
+        elif method == "box_plot":
+            ps = [0.25, 0.5, 0.75]
+        elif method in ("equal_interval", "std_mean"):
+            ps = []
+        else:
+            raise ValueError(f"unknown classify method {method!r}")
+        slices[name] = (len(fracs), len(fracs) + len(ps))
+        fracs.extend(ps)
+
+    aggs = [
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("mx"),
+        F.avg(value_col).alias("m"),
+        F.stddev_pop(value_col).alias("s"),
+    ]
+    if fracs:
+        aggs.insert(0, F.percentile(
+            F.col(value_col), F.array([F.lit(p) for p in fracs])).alias("q"))
+    row = raster.agg(*aggs).collect()[0]
+
+    out: dict[str, list[float]] = {}
+    for name, method, kw in specs:
+        a, b = slices[name]
+        q = [float(v) for v in row["q"][a:b]] if b > a else []
+        if method == "quantile":
+            out[name] = sorted(set(q))
+        elif method == "equal_interval":
+            lo, hi = float(row["lo"]), float(row["mx"])
+            k = kw.get("k", 5)
+            width = (hi - lo) / k
+            cuts = np.arange(lo + width, hi + width, width)[:k]
+            cuts[-1] = hi
+            out[name] = cuts.tolist()
+        elif method == "std_mean":
+            m, s, mx = float(row["m"]), float(row["s"]), float(row["mx"])
+            out[name] = sorted(set([m - 2 * s, m - s, m + s, m + 2 * s, mx]))
+        elif method == "percentiles":
+            out[name] = sorted(set(q + [float(row["mx"])]))
+        else:  # box_plot
+            q1, q2, q3 = q
+            hinge = kw.get("hinge", 1.5)
+            iqr = q3 - q1
+            out[name] = sorted(set(
+                [q1 - hinge * iqr, q1, q2, q3, q3 + hinge * iqr,
+                 float(row["mx"])]))
+    return out
+
+
 def quantile(
     raster: DataFrame, k: int = 4, value_col: str = "value", out_col: str | None = None
 ) -> DataFrame:
@@ -90,12 +164,7 @@ def quantile(
     `percentile` (same linear interpolation as numpy) — the reference
     itself warns that dask's approximate percentile deviates
     (classify.py:453-456); we take the exact path for golden parity."""
-    w = 100.0 / k
-    ps = [min(w * i, 100.0) / 100.0 for i in range(1, k + 1)]
-    row = raster.agg(
-        F.percentile(F.col(value_col), F.array([F.lit(p) for p in ps])).alias("q")
-    ).collect()[0]
-    bins = sorted(set(row["q"]))
+    bins = fused_breaks(raster, [("x", "quantile", {"k": k})], value_col)["x"]
     return _classify_with(raster, bins, value_col, out_col)
 
 
@@ -103,12 +172,9 @@ def equal_interval(
     raster: DataFrame, k: int = 5, value_col: str = "value", out_col: str | None = None
 ) -> DataFrame:
     """k equal-width bins from min/max (classify.py:837-940)."""
-    row = raster.agg(F.min(value_col).alias("lo"), F.max(value_col).alias("hi")).collect()[0]
-    lo, hi = float(row["lo"]), float(row["hi"])
-    width = (hi - lo) / k
-    cuts = np.arange(lo + width, hi + width, width)[:k]
-    cuts[-1] = hi
-    return _classify_with(raster, cuts.tolist(), value_col, out_col)
+    bins = fused_breaks(
+        raster, [("x", "equal_interval", {"k": k})], value_col)["x"]
+    return _classify_with(raster, bins, value_col, out_col)
 
 
 def std_mean(
@@ -116,13 +182,7 @@ def std_mean(
 ) -> DataFrame:
     """Bins at mean±1σ, ±2σ, max (classify.py:943-1010; σ = population
     std, numpy nanstd)."""
-    row = raster.agg(
-        F.avg(value_col).alias("m"),
-        F.stddev_pop(value_col).alias("s"),
-        F.max(value_col).alias("mx"),
-    ).collect()[0]
-    m, s, mx = float(row["m"]), float(row["s"]), float(row["mx"])
-    bins = sorted(set([m - 2 * s, m - s, m + s, m + 2 * s, mx]))
+    bins = fused_breaks(raster, [("x", "std_mean", {})], value_col)["x"]
     return _classify_with(raster, bins, value_col, out_col)
 
 
@@ -133,11 +193,8 @@ def percentiles(
     out_col: str | None = None,
 ) -> DataFrame:
     """Classes from percentile breakpoints + max (classify.py:1110-1188)."""
-    row = raster.agg(
-        F.percentile(F.col(value_col), F.array([F.lit(p / 100.0) for p in pct])).alias("q"),
-        F.max(value_col).alias("mx"),
-    ).collect()[0]
-    bins = sorted(set(list(row["q"]) + [float(row["mx"])]))
+    bins = fused_breaks(
+        raster, [("x", "percentiles", {"pct": pct})], value_col)["x"]
     return _classify_with(raster, bins, value_col, out_col)
 
 
@@ -148,13 +205,8 @@ def box_plot(
     out_col: str | None = None,
 ) -> DataFrame:
     """Bins at Q1-h*IQR, Q1, Q2, Q3, Q3+h*IQR, max (classify.py:1286-1386)."""
-    row = raster.agg(
-        F.percentile(F.col(value_col), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q"),
-        F.max(value_col).alias("mx"),
-    ).collect()[0]
-    q1, q2, q3 = (float(v) for v in row["q"])
-    iqr = q3 - q1
-    bins = sorted(set([q1 - hinge * iqr, q1, q2, q3, q3 + hinge * iqr, float(row["mx"])]))
+    bins = fused_breaks(
+        raster, [("x", "box_plot", {"hinge": hinge})], value_col)["x"]
     return _classify_with(raster, bins, value_col, out_col)
 
 
