@@ -302,7 +302,11 @@ def tf_idf(
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tc"))
     doclen = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
-    n_docs = df.select(id_col).distinct().count()
+    # N rides the plan as a broadcast 1-row aggregate instead of an
+    # eager .count() job at BUILD time (one fewer fixed-cost job; the
+    # value is identical)
+    n_docs_df = df.select(id_col).distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("_N"))
     dfreq = (
         terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     )
@@ -311,10 +315,11 @@ def tf_idf(
     scored = (
         tf.join(doclen, id_col)
         .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs_df))
         .withColumn(
             "tf_idf",
             (F.col("_tc") / F.col("_dl"))
-            * (F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1.0),
+            * (F.log((F.col("_N") + 1.0) / (F.col("_df") + 1)) + 1.0),
         )
     )
     w = Window.partitionBy(id_col).orderBy(
@@ -375,7 +380,10 @@ def lm_cross_entropy(
         .groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
         .persist()
     )
-    vocab = uni.count()
+    # V rides the plan as a broadcast 1-row aggregate over the
+    # persisted unigram table instead of an eager .count() job at
+    # BUILD time (one fewer fixed-cost job; identical value)
+    vocab_df = uni.agg(F.count(F.lit(1)).cast("double").alias("_V"))
     bi = (
         train.select(F.explode(bigrams(F.col(text_col))).alias("gram"))
         .groupBy("gram").agg(F.count(F.lit(1)).alias("_c12"))
@@ -386,11 +394,12 @@ def lm_cross_entropy(
     joined = (
         doc_bi.join(bi, "gram", "left")
         .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab_df))
         .withColumn(
             "_nll",
             -F.log(
                 (F.coalesce("_c12", F.lit(0)) + F.lit(alpha))
-                / (F.coalesce("_c1", F.lit(0)) + F.lit(alpha * vocab))
+                / (F.coalesce("_c1", F.lit(0)) + F.lit(alpha) * F.col("_V"))
             ),
         )
     )
