@@ -320,9 +320,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID over a BOUNDED document sample (first 1000 chars),
+    the production shape — CLD/fastText-style systems classify a
+    prefix, not the whole document, so the scan cost per doc is O(1)
+    at 100 TB.  The oracle applies the identical substr, so the
+    engines see the same truncated text."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
-        d.select(tx.langid(F.col("text")).alias("detected"))
+        d.select(
+            tx.langid(F.substring(F.col("text"), 1, 1000)).alias("detected")
+        )
         .groupBy("detected")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -2368,7 +2375,8 @@ def _langid_oracle() -> str:
     hit_cols = []
     for lg, words in tx.STOPWORDS.items():
         parts = " + ".join(
-            f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in words
+            f"len(regexp_extract_all(substr(text, 1, 1000), '\\b{w}\\b'))"
+            for w in words
         )
         hit_cols.append(f"({parts}) AS h_{lg}")
     hits = ", ".join(hit_cols)
