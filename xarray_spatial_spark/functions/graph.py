@@ -105,7 +105,7 @@ def pagerank(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), "_deg"
     ).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e.join(ranks, e["_src"] == ranks["node"])
             .select(F.col("_dst").alias("node"),
@@ -113,13 +113,15 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(1.0 - damping)
-                 + F.lit(damping) * F.coalesce("_s", F.lit(0.0))).alias("rank"),
-            )
-            .localCheckpoint()  # eager: truncates the per-iteration plan
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(1.0 - damping)
+             + F.lit(damping) * F.coalesce("_s", F.lit(0.0))).alias("rank"),
         )
+        # eager localCheckpoint truncates the per-iteration plan, but
+        # every SECOND iteration suffices: a 2-join-deep plan analyzes
+        # fine (the driver blowup starts ~20 deep), and each eager
+        # checkpoint is a full job — this halves the job count
+        if i % 2 == 1 or i == iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks
