@@ -84,3 +84,42 @@ def test_host_stats(spark):
     out = {r["domain"]: (r["n_pages"], r["n_hosts"], r["sum_chars"])
            for r in uf.host_stats(df, n_chars_col="n_chars").collect()}
     assert out == {"example.com": (3, 2, 60), "only.org": (1, 1, 5)}
+
+
+def test_url_normalize(spark):
+    from xarray_spatial_spark.functions.url import url_normalize
+
+    cases = [
+        # (input, expected)
+        ("HTTP://Example.COM:80/a/b/", "http://example.com/a/b"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://user:pw@example.com/a", "http://example.com/a"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/p?b=2&a=1", "http://example.com/p?a=1&b=2"),
+        ("http://example.com/p?utm_source=x&a=1&fbclid=z",
+         "http://example.com/p?a=1"),
+        ("http://example.com/p?utm_campaign=only",
+         "http://example.com/p"),
+        ("http://example.com/p?a=1#frag", "http://example.com/p?a=1"),
+        ("http://example.com/a//b/", "http://example.com/a//b"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_normalize(F.col("url"))).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
+
+
+def test_url_normalize_collapses_refetches(spark):
+    """Crawl re-fetches of one resource (tracking params, fragment,
+    port/case noise) normalize to ONE dedup key."""
+    from xarray_spatial_spark.functions.url import url_normalize
+
+    variants = [
+        "http://Example.com/article?id=7&utm_source=feed",
+        "http://example.com:80/article/?id=7",
+        "http://example.com/article?id=7#top",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    n = df.select(url_normalize(F.col("url")).alias("k")).distinct().count()
+    assert n == 1

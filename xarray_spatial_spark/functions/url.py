@@ -61,6 +61,52 @@ def registered_domain(host: Column) -> Column:
     return F.concat_ws(".", F.slice(parts, n - take + 1, take))
 
 
+def url_normalize(url: Column) -> Column:
+    """Canonical URL for dedup keys — the standard crawl-curation
+    normalization, all Catalyst string ops (codegen, scan-stage):
+
+    - scheme and host lower-cased; userinfo and default ports
+      (``:80`` for http, ``:443`` for https) dropped;
+    - fragment dropped;
+    - tracking query parameters removed (``utm_*``, ``gclid``,
+      ``fbclid``, ``ref``), remaining parameters SORTED for
+      order-insensitive equality; an emptied query drops its ``?``;
+    - trailing slash trimmed from non-root paths; empty path on an
+      authority URL becomes ``/``.
+
+    Two URLs that differ only in these dimensions normalize to the
+    same string, so ``exact_duplicates`` on the normalized column
+    collapses crawl re-fetches of the same resource."""
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = url_host(url)
+    port = F.regexp_extract(
+        F.regexp_replace(F.regexp_extract(url, _AUTHORITY_RE, 1), "^.*@", ""),
+        ":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = url_path(url)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(path == "/", path).otherwise(
+        F.regexp_replace(path, "/$", ""))
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike("^(utm_[^=]*|gclid|fbclid|ref)(=|$)"),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q))
+        .otherwise(F.lit("")),
+    )
+
+
 def host_stats(
     df: DataFrame, url_col: str = "url", n_chars_col: str | None = None
 ) -> DataFrame:
