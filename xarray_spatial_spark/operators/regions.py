@@ -355,13 +355,28 @@ def regions(
     # labeling per action
     labeled = _tile_label(df, conn, value_col, th, tw).persist()
 
-    # ONE collect for equivalences and the label roster (kinds 0/2,
-    # both perimeter-scale); duplicate edges (each boundary emits its
-    # pair from both sides) are harmless to the union-find, so no
-    # distinct() shuffle and no persist of the fused relation either
-    # — it now has exactly one consumer
-    fused = _boundary_pass(labeled, conn, value_col, th, tw, meta=True)
-    rows = fused.select("kind", "la", "lb").collect()
+    # cross-tile equivalences only involve cells on a tile BORDER, so
+    # the halo pass runs over the perimeter rows only — the pass-2
+    # shuffle carries ~(2/th + 2/tw) of the cells instead of all of
+    # them (the long-form analog of regions_tiled's strip exchange).
+    # The label roster comes from a distinct over the labeled cells
+    # (map-side partial combine -> label-scale shuffle), and ONE
+    # collect serves both; duplicate edges (each boundary emits its
+    # pair from both sides) are harmless to the union-find.
+    border = labeled.filter(
+        F.pmod(F.col("y"), F.lit(th)).isin(0, th - 1)
+        | F.pmod(F.col("x"), F.lit(tw)).isin(0, tw - 1)
+    )
+    edges_df = _boundary_pass(border, conn, value_col, th, tw)
+    tagged = edges_df.select(
+        F.lit(0).alias("kind"), "la", "lb"
+    ).unionByName(
+        labeled.select(
+            F.lit(2).alias("kind"), F.col("_lab").alias("la"),
+            F.lit(0).alias("lb"),
+        ).distinct()
+    )
+    rows = tagged.collect()
     equiv = [r for r in rows if r["kind"] == 0]
     labs = [r["la"] for r in rows if r["kind"] == 2]
 
