@@ -261,3 +261,33 @@ def test_tf_idf_top_terms(spark):
     # exact values: doc0 apple = 3/6 * (ln(4/2)+1); doc1 the = 3/5 * 1
     assert abs(got[(0, 1)][1] - (3 / 6) * (math.log(4 / 2) + 1)) < 1e-12
     assert abs(got[(1, 1)][1] - 3 / 5) < 1e-12
+
+
+def test_ngrams_expr(spark):
+    from xarray_spatial_spark.functions.text import ngrams
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("x y",), ("solo",), ("",)], "text string")
+    got = [r[0] for r in df.select(ngrams(F.col("text"), 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    got2 = [r[0] for r in df.select(ngrams(F.col("text"), 1)).collect()]
+    assert got2[0] == ["a", "b", "c", "d"] and got2[2] == ["solo"]
+
+
+def test_ngram_counts_topk(spark):
+    from xarray_spatial_spark.functions.text import ngram_counts
+
+    rows = [("the cat sat",)] * 5 + [("the cat ran",)] * 3 + [("dogs bark",)] * 2
+    df = spark.createDataFrame(rows, "text string")
+    top = ngram_counts(df, n=2, top_k=3).collect()
+    assert [(r["gram"], r["count"], r["rank"]) for r in top] == [
+        ("the cat", 8, 1), ("cat sat", 5, 2), ("cat ran", 3, 3)]
+    # full table + min_count
+    full = {r["gram"]: r["count"]
+            for r in ngram_counts(df, n=2, min_count=3).collect()}
+    assert full == {"the cat": 8, "cat sat": 5, "cat ran": 3}
+    # TopK plan: no full exchange for the limit path
+    plan = ngram_counts(df, n=2, top_k=3)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -351,6 +351,59 @@ def bigrams(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined token n-grams ([] for < n tokens) —
+    pure Catalyst (transform over slice windows), generalizing
+    :func:`bigrams`."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokens(text)
+    sz = F.size(toks)
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 3,
+    top_k: int | None = None,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide n-gram frequency table — the contamination-index /
+    corpus-analysis primitive: (gram, count [, rank]).
+
+    Scale shape: explode -> hash aggregate, so the shuffle carries
+    (gram, partial-count) pairs with map-side combine absorbing
+    frequent grams (a zipfian hot gram is exactly one partial row per
+    task).  ``top_k`` ranks with a GLOBAL count ordering but never a
+    global row sort of the gram table: it takes the driver-side cheap
+    path of orderBy().limit(k), which Spark executes as a per-
+    partition TopK + a k-row final merge (TakeOrderedAndProject), not
+    a full exchange."""
+    grams = df.select(F.explode(ngrams(F.col(text_col), n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("count"))
+    if min_count > 1:
+        counts = counts.filter(F.col("count") >= min_count)
+    if top_k is None:
+        return counts
+    from pyspark.sql import Window
+
+    # the unpartitioned rank window runs over the ALREADY k-row-limited
+    # result (TakeOrderedAndProject upstream), never the gram table
+    w = Window.orderBy(F.col("count").desc(), F.col("gram").asc())
+    return (
+        counts.orderBy(F.col("count").desc(), F.col("gram").asc())
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def lm_cross_entropy(
     train, score=None, alpha: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id",
