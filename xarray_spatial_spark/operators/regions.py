@@ -162,12 +162,12 @@ def _boundary_pass(
     th: int,
     tw: int,
     geometry: bool = False,
-    meta: bool = False,
 ) -> DataFrame:
     """Pass 2: ONE haloed per-tile pass over the CCL labels.
 
     ``geometry=False`` (regions): cross-tile label equivalence edges
-    ``(la, lb)``.
+    ``(la, lb)`` — callers pre-filter to tile-border rows, since
+    cross-tile edges cannot involve interior cells.
 
     ``geometry=True`` (polygonize): the same pass additionally emits
     everything polygonize needs, so the cell-scale data is scanned
@@ -182,12 +182,7 @@ def _boundary_pass(
         on perimeter-scale rows;
       kind 2 — per-label metadata (la, v = class value), one row per
         tile-local label, for region values and the scan-order rank
-        without revisiting cells.
-
-    ``meta=True`` (regions): kind 0 + kind 2 only — the equivalence
-    edges plus the label roster that lets the dense scan-order ids be
-    ranked driver-side in the same collect pass, instead of a
-    distributed rank job chain over cell-derived roots."""
+        without revisiting cells."""
     haloed = with_halo(labeled, 1, th, tw)
 
     def _edges(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -226,27 +221,8 @@ def _boundary_pass(
         else:
             equiv = pd.DataFrame({"la": pd.Series(dtype="int64"),
                                   "lb": pd.Series(dtype="int64")})
-        if not geometry and not meta:
-            return equiv
         if not geometry:
-            # meta-only: equivalences + one metadata row per label
-            own = pdf["_halo"].to_numpy() == 0
-            lc_lab = labs[py[own], px[own]]
-            lc_val = vals[py[own], px[own]]
-            u_lab, u_first = np.unique(lc_lab.astype(np.int64),
-                                       return_index=True)
-            return pd.concat([
-                pd.DataFrame({
-                    "kind": np.zeros(len(equiv), dtype=np.int32),
-                    "la": equiv["la"], "lb": equiv["lb"], "v": np.nan,
-                }),
-                pd.DataFrame({
-                    "kind": np.full(len(u_lab), 2, dtype=np.int32),
-                    "la": u_lab,
-                    "lb": np.zeros(len(u_lab), dtype=np.int64),
-                    "v": lc_val[u_first],
-                }),
-            ], ignore_index=True)
+            return equiv
 
         # ---- fused geometry + metadata (own cells only) ---------------
         own = pdf["_halo"].to_numpy() == 0
@@ -305,8 +281,6 @@ def _boundary_pass(
     if geometry:
         schema = ("kind int, la long, lb long, "
                   "x1 int, y1 int, x2 int, y2 int, v double")
-    elif meta:
-        schema = "kind int, la long, lb long, v double"
     else:
         schema = "la long, lb long"
     return haloed.groupBy("_ty", "_tx").applyInPandas(_edges, schema=schema)
