@@ -50,11 +50,12 @@ def test_polygonize_tiling_invariance(spark, tile):
     assert rows == want
 
 
-def test_polygonize_plan_two_cell_scale_passes(spark):
-    """The fused plan touches cell-scale data exactly twice: the tile
-    CCL applyInPandas and the haloed boundary applyInPandas.  A third
-    grouped-pandas node would mean the round-2 shape (separate
-    geometry pass / cell-scale relabel) crept back."""
+def test_polygonize_plan_one_cell_scale_pass(spark):
+    """The fused plan shuffles cell-scale data exactly ONCE: a single
+    haloed applyInPandas (_one) computes CCL + half-edges + segments
+    + metadata + roster together.  A second grouped-pandas kernel
+    would mean the two-shuffle round-3 shape (separate tile CCL then
+    halo pass) crept back."""
     import re
 
     import numpy as np
@@ -68,6 +69,6 @@ def test_polygonize_plan_two_cell_scale_passes(spark):
     # count DISTINCT grouped kernels, not node occurrences
     kernels = set(re.findall(
         r"FlatMapGroupsIn(?:Pandas|Arrow) \[[^]]*\], (\w+)\(", plan))
-    assert kernels == {"_label", "_edges"}, kernels
+    assert kernels == {"_one"}, kernels
     # the ring assembly is a mapInPandas over perimeter rows
     assert "MapInPandas" in plan or "MapInArrow" in plan

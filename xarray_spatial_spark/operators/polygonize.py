@@ -3,12 +3,12 @@ xrspatial/experimental/polygonize.py:1-27 algorithm, :524-613 public).
 
 Distributed plan (SURVEY §7 deferred tier):
 
-1. per-tile CCL labels (regions._tile_label),
-2. ONE haloed boundary pass (regions._boundary_pass(geometry=True))
-   emitting label-equivalence edges, directed perimeter segments in
-   corner coordinates (interior-on-the-left), and per-label metadata
-   together — the only two cell-scale scans in the whole operator,
-3. perimeter-scale finish: driver union-find over the equivalences,
+1. ONE haloed cell-scale pass (_fused_label_geometry): per-tile CCL
+   plus cross-tile HALF-edges (label, neighbor cell key), directed
+   perimeter segments in corner coordinates (interior-on-the-left),
+   per-label metadata and the tile-border roster together — cell rows
+   are shuffled exactly once,
+2. perimeter-scale finish: driver union-find over the equivalences,
    scan-order region ids ranked from the metadata, segments
    relabelled via broadcast, then partition-level ring assembly: walk
    the directed edges corner-to-corner until closed; the ring with
@@ -31,6 +31,156 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _fused_label_geometry(
+    raster: DataFrame, conn: int, value_col: str, th: int, tw: int
+) -> DataFrame:
+    """ONE haloed cell-scale pass: per-tile CCL + cross-tile
+    HALF-edges + boundary segments + per-label metadata + border
+    roster, together.
+
+    The round-4 rework: the previous shape ran TWO cell-scale
+    shuffles (tile grouping for CCL, then a halo exchange of the
+    LABELS for the boundary pass).  Labels of neighbor tiles cannot
+    exist inside a single pass, so cross-tile equivalences are
+    emitted as half-edges ``(my label, neighbor CELL key)`` and the
+    per-tile BORDER roster ``(cell key, label)`` rides along — both
+    perimeter-scale — letting the driver resolve cell keys to labels
+    with a dict.  Cell rows are shuffled exactly once.
+
+    Output kinds (schema shared with the old geometry pass):
+      0 — half-edge: la = own label, lb = neighbor cell key;
+      1 — directed boundary segment (la = own label, corners x1..y2);
+      2 — per-label metadata (la, v);
+      3 — border roster: la = own cell key, lb = own label."""
+    from xarray_spatial_spark.operators.halo import with_halo
+    from xarray_spatial_spark.operators.regions import _KEY, _tile_ccl
+
+    src = raster.select("y", "x", value_col)
+    haloed = with_halo(src, 1, th, tw)
+
+    def _one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        H, W = th + 2, tw + 2
+        vals = np.full((H, W), np.nan)
+        own = np.zeros((H, W), dtype=bool)
+        present = np.zeros((H, W), dtype=bool)
+        py = pdf["y"].to_numpy(np.int64) - (ty * th - 1)
+        px = pdf["x"].to_numpy(np.int64) - (tx * tw - 1)
+        vals[py, px] = pdf[value_col].to_numpy(np.float64)
+        present[py, px] = True
+        own[py, px] = pdf["_halo"].to_numpy() == 0
+
+        # --- per-tile CCL over OWN cells (core window) ---------------
+        core_vals = vals[1:-1, 1:-1]
+        core_own = own[1:-1, 1:-1]
+        keys = np.full((th, tw), np.nan)
+        oy, ox = np.nonzero(core_own)
+        keys[oy, ox] = ((oy + ty * th).astype(np.float64) * float(_KEY)
+                        + (ox + tx * tw))
+        lab_core = _tile_ccl(core_vals, keys, conn)
+        labs = np.full((H, W), np.nan)
+        labs[1:-1, 1:-1] = np.where(core_own, lab_core, np.nan)
+
+        def eq(a, b):
+            return (a == b) | (np.isnan(a) & np.isnan(b))
+
+        # --- half-edges: own cell vs HALO neighbor of equal value ----
+        shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+        if conn == 8:
+            shifts += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+        he_lab, he_key = [], []
+        halo_cell = present & ~own
+        for dy, dx in shifts:
+            nb = np.roll(np.roll(halo_cell, -dy, axis=0), -dx, axis=1)
+            nv = np.roll(np.roll(vals, -dy, axis=0), -dx, axis=1)
+            # roll wraps; own cells never sit on the padded frame, so
+            # wrapped entries are halo/absent frame cells — excluded
+            # by nb unless genuinely present halo, and a frame cell
+            # can only be reached from a core cell by |dy|,|dx| <= 1
+            m = own & nb & eq(vals, nv)
+            if m.any():
+                my, mx = np.nonzero(m)
+                he_lab.append(labs[my, mx].astype(np.int64))
+                ny = (my - 1) + ty * th + dy
+                nx = (mx - 1) + tx * tw + dx
+                he_key.append(ny * _KEY + nx)
+        he_lab = (np.concatenate(he_lab) if he_lab
+                  else np.array([], np.int64))
+        he_key = (np.concatenate(he_key) if he_key
+                  else np.array([], np.int64))
+
+        # --- border roster: own cells on the tile rim ----------------
+        rim = core_own.copy()
+        rim[1:-1, 1:-1] = False
+        ry, rx = np.nonzero(rim)
+        r_key = ((ry + ty * th) * _KEY + (rx + tx * tw)).astype(np.int64)
+        r_lab = lab_core[ry, rx].astype(np.int64)
+
+        # --- segments + metadata over own cells ----------------------
+        cy, cx = np.nonzero(core_own)
+        pyy, pxx = cy + 1, cx + 1           # padded coords
+        ys = cy + ty * th
+        xs = cx + tx * tw
+        lc_lab = labs[pyy, pxx]
+        lc_val = vals[pyy, pxx]
+
+        def boundary(ny, nx):
+            return ~present[ny, nx] | ~eq(vals[ny, nx], lc_val)
+
+        segs = []
+        m = boundary(pyy - 1, pxx)    # N
+        segs.append((lc_lab[m], xs[m] + 1, ys[m], xs[m], ys[m]))
+        m = boundary(pyy + 1, pxx)    # S
+        segs.append((lc_lab[m], xs[m], ys[m] + 1, xs[m] + 1, ys[m] + 1))
+        m = boundary(pyy, pxx - 1)    # W
+        segs.append((lc_lab[m], xs[m], ys[m], xs[m], ys[m] + 1))
+        m = boundary(pyy, pxx + 1)    # E
+        segs.append((lc_lab[m], xs[m] + 1, ys[m] + 1, xs[m] + 1, ys[m]))
+        g_lab = np.concatenate([a[0] for a in segs]).astype(np.int64)
+        gx1 = np.concatenate([a[1] for a in segs]).astype(np.int32)
+        gy1 = np.concatenate([a[2] for a in segs]).astype(np.int32)
+        gx2 = np.concatenate([a[3] for a in segs]).astype(np.int32)
+        gy2 = np.concatenate([a[4] for a in segs]).astype(np.int32)
+
+        u_lab, u_first = np.unique(lc_lab.astype(np.int64),
+                                   return_index=True)
+        z32 = lambda n: np.zeros(n, dtype=np.int32)  # noqa: E731
+        parts = [
+            pd.DataFrame({
+                "kind": np.zeros(len(he_lab), dtype=np.int32),
+                "la": he_lab, "lb": he_key,
+                "x1": z32(len(he_lab)), "y1": z32(len(he_lab)),
+                "x2": z32(len(he_lab)), "y2": z32(len(he_lab)),
+                "v": np.full(len(he_lab), np.nan),
+            }),
+            pd.DataFrame({
+                "kind": np.ones(len(g_lab), dtype=np.int32), "la": g_lab,
+                "lb": np.zeros(len(g_lab), dtype=np.int64),
+                "x1": gx1, "y1": gy1, "x2": gx2, "y2": gy2,
+                "v": np.full(len(g_lab), np.nan),
+            }),
+            pd.DataFrame({
+                "kind": np.full(len(u_lab), 2, dtype=np.int32),
+                "la": u_lab, "lb": np.zeros(len(u_lab), dtype=np.int64),
+                "x1": z32(len(u_lab)), "y1": z32(len(u_lab)),
+                "x2": z32(len(u_lab)), "y2": z32(len(u_lab)),
+                "v": lc_val[u_first],
+            }),
+            pd.DataFrame({
+                "kind": np.full(len(r_key), 3, dtype=np.int32),
+                "la": r_key, "lb": r_lab,
+                "x1": z32(len(r_key)), "y1": z32(len(r_key)),
+                "x2": z32(len(r_key)), "y2": z32(len(r_key)),
+                "v": np.full(len(r_key), np.nan),
+            }),
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    schema = ("kind int, la long, lb long, "
+              "x1 int, y1 int, x2 int, y2 int, v double")
+    return haloed.groupBy("_ty", "_tx").applyInPandas(_one, schema=schema)
 
 
 
@@ -109,46 +259,38 @@ def polygonize(
     """Vectorize connected equal-valued regions.  Returns one row per
     region: (region, value, n_rings, exterior ring corners, area).
 
-    Fused plan: the cell-scale data is touched exactly twice (tile CCL,
-    then ONE haloed boundary pass that emits equivalence edges,
-    geometry segments AND per-label metadata together —
-    regions._boundary_pass(geometry=True)).  Everything after is
-    perimeter-scale: union-find on the collected equivalences, label →
-    scan-order region ids ranked from the metadata rows, geometry
-    relabelled through a broadcast map.  Replaces the round-2 shape
-    (full regions() with its cell-scale relabel join + persist, plus a
-    SECOND halo pass for geometry) which paid ~2x the cell traffic and
-    ~3.3 s fixed overhead at sf0.1."""
+    Fused plan: the cell-scale data is shuffled exactly ONCE —
+    :func:`_fused_label_geometry` computes per-tile CCL, cross-tile
+    half-edges, boundary segments and label metadata in a single
+    haloed pass (the round-2 shape paid two halo passes; round 3 got
+    it to two cell-scale shuffles; round 4 to one).  Everything after
+    is perimeter-scale: the driver resolves half-edge cell keys
+    through the border roster, union-finds, ranks scan-order region
+    ids from the metadata, and the segments relabel through a
+    broadcast map."""
     if neighborhood not in (4, 8):
         raise ValueError("neighborhood must be 4 or 8")
-    from xarray_spatial_spark.operators.regions import (
-        _boundary_pass,
-        _tile_label,
-        _union_find,
-    )
+    from xarray_spatial_spark.operators.regions import _union_find
 
     spark = raster.sparkSession
-    labeled = _tile_label(raster, neighborhood, value_col, tile_h, tile_w)
-    # single cell-scale consumer (the halo pass) -> no cell-scale
-    # persist; the fused output is perimeter-scale, persist THAT
-    fused = _boundary_pass(
-        labeled, neighborhood, value_col, tile_h, tile_w, geometry=True
+    fused = _fused_label_geometry(
+        raster, neighborhood, value_col, tile_h, tile_w
     ).persist()
 
-    # ONE collect for equivalences AND metadata (kinds 0 and 2 — both
-    # perimeter-scale): two filtered collects paid two jobs against
-    # the persisted relation for no reason, and the distinct() shuffle
-    # on edges is pointless when the driver union-find is idempotent
-    # to duplicates (each boundary edge arrives twice, once per side)
+    # ONE collect for half-edges, metadata AND the border roster
+    # (kinds 0/2/3 — all perimeter-scale); segments (kind 1) stay
+    # distributed.  Half-edges carry (label, neighbor CELL key); the
+    # roster maps border cell keys to labels, so edge resolution is a
+    # driver dict lookup.  Duplicate edges (each side emits its half)
+    # are harmless to the union-find.
     rows = fused.filter(F.col("kind") != 1).select(
         "kind", "la", "lb", "v").collect()
-    equiv = [r for r in rows if r["kind"] == 0]
-    # label-count-scale driver finish: union-find, scan-order dense
-    # region ids, per-region values — all from the tiny metadata rows.
-    # Driver footprint is one row per tile-local label, the SAME
-    # ceiling as the broadcast relabel LUT the segment pass needs
-    # anyway (regions() shares it), so nothing is lost vs a
-    # distributed rank — and ~4 small jobs are.
+    roster = {r["la"]: r["lb"] for r in rows if r["kind"] == 3}
+    equiv = [
+        {"la": r["la"], "lb": roster[r["lb"]]}
+        for r in rows
+        if r["kind"] == 0
+    ]
     meta_rows = [r for r in rows if r["kind"] == 2]
     root_of = dict(_union_find(equiv))
     root_val: dict = {}

@@ -161,28 +161,13 @@ def _boundary_pass(
     value_col: str,
     th: int,
     tw: int,
-    geometry: bool = False,
 ) -> DataFrame:
-    """Pass 2: ONE haloed per-tile pass over the CCL labels.
-
-    ``geometry=False`` (regions): cross-tile label equivalence edges
-    ``(la, lb)`` — callers pre-filter to tile-border rows, since
-    cross-tile edges cannot involve interior cells.
-
-    ``geometry=True`` (polygonize): the same pass additionally emits
-    everything polygonize needs, so the cell-scale data is scanned
-    exactly once and all downstream work is perimeter-scale:
-      kind 0 — equivalence edges (la, lb);
-      kind 1 — directed boundary segments (la = owning cell's
-        tile-local label, corner coords x1..y2, interior on the left).
-        The boundary test is on VALUES, not labels: side-adjacent
-        equal-valued cells are one region under both 4- and 8-conn,
-        so value-diff == region-diff for sides — which is what lets
-        segments be keyed by the PRE-merge label and relabelled later
-        on perimeter-scale rows;
-      kind 2 — per-label metadata (la, v = class value), one row per
-        tile-local label, for region values and the scan-order rank
-        without revisiting cells."""
+    """Pass 2: ONE haloed per-tile pass over the CCL labels emitting
+    cross-tile label equivalence edges ``(la, lb)``.  Callers
+    pre-filter to tile-border rows — cross-tile edges cannot involve
+    interior cells, so the halo exchange carries perimeter rows only.
+    (polygonize has its own fully-fused single pass that also emits
+    geometry: polygonize._fused_label_geometry.)"""
     haloed = with_halo(labeled, 1, th, tw)
 
     def _edges(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -217,73 +202,12 @@ def _boundary_pass(
             a = np.concatenate(out_a)
             b = np.concatenate(out_b)
             lo, hi = np.minimum(a, b), np.maximum(a, b)
-            equiv = pd.DataFrame({"la": lo, "lb": hi}).drop_duplicates()
-        else:
-            equiv = pd.DataFrame({"la": pd.Series(dtype="int64"),
-                                  "lb": pd.Series(dtype="int64")})
-        if not geometry:
-            return equiv
+            return pd.DataFrame({"la": lo, "lb": hi}).drop_duplicates()
+        return pd.DataFrame({"la": pd.Series(dtype="int64"),
+                             "lb": pd.Series(dtype="int64")})
 
-        # ---- fused geometry + metadata (own cells only) ---------------
-        own = pdf["_halo"].to_numpy() == 0
-        ys = pdf["y"].to_numpy(np.int64)[own]
-        xs = pdf["x"].to_numpy(np.int64)[own]
-        cy = py[own]
-        cx = px[own]
-        lc_lab = labs[cy, cx]
-        lc_val = vals[cy, cx]
-
-        def boundary(ny, nx):
-            # neighbor absent (NaN label) or different CLASS value
-            return np.isnan(labs[ny, nx]) | ~eq(vals[ny, nx], lc_val)
-
-        segs = []
-        # (mask-source, x1, y1, x2, y2) per side, interior on the LEFT
-        m = boundary(cy - 1, cx)    # N
-        segs.append((lc_lab[m], xs[m] + 1, ys[m], xs[m], ys[m]))
-        m = boundary(cy + 1, cx)    # S
-        segs.append((lc_lab[m], xs[m], ys[m] + 1, xs[m] + 1, ys[m] + 1))
-        m = boundary(cy, cx - 1)    # W
-        segs.append((lc_lab[m], xs[m], ys[m], xs[m], ys[m] + 1))
-        m = boundary(cy, cx + 1)    # E
-        segs.append((lc_lab[m], xs[m] + 1, ys[m] + 1, xs[m] + 1, ys[m]))
-        g_lab = np.concatenate([a[0] for a in segs]).astype(np.int64)
-        gx1 = np.concatenate([a[1] for a in segs]).astype(np.int32)
-        gy1 = np.concatenate([a[2] for a in segs]).astype(np.int32)
-        gx2 = np.concatenate([a[3] for a in segs]).astype(np.int32)
-        gy2 = np.concatenate([a[4] for a in segs]).astype(np.int32)
-
-        u_lab, u_first = np.unique(lc_lab.astype(np.int64), return_index=True)
-        parts = [
-            pd.DataFrame({
-                "kind": np.int32(0), "la": equiv["la"], "lb": equiv["lb"],
-                "x1": np.int32(0), "y1": np.int32(0),
-                "x2": np.int32(0), "y2": np.int32(0), "v": np.nan,
-            }),
-            pd.DataFrame({
-                "kind": np.ones(len(g_lab), dtype=np.int32), "la": g_lab,
-                "lb": np.zeros(len(g_lab), dtype=np.int64),
-                "x1": gx1, "y1": gy1, "x2": gx2, "y2": gy2,
-                "v": np.full(len(g_lab), np.nan),
-            }),
-            pd.DataFrame({
-                "kind": np.full(len(u_lab), 2, dtype=np.int32), "la": u_lab,
-                "lb": np.zeros(len(u_lab), dtype=np.int64),
-                "x1": np.zeros(len(u_lab), dtype=np.int32),
-                "y1": np.zeros(len(u_lab), dtype=np.int32),
-                "x2": np.zeros(len(u_lab), dtype=np.int32),
-                "y2": np.zeros(len(u_lab), dtype=np.int32),
-                "v": lc_val[u_first],
-            }),
-        ]
-        return pd.concat(parts, ignore_index=True)
-
-    if geometry:
-        schema = ("kind int, la long, lb long, "
-                  "x1 int, y1 int, x2 int, y2 int, v double")
-    else:
-        schema = "la long, lb long"
-    return haloed.groupBy("_ty", "_tx").applyInPandas(_edges, schema=schema)
+    return haloed.groupBy("_ty", "_tx").applyInPandas(
+        _edges, schema="la long, lb long")
 
 
 def _union_find(edges) -> list[tuple[int, int]]:
