@@ -54,6 +54,12 @@ def connected_components(
     adj = sym.union(nodes.select(F.col("node").alias("_s"),
                                  F.col("node").alias("_d"))).localCheckpoint()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    # convergence check WITHOUT a per-round join: every min-step and
+    # pointer jump can only DECREASE a node's label, so the exact
+    # total (decimal — int64 sums could wrap at web scale) strictly
+    # decreases until the fixed point; equal sums <=> no label moved
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iters):
         stepped = (
             adj.join(labels, adj["_s"] == labels["node"])
@@ -68,15 +74,12 @@ def connected_components(
             .select("node", F.col("_ll").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
