@@ -749,12 +749,17 @@ def q_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xarray_spatial_spark.sources import parquet_first_array_len
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # plant exact duplicates (cos = 1) so the check is never vacuous
     dup = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
     )
-    out = dedup.embedding_neardup_pairs(emb.union(dup), threshold=0.8, n_planes=8)
+    # dim from parquet driver-side: skips the limit(1) probe job
+    dim = parquet_first_array_len(f"{sf_dir}/embeddings.parquet", "embedding")
+    out = dedup.embedding_neardup_pairs(
+        emb.union(dup), threshold=0.8, n_planes=8, dim=dim)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -18,3 +18,23 @@ def parquet_row_count(path: str) -> int:
     else:
         files = [path]
     return sum(pq.read_metadata(f).num_rows for f in files)
+
+
+def parquet_first_array_len(path: str, column: str) -> int:
+    """Element count of ``column`` (an array column) in the first row
+    of a parquet file/directory, read driver-side with pyarrow — the
+    no-job way to learn a fixed embedding dimension before building a
+    query."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    for f in files:
+        pf = pq.ParquetFile(f)
+        if pf.metadata.num_rows == 0:
+            continue
+        tbl = pf.read_row_group(0, columns=[column])
+        return len(tbl.column(0)[0])
+    raise ValueError(f"no rows in {path}")
