@@ -416,3 +416,18 @@ def test_approx_rows_sane(spark):
     df = spark.range(1000).selectExpr("id", "repeat('x', 200) as text")
     n = _approx_rows(df)
     assert n >= 1
+
+
+def test_approx_rows_narrow_projection_not_undershot(spark, tmp_path):
+    """A narrow (id, simhash) projection of a parquet scan must not
+    estimate 10x under real rows: the divisor is width-aware, and a
+    plan with exact rowCount stats uses it directly."""
+    from xarray_spatial_spark.functions.dedup import _approx_rows
+
+    p = str(tmp_path / "narrow.parquet")
+    spark.range(10_000).selectExpr(
+        "id", "xxhash64(cast(id as string)) as simhash"
+    ).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p).select("id", "simhash")
+    n = _approx_rows(df)
+    assert n >= 1_000, n  # within one decade of the true 10k

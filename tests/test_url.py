@@ -103,6 +103,9 @@ def test_url_normalize(spark):
          "http://example.com/p"),
         ("http://example.com/p?a=1#frag", "http://example.com/p?a=1"),
         ("http://example.com/a//b/", "http://example.com/a//b"),
+        # '?' first appearing INSIDE the fragment is not a query
+        ("http://example.com/p#a?b=1", "http://example.com/p"),
+        ("http://example.com/p?a=1#x?b=2", "http://example.com/p?a=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(url_normalize(F.col("url"))).collect()]

@@ -498,16 +498,31 @@ def simhash_band_plan(
 
 
 def _approx_rows(df: DataFrame, bytes_per_row: int = 200) -> int:
-    """Order-of-magnitude row-count UPPER bound from optimizer stats
-    (plan sizeInBytes / a conservative 200 B/row) — runs NO job.
+    """Order-of-magnitude row-count ESTIMATE from optimizer stats —
+    runs NO job.  Prefers the plan's exact ``rowCount`` statistic when
+    present; otherwise divides plan ``sizeInBytes`` by the SMALLER of
+    ``bytes_per_row`` and the schema's estimated row width, so a
+    narrow projection (e.g. id + simhash, ~16 B/row) doesn't shrink
+    the estimate 10x below real rows.  Can still undershoot on
+    well-compressed scans (file-size-based stats); callers holding an
+    exact count should pass it through (``n_docs``).
 
     Only feeds banding cost models, which need decade accuracy;
-    overestimating rows errs toward longer keys (cheaper joins), and
-    an unknown-size plan (Long.MaxValue bytes) degrades to the
-    longest-key admissible layout rather than a scan."""
-    raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    layout choice affects COST only, never results (pigeonhole recall
+    holds for any layout), and an unknown-size plan (Long.MaxValue
+    bytes) degrades to the longest-key admissible layout."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return max(1, int(rc.get().toString()))
+    raw = stats.sizeInBytes()
     size = raw if isinstance(raw, int) else int(raw.toString())
-    return max(1, size // bytes_per_row)
+    # Spark-defaultSize-style per-row width of the visible schema
+    _w = {"long": 8, "bigint": 8, "double": 8, "int": 4, "integer": 4,
+          "float": 4, "short": 2, "byte": 1, "boolean": 1,
+          "timestamp": 8, "date": 4, "string": 20}
+    width = sum(_w.get(f.dataType.simpleString(), 20) for f in df.schema)
+    return max(1, size // max(1, min(bytes_per_row, width)))
 
 
 def simhash_near_duplicates(

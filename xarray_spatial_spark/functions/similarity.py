@@ -281,6 +281,7 @@ def _bounded_buckets(
     base = n_clusters + 1
     hash_mod = 1 << 20
     target = max(256, 8 * n_clusters)  # sample per oversized bucket
+    prev_sizes: list[int] | None = None
     for _ in range(max_split_rounds):
         sizes = (assigned.groupBy("_bkt")
                  .agg(F.count(F.lit(1)).alias("n"))
@@ -288,6 +289,14 @@ def _bounded_buckets(
         if not sizes:
             break
         over = {int(r["_bkt"]): int(r["n"]) for r in sizes}
+        # no-progress guard: if the oversized-size multiset is
+        # unchanged since last round (un-splittable near-identical
+        # vectors), every further round would pay a full-dataset map +
+        # persist + count for the same result — give up now
+        cur_sizes = sorted(over.values())
+        if cur_sizes == prev_sizes:
+            break
+        prev_sizes = cur_sizes
         thr = {b: min(hash_mod, -(-hash_mod * 3 * target // n))
                for b, n in over.items()}
         thr_expr = F.lit(0)
@@ -312,6 +321,8 @@ def _bounded_buckets(
             norms = np.linalg.norm(vecs, axis=1)
             norms[norms == 0] = 1.0
             subs[b] = _spherical_kmeans(vecs / norms[:, None], n_clusters)
+        if not subs:
+            break  # every oversized bucket's sample came back empty
         bc_subs = sc.broadcast(subs)
 
         def _resplit(batches: Iterator[pd.DataFrame],

@@ -91,7 +91,10 @@ def url_normalize(url: Column) -> Column:
     path = F.when(path == "", F.lit("/")).otherwise(path)
     path = F.when(path == "/", path).otherwise(
         F.regexp_replace(path, "/$", ""))
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # fragment stripped FIRST: a '?' whose first occurrence is inside
+    # the fragment (http://e.com/p#a?b=1) is not a query
+    nofrag = F.regexp_replace(url, "#.*", "")
+    query = F.regexp_extract(nofrag, r"\?(.*)", 1)
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "")

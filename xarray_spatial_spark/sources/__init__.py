@@ -35,6 +35,7 @@ def parquet_first_array_len(path: str, column: str) -> int:
         pf = pq.ParquetFile(f)
         if pf.metadata.num_rows == 0:
             continue
-        tbl = pf.read_row_group(0, columns=[column])
-        return len(tbl.column(0)[0])
+        # one row, not the whole first row group
+        batch = next(pf.iter_batches(batch_size=1, columns=[column]))
+        return len(batch.column(0)[0])
     raise ValueError(f"no rows in {path}")
