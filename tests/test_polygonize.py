@@ -72,3 +72,37 @@ def test_polygonize_plan_one_cell_scale_pass(spark):
     assert kernels == {"_one"}, kernels
     # the ring assembly is a mapInPandas over perimeter rows
     assert "MapInPandas" in plan or "MapInArrow" in plan
+
+
+def test_polygonize_distributed_roster_matches_driver(spark):
+    """Roster cap 0 forces the fully distributed finish (join-resolved
+    half-edges, components + two-phase rank, shuffle relabel) — every
+    field must match the driver path, NaN regions included."""
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 3, (13, 17)).astype(float)
+    data[data == 2] = np.nan
+
+    def canon(ring):
+        # closed ring -> rotation-invariant form (start vertex is
+        # walk-order dependent; the polygon itself is what must match)
+        pts = [tuple(p) for p in ring[:-1]]
+        i = pts.index(min(pts))
+        pts = pts[i:] + pts[:i]
+        return tuple(pts + [pts[0]])
+
+    def snap(df):
+        return {
+            r["region"]: (r["area"], r["n_rings"],
+                          None if r["value"] != r["value"] else r["value"],
+                          canon(r["exterior"]))
+            for r in df.collect()
+        }
+
+    src = df_from_numpy(spark, data, keep_nonfinite=False)
+    base = snap(polygonize(src, tile_h=5, tile_w=7))
+    spark.conf.set("spark.xrspatial.regions.maxDriverRoster", "0")
+    try:
+        got = snap(polygonize(src, tile_h=5, tile_w=7))
+    finally:
+        spark.conf.unset("spark.xrspatial.regions.maxDriverRoster")
+    assert got == base

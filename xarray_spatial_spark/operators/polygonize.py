@@ -283,8 +283,28 @@ def polygonize(
     # roster maps border cell keys to labels, so edge resolution is a
     # driver dict lookup.  Duplicate edges (each side emits its half)
     # are harmless to the union-find.
+    # roster-size guard (same pattern as regions.regions): collect at
+    # most cap+1 rows; a salt-and-pepper raster overflows and takes
+    # the fully distributed finish instead of O(regions) driver dicts
+    from xarray_spatial_spark.operators.regions import _roster_cap
+
+    cap = _roster_cap(spark)
     rows = fused.filter(F.col("kind") != 1).select(
-        "kind", "la", "lb", "v").collect()
+        "kind", "la", "lb", "v").limit(cap + 1).collect()
+    if len(rows) > cap:
+        map_rel, vals_rel = _region_map_distributed(fused, value_col)
+        geom = (
+            fused.filter(F.col("kind") == 1)
+            .select("la", "x1", "y1", "x2", "y2")
+            .join(map_rel, "la")  # label-scale: shuffle join
+            .select("region", "x1", "y1", "x2", "y2")
+        )
+        polys = geom.repartition("region").mapInPandas(
+            _assemble_partition,
+            schema="region long, n_rings int, "
+                   "exterior array<array<double>>, area double",
+        )
+        return polys.join(vals_rel, "region")
     roster = {r["la"]: r["lb"] for r in rows if r["kind"] == 3}
     equiv = [
         {"la": r["la"], "lb": roster[r["lb"]]}
@@ -319,3 +339,44 @@ def polygonize(
         schema="region long, n_rings int, exterior array<array<double>>, area double",
     )
     return polys.join(F.broadcast(vals), "region")
+
+
+def _region_map_distributed(fused, value_col):
+    """Distributed twin of polygonize's driver finish, used above the
+    roster cap: half-edge cell keys resolve through the border roster
+    with an equi-join instead of a driver dict, components + dense
+    rank come from :func:`regions._distributed_region_map` (min-label
+    roots, roots sorted ascending — identical numbering to the driver
+    union-find), and per-region values aggregate distributed.
+
+    Returns ``(map_rel, vals_rel)``: (la, region) and
+    (region, value_col) relations, both label/region-scale — joined
+    by shuffle, not broadcast, which is the price of the degenerate
+    ~1-region-per-cell input."""
+    from xarray_spatial_spark.operators.regions import (
+        _distributed_region_map,
+    )
+
+    roster = fused.filter(F.col("kind") == 3).select(
+        F.col("la").alias("_cell"), F.col("lb").alias("_rlab"))
+    equiv = (
+        fused.filter(F.col("kind") == 0)
+        .select("la", F.col("lb").alias("_cell"))
+        .join(roster, "_cell")
+        .select("la", F.col("_rlab").alias("lb"))
+    )
+    meta = fused.filter(F.col("kind") == 2).select(
+        F.col("la").alias("_lab"), "v")
+    mapping = _distributed_region_map(
+        equiv, meta.select("_lab").distinct(), "_rd").persist()
+    map_rel = mapping.select(
+        F.col("_lab").alias("la"), F.col("_rd").cast("long").alias("region"))
+    vals_rel = (
+        meta.join(mapping, "_lab")
+        .groupBy(F.col("_rd").cast("long").alias("region"))
+        .agg(F.min("v").alias("_v"))
+        .select("region",
+                F.coalesce(F.col("_v"), F.lit(float("nan")))
+                .alias(value_col))
+    )
+    return map_rel, vals_rel

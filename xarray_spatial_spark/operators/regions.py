@@ -233,6 +233,48 @@ def _union_find(edges) -> list[tuple[int, int]]:
     return [(k, find(k)) for k in list(parent)]
 
 
+def _roster_cap(spark) -> int:
+    """Max label-roster rows the driver finish may collect.  The
+    driver union-find + dense rank is O(labels) driver memory — fine
+    for realistic rasters (labels << cells, and the rank map gets
+    broadcast anyway) but a salt-and-pepper raster (~1 region/cell)
+    would OOM the driver.  Above the cap the CCL family dispatches to
+    the fully distributed finish (:func:`_distributed_region_map`)."""
+    return int(spark.conf.get(
+        "spark.xrspatial.regions.maxDriverRoster", "2000000"))
+
+
+def _distributed_region_map(
+    edges_df: DataFrame, labs_df: DataFrame, out_col: str
+) -> DataFrame:
+    """Distributed twin of the driver union-find + dense scan-order
+    rank: ``(_lab, out_col)`` where ``out_col`` is the dense 0-based
+    region id of the label's component, roots ordered ascending by
+    their minimum label — byte-identical semantics to the driver
+    path (roots ARE min labels both ways).
+
+    Pieces are the existing scale primitives: min-label connected
+    components (functions/graph.py — O(log diameter) pointer-jumping
+    rounds over the PERIMETER-scale edge set) and the two-phase
+    global rank (plans/ranks.py — never a single-task window).  Used
+    only above :func:`_roster_cap`; below it the driver dict costs ~4
+    fewer jobs and the result is broadcast either way."""
+    from xarray_spatial_spark.functions.graph import connected_components
+    from xarray_spatial_spark.plans.ranks import global_row_number
+
+    comp = connected_components(edges_df, src="la", dst="lb")
+    rooted = (
+        labs_df.join(comp, labs_df["_lab"] == comp["node"], "left")
+        .select("_lab", F.coalesce("label", "_lab").alias("_root"))
+        .persist()  # feeds the distinct AND the final join
+    )
+    roots = rooted.select("_root").distinct()
+    ranked = global_row_number(roots, "_root", "_rank", zero_based=True)
+    return rooted.join(ranked, "_root").select(
+        "_lab", F.col("_rank").cast("double").alias(out_col)
+    )
+
+
 def regions(
     df: DataFrame,
     neighborhood: int = 4,
@@ -274,7 +316,23 @@ def regions(
             F.lit(0).alias("lb"),
         ).distinct()
     )
-    rows = tagged.collect()
+    # roster-size guard: collect at most cap+1 rows (CollectLimit —
+    # driver memory is bounded no matter the raster); a salt-and-
+    # pepper input (~1 region/cell) overflows the cap and dispatches
+    # to the fully distributed finish instead of an O(regions) dict
+    spark = df.sparkSession
+    cap = _roster_cap(spark)
+    rows = tagged.limit(cap + 1).collect()
+    if len(rows) > cap:
+        mapping = _distributed_region_map(
+            edges_df.select("la", "lb"),
+            labeled.select("_lab").distinct(),
+            out_col,
+        )
+        return (
+            labeled.join(mapping, "_lab")
+            .select("y", "x", value_col, out_col)
+        )
     equiv = [r for r in rows if r["kind"] == 0]
     labs = [r["la"] for r in rows if r["kind"] == 2]
 
@@ -290,7 +348,6 @@ def regions(
     lab_region = [
         (int(l), float(region_of[root_of.get(l, l)])) for l in labs
     ]
-    spark = df.sparkSession
     map_df = spark.createDataFrame(
         lab_region, schema=f"_lab long, {out_col} double"
     )
@@ -503,11 +560,25 @@ def regions_tiled(
             "lb": np.concatenate(acc_b) if acc_b else np.array([], np.int64),
         })
 
-    edges = (
+    edges_df = (
         strips.repartition("bty", "btx", "orient")
         .mapInPandas(_pair_edges, schema="la long, lb long")
-        .collect()
     )
+
+    # roster-size guard: the per-tile labset blobs measure the exact
+    # roster the driver would collect (one tiny label-scale agg over
+    # the persisted pass-1 output, labset column only).  Salt-and-
+    # pepper rasters (~1 region/cell) overflow the cap and take the
+    # fully distributed finish.
+    cap = _roster_cap(tdf.sparkSession)
+    nlab = labeled.agg(
+        (F.sum(F.length("labset")) / 8).cast("long").alias("n")
+    ).collect()[0]["n"] or 0
+    if nlab > cap:
+        return _relabel_tiled_distributed(
+            labeled, edges_df, value_col, out_col)
+
+    edges = edges_df.collect()
     all_labels = np.concatenate([
         np.frombuffer(r["labset"], np.int64)
         for r in labeled.select("labset").collect()
@@ -554,3 +625,91 @@ def regions_tiled(
         out_cols=[value_col, out_col],
         out_dtypes={out_col: np.float64},  # dense ranks: exact ints
     )
+
+
+def _relabel_tiled_distributed(
+    labeled: DataFrame,
+    edges_df: DataFrame,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Distributed finish for :func:`regions_tiled` above the driver
+    roster cap: per-tile label sets explode to (ty, tx, _lab) rows
+    (label-scale, never cell-scale), the component-rank map comes
+    from :func:`_distributed_region_map`, and each tile's private
+    lookup table rides back via a label-scale groupBy + ONE tile-id
+    join — tiles stay dense blobs throughout; no per-cell rows.
+
+    Cost vs the driver path: the rank map is label-scale so it joins
+    by shuffle instead of broadcast, and the tile blobs move through
+    one (ty, tx) exchange.  That is the price of the degenerate
+    ~1-region-per-cell raster; realistic rasters stay under the cap
+    and never come here."""
+    from xarray_spatial_spark import tiled as tl
+
+    def _labs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tys, txs, labs = [], [], []
+            for rec in pdf.itertuples(index=False):
+                ls = np.frombuffer(rec.labset, np.int64)
+                tys.append(np.full(len(ls), int(rec.ty), np.int64))
+                txs.append(np.full(len(ls), int(rec.tx), np.int64))
+                labs.append(ls)
+            if tys:
+                yield pd.DataFrame({
+                    "ty": np.concatenate(tys),
+                    "tx": np.concatenate(txs),
+                    "_lab": np.concatenate(labs),
+                })
+
+    lab_rows = (
+        labeled.select("ty", "tx", "labset")
+        .mapInPandas(_labs, schema="ty long, tx long, _lab long")
+        .persist()  # feeds the distinct-labels input AND the LUT join
+    )
+    mapping = _distributed_region_map(
+        edges_df, lab_rows.select("_lab").distinct(), out_col)
+    lut = (
+        lab_rows.join(mapping, "_lab")
+        .groupBy("ty", "tx")
+        .agg(F.collect_list(F.struct(
+            F.col("_lab").alias("k"), F.col(out_col).alias("r"),
+        )).alias("lutkv"))
+    )
+    joined = labeled.select(
+        "ty", "tx", "h", "w", "th", "tw", value_col, "lab"
+    ).join(lut, ["ty", "tx"])
+
+    out_schema = tl.tiled_schema([value_col, out_col])
+
+    def _apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c.split(" ")[0]: [] for c in out_schema.split(", ")}
+            for i in range(len(pdf)):
+                rec = pdf.iloc[i]
+                h, w = int(rec["h"]), int(rec["w"])
+                vals = tl._decode(rec[value_col], h, w)
+                lab = tl._decode(rec["lab"], h, w)  # float64 keys
+                pairs = rec["lutkv"]
+                ks = np.array([p["k"] for p in pairs], np.int64)
+                rs = np.array([p["r"] for p in pairs], np.float64)
+                order = np.argsort(ks)
+                ks, rs = ks[order], rs[order]
+                m = ~np.isnan(lab)
+                ranks = np.full(lab.shape, np.nan)
+                ranks[m] = rs[np.searchsorted(ks, lab[m].astype(np.int64))]
+                out["ty"].append(int(rec["ty"]))
+                out["tx"].append(int(rec["tx"]))
+                out["h"].append(h)
+                out["w"].append(w)
+                out["th"].append(int(rec["th"]))
+                out["tw"].append(int(rec["tw"]))
+                for name, arr, dt in ((value_col, vals, vals.dtype),
+                                      (out_col, ranks, np.float64)):
+                    a = np.ascontiguousarray(arr, dtype=dt)
+                    out[name].append(a.tobytes())
+                    for sfx, blob in tl._halo_blobs(a).items():
+                        out[f"{name}{sfx}"].append(blob)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(_apply, schema=out_schema)
