@@ -1023,11 +1023,13 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_host_cap_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """host_cap on a DELIBERATELY zipfian host map (70% of docs on one
-    megahost) through the exact two-phase salted pre-cut
-    (functions/corpus.py host_cap n_salts): the megahost's final
-    window task sees <= n_salts*k rows instead of 70% of the corpus.
-    Salted == plain equality is pytest-asserted
-    (tests/test_corpus.py::test_host_cap_salted_equals_plain)."""
+    megahost) with NO caller hint: the AUTO skew probe
+    (functions/corpus.py _auto_salts — one counting job: max host
+    share vs fair task share) trips the exact two-phase salted
+    pre-cut by itself, so the megahost's final window task sees
+    <= n_salts*k rows instead of 70% of the corpus.  Salted == plain
+    equality and the auto dispatch are pytest-asserted
+    (tests/test_corpus.py::test_host_cap_auto_salts_zipfian)."""
     from xarray_spatial_spark.functions.corpus import host_cap
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -1040,7 +1042,7 @@ def q_host_cap_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.lit(".example.org"))).alias("host"),
     )
     out = host_cap(sel, k=3, score_col="n_chars", id_col="doc_id",
-                   host_col="host", n_salts=16)
+                   host_col="host")
     return out.select("doc_id", "host", "n_chars", "host_rank")
 
 

@@ -324,3 +324,74 @@ def test_token_quota_salted_tiny_quota_edge(spark):
     assert _sorted_rows(plain) == _sorted_rows(salted)
     n_sources = df.select("source").distinct().count()
     assert plain.count() == n_sources
+
+
+def _n_windows(df):
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"\bWindow \[", plan))
+
+
+def test_host_cap_auto_salts_zipfian(spark):
+    """No caller hint on a 70%-megahost map: the skew probe must trip
+    the two-phase pre-cut (two Window nodes) and results must equal
+    the forced-unsalted run."""
+    from xarray_spatial_spark.functions.corpus import host_cap
+
+    df = _skewed_docs(spark)
+    # the test session runs 4 shuffle partitions, where the default
+    # skewFactor=4 can never trip (one key would need >100% share) --
+    # lower it to test the dispatch; the bench/driver env (32 parts)
+    # trips at the default
+    spark.conf.set("spark.xrspatial.salt.skewFactor", "1.5")
+    try:
+        auto = host_cap(df, k=5, score_col="score")      # n_salts=None
+        plain = host_cap(df, k=5, score_col="score", n_salts=0)
+        assert _n_windows(auto) == 2, "auto probe did not salt"
+        assert _n_windows(plain) == 1
+        assert _sorted_rows(auto) == _sorted_rows(plain)
+    finally:
+        spark.conf.unset("spark.xrspatial.salt.skewFactor")
+
+
+def test_host_cap_auto_skips_balanced(spark):
+    """A balanced host map must NOT pay the pre-cut pass."""
+    from xarray_spatial_spark.functions.corpus import host_cap
+
+    df = spark.range(600).selectExpr(
+        "id as doc_id",
+        "concat('https://h', cast(id % 200 as string), '.org/p') as url",
+        "cast(id % 97 as double) as score",
+    )
+    out = host_cap(df, k=5, score_col="score")
+    assert _n_windows(out) == 1, "balanced map was salted"
+
+
+def test_token_quota_auto_salts_zipfian(spark):
+    from xarray_spatial_spark.functions.corpus import token_quota
+
+    df = _skewed_docs(spark)
+    spark.conf.set("spark.xrspatial.salt.skewFactor", "1.5")
+    try:
+        auto = token_quota(df, per_source_tokens=100)    # n_salts=None
+        plain = token_quota(df, per_source_tokens=100, n_salts=0)
+        assert _n_windows(auto) == 2, "auto probe did not salt"
+        assert _n_windows(plain) == 1
+        assert _sorted_rows(auto) == _sorted_rows(plain)
+    finally:
+        spark.conf.unset("spark.xrspatial.salt.skewFactor")
+
+
+def test_stratified_sample_auto_salts_zipfian(spark):
+    from xarray_spatial_spark.functions.corpus import stratified_sample
+
+    df = _skewed_docs(spark)
+    spark.conf.set("spark.xrspatial.salt.skewFactor", "1.5")
+    try:
+        auto = stratified_sample(df, k=7, strata_col="source")
+        plain = stratified_sample(df, k=7, strata_col="source", n_salts=0)
+        assert _n_windows(auto) == 2, "auto probe did not salt"
+        assert _sorted_rows(auto) == _sorted_rows(plain)
+    finally:
+        spark.conf.unset("spark.xrspatial.salt.skewFactor")

@@ -158,6 +158,46 @@ def sample_mixture(
     return df.filter(bucket < expr)
 
 
+def _auto_salts(df: DataFrame, key) -> int | None:
+    """Skew probe for the hot-key window ops: ONE counting job
+    (map-side partial agg -> key-scale shuffle -> 1-row max) decides
+    whether the biggest key would overflow its fair task share.
+
+    Salt when ``max_key_rows > skewFactor * rows/shuffle_partitions``
+    — the literal definition of a skewed window key — with
+    ``n_salts = ceil(max_key / fair_share)`` capped at ``maxSalts``.
+    The production-shaped default is therefore safe without caller
+    hints: a zipfian megahost trips the pre-cut automatically, a
+    balanced key map skips it (both pytest-asserted), and the pre-cut
+    itself is EXACT for any salt count, so results never change.
+
+    Cost note: the probe re-runs ``df``'s lineage once to count keys.
+    Callers that already know the shape pass ``n_salts`` explicitly
+    (or 0 to force unsalted), or set
+    ``spark.xrspatial.salt.auto=false`` session-wide.
+
+    Confs: ``spark.xrspatial.salt.auto`` (default true),
+    ``.skewFactor`` (default 4), ``.maxSalts`` (default 64)."""
+    spark = df.sparkSession
+    if spark.conf.get("spark.xrspatial.salt.auto", "true").lower() != "true":
+        return None
+    factor = float(spark.conf.get("spark.xrspatial.salt.skewFactor", "4"))
+    cap = int(spark.conf.get("spark.xrspatial.salt.maxSalts", "64"))
+    row = (
+        df.groupBy(key.alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum("_n").alias("_tot"), F.max("_n").alias("_max"))
+        .collect()[0]
+    )
+    if not row["_tot"]:
+        return None
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    fair = max(1.0, row["_tot"] / parts)
+    if row["_max"] <= factor * fair:
+        return None
+    return max(2, min(cap, -(-int(row["_max"]) // int(fair))))
+
+
 def token_quota(
     df: DataFrame,
     per_source_tokens: int,
@@ -183,11 +223,17 @@ def token_quota(
     quota, so all later docs are dropped too), which means removing
     it cannot change any kept doc's prefix sum.  The hot-source task
     then cumsums ~n_salts * quota tokens' worth of rows, not the
-    source's whole corpus share (equality is pytest-asserted)."""
+    source's whole corpus share (equality is pytest-asserted).
+
+    ``n_salts=None`` (default) probes for skew and salts
+    automatically when one source would overflow its fair task share
+    (:func:`_auto_salts`); pass 0 to force unsalted, an int to pin."""
     if per_source_tokens <= 0:
         raise ValueError("per_source_tokens must be positive")
     from pyspark.sql import Window
 
+    if n_salts is None:
+        n_salts = _auto_salts(df, F.col(source_col))
     lens = df.withColumn(
         "n_tokens",
         F.col(len_col) if len_col else tx.token_count(F.col(text_col)),
@@ -252,7 +298,11 @@ def host_cap(
     byte-identical rows and ranks; equality is pytest-asserted).  The
     megahost task then sorts n_salts*k rows, not the host's corpus
     share.  Ties break by ``id_col`` for run-to-run and oracle
-    determinism."""
+    determinism.
+
+    ``n_salts=None`` (default) probes for skew and salts
+    automatically when one host would overflow its fair task share
+    (:func:`_auto_salts`); pass 0 to force unsalted, an int to pin."""
     if k <= 0:
         raise ValueError("k must be positive")
     from pyspark.sql import Window
@@ -260,6 +310,8 @@ def host_cap(
     from xarray_spatial_spark.functions.url import url_host
 
     host = F.col(host_col) if host_col else url_host(F.col(url_col))
+    if n_salts is None:
+        n_salts = _auto_salts(df, host)
     if n_salts:
         salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
         w1 = Window.partitionBy(host, salt).orderBy(
@@ -362,11 +414,17 @@ def stratified_sample(
     partitioned by stratum: parallel across strata; ``n_salts``
     bounds a hot stratum's task with the exact two-phase pre-cut
     (per-(stratum, salt) top k first — every global top-k row is in
-    its salt's top k, so results and ranks are byte-identical)."""
+    its salt's top k, so results and ranks are byte-identical).
+
+    ``n_salts=None`` (default) probes for skew and salts
+    automatically when one stratum would overflow its fair task share
+    (:func:`_auto_salts`); pass 0 to force unsalted, an int to pin."""
     if k <= 0:
         raise ValueError("k must be positive")
     from pyspark.sql import Window
 
+    if n_salts is None:
+        n_salts = _auto_salts(df, F.col(strata_col))
     P = 1_000_000_007
     order = F.pmod(F.pmod(F.col(id_col), F.lit(P)) * F.lit(2654435761),
                    F.lit(P))
