@@ -713,8 +713,11 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (sf0.001 = 1000 events = 10x100); shape from parquet footers, so
     # collect_dense runs ZERO probe jobs before its blob collect
     r = _events_raster(spark, sf_dir)
+    # events raster is dense by construction (ids 0..N-1): the LOS job
+    # enumerates targets against the broadcast terrain — no second
+    # scan, no exchange, perfect splits
     out = viewshed(r, x=50, y=5, observer_elev=50.0,
-                   shape=_events_raster_shape(sf_dir))
+                   shape=_events_raster_shape(sf_dir), dense_targets=True)
     return out.select(
         (F.col("visibility") >= 0).cast("int").alias("visible")
     ).groupBy("visible").agg(F.count(F.lit(1)).alias("n"))
@@ -731,7 +734,7 @@ def q_viewshed_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = _events_raster(spark, sf_dir)
     out = viewshed(r, x=50, y=5, observer_elev=50.0,
-                   shape=_events_raster_shape(sf_dir))
+                   shape=_events_raster_shape(sf_dir), dense_targets=True)
     return out.select(
         "y", "x", (F.col("visibility") >= 0).cast("int").alias("visible")
     )

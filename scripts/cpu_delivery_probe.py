@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import subprocess
 import sys
 import time
 
@@ -25,25 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from bench import _cities40, _world_polygons  # noqa: E402
+from bench import _cities40, _world_polygons, jvm_cpu_seconds  # noqa: E402
 from xarray_spatial_spark import get_spark  # noqa: E402
 from xarray_spatial_spark.operators.pip import pip_join_expr  # noqa: E402
 from xarray_spatial_spark.operators.proximity import nearest_expr  # noqa: E402
 from xarray_spatial_spark.operators.tiling import assign_cells  # noqa: E402
-
-
-def jvm_cpu_seconds() -> float:
-    out = subprocess.run(
-        ["ps", "-o", "pid,comm", "--ppid", str(os.getpid())],
-        capture_output=True, text=True).stdout
-    total = 0.0
-    for line in out.splitlines()[1:]:
-        pid, comm = line.split(None, 1)
-        if "java" in comm:
-            with open(f"/proc/{pid}/stat") as f:
-                parts = f.read().split()
-            total += (int(parts[13]) + int(parts[14])) / os.sysconf("SC_CLK_TCK")
-    return total
 
 
 def main() -> None:

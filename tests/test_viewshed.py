@@ -4,6 +4,7 @@ flat terrain fully visible, single wall casts a shadow, viewpoint =
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from xarray_spatial_spark.operators.viewshed import viewshed
 from xarray_spatial_spark.raster import df_from_numpy, numpy_from_df
@@ -60,3 +61,33 @@ def test_target_elev_extends_visibility(spark):
                  target_elev=30.0)
     )
     assert base[4, 8] == -1.0 and raised[4, 8] >= 0
+
+
+def test_dense_targets_matches_row_path(spark):
+    """dense_targets enumerates targets against the broadcast terrain
+    — output must be bit-identical to the row-passthrough path."""
+    rng = np.random.default_rng(31)
+    arr = rng.uniform(0, 30, (24, 18))
+    df = df_from_numpy(spark, arr)
+    base = numpy_from_df(
+        viewshed(df, x=7, y=9, observer_elev=3.0), value_col="visibility")
+    got = numpy_from_df(
+        viewshed(df, x=7, y=9, observer_elev=3.0, shape=arr.shape,
+                 dense_targets=True),
+        value_col="visibility")
+    np.testing.assert_array_equal(base, got)
+
+
+def test_dense_targets_rejects_extra_columns(spark):
+    arr = np.zeros((4, 4))
+    df = df_from_numpy(spark, arr).withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="dense_targets"):
+        viewshed(df, x=1, y=1, shape=arr.shape, dense_targets=True)
+
+
+def test_viewshed_timings_dict(spark):
+    arr = np.zeros((6, 6))
+    t = {}
+    viewshed(df_from_numpy(spark, arr), x=1, y=1, shape=arr.shape,
+             timings=t)
+    assert set(t) == {"collect_dense", "broadcast"}

@@ -59,6 +59,8 @@ def viewshed(
     value_col: str = "value",
     out_col: str = "visibility",
     shape: tuple[int, int] | None = None,
+    dense_targets: bool = False,
+    timings: dict | None = None,
 ) -> DataFrame:
     """Visibility of every cell from observer at pixel (y, x).
     Output adds ``out_col``: vertical angle for visible cells,
@@ -67,7 +69,23 @@ def viewshed(
     ``shape`` (H, W), when the caller knows it (e.g. from parquet
     footer metadata, :func:`sources.parquet_row_count`), skips the
     extent-probe aggregation job inside ``collect_dense`` — the size
-    cap still fires on the declared shape."""
+    cap still fires on the declared shape.
+
+    ``dense_targets`` (caller asserts every cell of ``shape`` has a
+    row, origin 0): target cells are ENUMERATED with ``spark.range``
+    and elevations read from the already-broadcast terrain, so the
+    LOS job re-reads nothing and splits perfectly with no exchange —
+    the source scan already happened once inside ``collect_dense``,
+    and re-scanning it per target batch bought nothing (sf0.1 driver
+    record: 1.87 s -> the scan-free plan; the default path keeps the
+    exact row-passthrough semantics for sparse rasters, where absent
+    cells must stay absent from the output).
+
+    ``timings``, when given, receives driver-side phase wall times
+    (``collect_dense``, ``broadcast``) so bench records can show
+    where a run's time went (the LOS job itself is the remainder)."""
+    import time as _time
+
     from xarray_spatial_spark.raster import collect_dense
 
     spark = raster.sparkSession
@@ -75,29 +93,55 @@ def viewshed(
     # per-row toPandas of the raster (the R3 algorithm needs the dense
     # terrain on every executor; the broadcast is inherent, the driver
     # row materialization was not)
+    t0 = _time.time()
     z = collect_dense(raster, value_col, shape=shape)
+    if timings is not None:
+        timings["collect_dense"] = round(_time.time() - t0, 3)
     H, W = z.shape
     if not (0 <= y < H and 0 <= x < W):
         raise ValueError("observer location outside the raster")
     vp_elev = float(z[y, x]) + observer_elev
+    t0 = _time.time()
     bc = spark.sparkContext.broadcast(z)
+    if timings is not None:
+        timings["broadcast"] = round(_time.time() - t0, 3)
     oy, ox = int(y), int(x)
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in raster.schema)
     schema += f", {out_col} double"
 
-    # LOS tests parallelize over TARGET cells, but a compact raster
-    # read can arrive as one file split -> one task pinning the whole
-    # sweep to a single core.  Fan out only when there is real kernel
-    # work to split (~100k cells/task ~= 0.5 s of LOS math): below
-    # that the round-robin shuffle costs more than the single-task
-    # sweep (measured ~0.23 s fixed at sf0.1 vs a ~0.3 s kernel);
-    # above it the scan is either already many splits or the
-    # repartition pays for itself.
+    # LOS tests parallelize over TARGET cells.  Dense path: enumerate
+    # targets (~8k cells/task keeps every core busy with no exchange).
+    # Row path: a compact raster read can arrive as one file split ->
+    # one task pinning the whole sweep to a single core; fan out only
+    # when there is real kernel work to split (~100k cells/task) —
+    # below that the round-robin shuffle costs more than the
+    # single-task sweep.  The cell count comes from the collected
+    # shape, so the row path's partition probe (a DataFrame->RDD
+    # conversion, not free) only runs when a repartition could help.
     par = spark.sparkContext.defaultParallelism
-    want = min(par, max(1, (H * W) // 100_000))
-    if raster.rdd.getNumPartitions() < want:
-        raster = raster.repartition(want)
+    if dense_targets:
+        if set(raster.columns) != {"y", "x", value_col}:
+            raise ValueError(
+                "dense_targets requires a bare (y, x, value) raster — "
+                "extra columns cannot be re-synthesized from the "
+                f"broadcast terrain: {raster.columns}"
+            )
+        # ~8k rays/task — the measured optimum on this box
+        # (interleaved A/B at 100k cells: 8k/task 1.19 s vs 1k/task
+        # 2.10 s vs single-task 1.70 s): smaller tasks are dominated
+        # by Spark task + python-worker roundtrips, larger ones leave
+        # cores idle during the early wide steps.
+        n = H * W
+        want = min(par, max(1, n // 8_000))
+        raster = spark.range(0, n, numPartitions=want).select(
+            (F.col("id") / W).cast("int").alias("y"),
+            F.pmod(F.col("id"), F.lit(W)).cast("int").alias("x"),
+        )
+    else:
+        want = min(par, max(1, (H * W) // 100_000))
+        if want > 1 and raster.rdd.getNumPartitions() < want:
+            raster = raster.repartition(want)
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         terrain = bc.value
@@ -190,6 +234,8 @@ def viewshed(
             out = np.where(visible, ang, INVISIBLE)
             at_vp = (ty == oy) & (tx == ox)
             out = np.where(at_vp, 180.0, out)
+            if value_col not in b.columns:  # dense-target batches
+                b = b.assign(**{value_col: tz})
             yield b.assign(**{out_col: out})
 
     return raster.mapInPandas(_op, schema=schema)
