@@ -11,11 +11,16 @@ shapes) is real and tested.  Codecs:
   (operators/jpeg.py: Huffman + DCT + YCbCr), lossless WebP
   (operators/webp.py: VP8L entropy + transforms), WAV (PCM16) —
   sniffed from magic bytes.
-- Remaining formats (lossy VP8 WebP/MP3/MP4/...) need codec libraries
-  absent from this environment: ``decode_image`` raises
-  ``NotImplementedError`` naming the format, or pass ``fake=True``
-  for a clearly-marked deterministic stand-in (keyed hash stream of
-  the payload) that exercises every downstream stage.
+- Remaining image formats (MP4 video, progressive JPEG, ...) need
+  codec libraries absent from this environment: ``decode_image``
+  raises ``NotImplementedError`` naming the format, or pass
+  ``fake=True`` for a clearly-marked deterministic stand-in (keyed
+  hash stream of the payload) that exercises every downstream stage.
+  Lossy VP8 WebP routes through the system libwebp when installed.
+- Compressed audio lives in operators/audio.py: WAV
+  G.711/IMA-ADPCM decode from scratch (audioop-oracled), MP3/Ogg/
+  FLAC metadata parsed from scratch, MP3/Ogg PCM via system
+  libmpg123/libvorbisfile when installed (named raise without).
 
 At 100 TB the pattern is: binary column stays in parquet (never
 collected), mapInPandas streams Arrow batches through the decoder,
