@@ -127,23 +127,31 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-agg AND fused single-scan plans unioned under a variant
+    tag — one driver slot hash-checks both (round-3 classify_maps
+    consolidation pattern; freed the 50th slot for bm25)."""
     z = 4
     d = _doc_tiles(spark, sf_dir, z)
     zv = d.select(
         (F.col("tile_x") * F.lit(1 << z) + F.col("tile_y")).alias("zone"),
         F.col("n_chars").cast("double").alias("value"),
     )
-    out = zonal.stats(zv)
-    return out.select(
-        "zone",
-        F.round("mean", 4).alias("mean"),
-        F.col("max"), F.col("min"),
-        F.col("sum"),
-        F.round("std", 4).alias("std"),
-        F.round("var", 4).alias("var"),
-        F.col("count"),
-        F.col("majority"),
-    )
+
+    def proj(out: DataFrame, tag: str) -> DataFrame:
+        return out.select(
+            F.lit(tag).alias("variant"),
+            "zone",
+            F.round("mean", 4).alias("mean"),
+            F.col("max"), F.col("min"),
+            F.col("sum"),
+            F.round("std", 4).alias("std"),
+            F.round("var", 4).alias("var"),
+            F.col("count"),
+            F.col("majority"),
+        )
+
+    return proj(zonal.stats(zv), "agg").unionByName(
+        proj(zonal.stats_fused(zv), "fused"))
 
 
 def q_zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,26 +394,6 @@ def q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "lon", "lat")
     out = pip.pip_join(d, {1: PIP_SQUARE, 2: PIP_TRIANGLE})
     return out.select("doc_id", F.col("zone").cast("long").alias("zone"))
-
-
-def q_zonal_stats_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-scan fused stats must equal the two-agg plan — same
-    oracle as zonal_stats."""
-    z = 4
-    d = _doc_tiles(spark, sf_dir, z)
-    zv = d.select(
-        (F.col("tile_x") * F.lit(1 << z) + F.col("tile_y")).alias("zone"),
-        F.col("n_chars").cast("double").alias("value"),
-    )
-    out = zonal.stats_fused(zv)
-    return out.select(
-        "zone",
-        F.round("mean", 4).alias("mean"),
-        "max", "min", "sum",
-        F.round("std", 4).alias("std"),
-        F.round("var", 4).alias("var"),
-        "count", "majority",
-    )
 
 
 def q_resample_down(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,6 +993,27 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("tf_idf", 6).alias("tf_idf"), "rank")
 
 
+BM25_QUERIES = [
+    (0, "spark join table"),
+    (1, "hash scan filter"),
+    (2, "window agg group"),
+    (3, "fast merge sort batch"),
+]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 retrieval over documents for 4 fixed queries
+    (functions/text.py:bm25_topk — broadcast query terms prune the
+    posting join; per-query window top-k)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id int, query string")
+    out = tx.bm25_topk(d, qs, k=5)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"),
+                      "n_terms_hit", "rank")
+
+
 
 def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host quality cap (functions/corpus.py host_cap): keep the
@@ -1112,7 +1121,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_apply": q_zonal_apply,
         "zonal_crop": q_zonal_crop,
         "zonal_stats_tiled": q_zonal_stats_tiled,
-        "zonal_stats_fused": q_zonal_stats_fused,
         "classify_maps": q_classify_maps,
         "multispectral": q_multispectral,
         "local_cellstats": q_local_cellstats,
@@ -1149,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components": q_components,
         "lm_score": q_lm_score,
         "tfidf": q_tfidf,
+        "bm25": q_bm25,
         "similarity_topk": q_similarity_topk,
         "ivf_topk": q_ivf_topk,
         "host_agg": q_host_agg,
@@ -1236,7 +1245,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1, 2
         """,
-        "zonal_stats": ORACLE_ZONAL_STATS,
+        # both entry variants (agg / fused) against the SAME stats,
+        # tagged — the union hash breaks if either plan diverges
+        "zonal_stats": f"""
+            SELECT v.variant, s.*
+            FROM ({ORACLE_ZONAL_STATS}) s
+            CROSS JOIN (VALUES ('agg'), ('fused')) v(variant)
+        """,
                 "zonal_crosstab": f"""
             SELECT ({z3x}) * 8 + ({z3y}) AS zone,
                    CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS "en",
@@ -1663,7 +1678,6 @@ def oracle_sql() -> dict[str, str]:
               END AS zone
             FROM g
         """,
-        "zonal_stats_fused": ORACLE_ZONAL_STATS,
         "resample_down": f"""
             WITH r AS ({SQL_EVENTS_RASTER})
             SELECT CAST(floor(y / 10) AS INT) AS y, CAST(floor(x / 10) AS INT) AS x,
@@ -2028,6 +2042,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, round(tfidf, 6) AS tf_idf, rank
             FROM r WHERE rank <= 3
+        """,
+        "bm25": f"""
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE string_split_regex(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+            tf AS (SELECT doc_id, term, count(*) AS tfc
+                   FROM terms GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS dln
+                   FROM terms GROUP BY doc_id),
+            st AS (SELECT CAST(count(*) AS DOUBLE) AS N,
+                          avg(dln) AS avgdl FROM dl),
+            dfq AS (SELECT term, count(DISTINCT doc_id) AS dfc
+                    FROM terms GROUP BY term),
+            qs(query_id, query) AS (VALUES
+              {", ".join(f"({i}, '{q}')" for i, q in BM25_QUERIES)}),
+            qt AS (SELECT DISTINCT query_id,
+                          unnest(string_split_regex(trim(query), '\\s+'))
+                            AS term
+                   FROM qs),
+            sc AS (
+              SELECT qt.query_id, tf.doc_id,
+                sum(ln(1.0 + (st.N - dfq.dfc + 0.5) / (dfq.dfc + 0.5))
+                    * tf.tfc * 2.2
+                    / (tf.tfc + 1.2 * (1.0 - 0.75
+                         + 0.75 * dl.dln / st.avgdl))) AS score,
+                count(*) AS n_terms_hit
+              FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+                   JOIN dl USING (doc_id), st
+              GROUP BY qt.query_id, tf.doc_id
+            ),
+            r AS (
+              SELECT query_id, doc_id, score, n_terms_hit,
+                CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+              FROM sc
+            )
+            SELECT query_id, doc_id, round(score, 6) AS score, n_terms_hit,
+                   rank
+            FROM r WHERE rank <= 5
         """,
         "lm_score": """
             WITH t AS (

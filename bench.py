@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "window_events",
     "similarity_topk",
     "pip_assign",
-    "zonal_stats_fused",
+    "bm25",
     "resample_down",
     "quality_score",
     "regions",

@@ -431,3 +431,68 @@ def test_approx_rows_narrow_projection_not_undershot(spark, tmp_path):
     df = spark.read.parquet(p).select("id", "simhash")
     n = _approx_rows(df)
     assert n >= 1_000, n  # within one decade of the true 10k
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (URL-seen)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_params_math():
+    from xarray_spatial_spark.functions.dedup import bloom_params
+
+    m, k = bloom_params(1000, 0.01)
+    assert m % 64 == 0 and 9000 <= m <= 10240  # ~9.6 bits/elem
+    assert k in (6, 7)
+    m2, _ = bloom_params(1000, 0.001)
+    assert m2 > m
+
+
+def test_bloom_no_false_negatives_and_fpp(spark):
+    from xarray_spatial_spark.functions import dedup as dd
+
+    seen = spark.range(2000).select(
+        F.concat(F.lit("http://s/"), F.col("id")).alias("url"))
+    n_bits, k = dd.bloom_params(2000, 0.01)
+    bm = dd.bloom_build(seen, "url", n_bits, k)
+    # every seen value must hit (bloom guarantee)
+    hits = seen.select(
+        dd.bloom_might_contain(spark, bm, F.col("url"), k).alias("h"))
+    assert hits.filter(~F.col("h")).count() == 0
+    # false-positive rate on 10k NEW urls ~ fpp (allow 3x headroom)
+    new = spark.range(10_000).select(
+        F.concat(F.lit("http://new/"), F.col("id")).alias("url"))
+    fp = new.select(dd.bloom_might_contain(spark, bm, F.col("url"), k)
+                    .alias("h")).filter("h").count()
+    assert fp < 10_000 * 0.03, fp
+
+
+def test_bloom_filter_seen_vs_exact_anti_join(spark):
+    from xarray_spatial_spark.functions import dedup as dd
+
+    seen = spark.range(500).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"))
+    # corpus: 500 seen + 1500 new
+    corpus = spark.range(2000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"))
+    kept = dd.bloom_filter_seen(corpus, seen, col="url", fpp=0.01)
+    kept_ids = {r["url"] for r in kept.collect()}
+    exact = {r["url"] for r in corpus.join(seen, "url", "left_anti").collect()}
+    # nothing seen survives; collateral loss of new rows bounded
+    assert kept_ids <= exact
+    assert len(exact) - len(kept_ids) <= len(exact) * 0.03
+
+
+def test_bloom_build_collect_bounded_by_words(spark):
+    """The build's driver collect is <= n_bits/64 rows even when the
+    input has far more rows than the bitmap has words."""
+    from xarray_spatial_spark.functions import dedup as dd
+
+    df = spark.range(50_000).select(F.col("id").cast("string").alias("v"))
+    n_bits = 64 * 128  # 128 words << 50k rows
+    bm = dd.bloom_build(df, "v", n_bits, k=3)
+    assert len(bm) == 128
+    # saturated tiny filter: still no false negatives
+    hits = df.select(dd.bloom_might_contain(spark, bm, F.col("v"), 3)
+                     .alias("h"))
+    assert hits.filter(~F.col("h")).count() == 0

@@ -291,3 +291,63 @@ def test_ngram_counts_topk(spark):
     plan = ngram_counts(df, n=2, top_k=3)._jdf.queryExecution(
         ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_hand_computed(spark):
+    """3-doc corpus, one query — score checked against a by-hand
+    numpy BM25 (k1=1.2, b=0.75, Lucene idf)."""
+    import math
+
+    from xarray_spatial_spark.functions.text import bm25_topk
+
+    corpus = ["cat sat mat", "cat cat dog", "dog runs far away now"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "cat dog")], "query_id int, query string")
+    got = {r["doc_id"]: r for r in bm25_topk(docs, qs, k=3).collect()}
+
+    toks = [c.split() for c in corpus]
+    N, avgdl = 3.0, sum(map(len, toks)) / 3.0
+    def idf(t):
+        dfreq = sum(t in d for d in toks)
+        return math.log(1 + (N - dfreq + 0.5) / (dfreq + 0.5))
+    def s(d, t):
+        tf = toks[d].count(t)
+        if not tf:
+            return 0.0
+        return idf(t) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl))
+    for d in range(3):
+        want = s(d, "cat") + s(d, "dog")
+        assert abs(got[d]["score"] - want) < 1e-9, (d, got[d]["score"], want)
+    # doc 1 has both terms (cat x2, dog x1) -> rank 1
+    assert got[1]["rank"] == 1 and got[1]["n_terms_hit"] == 2
+    assert got[0]["n_terms_hit"] == 1 and got[2]["n_terms_hit"] == 1
+
+
+def test_bm25_topk_and_tie_determinism(spark):
+    from xarray_spatial_spark.functions.text import bm25_topk
+
+    # 6 identical docs -> identical scores; rank must follow doc_id
+    docs = spark.createDataFrame(
+        [(i, "same words here") for i in range(6)],
+        "doc_id long, text string")
+    qs = spark.createDataFrame([(7, "words")], "query_id int, query string")
+    got = bm25_topk(docs, qs, k=4).orderBy("rank").collect()
+    assert [r["doc_id"] for r in got] == [0, 1, 2, 3]
+    assert len({round(r["score"], 9) for r in got}) == 1
+    # duplicate query terms count once
+    qs2 = spark.createDataFrame(
+        [(1, "words words words")], "query_id int, query string")
+    one = bm25_topk(docs, qs2, k=1).collect()[0]
+    assert abs(one["score"] - got[0]["score"]) < 1e-12
+    assert one["n_terms_hit"] == 1
+
+
+def test_bm25_plan_broadcasts_query_terms(spark):
+    from xarray_spatial_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(50)], "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "common w3")], "query_id int, query string")
+    plan = bm25_topk(docs, qs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # postings x query-terms probe

@@ -838,3 +838,134 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (URL-seen / giant-reference decontamination)
+# ---------------------------------------------------------------------------
+#
+# Where the exact paths above stop scaling: `decontaminate` /
+# `snapshot_dedup` broadcast the reference side's 8-byte hashes, which
+# caps the reference at executor memory (1B URLs = 8 GB).  A Bloom
+# filter at ~10 bits/element holds the same 1B-entry seen-set in
+# 1.2 GB with ~1% false positives — the classic crawl "have I fetched
+# this URL in ANY previous snapshot" structure.  Semantics: NO false
+# negatives ever (a seen value is always flagged); false positives
+# drop ~fpp of genuinely-new rows — use where losing a random ~1% of
+# new rows is acceptable (crawl frontier, pre-filter before an exact
+# check).
+#
+# Scale split: string hashing stays JVM-side (xxhash64 inside
+# codegen); the k bit indices are splitmix64 remixes of that single
+# 8-byte hash, vectorized in numpy — the build aggregates per-WORD
+# bit_or partials (exchange rows bounded by OCCUPIED BITMAP WORDS,
+# never by n), the probe is an Arrow-batched pandas_udf against the
+# per-executor broadcast bitmap.
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants)."""
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _bloom_positions(h: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """(n,) uint64 hash values -> (n, k) bit positions via standard
+    double hashing h1 + i*h2 (Kirsch-Mitzenmacher: two derived
+    hashes give the asymptotic fpp of k independent ones)."""
+    h1 = _splitmix64(h)
+    h2 = _splitmix64(h1) | np.uint64(1)  # odd stride
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)
+
+
+def bloom_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Optimal (n_bits, k): m = -n ln p / (ln 2)^2, k = (m/n) ln 2;
+    n_bits rounded up to a whole 64-bit word."""
+    import math
+
+    n_items = max(1, n_items)
+    m = max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 63) // 64 * 64
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def bloom_build(df: DataFrame, col: str, n_bits: int, k: int = 7) -> np.ndarray:
+    """Distributed build -> bitmap as uint64 words (len n_bits/64).
+    Each Arrow batch pre-ORs its positions into sparse
+    (word, bits) partials; one bit_or hash aggregation merges tasks.
+    The driver collect is bounded by occupied words <= n_bits/64 —
+    independent of row count."""
+    hashed = df.select(F.xxhash64(F.col(col)).alias("_h"))
+    n_words = n_bits // 64
+
+    def _partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["_h"].to_numpy().astype(np.int64).view(np.uint64)
+            pos = _bloom_positions(h, n_bits, k).ravel()
+            words = (pos >> np.uint64(6)).astype(np.int64)
+            masks = (np.uint64(1) << (pos & np.uint64(63))).view(np.int64)
+            dense = np.zeros(n_words, np.int64)
+            np.bitwise_or.at(dense, words, masks)
+            occ = np.nonzero(dense)[0]
+            yield pd.DataFrame({"w": occ, "bits": dense[occ]})
+
+    sparse = hashed.mapInPandas(_partial, schema="w long, bits long")
+    rows = sparse.groupBy("w").agg(F.expr("bit_or(bits)").alias("bits")).collect()
+    bitmap = np.zeros(n_words, np.int64)
+    for r in rows:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap.view(np.uint64)
+
+
+def bloom_might_contain(spark, bitmap: np.ndarray, col, k: int = 7):
+    """Boolean Column: value MIGHT be in the set (false positives at
+    the filter's fpp, never a false negative).  One broadcast per
+    filter; vectorized probe over the JVM-computed xxhash64."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_bits = len(bitmap) * 64
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(bitmap))
+
+    @pandas_udf("boolean")
+    def _probe(h: pd.Series) -> pd.Series:
+        bm = bc.value
+        hv = h.to_numpy().astype(np.int64).view(np.uint64)
+        if not len(hv):
+            return pd.Series([], dtype=bool)
+        pos = _bloom_positions(hv, n_bits, k)
+        w, b = pos >> np.uint64(6), pos & np.uint64(63)
+        hit = (bm[w] >> b) & np.uint64(1)
+        return pd.Series(hit.all(axis=1))
+
+    return _probe(F.xxhash64(col))
+
+
+def bloom_filter_seen(
+    df: DataFrame,
+    seen_df: DataFrame,
+    col: str = "url",
+    seen_col: str | None = None,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Drop rows whose ``col`` value appears in ``seen_df`` — the
+    cross-snapshot URL-seen filter.  Every seen row IS dropped (no
+    false negatives); ~fpp of new rows go as collateral.
+    ``expected_items`` sizes the bitmap; when omitted, one count()
+    job on the seen side (reference sets are the stored, known side
+    of this operation — pass the manifest count to skip the job)."""
+    seen_col = seen_col or col
+    if expected_items is None:
+        expected_items = seen_df.count()
+    n_bits, k = bloom_params(expected_items, fpp)
+    bitmap = bloom_build(seen_df, seen_col, n_bits, k)
+    return df.filter(
+        ~bloom_might_contain(df.sparkSession, bitmap, F.col(col), k))

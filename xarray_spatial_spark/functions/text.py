@@ -332,6 +332,82 @@ def tf_idf(
     )
 
 
+def bm25_topk(
+    docs,
+    queries,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_col: str = "query",
+    qid_col: str = "query_id",
+):
+    """Okapi BM25 top-k retrieval: for each query row, the k highest-
+    scoring documents.
+
+        idf(t)     = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        score(q,d) = sum over DISTINCT query terms t of
+                     idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    (Lucene's non-negative idf; duplicate query terms count once.)
+
+    Scale shape — this is the inverted-index probe expressed in
+    Catalyst: tf/doclen/df are map-side-combined hash aggregates over
+    one explode of the corpus; the query-term table BROADCASTS, so
+    the tf->query join discards every posting not matching a query
+    term at the scan side of the exchange (the 100-TB property: work
+    after the broadcast semi-filter is proportional to matching
+    postings, not corpus size); N and avgdl ride the final job as a
+    broadcast 1-row aggregate (no build-time count job); top-k is a
+    window PARTITIONED BY QUERY — never a global sort.  Ties break
+    (score desc, id asc) so ranks are deterministic.
+
+    Returns (qid, id, score, n_terms_hit, rank)."""
+    terms = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    doclen = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("_N"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    dfreq = terms.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("_df"))
+    qterms = queries.select(
+        F.col(qid_col), F.explode(tokens(F.col(query_col))).alias("term")
+    ).distinct()
+    postings = tf.join(F.broadcast(qterms), "term")
+    scored = (
+        postings.join(dfreq, "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s",
+            F.log(1.0 + (F.col("_N") - F.col("_df") + 0.5)
+                  / (F.col("_df") + 0.5))
+            * F.col("_tf") * (k1 + 1.0)
+            / (F.col("_tf")
+               + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))),
+        )
+    )
+    agg = scored.groupBy(qid_col, id_col).agg(
+        F.sum("_s").alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "score", "n_terms_hit", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram LM cross-entropy (CCNet-style perplexity quality signal)
 # ---------------------------------------------------------------------------
