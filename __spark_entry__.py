@@ -285,7 +285,12 @@ def q_proximity_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_knn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both kNN strategies under one tagged oracle slot (round-5
+    zonal_stats consolidation pattern; freed a window slot for
+    warc_roundtrip): 'knn3' = k=3 against 5 broadcast city targets at
+    zoom 0 (ring join degenerates to exact kNN); 'ring' = nearest
+    within 12 deg through the planner's beyond-broadcast ring tier."""
     import pandas as pd
 
     d = _docs(spark, sf_dir).select("doc_id", "lon", "lat")
@@ -293,11 +298,21 @@ def q_knn3(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd.DataFrame({"target_id": range(1, 6), "lon": CITY_LON, "lat": CITY_LAT}),
         schema="target_id long, lon double, lat double",
     )
-    # zoom 0 = one world cell: the ring join degenerates to exact kNN
-    out = proximity.knn_ring_join(d, cities, k=3, zoom=0, ring=0, point_id="doc_id")
-    return out.select(
-        "doc_id", "target_id", F.round("dist", 6).alias("dist"), "knn_rank"
+    knn3 = proximity.knn_ring_join(
+        d, cities, k=3, zoom=0, ring=0, point_id="doc_id"
+    ).select(
+        F.lit("knn3").alias("variant"),
+        "doc_id", "target_id",
+        F.round("dist", 6).alias("dist"), "knn_rank",
     )
+    ring = q_knn_ring(spark, sf_dir).select(
+        F.lit("ring").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("long").alias("target_id"),
+        "dist",
+        F.lit(None).cast("int").alias("knn_rank"),
+    )
+    return knn3.unionByName(ring)
 
 
 def q_surface_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,6 +1030,56 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render every document as a CC-style per-record-gzip WARC member
+    and parse it back with the from-scratch reader (sources/warc.py)
+    in ONE distributed narrow pass (no disk, no exchange); the oracle
+    hash on (url, warc_ts, n_bytes, text) proves byte identity of the
+    whole render->gzip->parse->extract_text pipeline."""
+    import pandas as pd
+
+    from xarray_spatial_spark.sources import warc as W
+    from xarray_spatial_spark.sources.documents import extract_text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    src = d.select(
+        _synth_url_expr().alias("url"),
+        F.concat(
+            F.lit("2026-06-01T00:00:"),
+            F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+            F.lit("Z"),
+        ).alias("ts"),
+        F.concat(
+            F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")
+        ).alias("page"),
+    )
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for url, ts, page in zip(pdf["url"], pdf["ts"], pdf["page"]):
+                blob = W.gzip_member(
+                    W.response_record(url, page.encode(), ts))
+                (rec,) = W.parse_warc_bytes(blob, record_types=("response",))
+                rows.append((
+                    rec["url"],
+                    rec["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    bytes(rec["payload"]),
+                ))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["url", "warc_ts", "payload"])
+
+    out = src.mapInPandas(
+        _roundtrip, schema="url string, warc_ts string, payload binary")
+    return out.select(
+        "url", "warc_ts",
+        F.octet_length("payload").alias("n_bytes"),
+        extract_text(F.col("payload")).alias("text"),
+    )
+
+
 def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host quality cap (functions/corpus.py host_cap): keep the
     top-3 docs per host by n_chars — the crawl-curation stage that
@@ -1125,8 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multispectral": q_multispectral,
         "local_cellstats": q_local_cellstats,
         "proximity_nn": q_proximity_nn,
-        "knn3": q_knn3,
-        "knn_ring": q_knn_ring,
+        "knn": q_knn,
         "surface_slope": q_surface_slope,
         "focal_mean": q_focal_mean,
         "hotspots": q_hotspots,
@@ -1165,7 +1229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "strat_sample": q_strat_sample,
         "window_events": q_window_events,
+        "warc_roundtrip": q_warc_roundtrip,
         # --- rows-only (no SQL twin; deterministic projections above) ---
+        "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
         "simhash_groups": q_simhash_groups,
         "simhash_neardup": q_simhash_neardup,
@@ -1536,20 +1602,9 @@ def oracle_sql() -> dict[str, str]:
                    ELSE CAST(0 AS BIGINT) END AS cls_rgba
             FROM b
         """,
-        "knn_ring": f"""
-            WITH g AS ({docs_geo}),
-            p AS (SELECT doc_id, lat, lon FROM g),
-            t AS (SELECT doc_id AS target_id, lat, lon FROM g
-                  WHERE doc_id % 13 = 0),
-            d AS (
-              SELECT p.doc_id,
-                     min(sqrt((p.lon - t.lon)*(p.lon - t.lon)
-                            + (p.lat - t.lat)*(p.lat - t.lat))) AS dmin
-              FROM p CROSS JOIN t GROUP BY p.doc_id
-            )
-            SELECT doc_id, round(dmin, 6) AS dist FROM d WHERE dmin <= 12.0
-        """,
-        "knn3": f"""
+        # both kNN strategies (broadcast knn3 / beyond-broadcast ring)
+        # under one tagged union — either plan diverging breaks the hash
+        "knn": f"""
             WITH g AS ({docs_geo}),
             c(target_id, clon, clat) AS (VALUES
                 (1, {CITY_LON[0]}, {CITY_LAT[0]}), (2, {CITY_LON[1]}, {CITY_LAT[1]}),
@@ -1565,10 +1620,24 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (PARTITION BY doc_id
                           ORDER BY dist ASC, target_id ASC) AS INT) AS knn_rank
               FROM d
+            ),
+            p AS (SELECT doc_id, lat, lon FROM g),
+            t AS (SELECT doc_id AS target_id, lat, lon FROM g
+                  WHERE doc_id % 13 = 0),
+            ring AS (
+              SELECT p.doc_id,
+                     min(sqrt((p.lon - t.lon)*(p.lon - t.lon)
+                            + (p.lat - t.lat)*(p.lat - t.lat))) AS dmin
+              FROM p CROSS JOIN t GROUP BY p.doc_id
             )
-            SELECT doc_id, CAST(target_id AS BIGINT) AS target_id,
+            SELECT 'knn3' AS variant, doc_id,
+                   CAST(target_id AS BIGINT) AS target_id,
                    round(dist, 6) AS dist, knn_rank
             FROM rk WHERE knn_rank <= 3
+            UNION ALL
+            SELECT 'ring', doc_id, CAST(NULL AS BIGINT),
+                   round(dmin, 6), CAST(NULL AS INT)
+            FROM ring WHERE dmin <= 12.0
         """,
         "surface_slope": f"""
             WITH r AS ({SQL_EVENTS_RASTER}),
@@ -2042,6 +2111,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, round(tfidf, 6) AS tf_idf, rank
             FROM r WHERE rank <= 3
+        """,
+        # warc_roundtrip parses what it rendered, so the oracle is the
+        # synthesized source itself — any render/parse byte drift
+        # breaks the hash
+        "warc_roundtrip": """
+            SELECT
+              'https://'
+                || CASE WHEN doc_id % 11 = 0 THEN 'user@' ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END
+                || 'site' || CAST(doc_id % 50 AS VARCHAR)
+                || CASE WHEN doc_id % 3 = 0 THEN '.example.com'
+                        WHEN doc_id % 3 = 1 THEN '.example.co.uk'
+                        ELSE '.org' END
+                || CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END
+                || '/a/b/' || CAST(doc_id AS VARCHAR) AS url,
+              '2026-06-01T00:00:'
+                || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z'
+                AS warc_ts,
+              CAST(strlen('<html><body>' || text || '</body></html>')
+                   AS INT) AS n_bytes,
+              text
+            FROM documents
         """,
         "bm25": f"""
             WITH t AS (

@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "multispectral",
     "local_cellstats",
     "proximity_nn",
-    "knn3",
+    "knn",
     "surface_slope",
     "focal_mean",
     "text_stats",
@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "window_events",
     "similarity_topk",
     "pip_assign",
+    "warc_roundtrip",
     "bm25",
     "resample_down",
     "quality_score",

@@ -58,6 +58,10 @@ def test_oracle_keys_subset_of_queries():
         "minhash_pairs", "simhash_groups", "simhash_neardup",
         "polygonize", "a_star", "viewshed", "terrain",
         "embedding_neardup", "semantic_dedup",
+        # ring variant is oracle-backed inside the "knn" union; this
+        # standalone entry keeps the bench series comparable across
+        # rounds
+        "knn_ring",
         # salted==plain equality is pytest-asserted; the entry exists
         # to benchmark the skewed-host path, not to re-prove results
         "host_cap_salted",

@@ -1,0 +1,138 @@
+"""WARC/WET source: spec-shaped render, streaming gzip-member parse,
+distributed read == direct parse, input_hint projection."""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_spatial_spark.sources import warc as W
+
+
+def _mk_records():
+    recs = [W.warcinfo_record()]
+    pages = []
+    for i in range(5):
+        url = f"http://site{i % 2}.example/p/{i}"
+        text = f"hello page {i} words " * (i + 1)
+        html = f"<html><body>{text.strip()}</body></html>".encode()
+        ts = f"2026-03-0{i + 1}T12:00:0{i}Z"
+        # a request record that readers must skip
+        recs.append(
+            W.warc_record_bytes(
+                "request", b"GET /p HTTP/1.1\r\n\r\n", url=url, date=ts,
+                content_type="application/http; msgtype=request")
+        )
+        recs.append(W.response_record(url, html, ts))
+        pages.append((url, html, ts))
+    return recs, pages
+
+
+def test_parse_plain_and_gzip_equal():
+    recs, pages = _mk_records()
+    plain = b"".join(recs)
+    gz = b"".join(W.gzip_member(r) for r in recs)
+    for blob in (plain, gz):
+        rows = list(W.parse_warc_bytes(blob, record_types=("response",)))
+        assert len(rows) == 5
+        for row, (url, html, ts) in zip(rows, pages):
+            assert row["url"] == url
+            assert bytes(row["payload"]) == html
+            assert row["http_status"] == 200
+            assert row["content_type"].startswith("text/html")
+            assert row["warc_ts"].isoformat().startswith(ts[:-1])
+    # no filter: warcinfo + request records also surface
+    all_rows = list(W.parse_warc_bytes(gz, record_types=None))
+    assert [r["record_type"] for r in all_rows[:3]] == [
+        "warcinfo", "request", "response"]
+
+
+def test_gzip_offsets_are_member_offsets():
+    """Offsets must be compressed-stream member starts (the CDX
+    convention) — a ranged read from that offset re-parses the row."""
+    recs, _ = _mk_records()
+    members = [W.gzip_member(r) for r in recs]
+    blob = b"".join(members)
+    rows = list(W.parse_warc_bytes(blob, record_types=("response",)))
+    for row in rows:
+        re_read = list(
+            W.parse_warc_bytes(blob[row["warc_offset"]:],
+                               record_types=("response",)))
+        assert bytes(re_read[0]["payload"]) == bytes(row["payload"])
+
+
+def test_truncation_raises_by_name():
+    recs, _ = _mk_records()
+    gz = b"".join(W.gzip_member(r) for r in recs)
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        list(W.parse_warc_bytes(gz[:-20]))
+    plain = b"".join(recs)
+    with pytest.raises(ValueError, match="truncated WARC record"):
+        list(W.parse_warc_bytes(plain[:-30]))
+
+
+def test_wet_conversion_records():
+    recs = [
+        W.conversion_record("http://a.example/x", "extracted text one",
+                            "2026-04-01T00:00:00Z"),
+        W.conversion_record("http://a.example/y", "text two",
+                            "2026-04-01T00:00:01Z"),
+    ]
+    rows = list(W.parse_warc_bytes(b"".join(W.gzip_member(r) for r in recs)))
+    assert [bytes(r["payload"]).decode() for r in rows] == [
+        "extracted text one", "text two"]
+    assert all(r["record_type"] == "conversion" for r in rows)
+    assert all(r["http_status"] is None for r in rows)
+
+
+def test_max_payload_filter_skips_big_records():
+    recs, _ = _mk_records()
+    rows = list(W.parse_warc_bytes(b"".join(recs),
+                                   record_types=("response",),
+                                   max_payload=60))
+    assert 0 < len(rows) < 5
+    assert all(len(bytes(r["payload"])) <= 60 for r in rows)
+
+
+def test_distributed_roundtrip_and_documents_shape(spark, tmp_path):
+    """write_warc (CC per-record-gzip layout) -> read_warc -> the
+    written html is byte-identical; warc_documents matches the
+    input_hint shape with extract_text parity."""
+    from xarray_spatial_spark.sources.documents import documents
+
+    src = documents(spark, 200, partitions=4)
+    out = str(tmp_path / "crawl")
+    W.write_warc(src, out)
+    files = sorted(p.name for p in (tmp_path / "crawl").iterdir())
+    assert len(files) == 4 and files[0].endswith(".warc.gz")
+    # every member is a real gzip stream (readable by stock gunzip)
+    with open(tmp_path / "crawl" / files[0], "rb") as f:
+        assert gzip.decompress(f.read())  # multi-member ok
+
+    got = W.read_warc(spark, out, record_types=("response",))
+    docs = W.warc_documents(got)
+    assert docs.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+    j = docs.alias("g").join(src.alias("s"), "url", "full")
+    n_bad = j.filter(
+        F.col("g.html").isNull() | F.col("s.html").isNull()
+        | (F.col("g.html") != F.col("s.html"))
+        | (F.col("g.text") != F.col("s.text"))
+        | (F.col("g.warc_ts") != F.col("s.warc_ts"))
+    ).count()
+    assert n_bad == 0
+    assert docs.count() == 200
+
+
+def test_read_warc_lineage_columns(spark, tmp_path):
+    from xarray_spatial_spark.sources.documents import documents
+
+    out = str(tmp_path / "c2")
+    W.write_warc(documents(spark, 40, partitions=2), out)
+    rows = W.read_warc(spark, out).select(
+        "warc_file", "warc_offset").distinct().collect()
+    assert {r["warc_file"] for r in rows} == {
+        "part-00000.warc.gz", "part-00001.warc.gz"}
+    offs = sorted(r["warc_offset"] for r in rows
+                  if r["warc_file"] == "part-00000.warc.gz")
+    assert offs[0] > 0 and len(offs) == len(set(offs))  # past warcinfo
