@@ -165,6 +165,9 @@ def q_zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_zonal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zonal.apply + zonal.crop under one tagged slot (round-5
+    consolidation; freed a window slot for substring_dedup).  'apply'
+    keys by doc_id (y/x null); 'crop' keys by raster cell (doc null)."""
     z = 2
     d = _doc_tiles(spark, sf_dir, z)
     zv = d.select(
@@ -172,7 +175,23 @@ def q_zonal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tile_x") * F.lit(1 << z) + F.col("tile_y")).alias("zone"),
         F.col("n_chars").cast("double").alias("value"),
     )
-    return zonal.apply(zv, F.col("value") * 2, nodata=5).select("doc_id", "zone", "value")
+    applied = zonal.apply(zv, F.col("value") * 2, nodata=5).select(
+        F.lit("apply").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("int").alias("y"),
+        F.lit(None).cast("int").alias("x"),
+        F.col("zone").cast("long").alias("zone"),
+        "value",
+    )
+    r = _events_raster(spark, sf_dir).withColumn(
+        "zone", (F.floor(F.col("y") / 20) * 5 + F.floor(F.col("x") / 20)).cast("long")
+    )
+    cropped = zonal.crop(r, zones_ids=[7]).select(
+        F.lit("crop").alias("variant"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "y", "x", "zone", "value",
+    )
+    return applied.unionByName(cropped)
 
 
 def q_zonal_stats_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,13 +217,6 @@ def q_zonal_stats_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count",
         F.round("majority", 6).alias("majority"),
     )
-
-
-def q_zonal_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = _events_raster(spark, sf_dir).withColumn(
-        "zone", (F.floor(F.col("y") / 20) * 5 + F.floor(F.col("x") / 20)).cast("long")
-    )
-    return zonal.crop(r, zones_ids=[7]).select("y", "x", "zone", "value")
 
 
 def q_classify_equal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1030,6 +1042,39 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+SUBSTR_BOILER = " all rights reserved contact us terms of service apply here"
+
+
+def _substr_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with planted verbatim duplicates: every doc appends
+    its group-of-40 12-token chunk (each chunk ~n/40 copies) and every
+    5th doc the same hot 10-token boilerplate (n/5 copies — the skew
+    case)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    g = (F.col("doc_id") % 40).cast("string")
+    chunk = F.concat(
+        *[x for j in range(12)
+          for x in (F.lit(" g"), g, F.lit(f"t{j}"))])
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), chunk,
+            F.when(F.col("doc_id") % 5 == 0, F.lit(SUBSTR_BOILER))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans >= 8 tokens
+    (functions/dedup.py:duplicate_spans — Lee et al. suffix-array
+    dedup as distributed rolling windows; first occurrence kept)."""
+    return dedup.duplicate_spans(
+        _substr_planted(spark, sf_dir), k=8
+    ).select("doc_id", "start_tok", "end_tok", "n_windows")
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Render every document as a CC-style per-record-gzip WARC member
     and parse it back with the from-scratch reader (sources/warc.py)
@@ -1184,7 +1229,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "zonal_crosstab": q_zonal_crosstab,
         "zonal_apply": q_zonal_apply,
-        "zonal_crop": q_zonal_crop,
         "zonal_stats_tiled": q_zonal_stats_tiled,
         "classify_maps": q_classify_maps,
         "multispectral": q_multispectral,
@@ -1230,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strat_sample": q_strat_sample,
         "window_events": q_window_events,
         "warc_roundtrip": q_warc_roundtrip,
+        "substring_dedup": q_substring_dedup,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -1327,14 +1372,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS "zh"
             FROM documents GROUP BY 1
         """,
+        # apply + crop variants under one tagged slot
         "zonal_apply": f"""
-            SELECT doc_id, ({z2x}) * 4 + ({z2y}) AS zone,
-                   CASE WHEN ({z2x}) * 4 + ({z2y}) <> 5
-                        THEN CAST(n_chars AS DOUBLE) * 2
-                        ELSE CAST(n_chars AS DOUBLE) END AS value
-            FROM documents
-        """,
-        "zonal_crop": f"""
             WITH r AS ({SQL_EVENTS_RASTER}),
             rz AS (
               SELECT y, x,
@@ -1346,7 +1385,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT min(y) y0, max(y) y1, min(x) x0, max(x) x1
               FROM rz WHERE zone = 7
             )
-            SELECT rz.y, rz.x, rz.zone, rz.value FROM rz, box
+            SELECT 'apply' AS variant, doc_id,
+                   CAST(NULL AS INT) AS y, CAST(NULL AS INT) AS x,
+                   CAST(({z2x}) * 4 + ({z2y}) AS BIGINT) AS zone,
+                   CASE WHEN ({z2x}) * 4 + ({z2y}) <> 5
+                        THEN CAST(n_chars AS DOUBLE) * 2
+                        ELSE CAST(n_chars AS DOUBLE) END AS value
+            FROM documents
+            UNION ALL
+            SELECT 'crop', CAST(NULL AS BIGINT), rz.y, rz.x, rz.zone, rz.value
+            FROM rz, box
             WHERE rz.y BETWEEN box.y0 AND box.y1 AND rz.x BETWEEN box.x0 AND box.x1
         """,
         "classify_maps": """
@@ -2111,6 +2159,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, round(tfidf, 6) AS tf_idf, rank
             FROM r WHERE rank <= 3
+        """,
+        # the whole rolling-window pipeline in SQL, grouped on the
+        # window STRING (Spark groups on xxhash64 of it — results
+        # agree unless xxhash collides, which the hash check would
+        # expose); same planting, owner rule, and interval merge
+        "substring_dedup": f"""
+            WITH p AS (
+              SELECT doc_id,
+                text
+                  || {" || ".join(
+                        "' g' || CAST(doc_id % 40 AS VARCHAR) || 't"
+                        + str(j) + "'" for j in range(12))}
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN '{SUBSTR_BOILER}' ELSE '' END AS text
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM p
+            ),
+            idx AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, len(toks) - 7)) AS pos
+              FROM t WHERE len(toks) >= 8
+            ),
+            w AS (
+              SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                     array_to_string(toks[pos + 1 : pos + 8], ' ') AS wstr
+              FROM idx
+            ),
+            s AS (
+              SELECT wstr, min(doc_id * 1048576 + pos) AS owner
+              FROM w GROUP BY wstr HAVING count(*) >= 2
+            ),
+            d AS (
+              SELECT w.doc_id, w.pos
+              FROM w JOIN s USING (wstr)
+              WHERE w.doc_id * 1048576 + w.pos <> s.owner
+            ),
+            m AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -1)
+                     THEN 1 ELSE 0 END AS newg
+              FROM d
+            ),
+            g AS (
+              SELECT doc_id, pos,
+                     sum(newg) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+              FROM m
+            )
+            SELECT doc_id, min(pos) AS start_tok,
+                   max(pos) + 8 AS end_tok, count(*) AS n_windows
+            FROM g GROUP BY doc_id, grp
         """,
         # warc_roundtrip parses what it rendered, so the oracle is the
         # synthesized source itself — any render/parse byte drift

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "similarity_topk",
     "pip_assign",
     "warc_roundtrip",
+    "substring_dedup",
     "bm25",
     "resample_down",
     "quality_score",

@@ -969,3 +969,135 @@ def bloom_filter_seen(
     bitmap = bloom_build(seen_df, seen_col, n_bits, k)
     return df.filter(
         ~bloom_might_contain(df.sparkSession, bitmap, F.col(col), k))
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring spans (Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" — the suffix-array
+# dedup, re-expressed as distributed rolling windows)
+# ---------------------------------------------------------------------------
+#
+# The published algorithm builds one suffix array over the whole
+# corpus — inherently single-node.  The Spark-first equivalent: hash
+# every k-token window (stride 1 — EVERY duplicate run of >= k tokens
+# is caught, exactly; document-aligned striding was rejected because
+# two copies at offsets r0 != r1 (mod s) never sample the same
+# window, so it silently loses the guarantee), count occurrences per
+# hash with a map-side-combined aggregate, join the >=2 hashes back,
+# and merge each document's duplicated windows into maximal spans
+# with a pure-Catalyst interval merge.  The shuffle is ~24 B/token —
+# the same order as the suffix array's memory, but partitioned.  A
+# content-defined thinning (winnowing, Schleimer et al. 2003) is the
+# right sub-linear knob and must anchor on hash minima, not document
+# offsets; until implemented the exact path is the only one offered.
+#
+# Scale shape: window strings are hashed INSIDE the scan stage
+# (xxhash64, codegen) so the exchange carries (hash, doc, pos) =
+# ~24 B/window, never the text; boilerplate hot hashes (the same
+# sentence on millions of pages) collapse map-side in the count agg
+# and join back 1:1, so no reducer sees a hot hash's raw windows; the
+# islands pass shuffles once by doc_id and its groupBy reuses that
+# partitioning (HashPartitioning(doc) satisfies clustering on
+# (doc, island)).
+
+#: owner key = doc_id * _POS_SHIFT + pos; callers with > ~1M tokens
+#: per document should chunk first (functions/corpus.py chunk_docs).
+_POS_SHIFT = 1 << 20
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Maximal spans of >= k whitespace tokens that occur verbatim
+    more than once anywhere in the corpus.  With ``keep_first`` the
+    globally first occurrence (min ``doc_id * 2^20 + pos``) is NOT
+    reported — the Lee-et-al "remove all but one" policy; without it
+    every occurrence is reported (boilerplate-strip policy).
+
+    Returns (id_col, start_tok, end_tok, n_windows): token offsets
+    [start_tok, end_tok) into ``tokens(text_col)``.
+    """
+    from pyspark.sql import Window
+
+    from xarray_spatial_spark.functions.text import tokens
+
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= k)
+    wins = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice("_toks", i + 1, k), " ")
+                ),
+            )
+        ).alias("_widx", "_h"),
+    ).select(
+        id_col, F.col("_widx").cast("long").alias("pos"), "_h"
+    )
+
+    okey = F.col(id_col) * _POS_SHIFT + F.col("pos")
+    stats = (
+        wins.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min(okey).alias("_owner"))
+        .filter(F.col("_n") >= 2)
+    )
+    dup = wins.join(stats, "_h")
+    if keep_first:
+        dup = dup.filter(okey != F.col("_owner"))
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dup = dup.withColumn(
+        "_new", (F.col("pos") > F.coalesce(run_end, F.lit(-1))).cast("int")
+    ).withColumn("_g", F.sum("_new").over(w))
+    return dup.groupBy(id_col, "_g").agg(
+        F.min("pos").alias("start_tok"),
+        F.max(F.col("pos") + k).alias("end_tok"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("_g")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Cut every reported duplicate span (first occurrence kept) out
+    of ``text_col`` -> the input columns with ``text_col`` rewritten.
+    Surviving tokens are re-joined with single spaces — intra-doc
+    whitespace is normalized, the usual trade of token-level dedup.
+    Pure Catalyst: the span list per doc joins in (spans ≪ corpus)
+    and an indexed ``filter`` HOF drops covered tokens."""
+    from xarray_spatial_spark.functions.text import tokens
+
+    if spans is None:
+        spans = duplicate_spans(df, k=k, id_col=id_col, text_col=text_col)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+    )
+    joined = df.join(sp, id_col, "left")
+
+    def _covered(i):
+        return F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["start_tok"]) & (i < s["end_tok"]),
+        )
+
+    cleaned = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+        F.array_join(
+            F.filter(tokens(F.col(text_col)), lambda t, i: ~_covered(i)),
+            " ",
+        )
+    )
+    return joined.withColumn(text_col, cleaned).drop("_spans")
