@@ -1075,6 +1075,40 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "start_tok", "end_tok", "n_windows")
 
 
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html -> extract_links -> edge table -> pagerank, end to end
+    (functions/url.py:extract_links/link_edges + graph.py:pagerank).
+    Pages carry 2 root-relative links chosen by modular arithmetic, so
+    the graph is deterministic; rows-only (iterative PageRank has no
+    SQL twin; the edge-extraction branches are pytest goldens and
+    pagerank itself is oracle-backed in the 'pagerank' slot)."""
+    from xarray_spatial_spark.functions import url as uf
+    from xarray_spatial_spark.functions.graph import pagerank
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    t1 = (F.col("doc_id") * 31 + 7) % 1009
+    t2 = (F.col("doc_id") * 17 + 3) % 97  # 97 hub pages get high rank
+    page = d.select(
+        _synth_url_expr().alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="/a/b/'), t1.cast("string"),
+            F.lit('">x</a> <a href="/a/b/'), t2.cast("string"),
+            F.lit('">y</a></body></html>'),
+        ).alias("html"),
+    )
+    edges = uf.link_edges(page)
+    pr = pagerank(edges, iters=5)
+    rank_col = pr.columns[-1]
+    return (
+        pr.orderBy(F.desc(rank_col), pr.columns[0])
+        .limit(20)
+        .select(
+            F.col(pr.columns[0]).alias("node"),
+            F.round(rank_col, 6).alias("rank"),
+        )
+    )
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Render every document as a CC-style per-record-gzip WARC member
     and parse it back with the from-scratch reader (sources/warc.py)
@@ -1287,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
         "host_cap_salted": q_host_cap_salted,
+        "link_graph": q_link_graph,
     }
 
 

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "pip_assign",
     "warc_roundtrip",
     "substring_dedup",
+    "link_graph",
     "bm25",
     "resample_down",
     "quality_score",

@@ -62,6 +62,9 @@ def test_oracle_keys_subset_of_queries():
         # standalone entry keeps the bench series comparable across
         # rounds
         "knn_ring",
+        # iterative PageRank composition; extraction branches are
+        # pytest goldens, pagerank itself oracle-backed separately
+        "link_graph",
         # salted==plain equality is pytest-asserted; the entry exists
         # to benchmark the skewed-host path, not to re-prove results
         "host_cap_salted",

@@ -26,6 +26,7 @@ parallelism, the determinism rule of the whole engine.
 from __future__ import annotations
 
 import math
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -989,7 +990,7 @@ def bloom_filter_seen(
 # the same order as the suffix array's memory, but partitioned.  A
 # content-defined thinning (winnowing, Schleimer et al. 2003) is the
 # right sub-linear knob and must anchor on hash minima, not document
-# offsets; until implemented the exact path is the only one offered.
+# offsets — implemented below as winnow_fingerprints/winnow_candidates.
 #
 # Scale shape: window strings are hashed INSIDE the scan stage
 # (xxhash64, codegen) so the exchange carries (hash, doc, pos) =
@@ -1101,3 +1102,103 @@ def remove_duplicate_spans(
         )
     )
     return joined.withColumn(text_col, cleaned).drop("_spans")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+#
+# The content-defined thinning that document-aligned striding cannot
+# provide (see duplicate_spans): hash every k-token window, then keep
+# only each w-window's MINIMUM hash.  Because selection depends only
+# on hash values — not document offsets — any two copies of a run of
+# >= k + w - 1 tokens contain a full w-window of identical hashes and
+# therefore select at least one identical (hash, run-relative
+# position) fingerprint, at ANY relative alignment.  Expected density
+# of kept fingerprints on random text is 2/(w+1), so the exchange
+# shrinks ~w/2 x versus the exact path while keeping a hard
+# detection floor of k + w - 1 tokens.
+#
+# Scale shape: fingerprinting is a narrow Arrow-batched pass (the
+# text never leaves the scan stage; the pandas UDF emits ~16 B per
+# SELECTED window); candidate generation is the same bucketed
+# equi-join-on-hash shape as minhash/simhash — never all-pairs.
+
+_WINNOW_B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+
+
+def _winnow_doc(toks: list[str], k: int, w: int) -> list[tuple[int, int]]:
+    """(pos, hash) fingerprints of one token list.  Polynomial k-gram
+    hash over crc32 token hashes (uint64 wraparound), leftmost-min
+    selection per w-window.  Pure numpy except the per-token crc32."""
+    m = len(toks) - k + 1
+    if m <= 0:
+        return []
+    th = np.array([zlib.crc32(t.encode()) + 1 for t in toks], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pw = _WINNOW_B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(k):  # k vectorized fma's, O(n*k) total
+            h += th[j : j + m] * pw[j]
+        h = _splitmix64(h)
+    if m <= w:
+        i = int(h.argmin())
+        return [(i, int(h[i].view(np.int64)))]
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    sel = np.unique(win.argmin(axis=1) + np.arange(m - w + 1))
+    return [(int(i), int(h[i].view(np.int64))) for i in sel]
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 25,
+    w: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, pos, fp) — winnowed k-gram fingerprints of every
+    document.  Guarantee: two documents sharing a verbatim run of
+    >= k + w - 1 whitespace tokens share at least one ``fp`` value;
+    expected kept fraction ~2/(w+1) of all k-grams."""
+    id_field = df.schema[id_col]
+
+    def _fp(batches):
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                for pos, h in _winnow_doc((t or "").split(), k, w):
+                    ids.append(i)
+                    poss.append(pos)
+                    hs.append(h)
+            yield pd.DataFrame({id_col: ids, "pos": poss, "fp": hs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _fp, schema=f"{id_col} {id_field.dataType.simpleString()}, pos long, fp long"
+    )
+
+
+def winnow_candidates(
+    df: DataFrame,
+    k: int = 25,
+    w: int = 50,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, n_shared) candidate near-duplicate pairs: docs
+    sharing >= min_shared winnowed fingerprints.  Equi-join on fp with
+    a df-cap is NOT applied here — pair volume is bounded by the
+    winnow density; apply an exact verifier (ngram_jaccard /
+    duplicate_spans) downstream."""
+    fps = winnow_fingerprints(
+        df, k=k, w=w, id_col=id_col, text_col=text_col
+    ).select(id_col, "fp").distinct()
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -126,3 +126,98 @@ def host_stats(
     if n_chars_col:
         aggs.append(F.sum(n_chars_col).alias("sum_chars"))
     return base.groupBy("domain").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Hyperlink extraction -> web-graph edges
+# ---------------------------------------------------------------------------
+#
+# The bridge from crawl pages to the graph tier (functions/graph.py
+# pagerank / connected_components): pull href targets out of stored
+# HTML and resolve them to absolute URLs, all in Catalyst string
+# expressions — at crawl scale this runs inside the scan stage and
+# the exchange only ever carries (src, dst) short strings.
+#
+# Scope (documented, deliberate): quoted href attributes of <a> tags;
+# RFC 3986 resolution for the cases that dominate real markup
+# (absolute, protocol-relative, root-relative, path-relative with
+# bounded ../ depth); javascript:/mailto:/data:/tel: and
+# fragment-only targets are dropped.  Dot-segment removal unrolls a
+# fixed 4 rounds — beyond 4 levels of ../ the residue is left intact
+# rather than mis-resolved.
+
+_HREF_RE = "(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'#][^\"']*)[\"']"
+_SKIP_SCHEME_RE = "(?i)^(javascript|mailto|data|tel):"
+
+
+def _resolve_link(href: Column, scheme: Column, host: Column,
+                  base_dir: Column) -> Column:
+    """One href -> absolute URL (null when dropped)."""
+    absolute = href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
+    proto_rel = href.startswith("//")
+    root_rel = href.startswith("/") & ~proto_rel
+    resolved = (
+        F.when(href.rlike(_SKIP_SCHEME_RE), F.lit(None))
+        .when(absolute, href)
+        .when(proto_rel, F.concat(scheme, F.lit(":"), href))
+        .when(root_rel, F.concat(scheme, F.lit("://"), host, href))
+        .otherwise(
+            F.concat(scheme, F.lit("://"), host, base_dir, F.lit("/"), href)
+        )
+    )
+    # strip fragment, then bounded dot-segment removal: each round
+    # collapses one "seg/../" level; the lookbehind [:/] keeps the
+    # match off "://host/../" (which would otherwise eat the host —
+    # that residue is left intact, like a root-clamping browser)
+    resolved = F.regexp_replace(resolved, "#.*", "")
+    for _ in range(4):
+        resolved = F.regexp_replace(resolved, "/\\./", "/")
+        resolved = F.regexp_replace(
+            resolved, "(?<![:/])/(?!\\.\\./)[^/]+/\\.\\./", "/")
+    return resolved
+
+
+def extract_links(html: Column, base_url: Column) -> Column:
+    """array<string> of absolute link targets of one page.  ``html``
+    may be a string or binary column; ``base_url`` anchors relative
+    references."""
+    page = F.when(
+        html.cast("string").isNotNull(), html.cast("string")
+    ).otherwise(F.lit(""))
+    hrefs = F.regexp_extract_all(page, F.lit(_HREF_RE), F.lit(1))
+    scheme = F.lower(
+        F.regexp_extract(base_url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = url_host(base_url)
+    path = url_path(base_url)
+    base_dir = F.when(
+        path.rlike("/"), F.regexp_replace(path, "/[^/]*$", "")
+    ).otherwise(F.lit(""))
+    out = F.transform(
+        hrefs, lambda h: _resolve_link(h, scheme, host, base_dir))
+    return F.filter(out, lambda u: u.isNotNull() & (u != ""))
+
+
+def link_edges(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    normalize: bool = True,
+    distinct: bool = True,
+) -> DataFrame:
+    """(src, dst) edge table of the page graph — the input of
+    pagerank / connected_components.  ``normalize`` canonicalizes
+    both endpoints (url_normalize) so re-fetch aliases collapse to
+    one node; self-loops are dropped."""
+    src = F.col(url_col)
+    dst = F.explode(extract_links(F.col(html_col), F.col(url_col)))
+    edges = df.select(src.alias("_src"), dst.alias("_dst"))
+    if normalize:
+        edges = edges.select(
+            url_normalize(F.col("_src")).alias("src"),
+            url_normalize(F.col("_dst")).alias("dst"),
+        )
+    else:
+        edges = edges.select(
+            F.col("_src").alias("src"), F.col("_dst").alias("dst"))
+    edges = edges.filter(F.col("src") != F.col("dst"))
+    return edges.distinct() if distinct else edges
