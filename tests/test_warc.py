@@ -136,3 +136,71 @@ def test_read_warc_lineage_columns(spark, tmp_path):
     offs = sorted(r["warc_offset"] for r in rows
                   if r["warc_file"] == "part-00000.warc.gz")
     assert offs[0] > 0 and len(offs) == len(set(offs))  # past warcinfo
+
+
+# ---------------------------------------------------------------------------
+# CDX index
+# ---------------------------------------------------------------------------
+
+
+def test_surt_key_goldens(spark):
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("https://www.Example.COM/Path/X?b=2", "com,example,www)/path/x?b=2"),
+        ("http://sub.site.co.uk/", "uk,co,site,sub)/"),
+        ("https://host.org", "org,host)/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["k"] for r in df.select(W.surt_key(F.col("url")).alias("k")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_cdx_roundtrip_and_global_order(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from xarray_spatial_spark.sources.documents import documents
+
+    crawl = str(tmp_path / "crawl")
+    W.write_warc(documents(spark, 120, partitions=3), crawl)
+    recs = W.read_warc(spark, crawl, record_types=("response",))
+    cdx = W.cdx_from_warc(recs)
+    out = str(tmp_path / "cdx")
+    W.write_cdx(cdx, out, partitions=3)
+
+    back = W.read_cdx(spark, out)
+    assert back.count() == 120
+    j = back.alias("b").join(cdx.alias("c"), ["urlkey", "ts"])
+    assert j.filter(
+        (F.col("b.offset") != F.col("c.offset"))
+        | (F.col("b.filename") != F.col("c.filename"))
+        | (F.col("b.digest") != F.col("c.digest"))
+        | (F.col("b.length") != F.col("c.length"))
+    ).count() == 0
+
+    # global order: every part file sorted AND part N max < part N+1 min
+    import glob
+
+    parts = sorted(glob.glob(f"{out}/part-*"))
+    assert len(parts) >= 2
+    prev_last = ""
+    for p in parts:
+        keys = [ln.split(" ", 1)[0] for ln in open(p) if ln.strip()]
+        assert keys == sorted(keys), p
+        if keys:
+            assert prev_last <= keys[0], (prev_last, keys[0])
+            prev_last = keys[-1]
+
+
+def test_fetch_by_cdx_row(spark, tmp_path):
+    from xarray_spatial_spark.sources.documents import documents
+
+    crawl = str(tmp_path / "c3")
+    src = documents(spark, 30, partitions=1)
+    W.write_warc(src, crawl)
+    cdx_rows = W.cdx_from_warc(
+        W.read_warc(spark, crawl, record_types=("response",))).collect()
+    row = sorted(cdx_rows, key=lambda r: r["urlkey"])[7]
+    rec = W.fetch_cdx_record(row, crawl)
+    assert rec["url"] == row["url"]
+    assert len(bytes(rec["payload"])) == row["length"]

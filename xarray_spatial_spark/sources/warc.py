@@ -365,3 +365,95 @@ def write_warc(
             yield pd.DataFrame({"pid": [pid]})
 
     sel.mapInPandas(_write, schema="pid int").count()
+
+
+# ---------------------------------------------------------------------------
+# CDX(J) index — the (urlkey, file, offset) lookup table beside a crawl
+# ---------------------------------------------------------------------------
+#
+# Common Crawl ships a CDXJ index per crawl: lines of
+# ``<urlkey> <timestamp> <json>`` sorted by SURT urlkey, where the
+# json carries (url, filename, offset, length, status, mime, digest).
+# With it, one record is a ranged read instead of a file scan — the
+# consumer of read_warc's (warc_file, warc_offset) lineage columns.
+#
+# SURT (Sort-friendly URI Reordering Transform) subset implemented:
+# scheme dropped, host lower-cased with labels reversed and
+# comma-joined, default ports dropped, ``)/`` + path + query.  Pure
+# Catalyst strings (scan-stage at any scale).
+#
+# write_cdx performs the one global exchange the format REQUIRES
+# (range-partition + sort within partitions = totally ordered part
+# files, the standard distributed sort); read_cdx is a narrow parse
+# over spark.read.text.
+
+
+def surt_key(url) -> "F.Column":
+    """SURT urlkey of a URL column (documented subset above)."""
+    from xarray_spatial_spark.functions.url import url_host
+
+    host = url_host(url)
+    rev = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    path = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(rev, F.lit(")"), path)
+
+
+def cdx_from_warc(records: DataFrame) -> DataFrame:
+    """read_warc records -> CDX columns (one row per response/
+    conversion record)."""
+    return records.filter(F.col("url").isNotNull()).select(
+        surt_key(F.col("url")).alias("urlkey"),
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts"),
+        "url",
+        F.col("warc_file").alias("filename"),
+        F.col("warc_offset").alias("offset"),
+        F.octet_length("payload").alias("length"),
+        F.col("http_status").alias("status"),
+        F.col("content_type").alias("mime"),
+        F.sha1("payload").alias("digest"),
+    )
+
+
+def write_cdx(cdx: DataFrame, out_dir: str, partitions: int | None = None) -> None:
+    """CDXJ text files, globally ordered by (urlkey, ts): range
+    exchange + in-partition sort; part file N's keys all precede part
+    file N+1's."""
+    line = F.concat_ws(
+        " ",
+        "urlkey",
+        "ts",
+        F.to_json(
+            F.struct("url", "filename", "offset", "length", "status",
+                     "mime", "digest")
+        ),
+    )
+    df = cdx.repartitionByRange(
+        partitions or cdx.sparkSession.sparkContext.defaultParallelism,
+        "urlkey", "ts",
+    ).sortWithinPartitions("urlkey", "ts").select(line.alias("value"))
+    df.write.mode("overwrite").text(out_dir)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """CDXJ files -> typed CDX DataFrame (inverse of write_cdx)."""
+    t = spark.read.text(path)
+    urlkey = F.regexp_extract("value", r"^(\S+) ", 1)
+    ts = F.regexp_extract("value", r"^\S+ (\d{14}) ", 1)
+    js = F.regexp_extract("value", r"^\S+ \d{14} (.*)$", 1)
+    schema = ("url string, filename string, offset long, length int, "
+              "status int, mime string, digest string")
+    return t.select(
+        urlkey.alias("urlkey"), ts.alias("ts"),
+        F.from_json(js, schema).alias("j"),
+    ).select("urlkey", "ts", "j.*")
+
+
+def fetch_cdx_record(cdx_row, warc_dir: str) -> dict:
+    """Driver-side ranged fetch of ONE record from its CDX row — the
+    lookup path a service would serve; reads offset..EOF of one file
+    and parses the first record (gzip members self-terminate)."""
+    with open(f"{warc_dir}/{cdx_row['filename']}", "rb") as f:
+        f.seek(cdx_row["offset"])
+        data = f.read()
+    return next(iter(parse_warc_bytes(data)))
