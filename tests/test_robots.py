@@ -1,0 +1,106 @@
+"""robots.txt (RFC 9309): group selection, longest-match, wildcards,
+distributed filtering."""
+
+from xarray_spatial_spark.functions.robots import (
+    _pattern_regex,
+    parse_robots_body,
+    robots_filter,
+    robots_rules,
+)
+
+BODY = """
+# crawler policy
+User-agent: *
+Disallow: /private/
+Allow: /private/ok.html
+Disallow: /*.pdf$
+Disallow:
+
+User-agent: examplebot
+User-agent: otherbot
+Disallow: /only-for-example/
+"""
+
+
+def test_parse_groups_and_fallback():
+    star = parse_robots_body(BODY, "*")
+    assert ("disallow", "/private/") in star
+    assert ("allow", "/private/ok.html") in star
+    assert ("disallow", "/*.pdf$") in star
+    assert all(p != "" for _, p in star)  # empty Disallow dropped
+    # exact agent group overrides *; stacked UA lines share the group
+    for agent in ("ExampleBot", "otherbot"):
+        got = parse_robots_body(BODY, agent)
+        assert got == [("disallow", "/only-for-example/")]
+    # unknown agent falls back to *
+    assert parse_robots_body(BODY, "nobody") == star
+
+
+def test_pattern_regex():
+    import re
+
+    assert re.match(_pattern_regex("/private/"), "/private/x")
+    assert not re.match(_pattern_regex("/private/"), "/public/x")
+    assert re.match(_pattern_regex("/*.pdf$"), "/docs/a.pdf")
+    assert not re.match(_pattern_regex("/*.pdf$"), "/docs/a.pdfx")
+    assert re.match(_pattern_regex("/a*b"), "/aXXXb-tail")
+    # regex metachars in patterns are literal
+    assert re.match(_pattern_regex("/q?x=1"), "/q?x=1")
+    assert not re.match(_pattern_regex("/q?x=1"), "/qx=1")
+
+
+def test_filter_longest_match_and_allow_tiebreak(spark):
+    robots = spark.createDataFrame(
+        [("ex.com", BODY), ("open.org", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string")
+    rules = robots_rules(robots)
+    pages = spark.createDataFrame(
+        [
+            ("https://ex.com/",),                    # no rule -> allowed
+            ("https://ex.com/private/secret",),      # disallow /private/
+            ("https://ex.com/private/ok.html",),     # longer allow wins
+            ("https://ex.com/docs/file.pdf",),       # $ anchor disallow
+            ("https://ex.com/docs/file.pdf.html",),  # anchor miss -> ok
+            ("https://open.org/anything",),          # empty disallow
+            ("https://norules.net/x",),              # host w/o robots
+        ],
+        "url string")
+    kept = {r["url"] for r in robots_filter(pages, rules).collect()}
+    assert kept == {
+        "https://ex.com/",
+        "https://ex.com/private/ok.html",
+        "https://ex.com/docs/file.pdf.html",
+        "https://open.org/anything",
+        "https://norules.net/x",
+    }
+
+
+def test_filter_keeps_all_page_columns_and_rows(spark):
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /no/\n")],
+        "host string, robots_txt string")
+    rules = robots_rules(robots)
+    pages = spark.createDataFrame(
+        [(f"https://h.com/p/{i}", f"payload{i}", i) for i in range(50)]
+        + [(f"https://h.com/no/{i}", "x", i) for i in range(10)],
+        "url string, body string, n int")
+    out = robots_filter(pages, rules)
+    assert out.columns == ["url", "body", "n"]
+    assert out.count() == 50
+    # duplicate urls all survive (decision joins back on (host, path))
+    dup = spark.createDataFrame(
+        [("https://h.com/p/1", "a", 1), ("https://h.com/p/1", "b", 2)],
+        "url string, body string, n int")
+    assert robots_filter(dup, rules).count() == 2
+
+
+def test_specific_agent_distributed(spark):
+    robots = spark.createDataFrame(
+        [("h.com", BODY)], "host string, robots_txt string")
+    rules = robots_rules(robots, user_agent="examplebot")
+    pages = spark.createDataFrame(
+        [("https://h.com/private/x",), ("https://h.com/only-for-example/y",)],
+        "url string")
+    kept = {r["url"] for r in robots_filter(pages, rules).collect()}
+    # examplebot group replaces *: /private/ is fine, its own dir is not
+    assert kept == {"https://h.com/private/x"}

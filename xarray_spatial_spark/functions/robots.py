@@ -1,0 +1,151 @@
+"""robots.txt (RFC 9309) parsing and URL filtering.
+
+The crawl-frontier gate: given the per-host ``robots.txt`` bodies a
+crawler has fetched, decide which candidate URLs may be crawled.
+Everything follows the public RFC 9309 semantics:
+
+* a group applies when its ``User-agent`` line matches the crawler's
+  product token (case-insensitive); absent an exact match the ``*``
+  group applies; multiple matching groups merge;
+* the rule with the LONGEST matched pattern wins; on a tie ``allow``
+  wins; no matching rule means allowed;
+* patterns support ``*`` (any run) and a trailing ``$`` end anchor;
+  an empty ``Disallow:`` line means allow-everything (no rule).
+
+Scale shape: rule extraction is a narrow Arrow pass over the robots
+TABLE (one small body per host — ~millions of rows, not corpus
+scale); the page-side decision is a broadcast-able equi-join on host
+followed by a per-(url) max_by over matched rules — the frontier
+table never shuffles by anything except its own host key, and the
+regex match runs JVM-side (codegen ``rlike``) on the already-joined
+rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xarray_spatial_spark.functions.url import url_host
+
+
+def parse_robots_body(body: str, user_agent: str = "*") -> list[tuple[str, str]]:
+    """One robots.txt body -> [(rule, path_pattern)] for the given
+    agent, rule in {'allow', 'disallow'}.  Groups for the exact agent
+    token override the ``*`` groups (RFC 9309 §2.2.1: the most
+    specific matching group applies); comments and unknown directives
+    are ignored; an empty Disallow contributes nothing."""
+    ua = user_agent.lower()
+    groups: dict[str, list[tuple[str, str]]] = {}
+    current: list[str] = []
+    last_was_ua = False
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not last_was_ua:
+                current = []
+            current.append(val.lower())
+            for a in (val.lower(),):
+                groups.setdefault(a, [])
+            last_was_ua = True
+            continue
+        last_was_ua = False
+        if key in ("allow", "disallow") and current:
+            if key == "disallow" and val == "":
+                continue
+            for a in current:
+                groups.setdefault(a, []).append((key, val))
+    if ua in groups:
+        return groups[ua]
+    return groups.get("*", [])
+
+
+def _pattern_regex(pattern: str) -> str:
+    """robots path pattern -> anchored Java/RE2-safe regex."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = [re.escape(p) for p in pattern.split("*")]
+    body = ".*".join(parts)
+    return "^" + body + ("$" if anchored else "")
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """(host, rule, pattern, pattern_len, pattern_re) rule table for
+    one crawler identity — the join side of :func:`robots_filter`."""
+
+    def _rules(batches):
+        for pdf in batches:
+            hosts, rules, pats, res = [], [], [], []
+            for h, b in zip(pdf[host_col], pdf[body_col]):
+                for rule, pat in parse_robots_body(b or "", user_agent):
+                    hosts.append(h)
+                    rules.append(rule)
+                    pats.append(pat)
+                    res.append(_pattern_regex(pat))
+            yield pd.DataFrame({
+                "host": hosts, "rule": rules,
+                "pattern": pats, "pattern_re": res,
+            })
+
+    out = robots.select(host_col, body_col).mapInPandas(
+        _rules,
+        schema="host string, rule string, pattern string, pattern_re string",
+    )
+    return out.select(
+        "host", "rule", "pattern",
+        F.length("pattern").alias("pattern_len"),
+        "pattern_re",
+    )
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Keep the pages RFC 9309 allows.  Longest-match wins, allow
+    wins ties, unmatched/ruleless hosts pass.  ``rules`` comes from
+    :func:`robots_rules`; set ``broadcast_rules=False`` when the rule
+    table is too big to broadcast (the join falls back to shuffle on
+    host and AQE handles hot hosts)."""
+    path = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    keyed = pages.withColumn("_host", url_host(F.col(url_col))).withColumn(
+        "_path", path)
+    # the decision is a function of (host, path) ONLY — compute it on
+    # the distinct key set (never drags text/html through a shuffle)
+    # and join the verdict back
+    keys = keyed.select("_host", "_path").distinct()
+    r = F.broadcast(rules) if broadcast_rules else rules
+    j = keys.join(r, keys["_host"] == r["host"], "left")
+    matched = F.col("pattern_re").isNotNull() & F.expr(
+        "_path rlike pattern_re")
+    # priority: longest pattern first, allow beats disallow on ties
+    prio = F.when(
+        matched,
+        F.col("pattern_len") * 2 + (F.col("rule") == "allow").cast("int"),
+    ).otherwise(F.lit(-1))
+    verdict = F.when(matched & (F.col("rule") == "disallow"), F.lit(0)) \
+        .otherwise(F.lit(1))
+    decisions = j.groupBy("_host", "_path").agg(
+        F.max_by(verdict, prio).alias("_allowed"))
+    return (
+        keyed.join(decisions, ["_host", "_path"])
+        .filter(F.col("_allowed") == 1)
+        .drop("_host", "_path", "_allowed")
+    )
