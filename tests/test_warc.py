@@ -204,3 +204,42 @@ def test_fetch_by_cdx_row(spark, tmp_path):
     rec = W.fetch_cdx_record(row, crawl)
     assert rec["url"] == row["url"]
     assert len(bytes(rec["payload"])) == row["length"]
+
+
+def test_crawl_to_corpus_end_to_end(spark, tmp_path):
+    """Two snapshots of the same crawl (half the urls re-captured
+    later) + short junk pages -> crawl_to_corpus keeps exactly the
+    latest capture of each sufficiently-long page."""
+    from xarray_spatial_spark.functions.corpus import crawl_to_corpus
+
+    long_text = " ".join(
+        ["the quick brown fox jumps over the lazy dogs and then runs far"]
+        * 7)  # 84 alpha words incl. stop words (passes the gopher gate)
+
+    def snap(tag, date, ids):
+        recs = [W.warcinfo_record()]
+        for i in ids:
+            body = f"<html><body>{tag} {long_text} page {i}</body></html>"
+            recs.append(W.response_record(
+                f"http://c.ex/{i}", body.encode(), date))
+        # one junk page per snapshot (too short -> gopher gate drops)
+        recs.append(W.response_record(
+            f"http://c.ex/junk{tag}", b"<html><body>tiny</body></html>",
+            date))
+        return b"".join(W.gzip_member(r) for r in recs)
+
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    (d / "snap1.warc.gz").write_bytes(
+        snap("v1", "2026-01-01T00:00:00Z", range(10)))
+    (d / "snap2.warc.gz").write_bytes(
+        snap("v2", "2026-02-01T00:00:00Z", range(5)))
+
+    out = crawl_to_corpus(W.read_warc(spark, str(d)), min_words=50)
+    rows = {r["url"]: r for r in out.collect()}
+    assert set(rows) == {f"http://c.ex/{i}" for i in range(10)}
+    for i in range(10):
+        want = "v2" if i < 5 else "v1"
+        assert rows[f"http://c.ex/{i}"]["text"].startswith(want)
+        assert rows[f"http://c.ex/{i}"]["warc_ts"].month == (
+            2 if i < 5 else 1)

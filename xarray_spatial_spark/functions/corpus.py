@@ -443,3 +443,44 @@ def stratified_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def crawl_to_corpus(
+    records: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100000,
+    lang: str | None = None,
+    redact: bool = True,
+    host_cap_k: int | None = None,
+) -> DataFrame:
+    """The whole crawl-to-training-corpus path in one call:
+    ``read_warc`` records (sources/warc.py) ->
+
+    1. project to the input_hint document shape (``warc_documents``:
+       response html -> extract_text, WET conversion text as-is,
+       langid);
+    2. keep the LATEST capture per url (``snapshot_dedup`` — the
+       recrawl rule, map-side-combining max_by);
+    3. quality gate -> exact text dedup -> [per-host cap] -> PII
+       redaction (``prepare_corpus``, production stage order).
+
+    Returns (url, warc_ts, html, text, lang) surviving rows.  Every
+    stage is a narrow map or a map-side-combined exchange on a short
+    key (url hash / host) — the html/text payload shuffles exactly
+    once (the snapshot max_by carries the winning row's struct)."""
+    from xarray_spatial_spark.functions.dedup import snapshot_dedup
+    from xarray_spatial_spark.sources.warc import warc_documents
+
+    docs = warc_documents(records)
+    docs = snapshot_dedup(docs, key_cols="url", ts_col="warc_ts")
+    return prepare_corpus(
+        docs,
+        text_col="text",
+        id_col="url",
+        min_words=min_words,
+        max_words=max_words,
+        lang=lang,
+        redact=redact,
+        url_col="url" if host_cap_k is not None else None,
+        host_cap_k=host_cap_k,
+    )
