@@ -496,3 +496,52 @@ def test_bloom_build_collect_bounded_by_words(spark):
     hits = df.select(dd.bloom_might_contain(spark, bm, F.col("v"), 3)
                      .alias("h"))
     assert hits.filter(~F.col("h")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# cluster resolution + dedup-key normalization
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_near_duplicates_min_id_and_scored(spark):
+    from xarray_spatial_spark.functions.dedup import resolve_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"text{i}", float(i % 4)) for i in range(8)],
+        "doc_id long, text string, q double")
+    # clusters {0,1,2} (chain 0-1, 1-2) and {5,6}; 3,4,7 untouched
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long")
+    kept = {r["doc_id"]
+            for r in resolve_near_duplicates(docs, pairs).collect()}
+    assert kept == {0, 3, 4, 5, 7}  # min id survives each cluster
+    # scored: highest q wins (q = id%4 -> 2 wins {0,1,2}; 6 wins {5,6})
+    kept_q = {r["doc_id"] for r in resolve_near_duplicates(
+        docs, pairs, score_col="q").collect()}
+    assert kept_q == {2, 3, 4, 6, 7}
+
+
+def test_resolve_scored_tie_breaks_to_smallest_id(spark):
+    from xarray_spatial_spark.functions.dedup import resolve_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, 1.0) for i in range(4)], "doc_id long, q double")
+    pairs = spark.createDataFrame([(2, 3), (0, 3)], "id_a long, id_b long")
+    kept = {r["doc_id"] for r in resolve_near_duplicates(
+        docs, pairs, score_col="q").collect()}
+    assert kept == {0, 1}
+
+
+def test_normalize_for_dedup(spark):
+    from xarray_spatial_spark.functions.text import normalize_for_dedup
+
+    rows = [
+        (0, "The Café opened in 1987!"),
+        (1, "the cafe opened in 2024?"),   # same key after norm
+        (2, "çà-et-là: Ñoño's RÉSUMÉ"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["k"] for r in df.select(
+        "doc_id", normalize_for_dedup(F.col("text")).alias("k")).collect()}
+    assert got[0] == got[1] == "the cafe opened in 0000"
+    assert got[2] == "ca et la nono s resume"

@@ -1202,3 +1202,35 @@ def winnow_candidates(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def resolve_near_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str | None = None,
+) -> DataFrame:
+    """The apply step after any pair generator: collapse each
+    transitive near-duplicate cluster (:func:`near_dup_groups`) to ONE
+    surviving document.  Default survivor = smallest id; with
+    ``score_col`` the highest-scoring member wins (ties -> smallest
+    id; ids must be numeric for the tie-break).  Docs in no pair pass
+    through untouched.
+
+    Scale: the groups table is CLUSTERED-DOCS-sized, not corpus-sized
+    — the final anti-join on id is the only corpus-scale exchange."""
+    groups = near_dup_groups(pairs, id_a=id_a, id_b=id_b)
+    if score_col is None:
+        losers = groups.filter(F.col("doc_id") != F.col("group_id"))
+    else:
+        scored = groups.join(
+            docs.select(F.col(id_col).alias("doc_id"), score_col), "doc_id")
+        winners = scored.groupBy("group_id").agg(
+            F.expr(f"max_by(doc_id, struct({score_col}, -doc_id))")
+            .alias("_win"))
+        losers = groups.join(winners, "group_id").filter(
+            F.col("doc_id") != F.col("_win"))
+    return docs.join(
+        losers.select(F.col("doc_id").alias(id_col)), id_col, "left_anti")

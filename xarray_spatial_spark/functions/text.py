@@ -557,3 +557,30 @@ def fingerprint_sql(text_expr: str) -> str:
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), {vals}), "
         f"(h, x) -> (h * 131 + x) % {FP_PRIME})"
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup-key normalization (CCNet/C4-style)
+# ---------------------------------------------------------------------------
+
+#: common Latin accented chars -> ASCII (documented subset; full
+#: Unicode NFD folding is a data table, not an algorithm — extend the
+#: pair below for more scripts)
+_ACCENT_SRC = "\u00e0\u00e1\u00e2\u00e3\u00e4\u00e5\u00e8\u00e9\u00ea\u00eb\u00ec\u00ed\u00ee\u00ef\u00f2\u00f3\u00f4\u00f5\u00f6\u00f9\u00fa\u00fb\u00fc\u00e7\u00f1\u00fd\u00ff"
+_ACCENT_DST = "aaaaaaeeeeiiiiooooouuuucnyy"
+
+
+def normalize_for_dedup(text: Column) -> Column:
+    """CCNet-style normalization for FUZZY dedup keys: lower-case,
+    fold common Latin accents, digits -> 0, punctuation -> space,
+    collapse whitespace.  Two near-identical crawls of a page (casing,
+    timestamps, counters, punctuation drift) normalize to the same
+    key; hash THIS column instead of raw text in exact_duplicates /
+    distinct_by_text for the standard fuzzy-exact middle ground.
+    Pure Catalyst — stays in the scan stage."""
+    t = F.lower(text)
+    t = F.translate(t, _ACCENT_SRC, _ACCENT_DST)
+    t = F.regexp_replace(t, "[0-9]", "0")
+    t = F.regexp_replace(t, "[^a-z0\\u00c0-\\u024f ]", " ")
+    t = F.regexp_replace(t, "\\s+", " ")
+    return F.trim(t)
