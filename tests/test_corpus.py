@@ -395,3 +395,39 @@ def test_stratified_sample_auto_salts_zipfian(spark):
         assert _sorted_rows(auto) == _sorted_rows(plain)
     finally:
         spark.conf.unset("spark.xrspatial.salt.skewFactor")
+
+
+def test_write_packed_shards_resume_and_budget(spark, tmp_path):
+    """Shards hold ~bins_per_shard*target_tokens tokens, the manifest
+    records per-shard lineage, and a re-run with the same params reads
+    instead of recomputing."""
+    import json
+
+    from xarray_spatial_spark.functions.corpus import write_packed_shards
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(10))) for i in range(400)],
+        "doc_id long, text string")  # 4000 tokens total
+    stage = str(tmp_path / "shards")
+    out = write_packed_shards(
+        spark, docs, stage, target_tokens=100, bins_per_shard=10)
+    # 4000 tokens / 100 = 40 bins -> 4 shards of ~1000 tokens
+    per_shard = {r["shard_id"]: r["n"] for r in out.groupBy("shard_id")
+                 .agg(F.sum("n_tokens").alias("n")).collect()}
+    assert set(per_shard) == {0, 1, 2, 3}
+    assert all(900 <= v <= 1100 for v in per_shard.values()), per_shard
+    m = json.loads((tmp_path / "shards" / "_manifest.json").read_text())
+    assert m["status"] == "complete" and m["metrics"]["rows"] == 400
+    assert len(m["lineage"]) == 4
+
+    # resume: same params -> same data, no recompute (manifest mtime fixed)
+    mtime = (tmp_path / "shards" / "_manifest.json").stat().st_mtime
+    again = write_packed_shards(
+        spark, docs, stage, target_tokens=100, bins_per_shard=10)
+    assert again.count() == 400
+    assert (tmp_path / "shards" / "_manifest.json").stat().st_mtime == mtime
+
+    # changed params -> fingerprint miss -> recompute with new layout
+    out2 = write_packed_shards(
+        spark, docs, stage, target_tokens=100, bins_per_shard=20)
+    assert out2.select("shard_id").distinct().count() == 2

@@ -104,3 +104,58 @@ def test_specific_agent_distributed(spark):
     kept = {r["url"] for r in robots_filter(pages, rules).collect()}
     # examplebot group replaces *: /private/ is fine, its own dir is not
     assert kept == {"https://h.com/private/x"}
+
+
+# ---------------------------------------------------------------------------
+# sitemaps
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_refs(spark):
+    from xarray_spatial_spark.functions.robots import sitemap_refs
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x\n"
+          "Sitemap: https://a.com/sitemap.xml\n"
+          "sitemap: https://a.com/news.xml\n"),
+         ("b.org", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string")
+    got = {(r["host"], r["sitemap_url"])
+           for r in sitemap_refs(robots).collect()}
+    assert got == {("a.com", "https://a.com/sitemap.xml"),
+                   ("a.com", "https://a.com/news.xml")}
+
+
+SITEMAP_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://a.com/p1</loc><lastmod>2026-01-05</lastmod>
+       <changefreq>daily</changefreq><priority>0.8</priority></url>
+  <url><loc> https://a.com/p2 </loc></url>
+  <url><priority>0.1</priority></url>
+</urlset>"""
+
+INDEX_XML = """<sitemapindex>
+  <sitemap><loc>https://a.com/s1.xml</loc></sitemap>
+  <sitemap><loc>https://a.com/s2.xml</loc><lastmod>2026-02-01</lastmod></sitemap>
+</sitemapindex>"""
+
+
+def test_sitemap_entries_and_index(spark):
+    from xarray_spatial_spark.functions.robots import sitemap_entries
+
+    df = spark.createDataFrame(
+        [("a.com", SITEMAP_XML), ("a.com", INDEX_XML)],
+        "host string, xml string")
+    got = sitemap_entries(df).collect()
+    urls = {(r["loc"], r["is_index"]) for r in got}
+    # entry with no <loc> dropped; whitespace trimmed
+    assert urls == {
+        ("https://a.com/p1", False), ("https://a.com/p2", False),
+        ("https://a.com/s1.xml", True), ("https://a.com/s2.xml", True)}
+    full = {r["loc"]: r for r in got}
+    assert full["https://a.com/p1"]["lastmod"] == "2026-01-05"
+    assert full["https://a.com/p1"]["changefreq"] == "daily"
+    assert abs(full["https://a.com/p1"]["priority"] - 0.8) < 1e-9
+    assert full["https://a.com/p2"]["lastmod"] is None
+    assert full["https://a.com/s2.xml"]["lastmod"] == "2026-02-01"
+    assert got[0].__fields__[:1] == ["host"]  # input columns preserved

@@ -484,3 +484,42 @@ def crawl_to_corpus(
         url_col="url" if host_cap_k is not None else None,
         host_cap_k=host_cap_k,
     )
+
+
+def write_packed_shards(
+    spark,
+    df: DataFrame,
+    stage_dir: str,
+    target_tokens: int,
+    bins_per_shard: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    len_col: str | None = None,
+) -> DataFrame:
+    """The trainer hand-off: pack the corpus into fixed-token bins
+    (:func:`pack_sequences` — distributed prefix sum, two small
+    shuffles) and write it as token-budgeted parquet SHARDS
+    (``shard_id = bin_id // bins_per_shard``, so every shard holds
+    ~``bins_per_shard * target_tokens`` tokens) through
+    ``plans.manifest.run_stage`` — per-shard lineage rows
+    (row_count + order-insensitive content hash) and fingerprint
+    resume: re-running with the same params reads the existing
+    shards instead of recomputing.  Returns the shard table."""
+    from xarray_spatial_spark.plans.manifest import run_stage
+
+    def _build() -> DataFrame:
+        packed = pack_sequences(
+            df, target_tokens=target_tokens, len_col=len_col,
+            text_col=text_col, id_col=id_col)
+        return packed.withColumn(
+            "shard_id",
+            (F.col("bin_id") / bins_per_shard).cast("long"))
+
+    return run_stage(
+        spark, stage_dir, _build, key="shard_id",
+        params={
+            "target_tokens": target_tokens,
+            "bins_per_shard": bins_per_shard,
+            "text_col": text_col,
+        },
+    )

@@ -149,3 +149,50 @@ def robots_filter(
         .filter(F.col("_allowed") == 1)
         .drop("_host", "_path", "_allowed")
     )
+
+
+# ---------------------------------------------------------------------------
+# sitemaps (sitemaps.org XML + the robots.txt Sitemap: directive)
+# ---------------------------------------------------------------------------
+
+
+def sitemap_refs(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_url) from ``Sitemap:`` directives — the
+    discovery half of the protocol.  Directives are global (outside
+    any user-agent group), so this is a pure per-line regex."""
+    urls = F.expr(
+        f"regexp_extract_all({body_col}, '(?im)^\\\\s*sitemap\\\\s*:\\\\s*(\\\\S+)', 1)"
+    )
+    return robots.select(
+        F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url"))
+
+
+def sitemap_entries(sitemaps: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Parse sitemaps.org XML bodies -> one row per ``<url>`` entry:
+    (loc, lastmod, changefreq, priority) plus every other input
+    column; ``<sitemapindex>`` children surface as rows with
+    is_index=true (their loc is a nested sitemap to fetch).  Catalyst
+    regexes over the (string or binary) xml column — scan-stage."""
+    page = F.coalesce(F.col(xml_col).cast("string"), F.lit(""))
+    blocks = F.expr(
+        "regexp_extract_all(" + xml_col + "_s, '(?is)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)"
+    )
+    is_index = page.rlike("(?is)<sitemapindex")
+
+    def field(b, tag):
+        return F.nullif(
+            F.trim(F.regexp_extract(b, f"(?is)<{tag}[^>]*>(.*?)</{tag}>", 1)),
+            F.lit(""))
+
+    exploded = sitemaps.withColumn(f"{xml_col}_s", page).withColumn(
+        "_is_index", is_index).select(
+        "*", F.explode(blocks).alias("_b")).drop(f"{xml_col}_s")
+    return exploded.select(
+        *[c for c in sitemaps.columns if c != xml_col],
+        field(F.col("_b"), "loc").alias("loc"),
+        field(F.col("_b"), "lastmod").alias("lastmod"),
+        field(F.col("_b"), "changefreq").alias("changefreq"),
+        field(F.col("_b"), "priority").cast("double").alias("priority"),
+        F.col("_is_index").alias("is_index"),
+    ).filter(F.col("loc").isNotNull())
