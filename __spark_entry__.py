@@ -491,7 +491,15 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     html column, so the query synthesizes the CC-style wrapper
     deterministically from text, round-trips it through the binary
     codec + tag-stripper, and emits the per-doc byte-equality verdict
-    plus extracted length — all pure Catalyst expressions."""
+    plus extracted length — all pure Catalyst expressions.
+
+    Tagged-union slot (hash breaks if EITHER variant drifts):
+    'strip' = the verbatim tag-stripper above; 'content' =
+    functions/html.py main_content over a boilerplate-wrapped page
+    (nav + article + footer) whose expected output is the
+    whitespace-collapsed text — nav/footer are short and
+    link-saturated, so the block gates must remove exactly them."""
+    from xarray_spatial_spark.functions.html import main_content
     from xarray_spatial_spark.sources.documents import extract_text
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -504,11 +512,29 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "UTF-8",
     )
     ext = extract_text(html)
-    return d.select(
+    strip = d.select(
+        F.lit("strip").alias("variant"),
         "doc_id",
         F.length(ext).cast("long").alias("n_extracted"),
         (ext == F.col("text")).alias("byte_identical"),
     )
+    page = F.concat(
+        F.lit('<html><head><title>t</title></head><body>'
+              '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+              "<p>"),
+        F.col("text"),
+        F.lit('</p><footer><a href="/tos">Terms</a></footer></body></html>'),
+    )
+    got = main_content(page)
+    expected = F.trim(F.regexp_replace(F.col("text"), "\\s+", " "))
+    expected = F.when(F.length(expected) >= 25, expected).otherwise(F.lit(""))
+    content = d.select(
+        F.lit("content").alias("variant"),
+        "doc_id",
+        F.length(got).cast("long").alias("n_extracted"),
+        (got == expected).alias("byte_identical"),
+    )
+    return strip.unionByName(content)
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,11 +1186,16 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-host quality cap (functions/corpus.py host_cap): keep the
-    top-3 docs per host by n_chars — the crawl-curation stage that
-    stops one domain dominating the corpus."""
+    """Tagged union of two host-budget stages (one oracle slot, hash
+    breaks if EITHER drifts): 'cap' = per-host quality cap
+    (functions/corpus.py host_cap, top-3 docs per host by n_chars);
+    'frontier' = crawl-frontier politeness schedule
+    (functions/frontier.py frontier_schedule, canonical URLs with
+    priority = n_chars, max_per_host=3, wave = one-fetch-per-host
+    round)."""
     from xarray_spatial_spark.functions import url as uf
     from xarray_spatial_spark.functions.corpus import host_cap
+    from xarray_spatial_spark.functions.frontier import frontier_schedule
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "n_chars"
@@ -1174,7 +1205,29 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = host_cap(sel, k=3, score_col="n_chars", id_col="doc_id",
                    host_col="host")
-    return out.select("doc_id", "host", "n_chars", "host_rank")
+    cap = out.select(
+        F.lit("cap").alias("variant"),
+        F.col("doc_id").cast("string").alias("key"),
+        "host",
+        F.col("n_chars").cast("double").alias("val"),
+        F.col("host_rank").cast("int").alias("rnk"),
+    )
+    links = df.select(
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".org/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("n_chars").cast("double").alias("pri"),
+    )
+    fr = frontier_schedule(links, priority_col="pri", max_per_host=3)
+    front = fr.select(
+        F.lit("frontier").alias("variant"),
+        F.col("url").alias("key"),
+        "host",
+        F.col("priority").alias("val"),
+        F.col("wave").alias("rnk"),
+    )
+    return cap.unionByName(front)
 
 
 def q_host_cap_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1250,6 +1303,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return tiles.orderBy(F.desc("n_docs"), "tile_x", "tile_y")
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html -> extract_anchors -> per-target anchor-text profile
+    (functions/url.py:anchor_text).  Pages carry two links chosen by
+    modular arithmetic (a cross-host one with a rotating label and a
+    same-host 'click here'), so inlink counts, distinct source hosts
+    and the top-anchor ranking are all deterministic.  Rows-only: the
+    extraction/resolution branches are pytest goldens
+    (tests/test_links.py) and the distinct-host HLL sketch has no SQL
+    twin; the host-window top-k semantics are oracle-backed in the
+    'host_cap' slot."""
+    from xarray_spatial_spark.functions.url import anchor_text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    t = (F.col("doc_id") % 13).cast("string")
+    lbl = (F.col("doc_id") % 5).cast("string")
+    loc = (F.col("doc_id") % 7).cast("string")
+    page = d.select(
+        F.concat(F.lit("https://s"), (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".com/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="https://t.org/d'), t,
+            F.lit('">guide '), lbl,
+            F.lit('</a> <a href="/local'), loc,
+            F.lit('">click here</a></body></html>'),
+        ).alias("html"),
+    )
+    out = anchor_text(page, k=2)
+    return (
+        out.orderBy(F.desc("n_inlinks"), "url")
+        .limit(50)
+        .select("url", "n_inlinks", "n_source_hosts",
+                F.array_join("top_anchors", "|").alias("anchors"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness run evaluates the first
     50 entries.  Every oracle-backed query (an ``oracle_sql()`` key)
@@ -1322,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "host_cap_salted": q_host_cap_salted,
         "link_graph": q_link_graph,
+        "anchor_text": q_anchor_text,
     }
 
 
@@ -1527,11 +1616,29 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY n_chars DESC, doc_id ASC)
                        AS host_rank
               FROM h
+            ),
+            fu AS (
+              SELECT 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.org/p' || CAST(doc_id AS VARCHAR) AS url,
+                     'site' || CAST(doc_id % 50 AS VARCHAR) || '.org'
+                       AS host,
+                     CAST(n_chars AS DOUBLE) AS pri
+              FROM documents
+            ),
+            fr AS (
+              SELECT url, host, pri,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY pri DESC, url ASC) AS rk
+              FROM fu
             )
-            SELECT CAST(doc_id AS BIGINT) AS doc_id, host,
-                   CAST(n_chars AS BIGINT) AS n_chars,
-                   CAST(host_rank AS INT) AS host_rank
+            SELECT 'cap' AS variant, CAST(doc_id AS VARCHAR) AS key,
+                   host, CAST(n_chars AS DOUBLE) AS val,
+                   CAST(host_rank AS INT) AS rnk
             FROM r WHERE host_rank <= 3
+            UNION ALL
+            SELECT 'frontier' AS variant, url AS key, host,
+                   pri AS val, CAST(rk - 1 AS INT) AS rnk
+            FROM fr WHERE rk <= 3
         """,
         "chunk_docs": """
             WITH t AS (
@@ -1578,13 +1685,26 @@ def oracle_sql() -> dict[str, str]:
                      '<html><head><meta charset="utf-8"/></head><body><p>'
                        || text || '</p></body></html>' AS html
               FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(regexp_replace(
+                              text, '\\s+', ' ', 'g'))) >= 25
+                          THEN trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                          ELSE '' END AS expected
+              FROM documents
             )
-            SELECT doc_id,
+            SELECT 'strip' AS variant, doc_id,
                    CAST(length(regexp_replace(html, '<[^>]*>', '', 'g'))
                         AS BIGINT) AS n_extracted,
                    regexp_replace(html, '<[^>]*>', '', 'g') = text
                      AS byte_identical
             FROM h
+            UNION ALL
+            SELECT 'content' AS variant, doc_id,
+                   CAST(length(expected) AS BIGINT) AS n_extracted,
+                   TRUE AS byte_identical
+            FROM c
         """,
         "multispectral": """
             WITH b AS (

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "components",
     "lm_score",
     "tfidf",
+    "anchor_text",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -68,6 +68,9 @@ def test_oracle_keys_subset_of_queries():
         # salted==plain equality is pytest-asserted; the entry exists
         # to benchmark the skewed-host path, not to re-prove results
         "host_cap_salted",
+        # distinct-host HLL sketch has no SQL twin; extraction branches
+        # are pytest goldens, host-window top-k oracle-backed (host_cap)
+        "anchor_text",
     }
 
 

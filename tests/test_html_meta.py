@@ -62,3 +62,80 @@ def test_binary_html_and_distributed(spark):
     df = spark.createDataFrame(rows, "i int, html binary")
     got = df.select("i", page_metadata(F.col("html"))["title"].alias("t"))
     assert got.filter(F.col("t") != F.concat(F.lit("t"), F.col("i"))).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# main-content extraction
+# ---------------------------------------------------------------------------
+
+
+def _content(spark, html, **kw):
+    from xarray_spatial_spark.functions.html import main_content
+
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(
+        main_content(F.col("html"), **kw).alias("c")).collect()[0]["c"]
+
+
+BOILERPLATE_PAGE = (
+    "<!doctype html><html><head><title>T</title>"
+    "<style>body { color: red; } /* a very long stylesheet with words "
+    "words words words words words words words words words */</style>"
+    "<script>var x = 'this script block is long enough to pass the "
+    "minimum length test if it were not removed entirely first';</script>"
+    "</head><body>"
+    '<nav><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact</a> <a href="/blog">Blog</a></nav>'
+    "<article><h1>Headline of a real article goes here</h1>"
+    "<p>This is the first real paragraph of the article, long enough "
+    'to clear the minimum and containing <a href="/ref">one link</a> '
+    "without tripping the link-density gate.</p>"
+    "<p>Second paragraph, also substantive and long enough to keep, "
+    "with &amp; entities &lt;escaped&gt; and   runs   of   spaces "
+    "collapsed.</p></article>"
+    '<footer><a href="/tos">Terms</a> | <a href="/priv">Privacy</a> | '
+    '<a href="/imprint">Imprint</a></footer>'
+    "<!-- a comment long enough that it would count as text too -->"
+    "</body></html>"
+)
+
+
+def test_main_content_drops_boilerplate(spark):
+    got = _content(spark, BOILERPLATE_PAGE)
+    paras = got.split("\n")
+    assert paras[0] == "Headline of a real article goes here"
+    assert paras[1].startswith("This is the first real paragraph")
+    assert "one link" in paras[1]  # inline link text preserved
+    assert paras[2].startswith("Second paragraph")
+    # entity decode + whitespace collapse
+    assert "& entities <escaped> and runs of spaces" in paras[2]
+    # nav / footer / script / style / comment all gone
+    for frag in ("Home", "Terms", "color: red", "var x", "a comment"):
+        assert frag not in got
+    assert len(paras) == 3
+
+
+def test_main_content_link_density_gate(spark):
+    # a long block that is ALL links is boilerplate even above min_chars
+    html = ("<p>" + " ".join(
+        f'<a href="/{i}">Related article number {i}</a>' for i in range(8))
+        + "</p><p>A plain paragraph with enough characters to stay "
+          "in the output.</p>")
+    got = _content(spark, html)
+    assert got == ("A plain paragraph with enough characters to stay "
+                   "in the output.")
+    # raising the tolerance keeps the link list too
+    got2 = _content(spark, html, max_link_density=1.0)
+    assert got2.startswith("Related article number 0")
+
+
+def test_main_content_null_binary_empty(spark):
+    from xarray_spatial_spark.functions.html import main_content
+
+    df = spark.createDataFrame(
+        [(None,), (b"<p>binary html paragraph long enough to keep here</p>",)],
+        "html binary")
+    got = [r["c"] for r in df.select(
+        main_content(F.col("html")).alias("c")).collect()]
+    assert got[0] == ""
+    assert got[1] == "binary html paragraph long enough to keep here"

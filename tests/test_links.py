@@ -108,3 +108,69 @@ def test_binary_html_column(spark):
         extract_links(F.col("html"), F.col("url")).alias("l")
     ).collect()[0]["l"]
     assert got == ["https://b.com/y"]
+
+
+# ---------------------------------------------------------------------------
+# anchor text
+# ---------------------------------------------------------------------------
+
+
+def test_extract_anchors(spark):
+    from xarray_spatial_spark.functions.url import extract_anchors
+
+    html = (
+        '<a href="https://other.org/x">Plain  text</a>'
+        '<a href="/root">has <b>inline</b>\nmarkup</a>'
+        '<a href="img.png"><img src="i.png"></a>'
+        '<a href="javascript:void(0)">dropped</a>'
+    )
+    df = spark.createDataFrame(
+        [("https://ex.com/a/b/page.html", html)], "url string, html string")
+    got = df.select(extract_anchors(
+        F.col("html"), F.col("url")).alias("a")).collect()[0]["a"]
+    assert [(r["url"], r["anchor"]) for r in got] == [
+        ("https://other.org/x", "Plain text"),
+        ("https://ex.com/root", "has inline markup"),
+        ("https://ex.com/a/b/img.png", ""),
+    ]
+
+
+def test_anchor_text_aggregation(spark):
+    from xarray_spatial_spark.functions.url import anchor_text
+
+    def page(host, n, links):
+        body = "".join(f'<a href="{u}">{t}</a>' for u, t in links)
+        return (f"https://{host}/p{n}", body)
+
+    rows = [
+        page("a.com", 1, [("https://t.org/doc", "Good Guide"),
+                          ("https://t.org/doc", "Good Guide"),
+                          ("https://other.net/x", "misc")]),
+        page("b.com", 1, [("https://t.org/doc/", "Good Guide")]),
+        page("c.com", 1, [("https://t.org/doc", "click here")]),
+        page("a.com", 2, [("https://t.org/doc", "click here")]),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {r["url"]: r for r in anchor_text(df, k=1).collect()}
+    doc = out["https://t.org/doc"]  # trailing slash collapsed in
+    assert doc["n_inlinks"] == 5
+    assert doc["n_source_hosts"] == 3  # a.com, b.com, c.com
+    assert doc["top_anchors"] == ["Good Guide"]  # 3 > 2 'click here'
+    misc = out["https://other.net/x"]
+    assert misc["n_inlinks"] == 1 and misc["top_anchors"] == ["misc"]
+
+
+def test_anchor_text_tie_and_empty(spark):
+    from xarray_spatial_spark.functions.url import anchor_text
+
+    df = spark.createDataFrame(
+        [("https://s.com/1",
+          '<a href="https://t.org/a">zeta</a><a href="https://t.org/a">alpha</a>'
+          '<a href="https://t.org/b"><img src="x"></a>')],
+        "url string, html string")
+    out = {r["url"]: r for r in anchor_text(df, k=2).collect()}
+    # equal counts -> lexical order
+    assert out["https://t.org/a"]["top_anchors"] == ["alpha", "zeta"]
+    # empty anchors never surface in top_anchors but count as inlinks
+    b = out["https://t.org/b"]
+    assert b["n_inlinks"] == 1 and b["top_anchors"] == []

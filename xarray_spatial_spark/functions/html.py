@@ -94,3 +94,83 @@ def page_metadata(html: Column) -> Column:
         declared_charset(html).alias("charset"),
         robots_meta(html).alias("robots"),
     )
+
+
+# ---------------------------------------------------------------------------
+# main-content extraction (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+# Subtrees that are never content: dropped wholesale before block
+# segmentation so a 200 kB inline script can't masquerade as a long
+# text block.
+_NONCONTENT_RE = (
+    "(?is)<(script|style|noscript|template|svg|head)\\b[^>]*>.*?</\\1\\s*>"
+)
+_COMMENT_RE = "(?s)<!--.*?-->"
+# Block-level boundaries: the page splits into candidate text blocks
+# at these tags (open or close).  Inline markup (<a>, <b>, <span>, …)
+# stays inside a block so per-block link density can be measured.
+_BLOCK_TAG_RE = (
+    "(?i)</?(?:p|div|main|article|section|header|footer|nav|aside|"
+    "ul|ol|li|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|h[1-6]|"
+    "blockquote|pre|figure|figcaption|form|fieldset|details|summary|"
+    "br|hr)\\b[^>]*>"
+)
+_ANCHOR_TEXT_RE = "(?is)<a\\b[^>]*>(.*?)</a>"
+_INLINE_TAG_RE = "<[^>]*>"
+
+
+def _unescape_entities(c: Column) -> Column:
+    """The five named entities + nbsp that dominate real markup.
+    ``&amp;`` must decode LAST or ``&amp;lt;`` would double-decode."""
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _block_text(b: Column) -> Column:
+    t = F.regexp_replace(b, _INLINE_TAG_RE, " ")
+    return _unescape_entities(F.trim(F.regexp_replace(t, "\\s+", " ")))
+
+
+def _block_link_chars(b: Column) -> Column:
+    """Character count of text living inside <a>…</a> within the
+    block — the numerator of jusText/boilerpipe link density."""
+    anchors = F.regexp_extract_all(b, F.lit(_ANCHOR_TEXT_RE), F.lit(1))
+    stripped = F.transform(
+        anchors,
+        lambda a: F.trim(F.regexp_replace(
+            F.regexp_replace(a, _INLINE_TAG_RE, " "), "\\s+", " ")))
+    return F.length(F.array_join(stripped, " "))
+
+
+def main_content(html: Column, min_chars: int = 25,
+                 max_link_density: float = 0.5) -> Column:
+    """Boilerplate-stripped body text: the jusText/boilerpipe idea
+    (block segmentation + per-block link density; Kohlschütter et al.
+    WSDM'10, Pomikálek 2011) as pure Catalyst — split on block-level
+    tags, keep blocks with >= ``min_chars`` of text whose
+    link-text share is <= ``max_link_density``, join with newlines.
+
+    Nav bars, footers, menus and related-link lists are short and
+    link-saturated on both axes, so the two thresholds remove them
+    without a DOM; scan-stage codegen at any scale (the split array's
+    elements are small block strings — per-element regexes never
+    re-copy the page).  This is a lossy CONTENT heuristic, distinct
+    from ``sources.documents.extract_text`` which strips tags
+    verbatim for byte-identity."""
+    page = _page(html)
+    page = F.regexp_replace(page, _COMMENT_RE, " ")
+    page = F.regexp_replace(page, _NONCONTENT_RE, " ")
+    blocks = F.split(page, _BLOCK_TAG_RE)
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(_block_text(b).alias("t"),
+                           _block_link_chars(b).alias("l")))
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["t"]) >= F.lit(min_chars))
+        & (s["l"].cast("double")
+           <= F.lit(float(max_link_density)) * F.length(s["t"])))
+    return F.array_join(F.transform(kept, lambda s: s["t"]), "\n")

@@ -221,3 +221,109 @@ def link_edges(
             F.col("_src").alias("src"), F.col("_dst").alias("dst"))
     edges = edges.filter(F.col("src") != F.col("dst"))
     return edges.distinct() if distinct else edges
+
+
+# ---------------------------------------------------------------------------
+# anchor text
+# ---------------------------------------------------------------------------
+
+# Same scope as _HREF_RE but capturing the element body too, so the
+# anchor TEXT rides along with the target.  Nested inline markup
+# inside the body is stripped after capture.
+_ANCHOR_RE = ("(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'#][^\"']*)[\"']"
+              "[^>]*>(.*?)</a>")
+
+
+def extract_anchors(html: Column, base_url: Column) -> Column:
+    """array<struct<url,anchor>>: each link of the page with its
+    visible anchor text (inline tags stripped, whitespace collapsed).
+    Targets resolve exactly like :func:`extract_links`; links whose
+    body renders empty (image links) keep ``anchor=''``.  Two
+    ``regexp_extract_all`` passes over the SAME pattern (group 1 then
+    group 2) stay index-aligned by construction, so ``arrays_zip``
+    re-pairs them without a shuffle."""
+    page = F.when(
+        html.cast("string").isNotNull(), html.cast("string")
+    ).otherwise(F.lit(""))
+    hrefs = F.regexp_extract_all(page, F.lit(_ANCHOR_RE), F.lit(1))
+    bodies = F.regexp_extract_all(page, F.lit(_ANCHOR_RE), F.lit(2))
+    texts = F.transform(
+        bodies,
+        lambda b: F.trim(F.regexp_replace(
+            F.regexp_replace(b, "<[^>]*>", " "), "\\s+", " ")))
+    scheme = F.lower(
+        F.regexp_extract(base_url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = url_host(base_url)
+    path = url_path(base_url)
+    base_dir = F.when(
+        path.rlike("/"), F.regexp_replace(path, "/[^/]*$", "")
+    ).otherwise(F.lit(""))
+    zipped = F.zip_with(
+        hrefs, texts,
+        lambda h, t: F.struct(
+            _resolve_link(h, scheme, host, base_dir).alias("url"),
+            t.alias("anchor")))
+    return F.filter(
+        zipped, lambda s: s["url"].isNotNull() & (s["url"] != ""))
+
+
+def anchor_text(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    k: int = 3,
+    normalize: bool = True,
+) -> DataFrame:
+    """Incoming anchor-text profile per target URL — the classic
+    web-search/page-quality signal (anchors describe the TARGET
+    better than its own body; Brin & Page 1998 §2.2).  Returns
+    (url, n_inlinks, n_source_hosts, top_anchors) where top_anchors
+    is the k most frequent non-empty anchor strings, ties broken
+    lexically for determinism.
+
+    Scale shape: explode -> one groupBy (url, anchor) with map-side
+    combine carrying a distinct-host sketch, then a per-url window
+    over the DISTINCT anchor strings (bounded per url), never over
+    raw inlinks — a megapage with 10^9 identical "click here" inlinks
+    costs one combiner cell, not a window partition."""
+    from pyspark.sql import Window
+
+    src = F.col(url_col)
+    pairs = df.select(
+        url_host(src).alias("_shost"),
+        F.explode(extract_anchors(F.col(html_col), src)).alias("_a"),
+    ).select(
+        "_shost",
+        (url_normalize(F.col("_a.url")) if normalize
+         else F.col("_a.url")).alias("_url"),
+        F.col("_a.anchor").alias("_anchor"),
+    )
+    # distinct source hosts must merge ACROSS anchors of a url, so the
+    # per-anchor combine carries a mergeable HLL sketch, not a count
+    per_anchor = pairs.groupBy("_url", "_anchor").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.hll_sketch_agg("_shost").alias("_hs"),
+    )
+    w = Window.partitionBy("_url").orderBy(
+        F.col("_n").desc(), F.col("_anchor").asc())
+    ranked = per_anchor.withColumn(
+        "_r",
+        F.row_number().over(w) if k else F.lit(1))
+    return (
+        ranked.groupBy("_url")
+        .agg(
+            F.sum("_n").alias("n_inlinks"),
+            F.hll_sketch_estimate(F.hll_union_agg("_hs"))
+            .alias("n_source_hosts"),
+            F.array_sort(F.collect_list(F.when(
+                (F.col("_r") <= k) & (F.col("_anchor") != ""),
+                F.struct("_r", "_anchor")))).alias("_top"),
+        )
+        .select(
+            F.col("_url").alias("url"),
+            "n_inlinks",
+            "n_source_hosts",
+            F.transform(F.col("_top"), lambda s: s["_anchor"])
+            .alias("top_anchors"),
+        )
+    )
