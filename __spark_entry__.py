@@ -1338,6 +1338,29 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer end to end (functions/bpe.py): ONE distributed
+    word-histogram pass -> driver-side merge training (deterministic:
+    ties break on the lexically smallest pair) -> vectorized apply.
+    Emits per-doc BPE token counts plus the first tokens.  Rows-only:
+    the sequential merge loop has no SQL twin; training is pinned
+    against an independent from-scratch reference trainer in
+    tests/test_bpe.py and the round-trip invariant
+    (detokenize(encode(text)) == normalized text) is pytest-asserted."""
+    from xarray_spatial_spark.functions import bpe
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    merges = bpe.train_bpe(
+        bpe.word_histogram(d, max_words=20_000), n_merges=200)
+    enc = bpe.bpe_encode(d, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.array_join(F.slice("bpe_tokens", 1, 5), "|").alias("head_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness run evaluates the first
     50 entries.  Every oracle-backed query (an ``oracle_sql()`` key)
@@ -1411,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap_salted": q_host_cap_salted,
         "link_graph": q_link_graph,
         "anchor_text": q_anchor_text,
+        "bpe": q_bpe,
     }
 
 

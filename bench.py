@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "lm_score",
     "tfidf",
     "anchor_text",
+    "bpe",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

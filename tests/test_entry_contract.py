@@ -71,6 +71,9 @@ def test_oracle_keys_subset_of_queries():
         # distinct-host HLL sketch has no SQL twin; extraction branches
         # are pytest goldens, host-window top-k oracle-backed (host_cap)
         "anchor_text",
+        # sequential merge training has no SQL twin; pinned against an
+        # independent reference trainer + round-trip invariant in pytest
+        "bpe",
     }
 
 

@@ -139,3 +139,65 @@ def test_main_content_null_binary_empty(spark):
         main_content(F.col("html")).alias("c")).collect()]
     assert got[0] == ""
     assert got[1] == "binary html paragraph long enough to keep here"
+
+
+# ---------------------------------------------------------------------------
+# charset detection + transcoding
+# ---------------------------------------------------------------------------
+
+
+def _decode_rows(spark, rows):
+    from xarray_spatial_spark.functions.html import decode_html, sniff_charset
+
+    df = spark.createDataFrame([(r,) for r in rows], "html binary")
+    return df.select(
+        sniff_charset(F.col("html")).alias("cs"),
+        decode_html(F.col("html")).alias("t"),
+    ).collect()
+
+
+def test_charset_bom_beats_declaration(spark):
+    # BOM says UTF-16LE even though the meta says utf-8
+    body = '<meta charset="utf-8"><p>héllo</p>'
+    got = _decode_rows(spark, [b"\xff\xfe" + body.encode("utf-16-le")])[0]
+    assert got["cs"] == "utf-16-le"
+    assert "héllo" in got["t"]
+
+
+def test_charset_declared_cp1252_and_gbk(spark):
+    cp = '<html><meta charset="iso-8859-1"><p>café naïve</p>'.encode(
+        "windows-1252")
+    gb = '<meta charset="gb2312"><p>中文页</p>'.encode("gbk")
+    got = _decode_rows(spark, [cp, gb])
+    assert got[0]["cs"] == "windows-1252"   # latin1 sniffs as cp1252
+    assert "café naïve" in got[0]["t"]
+    assert got[1]["cs"] == "gbk"
+    assert "中文页" in got[1]["t"]
+
+
+def test_charset_fallbacks(spark):
+    # no declaration, invalid utf-8 bytes -> replacement char, not a throw
+    bad = b"<p>caf\xe9</p>"
+    # bogus label python has no codec for -> utf-8 retry path
+    bogus = '<meta charset="x-wrong-9">ok</meta>'.encode()
+    utf8bom = b"\xef\xbb\xbf<p>plain</p>"
+    got = _decode_rows(spark, [bad, bogus, utf8bom, None])
+    assert got[0]["cs"] == "utf-8" and "caf�" in got[0]["t"]
+    assert "ok" in got[1]["t"]
+    assert got[2]["cs"] == "utf-8" and got[2]["t"].startswith("<p>plain")
+    assert got[3]["cs"] is None and got[3]["t"] is None
+
+
+def test_charset_decode_distributed_pipeline(spark):
+    """decode_html output feeds main_content: a cp1252 page end to end."""
+    from xarray_spatial_spark.functions.html import decode_html, main_content
+
+    page = ('<meta charset="latin1"><body>'
+            "<p>Ein längerer Absatz über die Straße, der lang genug ist "
+            "um zu bleiben.</p></body>").encode("windows-1252")
+    df = spark.createDataFrame([(i, page) for i in range(64)],
+                               "doc_id long, html binary").repartition(8)
+    out = df.select(main_content(decode_html(F.col("html"))).alias("c"))
+    vals = {r["c"] for r in out.collect()}
+    assert vals == {"Ein längerer Absatz über die Straße, der lang genug "
+                    "ist um zu bleiben."}

@@ -174,3 +174,97 @@ def main_content(html: Column, min_chars: int = 25,
         & (s["l"].cast("double")
            <= F.lit(float(max_link_density)) * F.length(s["t"])))
     return F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
+
+
+# ---------------------------------------------------------------------------
+# charset detection + transcoding (html bytes -> unicode text)
+# ---------------------------------------------------------------------------
+
+# Real crawls are NOT all UTF-8 (historically ~10-30% of pages declare
+# cp1252/gbk/shift_jis/koi8/...).  Detection is pure Catalyst: BOM
+# bytes, else the declared <meta> charset read from an ISO-8859-1 peek
+# (every byte sequence is valid ISO-8859-1, so the peek never throws —
+# Spark 4 decode RAISES on malformed input and has no try_ variant).
+# The transcode itself is a vectorized Arrow UDF: Spark's decode()
+# supports 7 charsets and hard-fails on bad bytes, while Python codecs
+# cover the real-web set with errors='replace' — per-payload work, the
+# same dispatch argument as operators/multimodal.py's codecs.
+
+# detected label -> what a browser actually uses (WHATWG encoding
+# spec: latin1 family sniffs as windows-1252 because pages lie)
+_CHARSET_ALIASES = {
+    "iso-8859-1": "windows-1252", "latin1": "windows-1252",
+    "latin-1": "windows-1252", "cp1252": "windows-1252",
+    "us-ascii": "utf-8", "ascii": "utf-8",
+    "utf8": "utf-8", "unicode": "utf-16",
+    "gb2312": "gbk", "gb_2312": "gbk",
+    "shift-jis": "shift_jis", "sjis": "shift_jis",
+    "euckr": "euc-kr", "eucjp": "euc-jp",
+}
+
+
+def sniff_charset(html: Column) -> Column:
+    """Best-effort charset of an html BINARY column: BOM first (it
+    outranks any declaration), then the page's declared <meta>
+    charset normalized through the browser alias table, else
+    'utf-8'.  Pure Catalyst — the declaration is regexed out of an
+    ISO-8859-1 peek, which cannot throw on any byte sequence."""
+    hx = F.lower(F.hex(F.substring(html, 1, 4)))
+    peek = F.decode(F.substring(html, 1, 4096), "ISO-8859-1")
+    declared = F.lower(F.regexp_extract(
+        peek, f"(?is)<meta\\s[^>]*charset\\s*=\\s*{_Q}?([a-zA-Z0-9_-]+)", 1))
+    # ONE map lookup, not a when-chain: chained otherwise(aliased)
+    # references the prior tree twice per alias and the doubled
+    # expression blows codegen's 64 KB method limit
+    alias_map = F.create_map(
+        *[F.lit(x) for kv in _CHARSET_ALIASES.items() for x in kv])
+    aliased = F.coalesce(F.element_at(alias_map, declared), declared)
+    return (
+        F.when(html.isNull(), F.lit(None).cast("string"))
+        .when(hx.startswith("efbbbf"), F.lit("utf-8"))
+        .when(hx.startswith("fffe"), F.lit("utf-16-le"))
+        .when(hx.startswith("feff"), F.lit("utf-16-be"))
+        .when(aliased != "", aliased)
+        .otherwise(F.lit("utf-8"))
+    )
+
+
+def decode_html(html: Column, charset: Column | None = None) -> Column:
+    """html binary -> unicode string, honoring the page's charset.
+
+    ``charset`` defaults to :func:`sniff_charset`.  Decode runs in a
+    vectorized Arrow batch (see module comment for why not Spark's
+    decode): BOMs are stripped, bad bytes become U+FFFD
+    (errors='replace' — a crawl pipeline never throws on one mojibake
+    page), unknown labels fall back to UTF-8-else-windows-1252, the
+    WHATWG sniffing order."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if charset is None:
+        charset = sniff_charset(html)
+
+    # no type hints: PEP 563 stringizes them module-wide and pyspark's
+    # hint inference then rejects the signature
+    @pandas_udf("string")
+    def _dec(blobs, charsets):
+        out = []
+        for b, cs in zip(blobs, charsets):
+            if b is None:
+                out.append(None)
+                continue
+            b = bytes(b)
+            if b[:3] == b"\xef\xbb\xbf":
+                b = b[3:]
+            elif b[:2] in (b"\xff\xfe", b"\xfe\xff"):
+                b = b[2:]
+            try:
+                out.append(b.decode(cs or "utf-8", "replace"))
+            except LookupError:  # label Python has no codec for
+                try:
+                    out.append(b.decode("utf-8", "strict"))
+                except UnicodeDecodeError:
+                    out.append(b.decode("windows-1252", "replace"))
+        return pd.Series(out)
+
+    return _dec(html, charset)
