@@ -1361,6 +1361,37 @@ def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality classifier end to end
+    (functions/quality_model.py): featurize-once -> per-iteration
+    gradient aggregation jobs -> pure-Catalyst sigmoid scoring.
+    Labels are synthesized deterministically (docs whose text carries
+    a '#' marker pattern vs not), so training separates and the score
+    direction is stable.  Rows-only: the GD loop has no SQL twin;
+    step-for-step equality vs a numpy reference and the
+    no-UDF/no-exchange scoring plan are pytest-asserted
+    (tests/test_quality_model.py)."""
+    from xarray_spatial_spark.functions.quality_model import (
+        quality_model_score, train_quality_model)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    # deterministic labels from an id pattern, text perturbed to match
+    labeled = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("# spam ### "), F.col("text"),
+                        F.lit(" ### buy # now #")))
+        .otherwise(F.col("text")).alias("text"),
+        (F.col("doc_id") % 3 != 0).cast("double").alias("y"),
+    )
+    m = train_quality_model(labeled, "y", iters=25, lr=1.0)
+    return labeled.select(
+        "doc_id", "y",
+        F.round(quality_model_score(m), 3).alias("p"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness run evaluates the first
     50 entries.  Every oracle-backed query (an ``oracle_sql()`` key)
@@ -1435,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "anchor_text": q_anchor_text,
         "bpe": q_bpe,
+        "quality_clf": q_quality_clf,
     }
 
 

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "tfidf",
     "anchor_text",
     "bpe",
+    "quality_clf",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

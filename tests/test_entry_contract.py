@@ -74,6 +74,9 @@ def test_oracle_keys_subset_of_queries():
         # sequential merge training has no SQL twin; pinned against an
         # independent reference trainer + round-trip invariant in pytest
         "bpe",
+        # GD training loop has no SQL twin; numpy step-equality and the
+        # no-UDF/no-exchange scoring plan are pytest-asserted
+        "quality_clf",
     }
 
 
