@@ -1,6 +1,8 @@
 """robots.txt (RFC 9309): group selection, longest-match, wildcards,
 distributed filtering."""
 
+from pyspark.sql import functions as F
+
 from xarray_spatial_spark.functions.robots import (
     _pattern_regex,
     parse_robots_body,
@@ -159,3 +161,44 @@ def test_sitemap_entries_and_index(spark):
     assert full["https://a.com/p2"]["lastmod"] is None
     assert full["https://a.com/s2.xml"]["lastmod"] == "2026-02-01"
     assert got[0].__fields__[:1] == ["host"]  # input columns preserved
+
+
+def test_allowed_fold_matches_batch_filter(spark):
+    """The streaming-safe per-host array fold (robots_allowed) gives
+    the SAME verdict as batch robots_filter's max_by aggregation on a
+    rule set exercising wildcards, $, allow/disallow ties and
+    ruleless hosts."""
+    from xarray_spatial_spark.functions.robots import (
+        robots_allowed, robots_filter, robots_rules,
+        robots_rules_per_host)
+    from xarray_spatial_spark.functions.url import url_host
+
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\n"
+                   "Disallow: /private/\n"
+                   "Allow: /private/ok\n"
+                   "Disallow: /*.pdf$\n"
+                   "Allow: /a\n"
+                   "Disallow: /a\n")],  # tie -> allow wins
+        "host string, robots_txt string")
+    rules = robots_rules(robots)
+    urls = [f"https://h.com{p}" for p in (
+        "/", "/private/x", "/private/ok/y", "/doc.pdf", "/doc.pdfx",
+        "/a", "/a/b", "/b")] + ["https://norules.org/x"]
+    pages = spark.createDataFrame([(u,) for u in urls], "url string")
+
+    batch_kept = {r["url"] for r in robots_filter(pages, rules).collect()}
+
+    per_host = robots_rules_per_host(rules)
+    path = F.regexp_extract(
+        F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    j = (pages.withColumn("_h", url_host(F.col("url")))
+         .join(per_host, F.col("_h") == per_host["host"], "left"))
+    fold_kept = {r["url"] for r in j.filter(
+        robots_allowed(path, F.col("rules")) == 1).collect()}
+
+    assert fold_kept == batch_kept
+    assert "https://h.com/private/ok/y" in fold_kept
+    assert "https://h.com/private/x" not in fold_kept
+    assert "https://norules.org/x" in fold_kept

@@ -196,3 +196,40 @@ def sitemap_entries(sitemaps: DataFrame, xml_col: str = "xml") -> DataFrame:
         field(F.col("_b"), "priority").cast("double").alias("priority"),
         F.col("_is_index").alias("is_index"),
     ).filter(F.col("loc").isNotNull())
+
+
+def robots_rules_per_host(rules: DataFrame) -> DataFrame:
+    """(host, rules: array<struct rule,pattern_len,pattern_re>) — the
+    broadcastable per-host form for STREAMING gates.  The batch
+    :func:`robots_filter` computes verdicts on the distinct (host,
+    path) key set, which is a streaming aggregation and cannot run in
+    append mode; folding a host's rules into one array turns the gate
+    into a stateless broadcast join + per-row array fold."""
+    return rules.groupBy("host").agg(
+        F.collect_list(
+            F.struct("rule", "pattern_len", "pattern_re")).alias("rules"))
+
+
+def robots_allowed(path: Column, rules_col: Column) -> Column:
+    """1/0 verdict of one path against one host's collected rules —
+    RFC 9309 longest-match-wins, allow-on-tie, no-rules-pass; the
+    same priority encoding as robots_filter (pattern_len*2 + allow
+    bit) evaluated as an array fold instead of a max_by aggregate."""
+    def prio(r):
+        return (r["pattern_len"] * 2
+                + (r["rule"] == "allow").cast("int"))
+
+    def verdict(r):
+        return F.when(r["rule"] == "disallow", F.lit(0)).otherwise(F.lit(1))
+
+    matched = F.filter(
+        rules_col, lambda r: F.regexp_like(path, r["pattern_re"]))
+    best = F.aggregate(
+        matched,
+        F.struct(F.lit(-1).alias("prio"), F.lit(1).alias("verdict")),
+        lambda acc, r: F.when(
+            prio(r) > acc["prio"],
+            F.struct(prio(r).alias("prio"), verdict(r).alias("verdict")),
+        ).otherwise(acc),
+    )
+    return F.when(rules_col.isNull(), F.lit(1)).otherwise(best["verdict"])
