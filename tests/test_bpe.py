@@ -131,3 +131,29 @@ def test_distributed_apply_consistent(spark):
     got = bpe_encode(df, merges).select(
         F.array_join("bpe_tokens", " ").alias("s")).distinct().collect()
     assert len(got) == 1
+
+
+def test_vocab_and_ids(spark):
+    from xarray_spatial_spark.functions.bpe import (bpe_encode_ids,
+                                                    build_vocab)
+
+    df = spark.createDataFrame([(CORPUS,)], "text string")
+    hist = word_histogram(df)
+    merges = train_bpe(hist, n_merges=15)
+    vocab = build_vocab(hist, merges)
+    # layout: 4 specials, sorted alphabet, EOW, merges in order
+    assert vocab["<unk>"] == 0 and vocab["<pad>"] == 1
+    alphabet = sorted(set("".join(CORPUS.split())))
+    assert [k for k, v in sorted(vocab.items(), key=lambda kv: kv[1])][
+        4:4 + len(alphabet)] == alphabet
+    assert len(vocab) == 4 + len(alphabet) + 1 + len(merges)
+    # ids invert back to the segmentation; unseen char -> <unk>
+    enc = bpe_encode_ids(
+        spark.createDataFrame([(0, "low newest"), (1, "lowZ")],
+                              "doc_id long, text string"),
+        merges, vocab)
+    inv = {v: k for k, v in vocab.items()}
+    rows = {r["doc_id"]: r["token_ids"] for r in enc.collect()}
+    toks = [inv[i] for i in rows[0]]
+    assert "".join(toks).replace(EOW, " ").strip() == "low newest"
+    assert 0 in rows[1]  # 'Z' never seen in training

@@ -226,3 +226,73 @@ def detokenize(tokens: Column) -> Column:
     back into spaces (the round-trip invariant under test)."""
     return F.trim(F.replace(F.array_join(tokens, ""), F.lit(EOW),
                             F.lit(" ")))
+
+
+def build_vocab(
+    histogram: DataFrame,
+    merges: list[tuple[str, str]],
+    specials: tuple[str, ...] = ("<unk>", "<pad>", "<bos>", "<eos>"),
+) -> dict[str, int]:
+    """token -> id table, GPT-convention layout: specials, then the
+    base alphabet (every char seen in the training histogram + the
+    end-of-word marker, sorted for determinism), then one entry per
+    merge in merge order — so vocab size = |specials| + |alphabet| +
+    n_merges and ids are stable across runs.  The alphabet comes off
+    the histogram with one distinct-chars aggregation (scan-stage
+    explode of 1-char substrings, tiny result)."""
+    chars = sorted(
+        r["c"] for r in histogram.select(
+            F.explode(F.split(F.col("word"), "")).alias("c"))
+        .filter(F.col("c") != "").distinct().collect())
+    vocab: dict[str, int] = {}
+    for s in specials:
+        vocab[s] = len(vocab)
+    for c in chars:
+        vocab.setdefault(c, len(vocab))
+    vocab.setdefault(EOW, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    lowercase: bool = False,
+    unk: str = "<unk>",
+) -> DataFrame:
+    """Attach array<int> token ids — segmentation and id lookup fused
+    in one vectorized UDF (same per-batch word cache), so the string
+    tokens never materialize in the plan.  Symbols outside the vocab
+    (a char unseen in training) map to ``unk``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    unk_id = vocab[unk]
+
+    @pandas_udf("array<int>")
+    def _ids(texts):
+        cache: dict[str, list[int]] = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            if lowercase:
+                t = t.lower()
+            ids: list[int] = []
+            for w in t.split():
+                hit = cache.get(w)
+                if hit is None:
+                    hit = [vocab.get(s, unk_id)
+                           for s in segment_word(w, ranks)]
+                    cache[w] = hit
+                ids.extend(hit)
+            out.append(ids)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _ids(F.col(text_col)))
