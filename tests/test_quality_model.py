@@ -24,13 +24,18 @@ def _toy(spark, n=400):
 def test_matches_numpy_reference(spark):
     df = _toy(spark)
     feats = {"fa": F.col("fa"), "fc": F.col("fc")}
-    m = train_quality_model(df, "y", features=feats, iters=40, lr=0.3)
     pdf = df.toPandas()
-    X = pdf[["fa", "fc"]].to_numpy()
-    Xs = (X - np.array(m["mean"])) / np.array(m["std"])
-    w, b = reference_fit(Xs, pdf["y"].to_numpy(), iters=40, lr=0.3)
-    assert np.allclose(m["w"], w, atol=1e-9)
-    assert abs(m["b"] - b) < 1e-9
+    # BOTH dispatch paths: the driver-collect path (default cap) and
+    # the distributed per-iteration-aggregation path (cap=0) must
+    # match the numpy reference step for step
+    for cap in (500_000, 0):
+        m = train_quality_model(df, "y", features=feats, iters=40,
+                                lr=0.3, driver_cap=cap)
+        X = pdf[["fa", "fc"]].to_numpy()
+        Xs = (X - np.array(m["mean"])) / np.array(m["std"])
+        w, b = reference_fit(Xs, pdf["y"].to_numpy(), iters=40, lr=0.3)
+        assert np.allclose(m["w"], w, atol=1e-9), cap
+        assert abs(m["b"] - b) < 1e-9, cap
 
 
 def test_separates_and_scores_in_catalyst(spark):

@@ -48,14 +48,21 @@ def train_quality_model(
     iters: int = 100,
     lr: float = 0.5,
     l2: float = 1e-4,
+    driver_cap: int = 500_000,
 ) -> dict:
     """Fit logistic regression by batch gradient descent.
 
     Returns ``{"names", "mean", "std", "w", "b"}`` — plain floats, so
-    the model is a broadcastable constant.  One featurize+moments job,
-    then one tiny aggregation job per iteration over the persisted
-    narrow frame (see module docstring for why that's the right
-    100-TB shape).  ``label_col`` holds 0/1 doubles."""
+    the model is a broadcastable constant.  One featurize+moments job;
+    then the loop auto-dispatches on training-set size (the repo's
+    driver-rank-when-broadcast-anyway pattern): at or under
+    ``driver_cap`` rows the standardized features collect once (a few
+    doubles per row — 500k x 8 is ~32 MB) and the identical update
+    runs in numpy, since a fresh-literal Spark plan pays plan+codegen
+    per iteration (~150 ms x iters) to aggregate what numpy folds in
+    microseconds; above the cap each iteration is one aggregation job
+    over the persisted narrow frame (map-side partial sums — the
+    100-TB-training-set shape).  ``label_col`` holds 0/1 doubles."""
     if features is None:
         features = gopher_feature_columns(F.col(text_col))
     names = list(features)
@@ -75,6 +82,18 @@ def train_quality_model(
         mean = [float(mrow[f"m_{n}"]) for n in names]
         std = [float(mrow[f"s_{n}"]) or 1.0 for n in names]
         xs = [((F.col(n) - mean[i]) / std[i]) for i, n in enumerate(names)]
+
+        if n_rows <= driver_cap:
+            import numpy as np
+
+            pdf = feats.select(
+                F.col("_y"), *[xs[i].alias(n) for i, n in enumerate(names)]
+            ).toPandas()
+            w_arr, b = reference_fit(
+                pdf[names].to_numpy(), pdf["_y"].to_numpy(),
+                iters=iters, lr=lr, l2=l2)
+            return {"names": names, "mean": mean, "std": std,
+                    "w": [float(v) for v in w_arr], "b": float(b)}
 
         w = [0.0] * len(names)
         b = 0.0
