@@ -1026,15 +1026,25 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style self-perplexity: add-alpha bigram LM counted from
-    the corpus scores every doc (functions/text.py:lm_cross_entropy)."""
+    """CCNet-style self-perplexity, tagged union of BOTH smoothers
+    (hash breaks if either drifts): 'bigram' = add-alpha bigram LM
+    (functions/text.py:lm_cross_entropy), 'kn3' = interpolated
+    Kneser-Ney trigram LM with continuation counts — the KenLM shape
+    (functions/text.py:kn_cross_entropy)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    out = tx.lm_cross_entropy(d)
-    return out.select(
+    big = tx.lm_cross_entropy(d).select(
+        F.lit("bigram").alias("variant"),
         "doc_id",
-        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_bigrams").cast("long").alias("n_grams"),
         F.round("cross_entropy", 6).alias("cross_entropy"),
     )
+    kn = tx.kn_cross_entropy(d).select(
+        F.lit("kn3").alias("variant"),
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+    )
+    return big.unionByName(kn)
 
 
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2525,11 +2535,102 @@ def oracle_sql() -> dict[str, str]:
                         LEFT JOIN uni u ON u.w1 = b.w1, v
             ),
             agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(nll) AS h
-                    FROM j GROUP BY doc_id)
-            SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                    FROM j GROUP BY doc_id),
+            -- interpolated Kneser-Ney trigram variant (D = 0.75):
+            -- continuation counts at the lower orders, context totals
+            -- from observed trigrams, uniform 1/(V+1) base
+            vkn AS (
+              SELECT count(DISTINCT w) AS V
+              FROM (SELECT unnest(toks) AS w FROM t)
+            ),
+            bt AS (
+              SELECT DISTINCT w1, w3 FROM (
+                SELECT
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i])) AS w1,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i + 1])) AS w3
+                FROM t WHERE len(toks) >= 2)
+            ),
+            ucont AS (SELECT w3, count(*)::DOUBLE AS n1w3
+                      FROM bt GROUP BY w3),
+            utot AS (SELECT sum(n1w3) AS n1all, count(*)::DOUBLE AS W1
+                     FROM ucont),
+            tri AS (
+              SELECT w1, w2, w3, count(*)::DOUBLE AS c123 FROM (
+                SELECT
+                  unnest(list_transform(generate_series(1, len(toks) - 2),
+                                        i -> toks[i])) AS w1,
+                  unnest(list_transform(generate_series(1, len(toks) - 2),
+                                        i -> toks[i + 1])) AS w2,
+                  unnest(list_transform(generate_series(1, len(toks) - 2),
+                                        i -> toks[i + 2])) AS w3
+                FROM t WHERE len(toks) >= 3)
+              GROUP BY w1, w2, w3
+            ),
+            ctx AS (SELECT w1, w2, sum(c123) AS c12,
+                           count(*)::DOUBLE AS f12
+                    FROM tri GROUP BY w1, w2),
+            mid AS (SELECT w2, w3, count(*)::DOUBLE AS n1mid
+                    FROM tri GROUP BY w2, w3),
+            midw2 AS (SELECT w2, sum(n1mid) AS midctx,
+                             count(*)::DOUBLE AS midf
+                      FROM mid GROUP BY w2),
+            dt AS (
+              SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(toks) - 2),
+                                      i -> toks[i])) AS w1,
+                unnest(list_transform(generate_series(1, len(toks) - 2),
+                                      i -> toks[i + 1])) AS w2,
+                unnest(list_transform(generate_series(1, len(toks) - 2),
+                                      i -> toks[i + 2])) AS w3
+              FROM t WHERE len(toks) >= 3
+            ),
+            kj0 AS (
+              SELECT d.doc_id, tr.c123, c.c12, c.f12, m.n1mid,
+                     mw.midctx, mw.midf, u.n1w3,
+                     ut.n1all, ut.W1, vk.V
+              FROM dt d
+              LEFT JOIN tri tr ON tr.w1 = d.w1 AND tr.w2 = d.w2
+                              AND tr.w3 = d.w3
+              LEFT JOIN ctx c ON c.w1 = d.w1 AND c.w2 = d.w2
+              LEFT JOIN mid m ON m.w2 = d.w2 AND m.w3 = d.w3
+              LEFT JOIN midw2 mw ON mw.w2 = d.w2
+              LEFT JOIN ucont u ON u.w3 = d.w3, utot ut, vkn vk
+            ),
+            kj1 AS (
+              SELECT *, CASE WHEN n1all > 0 THEN
+                  greatest(COALESCE(n1w3, 0) - 0.75, 0) / n1all
+                  + 0.75 * W1 / n1all / (V + 1)
+                ELSE 1.0 / (COALESCE(V, 0) + 1) END AS p1
+              FROM kj0
+            ),
+            kj2 AS (
+              SELECT *, CASE WHEN midctx IS NOT NULL THEN
+                  greatest(COALESCE(n1mid, 0) - 0.75, 0) / midctx
+                  + 0.75 * midf / midctx * p1
+                ELSE p1 END AS p2
+              FROM kj1
+            ),
+            kj3 AS (
+              SELECT doc_id, -ln(CASE WHEN c12 IS NOT NULL THEN
+                  greatest(COALESCE(c123, 0) - 0.75, 0) / c12
+                  + 0.75 * f12 / c12 * p2
+                ELSE p2 END) AS nll
+              FROM kj2
+            ),
+            kagg AS (SELECT doc_id, count(*) AS n_grams, avg(nll) AS h
+                     FROM kj3 GROUP BY doc_id),
+            ids AS (SELECT DISTINCT doc_id FROM documents)
+            SELECT 'bigram' AS variant, d.doc_id,
+                   COALESCE(a.n_bigrams, 0) AS n_grams,
                    round(a.h, 6) AS cross_entropy
-            FROM (SELECT DISTINCT doc_id FROM documents) d
-            LEFT JOIN agg a USING (doc_id)
+            FROM ids d LEFT JOIN agg a USING (doc_id)
+            UNION ALL
+            SELECT 'kn3' AS variant, d.doc_id,
+                   COALESCE(k.n_grams, 0) AS n_grams,
+                   round(k.h, 6) AS cross_entropy
+            FROM ids d LEFT JOIN kagg k USING (doc_id)
         """,
         "components": """
             -- min-label fixed point; 12 bounded rounds >= any block

@@ -351,3 +351,111 @@ def test_bm25_plan_broadcasts_query_terms(spark):
     qs = spark.createDataFrame([(0, "common w3")], "query_id int, query string")
     plan = bm25_topk(docs, qs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # postings x query-terms probe
+
+
+def _kn_reference(train_texts, score_docs, D=0.75):
+    """Independent pure-python interpolated-KN trigram reference
+    (recounts everything from scratch; no shared code with text.py)."""
+    import math
+    from collections import defaultdict
+
+    tri = defaultdict(int)
+    bi_types = set()
+    vocab = set()
+    for t in train_texts:
+        ws = t.split()
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bi_types.add((a, b))
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            tri[(a, b, c)] += 1
+    V = len(vocab)
+    n1w3 = defaultdict(int)
+    for a, b in bi_types:
+        n1w3[b] += 1
+    n1all = len(bi_types)
+    W1 = len(n1w3)
+    ctx_tot = defaultdict(float)
+    ctx_follow = defaultdict(int)
+    n1mid = defaultdict(int)
+    for (a, b, c), n in tri.items():
+        ctx_tot[(a, b)] += n
+        ctx_follow[(a, b)] += 1
+        n1mid[(b, c)] += 1
+    midctx = defaultdict(float)
+    midf = defaultdict(int)
+    for (b, c), n in n1mid.items():
+        midctx[b] += n
+        midf[b] += 1
+
+    def p1(w):
+        if n1all == 0:
+            return 1.0 / (V + 1)
+        return (max(n1w3.get(w, 0) - D, 0.0) / n1all
+                + D * W1 / n1all / (V + 1))
+
+    def p2(w2, w3):
+        if w2 not in midctx:
+            return p1(w3)
+        return (max(n1mid.get((w2, w3), 0) - D, 0.0) / midctx[w2]
+                + D * midf[w2] / midctx[w2] * p1(w3))
+
+    def p3(w1, w2, w3):
+        if (w1, w2) not in ctx_tot:
+            return p2(w2, w3)
+        return (max(tri.get((w1, w2, w3), 0) - D, 0.0) / ctx_tot[(w1, w2)]
+                + D * ctx_follow[(w1, w2)] / ctx_tot[(w1, w2)] * p2(w2, w3))
+
+    out = {}
+    for doc_id, t in score_docs:
+        ws = t.split()
+        if len(ws) < 3:
+            out[doc_id] = (0, None)
+            continue
+        nll = [-math.log(p3(a, b, c))
+               for a, b, c in zip(ws, ws[1:], ws[2:])]
+        out[doc_id] = (len(nll), sum(nll) / len(nll))
+    return out
+
+
+def test_kn_cross_entropy_matches_reference(spark):
+    train_rows = [(i, "the cat sat on the mat and the dog sat on the rug")
+                  for i in range(8)] + [
+        (100 + i, f"doc number {i} about cats and dogs on mats")
+        for i in range(5)
+    ] + [(200, "tail bigram only"), (201, "xy zz")]
+    score_rows = [
+        (0, "the cat sat on the mat"),          # in-domain
+        (1, "zqx vlk wmp qrs ttv bbn"),         # all-OOV gibberish
+        (2, "one two"),                         # < 3 tokens: NULL
+        (3, "the cat flew over unseen things"), # mixed seen/unseen
+        (4, "mats the cat"),                    # unseen context, seen words
+    ]
+    train = spark.createDataFrame(train_rows, schema="doc_id long, text string")
+    score = spark.createDataFrame(score_rows, schema="doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           tx.kn_cross_entropy(train, score).collect()}
+    ref = _kn_reference([t for _, t in train_rows], score_rows)
+    for doc_id, (n, h) in ref.items():
+        assert got[doc_id]["n_grams"] == n
+        if h is None:
+            assert got[doc_id]["cross_entropy"] is None
+        else:
+            assert abs(got[doc_id]["cross_entropy"] - h) < 1e-9, doc_id
+    # fluency ordering survives smoothing
+    assert got[0]["cross_entropy"] < got[1]["cross_entropy"]
+    # gibberish must still be finite (no -ln(0) anywhere)
+    import math
+    assert math.isfinite(got[1]["cross_entropy"])
+
+
+def test_kn_cross_entropy_self_and_validation(spark):
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.kn_cross_entropy(df).collect()}
+    # identical docs -> identical self-perplexity, 4 trigrams each
+    vals = {round(r["cross_entropy"], 12) for r in got.values()}
+    assert len(vals) == 1 and all(r["n_grams"] == 4 for r in got.values())
+    import pytest
+    with pytest.raises(ValueError):
+        tx.kn_cross_entropy(df, discount=1.5)

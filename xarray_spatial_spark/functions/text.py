@@ -544,6 +544,157 @@ def lm_cross_entropy(
     )
 
 
+def kn_cross_entropy(
+    train, score=None, discount: float = 0.75,
+    text_col: str = "text", id_col: str = "doc_id",
+):
+    """Per-doc cross-entropy under an interpolated Kneser-Ney TRIGRAM
+    LM counted from ``train`` — the smoothing KenLM/CCNet actually use
+    (add-alpha :func:`lm_cross_entropy` is the didactic baseline; KN
+    is the production one: lower orders model *how many contexts* a
+    gram continues, not how often it occurs).
+
+    Three levels, fixed discount ``D`` (Kneser & Ney 1995; Chen &
+    Goodman 1999 interpolated form; KenLM trains per-order D from
+    counts-of-counts — a fixed D keeps this deterministic and is the
+    documented simplification):
+
+    - trigram: P3(w3|w1 w2) = max(c(w1w2w3) - D, 0) / c(w1w2*)
+      + D * N1+(w1w2.) / c(w1w2*) * P2(w3|w2), where c(w1w2*) =
+      sum_w3 c(w1w2w3) (context totals from OBSERVED trigrams, so the
+      interpolation weight is > 0 whenever the denominator is — a raw
+      bigram count would zero out contexts only seen at doc ends);
+      unseen context -> P3 = P2.
+    - bigram (continuation counts over trigram TYPES):
+      P2(w3|w2) = max(N1+(.w2w3) - D, 0) / N1+(.w2.)
+      + D * N1+(w2.*) / N1+(.w2.) * P1(w3); unseen middle -> P2 = P1.
+    - unigram (continuation counts over corpus bigram TYPES, uniform
+      base reserving one type of mass for OOV):
+      P1(w3) = max(N1+(.w3) - D, 0) / N1+(..)
+      + D * W1 / N1+(..) * 1 / (V + 1), with W1 = |{w : N1+(.w) > 0}|,
+      V = vocabulary size.  P1 > 0 for every word incl. OOV, so no
+      -ln(0) anywhere.
+
+    Scale design: the LM is four count tables built by hash
+    aggregation over exploded grams — counts, never text, shuffle, and
+    map-side combine absorbs zipfian hot grams.  Scoring is five
+    equi-joins keyed on gram/word strings (AQE skew-join handles hot
+    function words; small LMs broadcast under the session threshold)
+    plus three broadcast 1-row scalars — no eager job at build time.
+    Returns ``(id, n_grams, cross_entropy)``; docs with < 3 tokens
+    score NULL.  ``score`` defaults to ``train`` (self-perplexity)."""
+    if score is None:
+        score = train
+    D = float(discount)
+    if not (0.0 < D < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+
+    t_toks = train.select(tokens(F.col(text_col)).alias("toks"))
+    # vocab size V (1-row broadcast)
+    v_df = (
+        t_toks.select(F.explode("toks").alias("w"))
+        .agg(F.count_distinct("w").cast("double").alias("_V"))
+    )
+    # corpus bigram TYPES -> unigram continuation counts
+    bi_types = (
+        t_toks.select(F.explode(
+            _gram_parts(F.col("toks"), 2)).alias("g"))
+        .select(F.col("g").getItem(0).alias("w1"),
+                F.col("g").getItem(1).alias("w3"))
+        .distinct()
+    )
+    uni_cont = bi_types.groupBy("w3").agg(
+        F.count(F.lit(1)).cast("double").alias("_n1w3"))
+    uni_tot = uni_cont.agg(
+        F.sum("_n1w3").alias("_n1all"),
+        F.count(F.lit(1)).cast("double").alias("_W1"),
+    )
+    # trigram raw counts
+    tri = (
+        t_toks.select(F.explode(
+            _gram_parts(F.col("toks"), 3)).alias("g"))
+        .select(F.col("g").getItem(0).alias("w1"),
+                F.col("g").getItem(1).alias("w2"),
+                F.col("g").getItem(2).alias("w3"))
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c123"))
+        .persist()  # feeds 3 derived tables below
+    )
+    # context totals + distinct continuations, keyed (w1, w2)
+    ctx = tri.groupBy("w1", "w2").agg(
+        F.sum("_c123").alias("_c12"),
+        F.count(F.lit(1)).cast("double").alias("_f12"),
+    )
+    # trigram TYPES -> bigram-level continuation tables
+    mid = tri.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("double").alias("_n1mid"))
+    midw2 = mid.groupBy("w2").agg(
+        F.sum("_n1mid").alias("_midctx"),
+        F.count(F.lit(1)).cast("double").alias("_midf"),
+    )
+
+    doc_tri = (
+        score.select(F.col(id_col), F.explode(
+            _gram_parts(tokens(F.col(text_col)), 3)).alias("g"))
+        .select(id_col,
+                F.col("g").getItem(0).alias("w1"),
+                F.col("g").getItem(1).alias("w2"),
+                F.col("g").getItem(2).alias("w3"))
+    )
+    j = (
+        doc_tri.join(tri, ["w1", "w2", "w3"], "left")
+        .join(ctx, ["w1", "w2"], "left")
+        .join(mid, ["w2", "w3"], "left")
+        .join(midw2, ["w2"], "left")
+        .join(uni_cont, ["w3"], "left")
+        .crossJoin(F.broadcast(uni_tot))
+        .crossJoin(F.broadcast(v_df))
+    )
+    dL = F.lit(D)
+    p1 = F.when(
+        F.col("_n1all") > 0,
+        F.greatest(F.coalesce("_n1w3", F.lit(0.0)) - dL, F.lit(0.0))
+        / F.col("_n1all")
+        + dL * F.col("_W1") / F.col("_n1all") / (F.col("_V") + 1),
+    ).otherwise(1.0 / (F.coalesce("_V", F.lit(0.0)) + 1))
+    p2 = F.when(
+        F.col("_midctx").isNotNull(),
+        F.greatest(F.coalesce("_n1mid", F.lit(0.0)) - dL, F.lit(0.0))
+        / F.col("_midctx")
+        + dL * F.col("_midf") / F.col("_midctx") * p1,
+    ).otherwise(p1)
+    p3 = F.when(
+        F.col("_c12").isNotNull(),
+        F.greatest(F.coalesce("_c123", F.lit(0.0)) - dL, F.lit(0.0))
+        / F.col("_c12")
+        + dL * F.col("_f12") / F.col("_c12") * p2,
+    ).otherwise(p2)
+    per_doc = j.withColumn("_nll", -F.log(p3)).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.avg("_nll").alias("cross_entropy"),
+    )
+    ids = score.select(id_col).distinct()
+    return ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.col("cross_entropy"),
+    )
+
+
+def _gram_parts(toks: Column, n: int) -> Column:
+    """Array of n-gram token STRUCT-free arrays (array<array<string>>)
+    — like :func:`ngrams` but keeping the parts split, so callers can
+    key joins on individual positions without re-splitting."""
+    sz = F.size(toks)
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - n + 1),
+            lambda i: F.slice(toks, i, n),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+
+
 def fingerprint_sql(text_expr: str) -> str:
     """The identical fingerprint as DuckDB SQL: map tokens to their
     numeric contribution, then fold with a prepended 0 as the initial
