@@ -1402,6 +1402,67 @@ def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup
+    (operators/multimodal.py:phash_near_duplicates): deterministic
+    textured images keyed on doc_id are PNG-encoded, decoded through
+    the from-scratch codec, pHashed (32x32 area luma -> DCT-II -> 8x8
+    median bits), and paired via the generic banded-Hamming join —
+    8 bytes/image in the self-join exchange, pixels never shuffle.
+    Every doc_id % 7 == 0 image gets a noise-jittered twin
+    (id + 10**6); the result projects the recovered twin pairs.
+    Rows-only: the DCT/codec path has no SQL twin; codec invariance,
+    jitter bounds, and brute-force band parity are pytest-asserted
+    (tests/test_imagehash.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from xarray_spatial_spark.operators import multimodal as mm
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").limit(400)
+    )
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                for mid, jitter in (
+                    [(did, 0)] + ([(did + 10**6, 1)] if did % 7 == 0 else [])
+                ):
+                    rng = np.random.default_rng(did)
+                    yy, xx = np.mgrid[0:40, 0:56]
+                    base = np.zeros((40, 56))
+                    for amp in (90, 60, 40, 25):
+                        fy, fx = rng.uniform(1.5, 6, 2)
+                        py, px = rng.uniform(0, 2 * np.pi, 2)
+                        base += amp * np.sin(
+                            2 * np.pi * fy * yy / 40 + py
+                        ) * np.cos(2 * np.pi * fx * xx / 56 + px)
+                    img = np.clip(
+                        np.stack([base + rng.uniform(60, 160)] * 3, axis=2),
+                        0, 255,
+                    ).astype(np.uint8)
+                    if jitter:
+                        jr = np.random.default_rng(did + 1)
+                        img = np.clip(
+                            img.astype(np.int16)
+                            + jr.integers(-2, 3, img.shape),
+                            0, 255,
+                        ).astype(np.uint8)
+                    rows.append((mid, mm.encode_png(img), 56, 40))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "width", "height"])
+
+    media = ids.mapInPandas(
+        _gen, schema="media_id long, payload binary, width int, height int")
+    decoded = mm.decode_image(media)
+    pairs = mm.phash_near_duplicates(decoded, max_hamming=6, n_blocks=8)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness run evaluates the first
     50 entries.  Every oracle-backed query (an ``oracle_sql()`` key)
@@ -1477,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "bpe": q_bpe,
         "quality_clf": q_quality_clf,
+        "phash_neardup": q_phash_neardup,
     }
 
 

@@ -77,6 +77,9 @@ def test_oracle_keys_subset_of_queries():
         # GD training loop has no SQL twin; numpy step-equality and the
         # no-UDF/no-exchange scoring plan are pytest-asserted
         "quality_clf",
+        # DCT/codec path has no SQL twin; codec invariance, jitter
+        # bounds and brute-force band parity are pytest-asserted
+        "phash_neardup",
     }
 
 

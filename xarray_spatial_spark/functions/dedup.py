@@ -548,6 +548,32 @@ def simhash_near_duplicates(
     cost model needs decade accuracy only, and the estimate errs
     toward longer keys).  Pass the exact ``n_docs`` when you already
     hold it.  Exact-collide duplicates are the max_hamming=0 case."""
+    # both self-join sides consume the simhash subtree: persist the
+    # 8-byte-per-doc signatures instead of re-running the token pass
+    sig = simhash(df, text_col, id_col).persist()
+    return hamming_near_duplicates(
+        sig, hash_col="simhash", id_col=id_col,
+        max_hamming=max_hamming, n_blocks=n_blocks, n_docs=n_docs,
+    )
+
+
+def hamming_near_duplicates(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Pairs whose 64-bit ``hash_col`` values differ in <=
+    ``max_hamming`` bits — the banded-Hamming core shared by simhash
+    text near-dup and phash image near-dup (any int64 fingerprint
+    works).  Semantics and cost model as in
+    :func:`simhash_near_duplicates`: pigeonhole block-combination
+    equi-join guarantees recall for ANY valid layout; bit_count(xor)
+    verifies exactly, so banding affects cost only.  The input should
+    be the (id, hash) frame itself or a persisted subtree — BOTH join
+    sides consume it."""
     d = max_hamming
     if n_blocks is None:
         if n_docs is None:
@@ -562,7 +588,7 @@ def simhash_near_duplicates(
     n_tables = math.comb(n_blocks, combo)
     if n_tables > 256:
         raise ValueError(
-            f"simhash banding with n_blocks={n_blocks}, max_hamming={d} "
+            f"hamming banding with n_blocks={n_blocks}, max_hamming={d} "
             f"needs C({n_blocks},{combo}) = {n_tables} keys per doc; "
             f"use simhash_band_plan (or n_blocks <= {d + 2}) instead"
         )
@@ -571,7 +597,7 @@ def simhash_near_duplicates(
               for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
     block_cols = [
-        F.shiftrightunsigned(F.col("simhash"), offsets[i])
+        F.shiftrightunsigned(F.col(hash_col), offsets[i])
         .bitwiseAND(F.lit((1 << widths[i]) - 1))
         for i in range(n_blocks)
     ]
@@ -584,16 +610,13 @@ def simhash_near_duplicates(
         )
         for ci, S in enumerate(combinations(range(n_blocks), combo))
     ]
-    # both self-join sides consume the simhash subtree: persist the
-    # 8-byte-per-doc signatures instead of re-running the token pass
-    sig = simhash(df, text_col, id_col).persist()
-    banded = sig.select(
-        id_col, "simhash", F.explode(F.array(*keys)).alias("_b")
-    ).select(id_col, "simhash", "_b.band", "_b.bh")
+    banded = df.select(
+        id_col, hash_col, F.explode(F.array(*keys)).alias("_b")
+    ).select(id_col, hash_col, "_b.band", "_b.bh")
     x = banded.select(F.col(id_col).alias("id_a"),
-                      F.col("simhash").alias("_ha"), "band", "bh")
+                      F.col(hash_col).alias("_ha"), "band", "bh")
     y = banded.select(F.col(id_col).alias("id_b"),
-                      F.col("simhash").alias("_hb"), "band", "bh")
+                      F.col(hash_col).alias("_hb"), "band", "bh")
     return (
         x.join(y, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))

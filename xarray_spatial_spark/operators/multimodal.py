@@ -690,6 +690,118 @@ def image_features(
     return df.mapInPandas(_op, schema=schema)
 
 
+def _luma_area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(h, w, 3) uint8 -> (out_h, out_w) float64 luma, AREA-average
+    downsample (reduceat over variable-width boxes — smooth like the
+    classic pHash preprocessing, unlike nearest-neighbor which aliases
+    and breaks hash stability across re-encodes at other sizes)."""
+    luma = np.asarray(img, dtype=np.float64).mean(axis=2)
+    h, w = luma.shape
+    ri = (np.arange(out_h) * h // out_h).astype(np.intp)
+    ci = (np.arange(out_w) * w // out_w).astype(np.intp)
+    sums = np.add.reduceat(np.add.reduceat(luma, ri, axis=0), ci, axis=1)
+    rn = np.diff(np.append(ri, h)).astype(np.float64)
+    cn = np.diff(np.append(ci, w)).astype(np.float64)
+    return sums / rn[:, None] / cn[None, :]
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (n x n): row k = c_k cos((2j+1)k pi/2n)."""
+    j = np.arange(n, dtype=np.float64)
+    k = j[:, None]
+    m = np.cos((2 * j[None, :] + 1) * k * np.pi / (2 * n))
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def _phash_bits(img: np.ndarray) -> int:
+    """64-bit perceptual hash (classic pHash): 32x32 area-averaged
+    luma -> 2-D DCT-II -> top-left 8x8 coefficient block -> bit i =
+    coefficient > median(block).  Robust to re-encoding, resizing and
+    small pixel noise; brightness shifts touch only the DC bit's
+    neighborhood."""
+    small = _luma_area_resize(img, 32, 32)
+    d = _DCT32 @ small @ _DCT32.T
+    low = d[:8, :8].ravel()
+    bits = low > np.median(low)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v  # two's complement
+
+
+def _dhash_bits(img: np.ndarray) -> int:
+    """64-bit difference hash: 9x8 luma, bit = px[r, c+1] > px[r, c]."""
+    small = _luma_area_resize(img, 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def perceptual_hash(
+    df: DataFrame,
+    pixels_col: str = "pixels",
+    out_col: str = "phash",
+    kind: str = "phash",
+) -> DataFrame:
+    """Per-image 64-bit perceptual fingerprint column (long).
+
+    ``kind='phash'`` = DCT hash (re-encode/resize/noise robust),
+    ``kind='dhash'`` = row-gradient hash (cheaper, crop-sensitive).
+    Arrow-batched mapInPandas over decoded pixel rows — the decode
+    (``decode_image``) is already per-blob Python, so the hash rides
+    the same pass when composed.  Downstream near-dup joins are
+    banded-Hamming (:func:`~xarray_spatial_spark.functions.dedup.
+    hamming_near_duplicates`) — never all-pairs."""
+    if kind not in ("phash", "dhash"):
+        raise ValueError(f"kind must be 'phash' or 'dhash', got {kind!r}")
+    fn = _phash_bits if kind == "phash" else _dhash_bits
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema)
+    schema += f", {out_col} bigint"
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for px, h, w in zip(pdf[pixels_col], pdf["height"], pdf["width"]):
+                img = np.asarray(px, dtype=np.uint8).reshape(
+                    int(h), int(w), 3)
+                hashes.append(fn(img))
+            yield pdf.assign(
+                **{out_col: pd.array(hashes, dtype="int64")})
+
+    return df.mapInPandas(_op, schema=schema)
+
+
+def phash_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    pixels_col: str = "pixels",
+    n_blocks: int | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Image near-dup pairs: perceptual hash -> banded Hamming join
+    (pigeonhole recall guarantee; bit_count(xor) verifies exactly).
+    The decoded frame collapses to (id, phash) BEFORE the self-join —
+    8 bytes/image shuffle, pixels never enter the exchange — and the
+    signature subtree persists because both join sides consume it."""
+    from xarray_spatial_spark.functions.dedup import hamming_near_duplicates
+
+    sig = perceptual_hash(df, pixels_col=pixels_col).select(
+        id_col, "phash").persist()
+    return hamming_near_duplicates(
+        sig, hash_col="phash", id_col=id_col,
+        max_hamming=max_hamming, n_blocks=n_blocks, n_docs=n_docs,
+    )
+
+
 def resize_image(
     df: DataFrame, out_h: int, out_w: int, pixels_col: str = "pixels"
 ) -> DataFrame:
