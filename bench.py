@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "anchor_text",
     "bpe",
     "quality_clf",
+    "phash_neardup",
+    "audio_neardup",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -262,3 +262,94 @@ def test_decode_audio_compressed_raises_by_name(spark):
     if au._libvorbisfile() is None:
         with pytest.raises(NotImplementedError, match="libvorbisfile"):
             au.decode_ogg(_ogg_vorbis())
+
+
+# ---------------------------------------------------------------------------
+# acoustic fingerprint (Haitsma-Kalker-style) + near-dup
+# ---------------------------------------------------------------------------
+
+
+def _tone_mix(seed: int, secs: float = 1.2, rate: int = 16000) -> np.ndarray:
+    """Deterministic BROADBAND clip: tones + AM envelope over a shaped
+    1/f noise bed.  Broadband matters — on a pure-tone mix most log
+    bands hold only FFT leakage, so adjacent-band comparisons are
+    sign-of-noise and the fingerprint degenerates (same caveat as
+    pHash on ultra-smooth gradients); real speech/music is broadband."""
+    rng = np.random.default_rng(seed)
+    n = int(secs * rate)
+    t = np.arange(n) / rate
+    x = np.zeros_like(t)
+    for _ in range(5):
+        f = rng.uniform(350, 4500)
+        x += rng.uniform(0.2, 1.0) * np.sin(
+            2 * np.pi * f * t + rng.uniform(0, 6))
+    spec = np.fft.rfft(rng.standard_normal(n))
+    spec /= np.sqrt(np.fft.rfftfreq(n, 1.0 / rate) + 20.0)
+    bed = np.fft.irfft(spec, n)
+    x += 1.5 * bed / np.std(bed)
+    x *= 1 + 0.4 * np.sin(2 * np.pi * rng.uniform(1, 4) * t)
+    return (x / np.max(np.abs(x)) * 0.7).astype(np.float32)
+
+
+def _pcm16(x: np.ndarray) -> np.ndarray:
+    return (np.clip(x, -1, 1) * 32767).astype(np.int16)
+
+
+def _ham64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_fingerprint_volume_invariant_noise_robust_distinct_far():
+    x = _tone_mix(1)
+    h0 = au._fingerprint_bits(x, 16000)
+    assert h0 != 0
+    # exact gain invariance: every band scales by the same constant
+    assert au._fingerprint_bits(0.25 * x, 16000) == h0
+    assert au._fingerprint_bits(0.03 * x, 16000) == h0
+    # light additive noise (re-encode-artifact grade) flips few bits
+    rng = np.random.default_rng(0)
+    noisy = x + 0.02 * rng.standard_normal(len(x)).astype(np.float32)
+    assert _ham64(h0, au._fingerprint_bits(noisy, 16000)) <= 6
+    # 16-bit quantization round-trip is a tiny perturbation
+    q = _pcm16(x).astype(np.float32) / 32768.0
+    assert _ham64(h0, au._fingerprint_bits(q, 16000)) <= 4
+    # different material lands far away
+    d = [_ham64(au._fingerprint_bits(_tone_mix(a), 16000),
+                au._fingerprint_bits(_tone_mix(b), 16000))
+         for a, b in [(1, 2), (2, 5), (5, 9), (3, 7)]]
+    assert min(d) >= 12, d
+    # degenerate inputs hash to 0, never raise
+    assert au._fingerprint_bits(np.zeros(100, np.float32), 16000) == 0
+    assert au._fingerprint_bits(np.zeros(50000, np.float32), 16000) == 0
+
+
+def test_audio_near_duplicates_planted(spark):
+    rows = []
+    rng = np.random.default_rng(42)
+    for i in range(10):
+        x = _tone_mix(100 + i)
+        rows.append((i, au.encode_wav(_pcm16(x), 16000, "pcm")))
+        if i < 4:  # plant a re-encoded twin: gain + light noise + quant
+            tw = 0.4 * x + 0.01 * rng.standard_normal(len(x)).astype(
+                np.float32)
+            rows.append((1000 + i, au.encode_wav(_pcm16(tw), 16000, "pcm")))
+    df = spark.createDataFrame(rows, schema="media_id long, payload binary")
+    pairs = au.audio_near_duplicates(df, max_hamming=8, n_blocks=10).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(4):
+        assert (i, 1000 + i) in got, (i, got)
+    assert all(r["hamming"] <= 8 for r in pairs)
+
+
+def test_audio_fingerprint_distributed_matches_local(spark):
+    clips = [_tone_mix(s) for s in (3, 4)]
+    df = spark.createDataFrame(
+        [(i, au.encode_wav(_pcm16(c), 16000, "pcm"))
+         for i, c in enumerate(clips)],
+        schema="media_id long, payload binary")
+    got = {r["media_id"]: r["afp"]
+           for r in au.audio_fingerprint(df).collect()}
+    for i, c in enumerate(clips):
+        x, rate = au.decode_audio_bytes(
+            au.encode_wav(_pcm16(c), 16000, "pcm"))
+        assert got[i] == au._fingerprint_bits(x, rate)

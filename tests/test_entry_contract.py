@@ -80,6 +80,9 @@ def test_oracle_keys_subset_of_queries():
         # DCT/codec path has no SQL twin; codec invariance, jitter
         # bounds and brute-force band parity are pytest-asserted
         "phash_neardup",
+        # FFT/codec path has no SQL twin; gain invariance, noise
+        # bounds and planted recall are pytest-asserted
+        "audio_neardup",
     }
 
 
