@@ -1279,16 +1279,39 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-k stratified sample per source (functions/corpus.py
-    stratified_sample): deterministic Knuth-hash order, so the SQL
-    oracle reproduces the identical sample."""
+    """Sampling/selection tagged union (hash breaks if either variant
+    drifts): 'strat' = exact-k stratified sample per source
+    (functions/corpus.py:stratified_sample, deterministic Knuth-hash
+    order); 'dsir' = DSIR importance resampling
+    (functions/dsir.py:dsir_select, Xie et al. 2023 — hashed-bigram
+    importance weights vs a doc_id%11==0 target slice, Gumbel top-40).
+    Both selections are pure deterministic arithmetic, so the SQL
+    oracle reproduces the identical rows."""
     from xarray_spatial_spark.functions.corpus import stratified_sample
+    from xarray_spatial_spark.functions.dsir import dsir_select
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", "n_chars"
     )
-    out = stratified_sample(d, k=25, strata_col="source")
-    return out.select("doc_id", "source", "n_chars", "sample_rank")
+    strat = stratified_sample(d, k=25, strata_col="source").select(
+        F.lit("strat").alias("variant"),
+        "doc_id",
+        F.col("source").alias("strata"),
+        F.col("n_chars").cast("double").alias("metric"),
+        F.col("sample_rank").cast("int").alias("rank"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 11 == 0)
+    sel = dsir_select(docs, target, k=40, n_buckets=2048, seed=7)
+    ds = sel.select(
+        F.lit("dsir").alias("variant"),
+        "doc_id",
+        F.lit("_all").alias("strata"),
+        F.round("log_w", 6).alias("metric"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return strat.unionByName(ds)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1863,10 +1886,72 @@ def oracle_sql() -> dict[str, str]:
                                   % 1000000007 ASC,
                                 doc_id ASC) AS sample_rank
               FROM documents
+            ),
+            -- DSIR variant: hashed unigram+bigram buckets (portable
+            -- modular hash), add-1 bag-of-words models on target
+            -- (doc_id%11==0) vs raw, Gumbel top-40
+            t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE string_split_regex(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            fd AS (
+              SELECT doc_id, unnest(list_concat(
+                list_transform(toks,
+                  tk -> (ascii(tk)::BIGINT * 31 + length(tk)) % 2048),
+                CASE WHEN len(toks) >= 2 THEN
+                  list_transform(generate_series(1, len(toks) - 1),
+                    i -> ((ascii(toks[i])::BIGINT * 31 + length(toks[i]))
+                            * 131
+                          + ascii(toks[i + 1])::BIGINT * 31
+                          + length(toks[i + 1])) % 2048)
+                ELSE []::BIGINT[] END)) AS bucket
+              FROM t
+            ),
+            ft AS (SELECT f.doc_id, f.bucket FROM fd f
+                   WHERE f.doc_id % 11 = 0),
+            tc AS (SELECT bucket, count(*)::DOUBLE AS c
+                   FROM ft GROUP BY bucket),
+            rc AS (SELECT bucket, count(*)::DOUBLE AS c
+                   FROM fd GROUP BY bucket),
+            tt AS (SELECT sum(c) AS T FROM tc),
+            rt AS (SELECT sum(c) AS R FROM rc),
+            ratio AS (
+              SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+                     ln((COALESCE(tc.c, 0) + 1.0) / (tt.T + 2048.0))
+                     - ln((COALESCE(rc.c, 0) + 1.0) / (rt.R + 2048.0))
+                       AS lr
+              FROM tc FULL JOIN rc USING (bucket), tt, rt
+            ),
+            dw AS (SELECT f.doc_id, sum(r.lr) AS w
+                   FROM fd f LEFT JOIN ratio r USING (bucket)
+                   GROUP BY f.doc_id),
+            ids AS (SELECT DISTINCT doc_id FROM documents),
+            w2 AS (SELECT i.doc_id, COALESCE(d.w, 0.0) AS log_w
+                   FROM ids i LEFT JOIN dw d USING (doc_id)),
+            keyed AS (
+              SELECT doc_id, log_w,
+                log_w - ln(-ln(
+                  (((((doc_id + 7) % 1000000007 + 1000000007)
+                      % 1000000007) * 2654435761 % 1000000007)
+                   + 1)::DOUBLE / 1000000008)) AS key
+              FROM w2
+            ),
+            sel AS (
+              SELECT doc_id, log_w,
+                     row_number() OVER (ORDER BY key DESC, doc_id ASC)
+                       AS rank
+              FROM keyed
             )
-            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
-                   CAST(sample_rank AS INT) AS sample_rank
+            SELECT 'strat' AS variant, doc_id, source AS strata,
+                   CAST(n_chars AS DOUBLE) AS metric,
+                   CAST(sample_rank AS INT) AS rank
             FROM r WHERE sample_rank <= 25
+            UNION ALL
+            SELECT 'dsir' AS variant, doc_id, '_all' AS strata,
+                   round(log_w, 6) AS metric, CAST(rank AS INT) AS rank
+            FROM sel WHERE rank <= 40
         """,
         "extract_text": """
             WITH h AS (

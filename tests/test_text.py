@@ -459,3 +459,25 @@ def test_kn_cross_entropy_self_and_validation(spark):
     import pytest
     with pytest.raises(ValueError):
         tx.kn_cross_entropy(df, discount=1.5)
+
+
+def test_kn_self_mode_consolidated_equals_cascade(spark):
+    """score=None (one consolidated LM join) == score=train (the
+    5-join cascade) — the fast path must be a pure plan change."""
+    rows = [(i, t) for i, t in enumerate([
+        "the cat sat on the mat and the dog sat on the rug",
+        "doc about cats and dogs on mats",
+        "tail bigram only here",
+        "alpha beta gamma delta alpha beta",
+        "", "one two",
+    ])]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    fast = {r["doc_id"]: r for r in tx.kn_cross_entropy(df).collect()}
+    slow = {r["doc_id"]: r for r in tx.kn_cross_entropy(df, df).collect()}
+    assert set(fast) == set(slow)
+    for did in fast:
+        assert fast[did]["n_grams"] == slow[did]["n_grams"], did
+        a, b = fast[did]["cross_entropy"], slow[did]["cross_entropy"]
+        assert (a is None) == (b is None), did
+        if a is not None:
+            assert abs(a - b) < 1e-9, did

@@ -577,12 +577,18 @@ def kn_cross_entropy(
 
     Scale design: the LM is four count tables built by hash
     aggregation over exploded grams — counts, never text, shuffle, and
-    map-side combine absorbs zipfian hot grams.  Scoring is five
-    equi-joins keyed on gram/word strings (AQE skew-join handles hot
-    function words; small LMs broadcast under the session threshold)
-    plus three broadcast 1-row scalars — no eager job at build time.
-    Returns ``(id, n_grams, cross_entropy)``; docs with < 3 tokens
-    score NULL.  ``score`` defaults to ``train`` (self-perplexity)."""
+    map-side combine absorbs zipfian hot grams.  Scoring joins key on
+    gram/word strings (AQE skew-join handles hot function words; small
+    LMs broadcast under the session threshold) plus three broadcast
+    1-row scalars — no eager job at build time.  SELF-perplexity
+    (``score=None``, the corpus-filter shape) takes a consolidated
+    path: every scored trigram is by construction IN the trigram
+    table, so the five lookup tables pre-join at LM (gram-type) scale
+    and the corpus pays ONE doc-scale equi-join instead of five; the
+    cascade expressions are identical, only the join shape changes
+    (equality pytest-pinned).  Returns ``(id, n_grams,
+    cross_entropy)``; docs with < 3 tokens score NULL."""
+    self_mode = score is None
     if score is None:
         score = train
     D = float(discount)
@@ -605,6 +611,9 @@ def kn_cross_entropy(
     )
     uni_cont = bi_types.groupBy("w3").agg(
         F.count(F.lit(1)).cast("double").alias("_n1w3"))
+    # feeds uni_tot AND the scoring join: persist the gram-scale
+    # result or the corpus-scale bigram-type distinct runs twice
+    uni_cont = uni_cont.persist()
     uni_tot = uni_cont.agg(
         F.sum("_n1w3").alias("_n1all"),
         F.count(F.lit(1)).cast("double").alias("_W1"),
@@ -641,15 +650,32 @@ def kn_cross_entropy(
                 F.col("g").getItem(1).alias("w2"),
                 F.col("g").getItem(2).alias("w3"))
     )
-    j = (
-        doc_tri.join(tri, ["w1", "w2", "w3"], "left")
-        .join(ctx, ["w1", "w2"], "left")
-        .join(mid, ["w2", "w3"], "left")
-        .join(midw2, ["w2"], "left")
-        .join(uni_cont, ["w3"], "left")
-        .crossJoin(F.broadcast(uni_tot))
-        .crossJoin(F.broadcast(v_df))
-    )
+    if self_mode:
+        # every scored trigram exists in `tri`, so all five lookups
+        # consolidate into one trigram-keyed table at LM scale and the
+        # corpus pays a single doc-scale join (5.2 s -> the join count
+        # is the cost at suite scale; expressions below are unchanged)
+        lm = (
+            tri.join(ctx, ["w1", "w2"])
+            .join(mid, ["w2", "w3"])
+            .join(midw2, ["w2"])
+            .join(uni_cont, ["w3"])
+        )
+        j = (
+            doc_tri.join(lm, ["w1", "w2", "w3"])
+            .crossJoin(F.broadcast(uni_tot))
+            .crossJoin(F.broadcast(v_df))
+        )
+    else:
+        j = (
+            doc_tri.join(tri, ["w1", "w2", "w3"], "left")
+            .join(ctx, ["w1", "w2"], "left")
+            .join(mid, ["w2", "w3"], "left")
+            .join(midw2, ["w2"], "left")
+            .join(uni_cont, ["w3"], "left")
+            .crossJoin(F.broadcast(uni_tot))
+            .crossJoin(F.broadcast(v_df))
+        )
     dL = F.lit(D)
     p1 = F.when(
         F.col("_n1all") > 0,
