@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "quality_clf",
     "phash_neardup",
     "audio_neardup",
+    "video_neardup",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

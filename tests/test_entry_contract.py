@@ -83,6 +83,9 @@ def test_oracle_keys_subset_of_queries():
         # FFT/codec path has no SQL twin; gain invariance, noise
         # bounds and planted recall are pytest-asserted
         "audio_neardup",
+        # GIF/DCT path has no SQL twin; planted recall, subset clips
+        # and frame-order invariance are pytest-asserted
+        "video_neardup",
     }
 
 

@@ -151,3 +151,60 @@ def test_hamming_near_duplicates_brute_force_parity(spark):
             if d <= 4:
                 want[(i, j)] = d
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# video near-dup over animated GIF (the from-scratch video container)
+# ---------------------------------------------------------------------------
+
+_GRAYS = np.stack([np.arange(64) * 4] * 3, axis=1).astype(np.uint8)
+
+
+def _gif_video(seed: int, n_frames: int = 6, jitter: int = 0) -> bytes:
+    """Animated GIF of textured frames; index jitter simulates a
+    re-encode (±1 palette step = ±4 luma)."""
+    frames = []
+    for f in range(n_frames):
+        img = _img(seed * 100 + f)
+        idx = (img.mean(axis=2) / 4).astype(np.int64)
+        if jitter:
+            rng = np.random.default_rng(seed * 997 + f)
+            idx = idx + rng.integers(-jitter, jitter + 1, idx.shape)
+        frames.append(np.clip(idx, 0, 63).astype(np.uint8))
+    return mm.encode_gif(frames, _GRAYS, delays_ms=[100] * n_frames)
+
+
+def test_video_near_duplicates_planted(spark):
+    rows = [(i, _gif_video(i)) for i in range(6)]
+    # re-encoded twin of video 0 (jittered indices), same frames
+    rows.append((100, _gif_video(0, jitter=1)))
+    # subset clip: first 3 frames of video 1
+    sub = _gif_video(1)
+    frames, delays = mm.decode_gif_frames(sub)
+    idx_frames = [(fr.mean(axis=2) / 4).astype(np.uint8) for fr in frames[:3]]
+    rows.append((200, mm.encode_gif(idx_frames, _GRAYS, delays_ms=[100] * 3)))
+    df = spark.createDataFrame(rows, schema="media_id long, payload binary")
+    pairs = {(r["id_a"], r["id_b"]): r for r in mm.video_near_duplicates(
+        df, max_hamming=6, frame_match_frac=0.5, n_blocks=8).collect()}
+    assert (0, 100) in pairs, pairs.keys()
+    assert pairs[(0, 100)]["frac_a"] == 1.0
+    assert (1, 200) in pairs, pairs.keys()  # subset clip caught
+    assert pairs[(1, 200)]["frac_b"] == 1.0  # all of the clip matches
+    # distinct videos never pair
+    for a, b in pairs:
+        assert {a, b} <= {0, 100} or {a, b} <= {1, 200}, (a, b)
+
+
+def test_video_near_duplicates_order_invariant(spark):
+    """Re-cut (reversed frame order) still matches: set semantics."""
+    vid = _gif_video(3)
+    frames, _ = mm.decode_gif_frames(vid)
+    rev = [(fr.mean(axis=2) / 4).astype(np.uint8) for fr in frames[::-1]]
+    rows = [(0, vid), (1, mm.encode_gif(rev, _GRAYS, delays_ms=[100] * len(rev)))]
+    df = spark.createDataFrame(rows, schema="media_id long, payload binary")
+    pairs = mm.video_near_duplicates(
+        df, max_hamming=6, frame_match_frac=0.9, n_blocks=8).collect()
+    assert len(pairs) == 1 and pairs[0]["frac_a"] == 1.0
+    import pytest
+    with pytest.raises(ValueError):
+        mm.video_near_duplicates(df, frame_match_frac=0.0)

@@ -802,6 +802,114 @@ def phash_near_duplicates(
     )
 
 
+def frame_phash(
+    frames_df: DataFrame,
+    id_col: str = "media_id",
+    out_col: str = "fhash",
+) -> DataFrame:
+    """(id, frame_idx, fhash) from :func:`gif_frames` rows — the
+    per-frame pHash over the rgb binary column, one Arrow pass."""
+    schema = f"{id_col} long, frame_idx int, {out_col} bigint"
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for rgb, h, w in zip(pdf["rgb"], pdf["h"], pdf["w"]):
+                img = np.frombuffer(bytes(rgb), np.uint8).reshape(
+                    int(h), int(w), 3)
+                hashes.append(_phash_bits(img))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "frame_idx": pdf["frame_idx"],
+                out_col: pd.array(hashes, dtype="int64"),
+            })
+
+    return frames_df.mapInPandas(_op, schema=schema)
+
+
+#: frame_idx packs into the low bits of the frame uid; bounds frames
+#: per video at 2^20 (~1M — far above any sane max_frames cap)
+_FRAME_UID_BITS = 20
+
+
+def video_near_duplicates(
+    df: DataFrame,
+    max_hamming: int = 6,
+    frame_match_frac: float = 0.5,
+    max_frames: int = 64,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Video near-dup pairs over animated GIF payloads — the one video
+    container this environment decodes FROM SCRATCH, so the whole path
+    is real: frames (capped at ``max_frames``) -> per-frame pHash ->
+    frame-level banded-Hamming join (the shared pigeonhole core) ->
+    per-video-pair coverage verify.
+
+    Two videos pair when ``greatest(matched_a/n_a, matched_b/n_b) >=
+    frame_match_frac``: most of ONE video's frames have a near-dup
+    frame in the other, which catches both full re-encodes and
+    subset clips; frame ORDER never enters (re-cut/reordered dups
+    still match).  Returns (id_a, id_b, frac_a, frac_b, n_matched).
+
+    Scale shape: pixels collapse to (video, frame, 8-byte hash) inside
+    the decode pass; the self-join exchange carries ~max_frames x 8
+    bytes per video; the coverage verify is a count-distinct
+    aggregation over MATCHED pairs only, never all-pairs."""
+    if not (0.0 < frame_match_frac <= 1.0):
+        raise ValueError(
+            f"frame_match_frac must be in (0, 1], got {frame_match_frac}")
+    from xarray_spatial_spark.functions.dedup import hamming_near_duplicates
+
+    frames = gif_frames(df, payload_col=payload_col, id_col=id_col,
+                        max_frames=max_frames)
+    fh = frame_phash(frames, id_col=id_col)
+    sig = fh.select(
+        (F.col(id_col) * (1 << _FRAME_UID_BITS)
+         + F.col("frame_idx")).alias("_fuid"),
+        "fhash",
+    ).persist()
+    nf = fh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nf"))
+    fpairs = hamming_near_duplicates(
+        sig, hash_col="fhash", id_col="_fuid",
+        max_hamming=max_hamming, n_blocks=n_blocks,
+    )
+    va = F.shiftrightunsigned(F.col("id_a"), _FRAME_UID_BITS)
+    vb = F.shiftrightunsigned(F.col("id_b"), _FRAME_UID_BITS)
+    cross = (
+        fpairs.select(
+            F.least(va, vb).alias("vid_a"),
+            F.greatest(va, vb).alias("vid_b"),
+            F.when(va <= vb, F.col("id_a")).otherwise(F.col("id_b"))
+             .alias("_fa"),
+            F.when(va <= vb, F.col("id_b")).otherwise(F.col("id_a"))
+             .alias("_fb"),
+        )
+        .filter(F.col("vid_a") != F.col("vid_b"))
+    )
+    matched = cross.groupBy("vid_a", "vid_b").agg(
+        F.count_distinct("_fa").alias("_ma"),
+        F.count_distinct("_fb").alias("_mb"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    out = (
+        matched
+        .join(nf.select(F.col(id_col).alias("vid_a"),
+                        F.col("_nf").alias("_na")), "vid_a")
+        .join(nf.select(F.col(id_col).alias("vid_b"),
+                        F.col("_nf").alias("_nb")), "vid_b")
+        .withColumn("frac_a", F.col("_ma") / F.col("_na"))
+        .withColumn("frac_b", F.col("_mb") / F.col("_nb"))
+        .filter(F.greatest("frac_a", "frac_b") >= frame_match_frac)
+        .select(
+            F.col("vid_a").alias("id_a"), F.col("vid_b").alias("id_b"),
+            "frac_a", "frac_b", "n_matched",
+        )
+    )
+    return out
+
+
 def resize_image(
     df: DataFrame, out_h: int, out_w: int, pixels_col: str = "pixels"
 ) -> DataFrame:
