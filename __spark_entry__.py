@@ -538,10 +538,26 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality tagged union (hash breaks if either variant drifts):
+    'signals' = heuristic quality score (functions/text.py:
+    quality_score); 'ccnet' = perplexity head/middle/tail buckets
+    under the KN self-LM (functions/text.py:perplexity_buckets —
+    CCNet's filtering step; exact-percentile thresholds broadcast, no
+    global sort)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select(
-        "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality")
+    sig = d.select(
+        F.lit("signals").alias("variant"),
+        "doc_id",
+        F.round(tx.quality_score(F.col("text")), 6).alias("metric"),
+        F.lit("_").alias("label"),
     )
+    cc = tx.perplexity_buckets(d.select("doc_id", "text")).select(
+        F.lit("ccnet").alias("variant"),
+        "doc_id",
+        F.coalesce(F.col("cross_entropy"), F.lit(-1.0)).alias("metric"),
+        F.col("bucket").alias("label"),
+    )
+    return sig.unionByName(cc)
 
 
 # rows-only checks (non-SQL-expressible in a sane oracle): minhash /
@@ -1695,6 +1711,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+# Kneser-Ney trigram CTE chain (D = 0.75), shared by the lm_score and
+# quality_score oracles.  Requires a preceding CTE `t(doc_id, toks)`;
+# ends at kagg(doc_id, n_grams, h).
+_KN_SQL = """
+            vkn AS (
+              SELECT count(DISTINCT w) AS V
+              FROM (SELECT unnest(toks) AS w FROM t)
+            ),
+            bt AS (
+              SELECT DISTINCT w1, w3 FROM (
+                SELECT
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i])) AS w1,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i + 1])) AS w3
+                FROM t WHERE len(toks) >= 2)
+            ),
+            ucont AS (SELECT w3, count(*)::DOUBLE AS n1w3
+                      FROM bt GROUP BY w3),
+            utot AS (SELECT sum(n1w3) AS n1all, count(*)::DOUBLE AS W1
+                     FROM ucont),
+            tri AS (
+              SELECT w1, w2, w3, count(*)::DOUBLE AS c123 FROM (
+                SELECT
+                  unnest(list_transform(generate_series(1, len(toks) - 2),
+                                        i -> toks[i])) AS w1,
+                  unnest(list_transform(generate_series(1, len(toks) - 2),
+                                        i -> toks[i + 1])) AS w2,
+                  unnest(list_transform(generate_series(1, len(toks) - 2),
+                                        i -> toks[i + 2])) AS w3
+                FROM t WHERE len(toks) >= 3)
+              GROUP BY w1, w2, w3
+            ),
+            ctx AS (SELECT w1, w2, sum(c123) AS c12,
+                           count(*)::DOUBLE AS f12
+                    FROM tri GROUP BY w1, w2),
+            mid AS (SELECT w2, w3, count(*)::DOUBLE AS n1mid
+                    FROM tri GROUP BY w2, w3),
+            midw2 AS (SELECT w2, sum(n1mid) AS midctx,
+                             count(*)::DOUBLE AS midf
+                      FROM mid GROUP BY w2),
+            dt AS (
+              SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(toks) - 2),
+                                      i -> toks[i])) AS w1,
+                unnest(list_transform(generate_series(1, len(toks) - 2),
+                                      i -> toks[i + 1])) AS w2,
+                unnest(list_transform(generate_series(1, len(toks) - 2),
+                                      i -> toks[i + 2])) AS w3
+              FROM t WHERE len(toks) >= 3
+            ),
+            kj0 AS (
+              SELECT d.doc_id, tr.c123, c.c12, c.f12, m.n1mid,
+                     mw.midctx, mw.midf, u.n1w3,
+                     ut.n1all, ut.W1, vk.V
+              FROM dt d
+              LEFT JOIN tri tr ON tr.w1 = d.w1 AND tr.w2 = d.w2
+                              AND tr.w3 = d.w3
+              LEFT JOIN ctx c ON c.w1 = d.w1 AND c.w2 = d.w2
+              LEFT JOIN mid m ON m.w2 = d.w2 AND m.w3 = d.w3
+              LEFT JOIN midw2 mw ON mw.w2 = d.w2
+              LEFT JOIN ucont u ON u.w3 = d.w3, utot ut, vkn vk
+            ),
+            kj1 AS (
+              SELECT *, CASE WHEN n1all > 0 THEN
+                  greatest(COALESCE(n1w3, 0) - 0.75, 0) / n1all
+                  + 0.75 * W1 / n1all / (V + 1)
+                ELSE 1.0 / (COALESCE(V, 0) + 1) END AS p1
+              FROM kj0
+            ),
+            kj2 AS (
+              SELECT *, CASE WHEN midctx IS NOT NULL THEN
+                  greatest(COALESCE(n1mid, 0) - 0.75, 0) / midctx
+                  + 0.75 * midf / midctx * p1
+                ELSE p1 END AS p2
+              FROM kj1
+            ),
+            kj3 AS (
+              SELECT doc_id, -ln(CASE WHEN c12 IS NOT NULL THEN
+                  greatest(COALESCE(c123, 0) - 0.75, 0) / c12
+                  + 0.75 * f12 / c12 * p2
+                ELSE p2 END) AS nll
+              FROM kj2
+            ),
+            kagg AS (SELECT doc_id, count(*) AS n_grams, avg(nll) AS h
+                     FROM kj3 GROUP BY doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     z8x, z8y = _sql_tile_x(8), _sql_tile_y(8)
     z4x, z4y = _sql_tile_x(4), _sql_tile_y(4)
@@ -2294,13 +2398,13 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS value
             FROM r GROUP BY 1, 2
         """,
-        "quality_score": """
-            WITH t AS (
+        "quality_score": f"""
+            WITH qt AS (
               SELECT doc_id, text,
                 CASE WHEN trim(text) = '' THEN 0
                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
                 CASE WHEN length(text) > 0 THEN
-                  CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                  CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
                   / length(text) ELSE 0.0 END AS pr,
                 (len(regexp_extract_all(text, '\\bthe\\b')) + len(regexp_extract_all(text, '\\band\\b')) + len(regexp_extract_all(text, '\\bof\\b')) + len(regexp_extract_all(text, '\\bto\\b')) + len(regexp_extract_all(text, '\\bin\\b')) + len(regexp_extract_all(text, '\\bis\\b')) + len(regexp_extract_all(text, '\\bthat\\b')) + len(regexp_extract_all(text, '\\bfor\\b'))) AS hits,
                 CASE WHEN trim(text) = '' THEN CAST([] AS BIGINT[])
@@ -2316,13 +2420,40 @@ def oracle_sql() -> dict[str, str]:
                      THEN least(4.0 * hits / n_tok, 1.0) ELSE 0.0 END AS stop_score,
                 CASE WHEN n_tok > 0 THEN CAST(list_sum(tlens) AS DOUBLE) / n_tok
                      ELSE 0.0 END AS mwl
-              FROM t
-            )
-            SELECT doc_id,
+              FROM qt
+            ),
+            -- ccnet variant: KN self-perplexity -> exact-percentile
+            -- head/middle/tail buckets (round BEFORE thresholding,
+            -- same as the Spark side)
+            t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE string_split_regex(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            {_KN_SQL},
+            hb AS (
+              SELECT i.doc_id, round(k.h, 6) AS ce
+              FROM (SELECT DISTINCT doc_id FROM documents) i
+              LEFT JOIN kagg k USING (doc_id)
+            ),
+            thr AS (SELECT round(quantile_cont(ce, 1.0/3), 6) AS t1,
+                           round(quantile_cont(ce, 2.0/3), 6) AS t2
+                    FROM hb)
+            SELECT 'signals' AS variant, doc_id,
                    round((len_score + punct_score + stop_score +
                           CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.25 END
-                         ) / 4.0, 6) AS quality
+                         ) / 4.0, 6) AS metric,
+                   '_' AS label
             FROM sc
+            UNION ALL
+            SELECT 'ccnet' AS variant, doc_id,
+                   COALESCE(ce, -1.0) AS metric,
+                   CASE WHEN ce IS NULL THEN 'unscored'
+                        WHEN ce <= thr.t1 THEN 'head'
+                        WHEN ce <= thr.t2 THEN 'middle'
+                        ELSE 'tail' END AS label
+            FROM hb, thr
         """,
         "line_dedup": """
             WITH d AS (
@@ -2776,7 +2907,7 @@ def oracle_sql() -> dict[str, str]:
                    rank
             FROM r WHERE rank <= 5
         """,
-        "lm_score": """
+        "lm_score": f"""
             WITH t AS (
               SELECT doc_id,
                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -2811,88 +2942,7 @@ def oracle_sql() -> dict[str, str]:
             -- interpolated Kneser-Ney trigram variant (D = 0.75):
             -- continuation counts at the lower orders, context totals
             -- from observed trigrams, uniform 1/(V+1) base
-            vkn AS (
-              SELECT count(DISTINCT w) AS V
-              FROM (SELECT unnest(toks) AS w FROM t)
-            ),
-            bt AS (
-              SELECT DISTINCT w1, w3 FROM (
-                SELECT
-                  unnest(list_transform(generate_series(1, len(toks) - 1),
-                                        i -> toks[i])) AS w1,
-                  unnest(list_transform(generate_series(1, len(toks) - 1),
-                                        i -> toks[i + 1])) AS w3
-                FROM t WHERE len(toks) >= 2)
-            ),
-            ucont AS (SELECT w3, count(*)::DOUBLE AS n1w3
-                      FROM bt GROUP BY w3),
-            utot AS (SELECT sum(n1w3) AS n1all, count(*)::DOUBLE AS W1
-                     FROM ucont),
-            tri AS (
-              SELECT w1, w2, w3, count(*)::DOUBLE AS c123 FROM (
-                SELECT
-                  unnest(list_transform(generate_series(1, len(toks) - 2),
-                                        i -> toks[i])) AS w1,
-                  unnest(list_transform(generate_series(1, len(toks) - 2),
-                                        i -> toks[i + 1])) AS w2,
-                  unnest(list_transform(generate_series(1, len(toks) - 2),
-                                        i -> toks[i + 2])) AS w3
-                FROM t WHERE len(toks) >= 3)
-              GROUP BY w1, w2, w3
-            ),
-            ctx AS (SELECT w1, w2, sum(c123) AS c12,
-                           count(*)::DOUBLE AS f12
-                    FROM tri GROUP BY w1, w2),
-            mid AS (SELECT w2, w3, count(*)::DOUBLE AS n1mid
-                    FROM tri GROUP BY w2, w3),
-            midw2 AS (SELECT w2, sum(n1mid) AS midctx,
-                             count(*)::DOUBLE AS midf
-                      FROM mid GROUP BY w2),
-            dt AS (
-              SELECT doc_id,
-                unnest(list_transform(generate_series(1, len(toks) - 2),
-                                      i -> toks[i])) AS w1,
-                unnest(list_transform(generate_series(1, len(toks) - 2),
-                                      i -> toks[i + 1])) AS w2,
-                unnest(list_transform(generate_series(1, len(toks) - 2),
-                                      i -> toks[i + 2])) AS w3
-              FROM t WHERE len(toks) >= 3
-            ),
-            kj0 AS (
-              SELECT d.doc_id, tr.c123, c.c12, c.f12, m.n1mid,
-                     mw.midctx, mw.midf, u.n1w3,
-                     ut.n1all, ut.W1, vk.V
-              FROM dt d
-              LEFT JOIN tri tr ON tr.w1 = d.w1 AND tr.w2 = d.w2
-                              AND tr.w3 = d.w3
-              LEFT JOIN ctx c ON c.w1 = d.w1 AND c.w2 = d.w2
-              LEFT JOIN mid m ON m.w2 = d.w2 AND m.w3 = d.w3
-              LEFT JOIN midw2 mw ON mw.w2 = d.w2
-              LEFT JOIN ucont u ON u.w3 = d.w3, utot ut, vkn vk
-            ),
-            kj1 AS (
-              SELECT *, CASE WHEN n1all > 0 THEN
-                  greatest(COALESCE(n1w3, 0) - 0.75, 0) / n1all
-                  + 0.75 * W1 / n1all / (V + 1)
-                ELSE 1.0 / (COALESCE(V, 0) + 1) END AS p1
-              FROM kj0
-            ),
-            kj2 AS (
-              SELECT *, CASE WHEN midctx IS NOT NULL THEN
-                  greatest(COALESCE(n1mid, 0) - 0.75, 0) / midctx
-                  + 0.75 * midf / midctx * p1
-                ELSE p1 END AS p2
-              FROM kj1
-            ),
-            kj3 AS (
-              SELECT doc_id, -ln(CASE WHEN c12 IS NOT NULL THEN
-                  greatest(COALESCE(c123, 0) - 0.75, 0) / c12
-                  + 0.75 * f12 / c12 * p2
-                ELSE p2 END) AS nll
-              FROM kj2
-            ),
-            kagg AS (SELECT doc_id, count(*) AS n_grams, avg(nll) AS h
-                     FROM kj3 GROUP BY doc_id),
+            {_KN_SQL},
             ids AS (SELECT DISTINCT doc_id FROM documents)
             SELECT 'bigram' AS variant, d.doc_id,
                    COALESCE(a.n_bigrams, 0) AS n_grams,

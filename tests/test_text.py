@@ -481,3 +481,38 @@ def test_kn_self_mode_consolidated_equals_cascade(spark):
         assert (a is None) == (b is None), did
         if a is not None:
             assert abs(a - b) < 1e-9, did
+
+
+def test_perplexity_buckets_ccnet(spark):
+    rows = [(i, "the cat sat on the mat and the dog sat here too")
+            for i in range(6)] + [
+        (10, "cats dogs mats rugs and the usual words"),
+        (11, "zqx vlk wmp qrs ttv bbn gibberish stream"),
+        (12, "ok"),  # unscorable: < 3 tokens
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.perplexity_buckets(df).collect()}
+    assert out[12]["bucket"] == "unscored"
+    assert out[11]["bucket"] == "tail"          # gibberish lands in tail
+    assert out[0]["bucket"] == "head"           # the repeated doc is head
+    # counts respect the percentile split over the 8 scored docs
+    from collections import Counter
+    c = Counter(r["bucket"] for r in out.values())
+    assert c["unscored"] == 1 and c["tail"] >= 1 and c["head"] >= 1
+    # thresholds recompute identically at different parallelism
+    out2 = {r["doc_id"]: r["bucket"] for r in
+            tx.perplexity_buckets(df.repartition(5)).collect()}
+    assert out2 == {k: v["bucket"] for k, v in out.items()}
+
+
+def test_perplexity_buckets_by_language(spark):
+    en = [(i, "the cat and the dog sat on the mat " + "again " * (i % 3))
+          for i in range(6)]
+    de = [(100 + i, "der hund und die katze ist nicht hier " + "mehr " * (i % 3))
+          for i in range(6)]
+    df = spark.createDataFrame(en + de, schema="doc_id long, text string")
+    df = df.withColumn("lang", (F.col("doc_id") < 100).cast("string"))
+    out = tx.perplexity_buckets(df, by="lang").collect()
+    # per-language thresholds: each language gets its own head docs
+    langs_with_head = {r["lang"] for r in out if r["bucket"] == "head"}
+    assert langs_with_head == {"true", "false"}

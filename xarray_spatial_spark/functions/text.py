@@ -707,6 +707,59 @@ def kn_cross_entropy(
     )
 
 
+def perplexity_buckets(
+    df,
+    weights=None,
+    by: str | None = None,
+    fracs: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """CCNet's signature filtering step: label every doc head /
+    middle / tail by LM-perplexity percentile (head = LOWEST
+    cross-entropy = most in-domain; CCNet keeps head+middle and drops
+    tail).  ``weights`` defaults to KN self-perplexity
+    (:func:`kn_cross_entropy` on ``df``); pass any (id, cross_entropy)
+    frame to bucket under a different LM.  ``by`` buckets within a
+    partition column (CCNet computes percentiles per LANGUAGE shard —
+    pass the langid column for that); None = one global threshold
+    pair.
+
+    Scale shape: NO global sort — thresholds are one exact-percentile
+    aggregation (grouped by ``by`` when given) broadcast/joined back,
+    so the labeling pass is embarrassingly parallel.  Cross-entropy is
+    rounded to 6 dp BEFORE thresholding and the thresholds are rounded
+    the same, so the bucketing is reproducible across engines (sum
+    order perturbs the raw double at ~1e-13; comparisons run on the
+    rounded values).  Docs the LM cannot score (< 3 tokens) label
+    'unscored'.  Returns (id[, by], cross_entropy, bucket)."""
+    if weights is None:
+        weights = kn_cross_entropy(df, text_col=text_col, id_col=id_col)
+    w = weights.select(
+        id_col, F.round("cross_entropy", 6).alias("cross_entropy"))
+    if by is not None:
+        w = w.join(df.select(id_col, by), id_col)
+        thr = w.groupBy(by).agg(
+            F.round(F.percentile("cross_entropy", fracs[0]), 6).alias("_t1"),
+            F.round(F.percentile("cross_entropy", fracs[1]), 6).alias("_t2"),
+        )
+        j = w.join(F.broadcast(thr), by, "left")
+    else:
+        thr = w.agg(
+            F.round(F.percentile("cross_entropy", fracs[0]), 6).alias("_t1"),
+            F.round(F.percentile("cross_entropy", fracs[1]), 6).alias("_t2"),
+        )
+        j = w.crossJoin(F.broadcast(thr))
+    bucket = (
+        F.when(F.col("cross_entropy").isNull(), "unscored")
+        .when(F.col("cross_entropy") <= F.col("_t1"), "head")
+        .when(F.col("cross_entropy") <= F.col("_t2"), "middle")
+        .otherwise("tail")
+    )
+    cols = [id_col] + ([by] if by is not None else [])
+    return j.select(*cols, "cross_entropy", bucket.alias("bucket"))
+
+
 def _gram_parts(toks: Column, n: int) -> Column:
     """Array of n-gram token STRUCT-free arrays (array<array<string>>)
     — like :func:`ngrams` but keeping the parts split, so callers can
