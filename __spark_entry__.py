@@ -933,6 +933,8 @@ def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *tx.gopher_signals(F.col("text")),
         tx.gopher_keep(F.col("text"), min_words=30).alias("keep"),
+        tx.c4_clean(F.col("text")).alias("_c4"),
+        tx.c4_page_keep(F.col("text")).alias("c4_keep"),
     )
     return sig.select(
         "doc_id",
@@ -944,6 +946,11 @@ def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
         F.col("stop_hits").cast("long").alias("stop_hits"),
         "keep",
+        "c4_keep",
+        F.when(F.col("_c4") == "", 0)
+         .otherwise(F.size(F.split(F.col("_c4"), "\n")))
+         .cast("long").alias("c4_kept_lines"),
+        F.length("_c4").cast("long").alias("c4_len"),
     )
 
 
@@ -3122,10 +3129,10 @@ def _gopher_keep_pred(min_words: int = 30) -> str:
 
 
 def _gopher_oracle() -> str:
-    """DuckDB twin of gopher_signals + gopher_keep(min_words=30): raw
-    (unrounded) signals feed the keep rule, rounded copies are emitted
-    — matching the Spark side where gopher_keep recomputes raw
-    signals."""
+    """DuckDB twin of gopher_signals + gopher_keep(min_words=30) plus
+    the C4 line/page rules: raw (unrounded) signals feed the keep
+    rule, rounded copies are emitted — matching the Spark side where
+    gopher_keep recomputes raw signals."""
     return f"""
         WITH {_gopher_m_sql("documents")},
         r AS (
@@ -3139,8 +3146,29 @@ def _gopher_oracle() -> str:
             CASE WHEN n_words > 0 THEN alphaw / CAST(n_words AS DOUBLE)
                  ELSE 0.0 END AS awf
           FROM m
+        ),
+        c4 AS (
+          SELECT doc_id,
+            -- DuckDB array_to_string of an EMPTY list is NULL;
+            -- Spark array_join gives '' — coalesce to match
+            COALESCE(array_to_string(list_filter(string_split(text, chr(10)),
+              l -> regexp_matches(l, '[.!?"]\\s*$')
+                   AND len(string_split_regex(trim(l), '\\s+')) >= 5
+                   AND NOT contains(lower(l), 'javascript')),
+              chr(10)), '') AS c4t,
+            lower(text) AS low, text AS raw
+          FROM documents
+        ),
+        c4k AS (
+          SELECT doc_id, c4t,
+            (len(regexp_extract_all(c4t, '[.!?]')) >= 3
+             AND NOT regexp_matches(low,
+                 '\\b(porn|xxx|viagra|casino|escort)\\b')
+             AND NOT contains(low, 'lorem ipsum')
+             AND NOT contains(raw, '{{')) AS c4_keep
+          FROM c4
         )
-        SELECT doc_id,
+        SELECT r.doc_id,
           CAST(n_words AS BIGINT) AS n_words,
           round(mwl, 6) AS mean_word_len,
           round(syr, 6) AS symbol_word_ratio,
@@ -3151,8 +3179,13 @@ def _gopher_oracle() -> str:
           (n_words >= 30 AND n_words <= 100000
            AND mwl >= 3.0 AND mwl <= 10.0
            AND syr <= 0.1 AND blf <= 0.9 AND elf <= 0.3
-           AND awf >= 0.8 AND stop_hits >= 2) AS keep
-        FROM r
+           AND awf >= 0.8 AND stop_hits >= 2) AS keep,
+          k.c4_keep,
+          CAST(CASE WHEN k.c4t = '' THEN 0
+               ELSE len(string_split(k.c4t, chr(10))) END AS BIGINT)
+            AS c4_kept_lines,
+          CAST(length(k.c4t) AS BIGINT) AS c4_len
+        FROM r JOIN c4k k ON k.doc_id = r.doc_id
     """
 
 

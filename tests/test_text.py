@@ -516,3 +516,36 @@ def test_perplexity_buckets_by_language(spark):
     # per-language thresholds: each language gets its own head docs
     langs_with_head = {r["lang"] for r in out if r["bucket"] == "head"}
     assert langs_with_head == {"true", "false"}
+
+
+def test_c4_filters(spark):
+    page_good = (
+        "This is a fine first sentence with enough words here.\n"
+        "short line\n"
+        "Enable javascript to view this content properly please.\n"
+        "- bullet fragment without punctuation\n"
+        "A second proper sentence also ends with punctuation.\n"
+        "And here is a third complete sentence for the counter."
+    )
+    rows = [
+        (0, page_good),
+        (1, page_good + "\nBuy viagra online today at a great price."),
+        (2, page_good.replace("fine first", "lorem ipsum")),
+        (3, page_good + "\nfunction f() { return 1; }"),
+        (4, "Only one good sentence lives on this page today."),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    kept = tx.c4_filter(df)
+    got = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert set(got) == {0}
+    cleaned = got[0].split("\n")
+    # terminal-punct + >=5-word + no-javascript lines survive, in order
+    assert cleaned == [
+        "This is a fine first sentence with enough words here.",
+        "A second proper sentence also ends with punctuation.",
+        "And here is a third complete sentence for the counter.",
+    ]
+    # keep-flag column form agrees with the filter form
+    flags = {r["doc_id"]: r["keep"] for r in df.select(
+        "doc_id", tx.c4_page_keep(F.col("text")).alias("keep")).collect()}
+    assert flags == {0: True, 1: False, 2: False, 3: False, 4: False}

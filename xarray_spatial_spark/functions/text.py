@@ -284,6 +284,59 @@ def gopher_keep(text: Column, min_words: int = 50, max_words: int = 100000) -> C
     )
 
 
+# placeholder subset of the public "List of Dirty, Naughty, Obscene…"
+# blocklist C4 uses — swap the full list in for production; the rule
+# mechanics (word-boundary match on the lowercased page) are identical
+C4_BADWORDS = ("porn", "xxx", "viagra", "casino", "escort")
+
+
+def c4_clean(text: Column, min_line_words: int = 5) -> Column:
+    """C4's LINE-level cleanup (Raffel et al. 2020 §2.2), pure
+    Catalyst: keep only lines that end in terminal punctuation
+    (``. ! ? "``), carry at least ``min_line_words`` words, and do
+    not mention "javascript"; survivors re-join with newlines.  (The
+    paper's three-sentence-span dedup step is corpus-level — that is
+    :func:`~xarray_spatial_spark.functions.dedup.duplicate_spans`.)"""
+    ls = lines(text)
+    kept = F.filter(
+        ls,
+        lambda l: l.rlike(r'[.!?"]\s*$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_line_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_page_keep(text: Column, cleaned: Column | None = None) -> Column:
+    """C4's PAGE-level keep rule over the cleaned text: at least 3
+    sentences (terminal-punctuation count as the sentence proxy — the
+    paper uses a sentence splitter; same monotone signal), no
+    blocklisted word (word-boundary, lowercased), no "lorem ipsum",
+    no curly brace (code leakage)."""
+    if cleaned is None:
+        cleaned = c4_clean(text)
+    low = F.lower(text)
+    n_sent = F.regexp_count(cleaned, F.lit(r"[.!?]"))
+    bad = low.rlike(r"\b(" + "|".join(C4_BADWORDS) + r")\b")
+    return (
+        (n_sent >= 3)
+        & ~bad
+        & ~low.contains("lorem ipsum")
+        & ~text.contains("{")
+    )
+
+
+def c4_filter(df, text_col: str = "text", min_line_words: int = 5):
+    """Apply the full C4 transform: line cleanup + page keep.
+    Returns the kept rows with ``text_col`` REPLACED by the cleaned
+    text — everything stays in the scan stage (no shuffle, no UDF)."""
+    cleaned = c4_clean(F.col(text_col), min_line_words)
+    out = df.withColumn("_c4", cleaned).filter(
+        c4_page_keep(F.col(text_col), F.col("_c4"))
+    )
+    return out.drop(text_col).withColumnRenamed("_c4", text_col)
+
+
 def tf_idf(
     df, top_k: int = 10, text_col: str = "text", id_col: str = "doc_id"
 ):
