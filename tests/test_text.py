@@ -549,3 +549,39 @@ def test_c4_filters(spark):
     flags = {r["doc_id"]: r["keep"] for r in df.select(
         "doc_id", tx.c4_page_keep(F.col("text")).alias("keep")).collect()}
     assert flags == {0: True, 1: False, 2: False, 3: False, 4: False}
+
+
+def test_kn_auto_discount_matches_ney_estimate(spark):
+    rows = [(i, "the cat sat on the mat and the dog sat on the rug")
+            for i in range(3)] + [
+        (10, "one two three four five six"),
+        (11, "one two three seven eight nine"),
+        (12, "cats chase dogs around green gardens"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    # Ney estimate from trigram counts-of-counts
+    from collections import Counter
+    tri = Counter()
+    for _, t in [(i, t) for i, t in rows]:
+        ws = t.split()
+        for g in zip(ws, ws[1:], ws[2:]):
+            tri[g] += 1
+    n1 = sum(1 for c in tri.values() if c == 1)
+    n2 = sum(1 for c in tri.values() if c == 2)
+    D = n1 / (n1 + 2 * n2)
+    auto = {r["doc_id"]: r["cross_entropy"] for r in
+            tx.kn_cross_entropy(df, discount="auto").collect()}
+    fixed = {r["doc_id"]: r["cross_entropy"] for r in
+             tx.kn_cross_entropy(df, discount=D).collect()}
+    assert set(auto) == set(fixed)
+    for k in auto:
+        if auto[k] is None:
+            assert fixed[k] is None
+        else:
+            assert abs(auto[k] - fixed[k]) < 1e-9, k
+    # cascade path accepts auto too
+    casc = {r["doc_id"]: r["cross_entropy"] for r in
+            tx.kn_cross_entropy(df, df, discount="auto").collect()}
+    for k in auto:
+        if auto[k] is not None:
+            assert abs(auto[k] - casc[k]) < 1e-9, k

@@ -608,9 +608,13 @@ def kn_cross_entropy(
     gram continues, not how often it occurs).
 
     Three levels, fixed discount ``D`` (Kneser & Ney 1995; Chen &
-    Goodman 1999 interpolated form; KenLM trains per-order D from
-    counts-of-counts — a fixed D keeps this deterministic and is the
-    documented simplification):
+    Goodman 1999 interpolated form).  ``discount`` is a fixed D in
+    (0, 1), or ``"auto"`` for the Ney counts-of-counts estimate
+    D = n1 / (n1 + 2 n2) over trigram types (what KenLM computes
+    per order; one discount shared across orders is the documented
+    simplification) — the estimate rides the scoring job as a
+    broadcast 1-row aggregate over the persisted trigram table, so
+    auto mode adds NO corpus pass and stays deterministic:
 
     - trigram: P3(w3|w1 w2) = max(c(w1w2w3) - D, 0) / c(w1w2*)
       + D * N1+(w1w2.) / c(w1w2*) * P2(w3|w2), where c(w1w2*) =
@@ -644,9 +648,12 @@ def kn_cross_entropy(
     self_mode = score is None
     if score is None:
         score = train
-    D = float(discount)
-    if not (0.0 < D < 1.0):
-        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    if discount == "auto":
+        D = None  # Ney estimate from trigram counts-of-counts, below
+    else:
+        D = float(discount)
+        if not (0.0 < D < 1.0):
+            raise ValueError(f"discount must be in (0, 1), got {discount}")
 
     t_toks = train.select(tokens(F.col(text_col)).alias("toks"))
     # vocab size V (1-row broadcast)
@@ -729,7 +736,26 @@ def kn_cross_entropy(
             .crossJoin(F.broadcast(uni_tot))
             .crossJoin(F.broadcast(v_df))
         )
-    dL = F.lit(D)
+    if D is not None:
+        dL = F.lit(D)
+    else:
+        d_df = tri.agg(
+            F.sum((F.col("_c123") == 1).cast("double")).alias("_n1"),
+            F.sum((F.col("_c123") == 2).cast("double")).alias("_n2"),
+        ).select(
+            F.least(
+                F.greatest(
+                    F.coalesce(
+                        F.col("_n1") / (F.col("_n1") + 2 * F.col("_n2")),
+                        F.lit(0.75),
+                    ),
+                    F.lit(0.001),
+                ),
+                F.lit(0.999),
+            ).alias("_D")
+        )
+        j = j.crossJoin(F.broadcast(d_df))
+        dL = F.col("_D")
     p1 = F.when(
         F.col("_n1all") > 0,
         F.greatest(F.coalesce("_n1w3", F.lit(0.0)) - dL, F.lit(0.0))
