@@ -931,10 +931,14 @@ def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     sig = d.select(
         "doc_id",
+        "text",
         *tx.gopher_signals(F.col("text")),
         tx.gopher_keep(F.col("text"), min_words=30).alias("keep"),
         tx.c4_clean(F.col("text")).alias("_c4"),
-        tx.c4_page_keep(F.col("text")).alias("c4_keep"),
+    ).withColumn(
+        # pass the already-computed cleaned column so the line-filter
+        # HOF chain runs once, not twice
+        "c4_keep", tx.c4_page_keep(F.col("text"), F.col("_c4"))
     )
     return sig.select(
         "doc_id",

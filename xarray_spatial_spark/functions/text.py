@@ -814,8 +814,12 @@ def perplexity_buckets(
     'unscored'.  Returns (id[, by], cross_entropy, bucket)."""
     if weights is None:
         weights = kn_cross_entropy(df, text_col=text_col, id_col=id_col)
+    # feeds BOTH the threshold aggregation and the labeling join:
+    # persist the (id, rounded-H) frame or the whole LM computation
+    # upstream runs twice (measured 2x the slot cost)
     w = weights.select(
-        id_col, F.round("cross_entropy", 6).alias("cross_entropy"))
+        id_col, F.round("cross_entropy", 6).alias("cross_entropy")
+    ).persist()
     if by is not None:
         w = w.join(df.select(id_col, by), id_col)
         thr = w.groupBy(by).agg(
