@@ -431,3 +431,27 @@ def test_write_packed_shards_resume_and_budget(spark, tmp_path):
     out2 = write_packed_shards(
         spark, docs, stage, target_tokens=100, bins_per_shard=20)
     assert out2.select("shard_id").distinct().count() == 2
+
+
+def test_prepare_corpus_c4_and_ppl_tail(spark):
+    base = ("This is the page that we have to read with care and love. "
+            * 6).strip()
+    lines_page = (base + "\nshort line\n"
+                  + "Another proper sentence closes out this block here.")
+    rows = [(i, lines_page) for i in range(8)] + [
+        # gibberish page: passes gopher length but lands in the
+        # perplexity tail (scored under the corpus's own LM)
+        (100, " ".join(f"zx{i}q wv{i}k pm{i}o" for i in range(20)) + "."),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    # c4=True rewrites text to the kept lines before later stages
+    out = corpus.prepare_corpus(df, min_words=10, c4=True, redact=False)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert all("short line" not in t for t in got.values())
+    # dedup keeps one of the 8 identical pages
+    assert len([d for d in got if d < 100]) == 1
+    # drop_ppl_tail removes the gibberish page (worst bucket)
+    out2 = corpus.prepare_corpus(
+        df, min_words=10, c4=True, redact=False, drop_ppl_tail=True)
+    ids2 = {r["doc_id"] for r in out2.select("doc_id").collect()}
+    assert 100 not in ids2 and len(ids2) >= 1

@@ -208,3 +208,47 @@ def test_video_near_duplicates_order_invariant(spark):
     import pytest
     with pytest.raises(ValueError):
         mm.video_near_duplicates(df, frame_match_frac=0.0)
+
+
+def test_media_kind_and_mixed_near_duplicates(spark):
+    from xarray_spatial_spark.operators import audio as au
+
+    img = _img(1)
+    img_tw = np.clip(img.astype(np.int16) + np.random.default_rng(0)
+                     .integers(-2, 3, img.shape), 0, 255).astype(np.uint8)
+    t = np.arange(19200) / 16000.0
+    rng = np.random.default_rng(5)
+    spec = np.fft.rfft(rng.standard_normal(19200))
+    spec /= np.sqrt(np.fft.rfftfreq(19200, 1 / 16000.0) + 20.0)
+    bed = np.fft.irfft(spec, 19200)
+    wav = np.sin(2 * np.pi * 700 * t) + 1.5 * bed / np.std(bed)
+    wav = (wav / np.max(np.abs(wav)) * 0.7).astype(np.float32)
+    pcm = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+    pcm_tw = (np.clip(0.4 * wav, -1, 1) * 32767).astype(np.int16)
+    rows = [
+        (0, mm.encode_png(img)),
+        (1, mm.encode_png(img_tw)),
+        (2, au.encode_wav(pcm, 16000, "pcm")),
+        (3, au.encode_wav(pcm_tw, 16000, "pcm")),
+        (4, _gif_video(2)),
+        (5, _gif_video(2, jitter=1)),
+        (6, b"\x00\x01unknown-payload"),
+        (7, mm.encode_ppm(_img(9))),           # lone image, no twin
+    ]
+    df = spark.createDataFrame(rows, schema="media_id long, payload binary")
+    kinds = {r["media_id"]: r["k"] for r in df.select(
+        "media_id", mm.media_kind(mm.F.col("payload")).alias("k")).collect()}
+    assert kinds == {0: "image", 1: "image", 2: "audio", 3: "audio",
+                     4: "video", 5: "video", 6: "other", 7: "image"}
+    # WebP payloads are RIFF but route as image
+    from xarray_spatial_spark.operators import webp
+    wimg = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+    wp = spark.createDataFrame(
+        [(0, webp.encode_webp_lossless(wimg))],
+        schema="media_id long, payload binary")
+    assert wp.select(mm.media_kind(mm.F.col("payload"))).collect()[0][0] == "image"
+
+    pairs = mm.media_near_duplicates(df, n_blocks=8).collect()
+    got = {(r["modality"], r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {("image", 0, 1), ("audio", 2, 3), ("video", 4, 5)}, got
+    assert all(0.0 < r["similarity"] <= 1.0 for r in pairs)

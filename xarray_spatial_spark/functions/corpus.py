@@ -38,13 +38,24 @@ def prepare_corpus(
     redact: bool = True,
     url_col: str | None = None,
     host_cap_k: int | None = None,
+    c4: bool = False,
+    drop_ppl_tail: bool = False,
 ) -> DataFrame:
-    """Filter -> dedup -> [host cap] -> redact; returns the surviving
-    rows with the text column redacted in place.  See module docstring
-    for the stage order rationale.  ``host_cap_k`` (with ``url_col``)
-    inserts the per-host quality cap after dedup — capping before
-    dedup would let duplicates consume a host's budget."""
-    out = df.filter(
+    """[C4 line/page cleanup] -> filter -> dedup -> [host cap] ->
+    [drop perplexity tail] -> redact; returns the surviving rows with
+    the text column rewritten in place.  See module docstring for the
+    stage order rationale.  ``host_cap_k`` (with ``url_col``) inserts
+    the per-host quality cap after dedup — capping before dedup would
+    let duplicates consume a host's budget.  ``c4=True`` runs the C4
+    rules FIRST (line cleanup changes the text every later stage
+    sees — that is the C4 pipeline's own order); ``drop_ppl_tail``
+    drops the worst perplexity bucket under the corpus's own KN LM
+    (CCNet keeps head+middle) AFTER dedup so boilerplate copies don't
+    distort the percentiles."""
+    out = df
+    if c4:
+        out = tx.c4_filter(out, text_col=text_col)
+    out = out.filter(
         tx.gopher_keep(F.col(text_col), min_words=min_words,
                        max_words=max_words)
     )
@@ -58,6 +69,13 @@ def prepare_corpus(
             out.withColumn("_q", tx.quality_score(F.col(text_col))),
             k=host_cap_k, score_col="_q", url_col=url_col, id_col=id_col,
         ).drop("_q", "host_rank")
+    if drop_ppl_tail:
+        buckets = tx.perplexity_buckets(
+            out.select(id_col, text_col), text_col=text_col, id_col=id_col)
+        keep_ids = buckets.filter(
+            F.col("bucket").isin("head", "middle", "unscored")
+        ).select(id_col)
+        out = out.join(keep_ids, id_col, "left_semi")
     if redact:
         out = out.withColumn(text_col, tx.redact_pii(F.col(text_col)))
     return out

@@ -910,6 +910,85 @@ def video_near_duplicates(
     return out
 
 
+def media_kind(payload: Column) -> Column:
+    """Modality from magic bytes, pure Catalyst (binary substring
+    compares in the scan stage — no Python touches the payloads that
+    only need routing): 'image' (PNG/BMP/PPM/JPEG/WebP), 'audio'
+    (RIFF/WAVE), 'video' (GIF — still GIFs ride the video path, where
+    a 1-frame match degenerates to exactly the image semantics),
+    'other'."""
+    p4 = F.substring(payload, 1, 4)
+    p2 = F.substring(payload, 1, 2)
+    fmt = F.substring(payload, 9, 4)
+    return (
+        F.when(p4 == F.lit(b"RIFF"),
+               F.when(fmt == F.lit(b"WAVE"), "audio")
+                .when(fmt == F.lit(b"WEBP"), "image")
+                .otherwise("other"))
+        .when(p4 == F.lit(b"GIF8"), "video")
+        .when(p4 == F.lit(b"\x89PNG"), "image")
+        .when(p2 == F.lit(b"BM"), "image")
+        .when(p2 == F.lit(b"P6"), "image")
+        .when(p2 == F.lit(b"\xff\xd8"), "image")
+        .otherwise("other")
+    )
+
+
+def media_near_duplicates(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    image_hamming: int = 6,
+    audio_hamming: int = 8,
+    video_frame_frac: float = 0.5,
+    n_blocks: int = 10,
+) -> DataFrame:
+    """One near-dup pass over a MIXED media table: route each payload
+    by :func:`media_kind` into its modality's pipeline (image pHash /
+    audio fingerprint / video frame-coverage), all three riding the
+    shared banded-Hamming core, and union the pairs as
+    (modality, id_a, id_b, similarity) — image/audio similarity =
+    1 - hamming/64, video = the greater frame-coverage fraction.
+    Cross-modality pairs are impossible by construction (each subset
+    self-joins separately), which is also the scale win: three small
+    self-joins instead of one mixed one."""
+    from xarray_spatial_spark.operators import audio as au
+
+    kinds = df.select(
+        id_col, payload_col, media_kind(F.col(payload_col)).alias("_kind"))
+
+    images = kinds.filter(F.col("_kind") == "image")
+    for c in ("width", "height"):
+        if c not in df.columns:
+            images = images.withColumn(c, F.lit(0))
+    img_pairs = phash_near_duplicates(
+        decode_image(images), max_hamming=image_hamming, id_col=id_col,
+        n_blocks=max(n_blocks, image_hamming + 2),
+    ).select(
+        F.lit("image").alias("modality"), "id_a", "id_b",
+        (1.0 - F.col("hamming") / 64.0).alias("similarity"),
+    )
+    aud_pairs = au.audio_near_duplicates(
+        kinds.filter(F.col("_kind") == "audio"),
+        max_hamming=audio_hamming, id_col=id_col,
+        payload_col=payload_col,
+        n_blocks=max(n_blocks, audio_hamming + 2),
+    ).select(
+        F.lit("audio").alias("modality"), "id_a", "id_b",
+        (1.0 - F.col("hamming") / 64.0).alias("similarity"),
+    )
+    vid_pairs = video_near_duplicates(
+        kinds.filter(F.col("_kind") == "video"),
+        max_hamming=image_hamming, frame_match_frac=video_frame_frac,
+        id_col=id_col, payload_col=payload_col,
+        n_blocks=max(n_blocks, image_hamming + 2),
+    ).select(
+        F.lit("video").alias("modality"), "id_a", "id_b",
+        F.greatest("frac_a", "frac_b").alias("similarity"),
+    )
+    return img_pairs.unionByName(aud_pairs).unionByName(vid_pairs)
+
+
 def resize_image(
     df: DataFrame, out_h: int, out_w: int, pixels_col: str = "pixels"
 ) -> DataFrame:
