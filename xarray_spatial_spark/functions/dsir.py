@@ -88,8 +88,12 @@ def dsir_log_weights(
 
     Totals ride the final job as broadcast 1-row aggregates (no eager
     build-time count job); the ratio table is <= n_buckets rows and
-    broadcasts; the only doc-scale exchange carries (id, partial-sum)
-    rows after map-side combine.  Feature-less docs get log_w = 0."""
+    broadcasts; the raw corpus is exploded ONCE into persisted
+    per-doc (id, bucket, cnt) rows that feed BOTH the raw model
+    counts and the scoring join (the naive shape pays two full
+    corpus passes), so the only doc-scale exchange carries
+    (id, bucket) partials after map-side combine.  Feature-less docs
+    get log_w = 0."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
 
@@ -101,10 +105,12 @@ def dsir_log_weights(
             ).alias("bucket"),
         )
 
+    doc_counts = feats(raw).groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("_cnt")).persist()
     tgt_c = feats(target).groupBy("bucket").agg(
         F.count(F.lit(1)).cast("double").alias("_ct"))
-    raw_c = feats(raw).groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("double").alias("_cr"))
+    raw_c = doc_counts.groupBy("bucket").agg(
+        F.sum("_cnt").alias("_cr"))
     tgt_tot = tgt_c.agg(F.sum("_ct").alias("_T"))
     raw_tot = raw_c.agg(F.sum("_cr").alias("_R"))
     aB = F.lit(float(alpha) * n_buckets)
@@ -126,7 +132,7 @@ def dsir_log_weights(
     # frame other than `raw`: its ratio is the alpha-floor of both
     # sides, computable from the broadcast totals alone
     doc = (
-        feats(raw)
+        doc_counts
         .join(F.broadcast(ratio), "bucket", "left")
         .crossJoin(F.broadcast(tgt_tot))
         .crossJoin(F.broadcast(raw_tot))
@@ -140,8 +146,8 @@ def dsir_log_weights(
         )
     )
     per_doc = doc.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_feats"),
-        F.sum("_lr").alias("log_w"),
+        F.sum("_cnt").cast("long").alias("n_feats"),
+        F.sum(F.col("_cnt") * F.col("_lr")).alias("log_w"),
     )
     ids = raw.select(id_col).distinct()
     return ids.join(per_doc, id_col, "left").select(
