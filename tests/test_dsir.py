@@ -118,3 +118,25 @@ def test_dsir_parallelism_invariance(spark):
          dsir.dsir_log_weights(
              raw.coalesce(1), tgt.coalesce(1), n_buckets=512).collect()}
     assert a == b
+
+
+def test_dsir_build_runs_no_job(spark):
+    """dsir_log_weights must not trigger a job at BUILD time (totals
+    ride the final job as broadcast aggregates; no eager counts).
+    Accumulator canary inside the source proves it."""
+    import pandas as pd  # noqa: F401
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def canary(batches):
+        for pdf in batches:
+            acc.add(1)
+            yield pdf
+
+    base = spark.createDataFrame(RAW, schema="doc_id long, text string")
+    src = base.mapInPandas(canary, base.schema)
+    tgt = spark.createDataFrame(TARGET, schema="doc_id long, text string")
+    out = dsir.dsir_log_weights(src, tgt, n_buckets=256)  # build only
+    assert acc.value == 0
+    out.count()
+    assert acc.value > 0

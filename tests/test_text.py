@@ -585,3 +585,25 @@ def test_kn_auto_discount_matches_ney_estimate(spark):
     for k in auto:
         if auto[k] is not None:
             assert abs(auto[k] - casc[k]) < 1e-9, k
+
+
+def test_kn_build_runs_no_job(spark):
+    """kn_cross_entropy (incl. discount='auto') must not trigger a job
+    at BUILD time — V, W1, n1all and the Ney discount all ride the
+    scoring job as broadcast 1-row aggregates."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def canary(batches):
+        for pdf in batches:
+            acc.add(1)
+            yield pdf
+
+    base = spark.createDataFrame(
+        [(i, "the cat sat on the mat again and again") for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = base.mapInPandas(canary, base.schema)
+    out = tx.kn_cross_entropy(src, discount="auto")  # build only
+    assert acc.value == 0
+    out.count()
+    assert acc.value > 0
