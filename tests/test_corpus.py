@@ -455,3 +455,47 @@ def test_prepare_corpus_c4_and_ppl_tail(spark):
         df, min_words=10, c4=True, redact=False, drop_ppl_tail=True)
     ids2 = {r["doc_id"] for r in out2.select("doc_id").collect()}
     assert 100 not in ids2 and len(ids2) >= 1
+
+
+def test_corpus_datasheet_rollup_levels(spark):
+    """One rollup = per-(lang, source) rows, per-lang subtotals, and a
+    grand total whose numbers equal an independent flat aggregation."""
+    from xarray_spatial_spark.functions.corpus import corpus_datasheet
+
+    rows = [
+        (0, "a b c", "en", "s1"),
+        (1, "d e", "en", "s1"),
+        (2, "f", "en", "s2"),
+        (3, "g h i j", "de", "s1"),
+        (4, "", "de", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = corpus_datasheet(df).collect()
+    by = {(r["lang"], r["source"]): r for r in out}
+
+    # finest level
+    r = by[("en", "s1")]
+    assert (r["level"], r["n_docs"], r["n_tokens"]) == (0, 2, 5)
+    assert r["mean_tokens"] == 2.5 and r["max_tokens"] == 3
+    # per-lang subtotal
+    r = by[("en", "(all)")]
+    assert (r["level"], r["n_docs"], r["n_tokens"]) == (1, 3, 6)
+    r = by[("de", "(all)")]
+    assert (r["level"], r["n_docs"], r["n_tokens"]) == (1, 2, 4)
+    # grand total
+    r = by[("(all)", "(all)")]
+    assert (r["level"], r["n_docs"], r["n_tokens"]) == (3, 5, 10)
+    assert r["n_chars"] == sum(len(t) for _, t, _, _ in rows)
+    # row count: 4 finest + 2 lang + 1 total
+    assert len(out) == 7
+
+
+def test_corpus_datasheet_one_exchange(spark):
+    """The rollup levels ride ONE Expand+Aggregate pair — a single
+    exchange, not one groupBy per level."""
+    from xarray_spatial_spark.functions.corpus import corpus_datasheet
+
+    df = spark.createDataFrame(
+        [(0, "a b", "en", "s")], "doc_id long, text string, lang string, source string")
+    plan = corpus_datasheet(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan

@@ -545,3 +545,37 @@ def test_normalize_for_dedup(spark):
         "doc_id", normalize_for_dedup(F.col("text")).alias("k")).collect()}
     assert got[0] == got[1] == "the cafe opened in 0000"
     assert got[2] == "ca et la nono s resume"
+
+
+def test_bloom_save_load_merge_roundtrip(spark, tmp_path):
+    """Persisted filter answers identically after a save/load cycle;
+    bloom_merge over two snapshot filters equals one filter built over
+    the union (the incremental-crawl loop)."""
+    from xarray_spatial_spark.functions import dedup as dd
+
+    a = spark.range(300).select(
+        F.concat(F.lit("a"), F.col("id")).alias("url"))
+    b = spark.range(300).select(
+        F.concat(F.lit("b"), F.col("id")).alias("url"))
+    n_bits, k = dd.bloom_params(600, 0.01)
+    bm_a = dd.bloom_build(a, "url", n_bits, k)
+    bm_b = dd.bloom_build(b, "url", n_bits, k)
+
+    p = str(tmp_path / "seen.bloom.parquet")
+    dd.bloom_save(bm_a, k, p)
+    loaded, k2 = dd.bloom_load(p)
+    assert k2 == k
+    assert (loaded == bm_a).all()
+
+    merged = dd.bloom_merge(loaded, bm_b)
+    union = dd.bloom_build(a.union(b), "url", n_bits, k)
+    assert (merged == union).all()
+
+    # merged filter still has zero false negatives on both snapshots
+    probe = a.union(b).select(
+        dd.bloom_might_contain(spark, merged, F.col("url"), k).alias("h"))
+    assert probe.filter(~F.col("h")).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dd.bloom_merge(bm_a, bm_a[:-1])

@@ -607,3 +607,87 @@ def test_kn_build_runs_no_job(spark):
     assert acc.value == 0
     out.count()
     assert acc.value > 0
+
+
+# ---------------------------------------------------------------------------
+# mojibake detect + repair
+# ---------------------------------------------------------------------------
+
+
+def _moji(s: str) -> str:
+    """Simulate the corruption: UTF-8 bytes read as WHATWG
+    windows-1252 (the 5 undefined bytes pass through as C1 controls,
+    exactly what browsers and lenient decoders do)."""
+    out = []
+    for b in s.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+def test_mojibake_detect_and_fix(spark):
+    from xarray_spatial_spark.functions import text as tx
+
+    clean = [
+        "plain ascii only",
+        "café résumé naïve",          # real accents must NOT trip repair
+        "curly ’quotes’ and — dashes",
+        "中文页面内容",                  # cp1252-unencodable -> untouched
+        "",
+    ]
+    cases = [(c, c, 0) for c in clean] + [
+        (_moji("café"), "café", None),
+        (_moji("it’s — fine… “q”"), "it’s — fine… “q”", None),
+        (_moji(_moji("café")), "café", None),   # double mojibake, 2 passes
+        (_moji("naïve Ünïcödé"), "naïve Ünïcödé", None),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in cases], "t string")
+    out = df.select(
+        "t",
+        tx.mojibake_hits(F.col("t")).alias("hits"),
+        tx.fix_mojibake(F.col("t")).alias("fixed"),
+    ).collect()
+    got = {r["t"]: r for r in out}
+    for t, want, want_hits in cases:
+        r = got[t]
+        assert r["fixed"] == want, (t, r["fixed"], want)
+        if want_hits is not None:
+            assert r["hits"] == want_hits, (t, r["hits"])
+        else:
+            assert r["hits"] > 0, t
+
+
+def test_mojibake_hits_sql_twin_matches(spark):
+    """The DuckDB mirror counts the same artifacts on the same rows."""
+    import duckdb
+    from xarray_spatial_spark.functions import text as tx
+
+    texts = [
+        "clean", _moji("café"), _moji("it’s — fine"), _moji(_moji("é")),
+        "café résumé", "中文", "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    spark_counts = [
+        (r["t"], r["h"])
+        for r in df.select("t", tx.mojibake_hits(F.col("t")).alias("h"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    for t, h in spark_counts:
+        (dh,) = con.execute(
+            f"SELECT {tx.mojibake_hits_sql('?')}", [t]).fetchone()
+        assert dh == h, (t, dh, h)
+
+
+def test_fix_mojibake_null_and_idempotent(spark):
+    from xarray_spatial_spark.functions import text as tx
+
+    df = spark.createDataFrame([(None,), (_moji("café"),)], "t string")
+    fixed = df.select(tx.fix_mojibake(F.col("t")).alias("f"))
+    rows = {r["f"] for r in fixed.collect()}
+    assert rows == {None, "café"}
+    # repairing repaired text is a no-op
+    twice = fixed.select(tx.fix_mojibake(F.col("f")).alias("g")).collect()
+    assert {r["g"] for r in twice} == {None, "café"}

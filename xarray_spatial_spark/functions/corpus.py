@@ -293,6 +293,50 @@ def corpus_stats(
     )
 
 
+def corpus_datasheet(
+    df: DataFrame,
+    dims: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-card rollup: per-slice corpus statistics for EVERY prefix
+    of ``dims`` plus the grand total — the table a dataset datasheet
+    publishes (docs/tokens/chars by language, by language x source,
+    overall).
+
+    One ``rollup`` = ONE hash aggregate: Catalyst expands the grouping
+    sets inside a single Expand+Aggregate pair with map-side partial
+    combine, so N rollup levels cost one exchange of (dims, partials)
+    rows, never N separate scans or groupBys.  At 100 TB the exchange
+    carries one partial row per (task, occupied slice) — dims are
+    low-cardinality labels, so this is KBs.
+
+    ``level`` is the grouping id (0 = finest slice, bits set for
+    aggregated-away dims); aggregated dims read ``(all)`` so a real
+    NULL label never collides with a rollup total."""
+    toks = tx.token_count(F.col(text_col))
+    agg = df.rollup(*dims).agg(
+        F.grouping_id().alias("level"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+        F.round(F.avg(toks), 4).alias("mean_tokens"),
+        F.max(toks).alias("max_tokens"),
+    )
+    # grouping_id bit (n-1-i) set <=> dim i aggregated away at this level
+    n = len(dims)
+    labeled = [
+        F.when(
+            F.col("level").bitwiseAND(F.lit(1 << (n - 1 - i))) != 0,
+            F.lit("(all)"),
+        )
+        .otherwise(F.coalesce(F.col(d), F.lit("(null)")))
+        .alias(d)
+        for i, d in enumerate(dims)
+    ]
+    return agg.select(*labeled, "level", "n_docs", "n_tokens", "n_chars",
+                      "mean_tokens", "max_tokens")
+
+
 def host_cap(
     df: DataFrame,
     k: int,

@@ -995,6 +995,56 @@ def bloom_filter_seen(
         ~bloom_might_contain(df.sparkSession, bitmap, F.col(col), k))
 
 
+def bloom_save(bitmap: np.ndarray, k: int, path: str) -> None:
+    """Persist a filter as a one-column parquet of bitmap words with
+    ``k``/``n_bits`` in the file metadata — the cross-snapshot crawl
+    state ("seen in ANY previous crawl"), stored in the same lake as
+    the data so any engine can audit it.  Driver-side single-file
+    write: the artifact is the bitmap itself (1.2 GB at 1B items /
+    1% fpp), orders of magnitude under the rows it summarizes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({"bits": pa.array(bitmap.view(np.int64), pa.int64())})
+    table = table.replace_schema_metadata(
+        {b"bloom_k": str(int(k)).encode(),
+         b"bloom_n_bits": str(len(bitmap) * 64).encode()}
+    )
+    pq.write_table(table, path)
+
+
+def bloom_load(path: str) -> tuple[np.ndarray, int]:
+    """Load a :func:`bloom_save` artifact -> (bitmap uint64 words, k).
+    Feed straight into :func:`bloom_might_contain` /
+    :func:`bloom_merge` — the incremental-crawl loop is
+    load -> filter new snapshot -> build on survivors -> merge ->
+    save."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path, columns=["bits"])
+    meta = table.schema.metadata or {}
+    if b"bloom_k" not in meta:
+        raise ValueError(f"{path} is not a bloom_save artifact")
+    bitmap = table["bits"].to_numpy().astype(np.int64).view(np.uint64)
+    return np.ascontiguousarray(bitmap), int(meta[b"bloom_k"])
+
+
+def bloom_merge(*bitmaps: np.ndarray) -> np.ndarray:
+    """OR filters built with the SAME (n_bits, k) into one — Bloom
+    union is exact: the merged filter answers as if built over the
+    union of the input sets.  Raises on mismatched sizes (a union
+    across different geometries is undefined)."""
+    if not bitmaps:
+        raise ValueError("bloom_merge needs at least one bitmap")
+    sizes = {len(b) for b in bitmaps}
+    if len(sizes) != 1:
+        raise ValueError(f"mismatched bitmap sizes: {sorted(sizes)}")
+    out = bitmaps[0].copy()
+    for b in bitmaps[1:]:
+        out |= b
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Exact duplicate-substring spans (Lee et al. 2022 "Deduplicating
 # Training Data Makes Language Models Better" — the suffix-array

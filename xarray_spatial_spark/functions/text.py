@@ -897,3 +897,105 @@ def normalize_for_dedup(text: Column) -> Column:
     t = F.regexp_replace(t, "[^a-z0\\u00c0-\\u024f ]", " ")
     t = F.regexp_replace(t, "\\s+", " ")
     return F.trim(t)
+
+
+# ---------------------------------------------------------------------------
+# mojibake (UTF-8 read as windows-1252) — the ftfy core case
+# ---------------------------------------------------------------------------
+#
+# The single most common crawl text corruption: a page whose UTF-8
+# bytes were decoded as windows-1252 somewhere upstream ("Ã©" for é,
+# "â€™" for ’).  Detection is a pure-Catalyst artifact counter (the
+# characteristic lead-char + continuation-char shapes below);
+# repair re-encodes through the WHATWG windows-1252 byte map and
+# accepts the result ONLY when it decodes as strict UTF-8 — the safe
+# inverse, a no-op on clean text.
+
+# chars that windows-1252 (WHATWG flavor: undefined bytes pass through
+# as C1 controls) produces for UTF-8 continuation bytes 0x80-0xBF --
+# built from the codec table so every char is byte-exact (NBSP vs
+# space, soft hyphen vs '-' are invisible in source)
+_MOJI_CONT = "".join(
+    chr(b) if b in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+    else bytes([b]).decode("cp1252")
+    for b in range(0x80, 0xC0)
+)
+#: UTF-8-as-cp1252 artifact shapes: a 2-byte lead (Â/Ã: bytes C2/C3,
+#: the Latin-1 supplement everything European hits) or the 3-byte E2
+#: lead (â: general punctuation — curly quotes, dashes) followed by
+#: continuation-shaped chars.  Java and RE2 agree on this subset, so
+#: the oracle twin is the pattern verbatim.
+MOJIBAKE_PATTERN = f"[ÂÃ][{_MOJI_CONT}]|â[{_MOJI_CONT}][{_MOJI_CONT}]"
+
+
+def mojibake_hits(text: Column) -> Column:
+    """Count of double-encoding artifacts in ``text`` (0 = clean).
+    Codegen ``regexp_count`` — runs in the scan stage; gate repair on
+    ``mojibake_hits > 0`` so clean pages never pay the Python pass."""
+    return F.regexp_count(text, F.lit(MOJIBAKE_PATTERN))
+
+
+def mojibake_hits_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`mojibake_hits` (same pattern verbatim)."""
+    return (
+        "len(regexp_extract_all("
+        f"{text_expr}, '{MOJIBAKE_PATTERN}'))"
+    )
+
+
+def fix_mojibake(text: Column, passes: int = 2) -> Column:
+    """Undo UTF-8-as-windows-1252 double encoding: encode back through
+    the WHATWG cp1252 byte map (undefined bytes 81/8D/8F/90/9D travel
+    as their C1 codepoints) and keep the result only if the bytes
+    decode as STRICT UTF-8 — clean text fails that gate and passes
+    through untouched, so the repair is safe to run corpus-wide.
+    ``passes`` > 1 unwinds doubly-mojibaked text (each pass is one
+    decode level); a fixed point stops early.
+
+    Arrow-batched ``pandas_udf`` (Python owns the codec tables); pair
+    with :func:`mojibake_hits` to keep clean rows on the codegen path:
+    ``F.when(mojibake_hits(c) > 0, fix_mojibake(c)).otherwise(c)``."""
+    import codecs
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _c1pass(err):
+        # cp1252 leaves 5 bytes undefined; WHATWG maps them to the C1
+        # controls, so encode those codepoints back to their byte value
+        chunk = err.object[err.start:err.end]
+        if all(ord(c) < 0x100 for c in chunk):
+            return bytes(ord(c) for c in chunk), err.end
+        raise err
+
+    try:
+        codecs.lookup_error("xrspatial_c1pass")
+    except LookupError:
+        codecs.register_error("xrspatial_c1pass", _c1pass)
+
+    n_passes = passes
+
+    @pandas_udf("string")
+    def _fix(col):
+        try:
+            codecs.lookup_error("xrspatial_c1pass")
+        except LookupError:
+            codecs.register_error("xrspatial_c1pass", _c1pass)
+        out = []
+        for s in col:
+            if s is None:
+                out.append(None)
+                continue
+            for _ in range(n_passes):
+                try:
+                    b = s.encode("cp1252", "xrspatial_c1pass")
+                    fixed = b.decode("utf-8", "strict")
+                except (UnicodeEncodeError, UnicodeDecodeError):
+                    break
+                if fixed == s:
+                    break
+                s = fixed
+            out.append(s)
+        return pd.Series(out)
+
+    return _fix(text)
