@@ -341,9 +341,32 @@ def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("y", "x", F.round("value", 6).alias("smoothed"))
 
 
+# mojibake plant for the text_stats slot: the clean suffix and its
+# UTF-8-read-as-WHATWG-cp1252 corruption (built from the codec table
+# so both engines see byte-identical literals; no ASCII quotes)
+_MOJI_CLEAN = "café it’s — «ok»"
+_MOJI_BAD = "".join(
+    chr(b) if b in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+    else bytes([b]).decode("cp1252")
+    for b in _MOJI_CLEAN.encode("utf-8")
+)
+# plant only on ASCII docs: fix_mojibake's strict-UTF-8 gate keeps a
+# cp1252-unencodable doc (e.g. CJK text) unrepaired by design, which
+# the SQL twin can't mirror
+_MOJI_ROW = "doc_id % 9 = 0"
+_ASCII_RE = "^[\\x00-\\x7F]*$"
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text signals, plus the mojibake pair on a planted
+    corruption (functions/text.py:mojibake_hits / fix_mojibake): every
+    ninth ASCII doc gets a cp1252-mangled suffix; `moji_fixed` must
+    equal the clean text the oracle constructs directly, and clean
+    rows must pass through the repair untouched."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = F.col("text")
+    plant = (F.col("doc_id") % 9 == 0) & t.rlike(_ASCII_RE)
+    planted = F.when(plant, F.concat(t, F.lit(" " + _MOJI_BAD))).otherwise(t)
     return d.select(
         "doc_id",
         tx.token_count(t).alias("n_tokens"),
@@ -351,6 +374,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tx.punct_ratio(t), 6).alias("punct_ratio"),
         F.round(tx.alpha_ratio(t), 6).alias("alpha_ratio"),
         tx.fingerprint(t).alias("fingerprint"),
+        tx.mojibake_hits(planted).alias("moji_hits"),
+        tx.fix_mojibake(planted).alias("moji_fixed"),
     )
 
 
@@ -887,10 +912,15 @@ def _url_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered-domain rollup over synthesized urls: host extraction
-    (userinfo/port/case), eTLD+1 heuristic, path depth
-    (functions/url.py)."""
-    from xarray_spatial_spark.functions import url as uf
+    """Tagged-union slot (hash breaks if EITHER variant drifts):
+    'hosts' = registered-domain rollup over synthesized urls — host
+    extraction (userinfo/port/case), eTLD+1 heuristic, path depth
+    (functions/url.py); 'datasheet' = the data-card ROLLUP over
+    (lang, source) in ONE Expand+Aggregate
+    (functions/corpus.py:corpus_datasheet).  Sentinel fills (''/-1)
+    instead of NULLs keep integer dtypes integral through the
+    pandas/CSV hash on both engines."""
+    from xarray_spatial_spark.functions import corpus, url as uf
 
     u = _url_synth(spark, sf_dir)
     host = uf.url_host(F.col("url"))
@@ -900,12 +930,34 @@ def q_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         uf.path_depth(F.col("url")).alias("pd"),
         "n_chars",
     )
-    return sel.groupBy("domain").agg(
+    hosts = sel.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_pages"),
         F.countDistinct("host").alias("n_hosts"),
         F.sum("pd").alias("sum_depth"),
         F.sum("n_chars").alias("sum_chars"),
+    ).select(
+        F.lit("hosts").alias("variant"),
+        "domain", "n_pages", "n_hosts", "sum_depth", "sum_chars",
+        F.lit("").alias("lang"), F.lit("").alias("source"),
+        F.lit(-1).cast("long").alias("level"),
+        F.lit(-1).cast("long").alias("n_docs"),
+        F.lit(-1).cast("long").alias("n_tokens"),
+        F.lit(-1).cast("long").alias("doc_chars"),
+        F.lit(-1.0).alias("mean_tokens"),
+        F.lit(-1).cast("int").alias("max_tokens"),
     )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ds = corpus.corpus_datasheet(docs).select(
+        F.lit("datasheet").alias("variant"),
+        F.lit("").alias("domain"),
+        F.lit(-1).cast("long").alias("n_pages"),
+        F.lit(-1).cast("long").alias("n_hosts"),
+        F.lit(-1).cast("long").alias("sum_depth"),
+        F.lit(-1).cast("long").alias("sum_chars"),
+        "lang", "source", "level", "n_docs", "n_tokens",
+        F.col("n_chars").alias("doc_chars"), "mean_tokens", "max_tokens",
+    )
+    return hosts.unionByName(ds)
 
 
 def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2337,7 +2389,16 @@ def oracle_sql() -> dict[str, str]:
               round(CASE WHEN length(text) > 0 THEN
                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                 / length(text) ELSE 0.0 END, 6) AS alpha_ratio,
-              {tx.fingerprint_sql('text')} AS fingerprint
+              {tx.fingerprint_sql('text')} AS fingerprint,
+              CAST({tx.mojibake_hits_sql(
+                  "CASE WHEN " + _MOJI_ROW
+                  + " AND regexp_matches(text, '" + _ASCII_RE + "')"
+                  + " THEN text || ' " + _MOJI_BAD
+                  + "' ELSE text END")} AS INT) AS moji_hits,
+              CASE WHEN {_MOJI_ROW}
+                   AND regexp_matches(text, '{_ASCII_RE}')
+                   THEN text || ' {_MOJI_CLEAN}'
+                   ELSE text END AS moji_fixed
             FROM documents
         """,
         "langid": _langid_oracle(),
@@ -3081,11 +3142,41 @@ def oracle_sql() -> dict[str, str]:
                        AS domain
               FROM d
             )
-            SELECT domain, count(*) AS n_pages,
+            SELECT 'hosts' AS variant, domain, count(*) AS n_pages,
                    count(DISTINCT host) AS n_hosts,
                    CAST(sum(pd) AS BIGINT) AS sum_depth,
-                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   '' AS lang, '' AS source,
+                   CAST(-1 AS BIGINT) AS level,
+                   CAST(-1 AS BIGINT) AS n_docs,
+                   CAST(-1 AS BIGINT) AS n_tokens,
+                   CAST(-1 AS BIGINT) AS doc_chars,
+                   CAST(-1.0 AS DOUBLE) AS mean_tokens,
+                   CAST(-1 AS INT) AS max_tokens
             FROM e GROUP BY domain
+            UNION ALL
+            SELECT 'datasheet' AS variant, '' AS domain,
+                   CAST(-1 AS BIGINT) AS n_pages,
+                   CAST(-1 AS BIGINT) AS n_hosts,
+                   CAST(-1 AS BIGINT) AS sum_depth,
+                   CAST(-1 AS BIGINT) AS sum_chars,
+                   CASE WHEN GROUPING(lang) = 1 THEN '(all)'
+                        ELSE coalesce(lang, '(null)') END AS lang,
+                   CASE WHEN GROUPING(source) = 1 THEN '(all)'
+                        ELSE coalesce(source, '(null)') END AS source,
+                   CAST(GROUPING(lang, source) AS BIGINT) AS level,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END) AS BIGINT) AS n_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS doc_chars,
+                   round(avg(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END), 4) AS mean_tokens,
+                   CAST(max(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END) AS INT) AS max_tokens
+            FROM documents GROUP BY ROLLUP (lang, source)
         """,
     }
 
