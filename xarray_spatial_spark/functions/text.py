@@ -952,9 +952,14 @@ def fix_mojibake(text: Column, passes: int = 2) -> Column:
     ``passes`` > 1 unwinds doubly-mojibaked text (each pass is one
     decode level); a fixed point stops early.
 
-    Arrow-batched ``pandas_udf`` (Python owns the codec tables); pair
-    with :func:`mojibake_hits` to keep clean rows on the codegen path:
-    ``F.when(mojibake_hits(c) > 0, fix_mojibake(c)).otherwise(c)``."""
+    Arrow-batched ``pandas_udf`` (Python owns the codec tables).
+    NOTE: wrapping this in ``F.when(mojibake_hits(c) > 0, ...)`` does
+    NOT skip the Python pass — Catalyst extracts Python UDFs into an
+    unconditional ArrowEvalPython node and the `when` only selects
+    afterward.  To keep clean pages off the Arrow path at scale,
+    SPLIT the frame: repair ``df.filter(mojibake_hits(c) > 0)`` and
+    union the untouched remainder (both halves of the filter prune at
+    the scan, so the corpus is still read once per half-plan)."""
     import codecs
 
     import pandas as pd
