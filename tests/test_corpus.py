@@ -499,3 +499,39 @@ def test_corpus_datasheet_one_exchange(spark):
         [(0, "a b", "en", "s")], "doc_id long, text string, lang string, source string")
     plan = corpus_datasheet(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_host_disjoint_split_determinism_and_disjointness(spark):
+    """Every page of a domain lands on one side; the split is a pure
+    function of the domain (stable under growth); eval share tracks
+    eval_frac at domain granularity."""
+    from xarray_spatial_spark.functions.corpus import host_disjoint_split
+
+    urls = [(f"https://site{i % 200}.example{i % 7}.com/p/{i}",)
+            for i in range(4000)]
+    df = spark.createDataFrame(urls, "url string")
+    out = host_disjoint_split(df, eval_frac=0.1, seed=3)
+    from xarray_spatial_spark.functions import url as uf
+    per_dom = out.select(
+        uf.registered_domain(uf.url_host(F.col("url"))).alias("d"), "split"
+    ).distinct()
+    # disjoint: one side per domain
+    assert per_dom.groupBy("d").count().filter("count > 1").count() == 0
+    # deterministic: same frame twice -> identical assignment
+    again = {r["url"]: r["split"]
+             for r in host_disjoint_split(df, eval_frac=0.1, seed=3).collect()}
+    first = {r["url"]: r["split"] for r in out.collect()}
+    assert first == again
+    # stability under growth: a subset sees the same sides
+    sub = host_disjoint_split(df.limit(500), eval_frac=0.1, seed=3)
+    for r in sub.collect():
+        assert first[r["url"]] == r["split"]
+    # eval fraction at DOMAIN granularity within loose binomial bounds
+    doms = per_dom.count()
+    ev = per_dom.filter("split = 'eval'").count()
+    assert 0.02 <= ev / doms <= 0.25, (ev, doms)
+    # different seed reshuffles some domains
+    other = host_disjoint_split(df, eval_frac=0.1, seed=4)
+    diff = out.select("url", "split").subtract(
+        other.select("url", "split")).count()
+    assert diff > 0

@@ -579,3 +579,37 @@ def test_bloom_save_load_merge_roundtrip(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dd.bloom_merge(bm_a, bm_a[:-1])
+
+
+def test_snapshot_diff_statuses(spark):
+    """added / gone / changed / same classification, including NULL
+    digests on present keys (must not read as added/gone)."""
+    from xarray_spatial_spark.functions.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d2"), ("u3", "d3"), ("u5", None)],
+        "url string, digest string")
+    new = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "dX"), ("u4", "d4"), ("u5", None)],
+        "url string, digest string")
+    got = {r["url"]: r["status"]
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {"u1": "same", "u2": "changed", "u3": "gone",
+                   "u4": "added", "u5": "same"}
+
+
+def test_snapshot_diff_projects_before_join(spark):
+    """Payload columns must be pruned BEFORE the exchange: the join
+    shuffles (key, digest), never page bodies."""
+    from xarray_spatial_spark.functions.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "d1", "BIGPAYLOAD")], "url string, digest string, html string")
+    new = spark.createDataFrame(
+        [("u1", "d1", "BIGPAYLOAD")], "url string, digest string, html string")
+    plan = snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    # payload may appear in the unprunable local-relation leaf only;
+    # nothing above the scan (project/exchange/join) may carry it
+    bad = [l for l in plan.splitlines()
+           if "html" in l and "Scan ExistingRDD" not in l]
+    assert not bad, bad

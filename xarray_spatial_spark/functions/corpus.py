@@ -337,6 +337,41 @@ def corpus_datasheet(
                       "mean_tokens", "max_tokens")
 
 
+def host_disjoint_split(
+    df: DataFrame,
+    eval_frac: float = 0.01,
+    url_col: str = "url",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/eval split that is DISJOINT BY registered
+    domain: every page of a site lands on the same side, so
+    near-identical pages (mirrors, templates, re-crawls of one host)
+    can never straddle the split and leak eval content into training
+    — the leakage mode a row-level random split is blind to.
+
+    Adds a ``split`` column ('train'/'eval').  The decision is a pure
+    function of the domain: char-level portable hash -> Knuth remix ->
+    unit interval (``text.portable_string_hash``; the identical rule
+    runs in ANSI SQL, so the split is oracle-checkable and STABLE
+    across runs, partitionings, and snapshots — a domain keeps its
+    side as the corpus grows).  Pure Catalyst, scan-stage: no shuffle,
+    no sampling pass, no state.  ``eval_frac`` is the expected
+    domain-weighted fraction; realized page share varies with the
+    size of the domains that hash into eval (inherent to any
+    group-disjoint split)."""
+    from xarray_spatial_spark.functions import url as uf
+
+    P = tx.PSH_PRIME
+    dom = uf.registered_domain(uf.url_host(F.col(url_col)))
+    h = tx.portable_string_hash(dom)
+    u = F.pmod((h + F.lit(int(seed) % P)) * F.lit(2_654_435_761), F.lit(P))
+    return df.withColumn(
+        "split",
+        F.when(u < F.lit(int(eval_frac * P)), F.lit("eval"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def host_cap(
     df: DataFrame,
     k: int,

@@ -108,6 +108,41 @@ def snapshot_dedup(
     return agg.select(*keys, *[F.col(f"_r.{c}").alias(c) for c in payload])
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Crawl-over-crawl change set: per key, ``status`` is 'added'
+    (key only in the new snapshot), 'gone' (only in the old),
+    'changed' (both sides, digests differ) or 'same' — the incremental
+    ingest primitive (re-extract only added+changed, retire gone).
+
+    Scale shape: both sides pre-project to (keys, digest) BEFORE the
+    full-outer join, so the one shuffle carries ~40 B/page, never
+    payloads; at 10^12 pages that is TBs -> tens of GBs.  Join back
+    to the new snapshot on the filtered keys to fetch payloads for
+    just the changed slice.  Assumes one row per key per side (run
+    :func:`snapshot_dedup` first on raw captures)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    # presence markers, not digest nullity: a present key with a NULL
+    # digest must not masquerade as added/gone
+    o = old.select(*keys, F.col(digest_col).alias("_od"),
+                   F.lit(1).alias("_oin"))
+    n = new.select(*keys, F.col(digest_col).alias("_nd"),
+                   F.lit(1).alias("_nin"))
+    j = o.join(n, keys, "full_outer")
+    return j.select(
+        *keys,
+        F.when(F.col("_oin").isNull(), F.lit("added"))
+        .when(F.col("_nin").isNull(), F.lit("gone"))
+        .when(F.col("_od").eqNullSafe(F.col("_nd")), F.lit("same"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
 def near_dup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Near-duplicate PAIRS (from minhash/simhash/jaccard/embedding)
     -> transitive duplicate GROUPS: (doc_id, group_id) where group_id

@@ -872,6 +872,36 @@ def fingerprint_sql(text_expr: str) -> str:
     )
 
 
+#: modulus for the char-level portable hash (shared with
+#: corpus.stratified_sample / dsir: products stay under 2^63)
+PSH_PRIME = 1_000_000_007
+
+
+def portable_string_hash(c: Column) -> Column:
+    """Char-level rolling hash h = (h*131 + codepoint) mod 1e9+7 —
+    full-string dispersion (unlike :func:`fingerprint`'s per-token
+    first-char+length shape) and exactly reproducible in ANSI SQL, so
+    hash-keyed decisions (splits, folds) are oracle-checkable.  Pure
+    Catalyst HOF over the char array; keys this feeds (domains, urls)
+    are short, so the fold stays cheap."""
+    return F.aggregate(
+        F.filter(F.split(c, ""), lambda ch: ch != ""),
+        F.lit(0).cast("long"),
+        lambda h, ch: (h * 131 + F.ascii(ch)) % PSH_PRIME,
+    )
+
+
+def portable_string_hash_sql(expr: str) -> str:
+    """DuckDB twin of :func:`portable_string_hash` (verified char-split
+    and codepoint parity, including the empty string)."""
+    chars = f"list_filter(string_split({expr}, ''), c -> c <> '')"
+    vals = f"list_transform({chars}, c -> CAST(ascii(c) AS BIGINT))"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {vals}), "
+        f"(h, x) -> (h * 131 + x) % {PSH_PRIME})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup-key normalization (CCNet/C4-style)
 # ---------------------------------------------------------------------------
