@@ -878,16 +878,43 @@ def q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep-latest-capture-per-key (Common-Crawl recrawl rule) on the
-    events table: latest event per user, ties by event_id
-    (functions/dedup.py:snapshot_dedup — max_by aggregate, no window)."""
+    """Tagged-union slot (hash breaks if either variant drifts):
+    'latest' = keep-latest-capture-per-key (Common-Crawl recrawl rule)
+    on the events table, ties by event_id (dedup.py:snapshot_dedup —
+    max_by aggregate, no window); 'diff' = crawl-over-crawl change set
+    (dedup.py:snapshot_diff) over two synthesized 80%-overlap
+    snapshots — added/gone/changed/same per url, digests drift on
+    every fifth doc."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "ts", "event_id", "value"
     )
     out = dedup.snapshot_dedup(
         ev, key_cols="user_id", ts_col="ts", tie_cols=["event_id"]
     )
-    return out.select("user_id", "event_id", F.round("value", 6).alias("value"))
+    latest = out.select(
+        F.lit("latest").alias("variant"),
+        "user_id", "event_id", F.round("value", 6).alias("value"),
+        F.lit("").alias("url"), F.lit("").alias("status"),
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 37).cast("string"),
+                   F.lit("/p/"), F.col("doc_id").cast("string"))
+    dig = F.substring(F.col("text"), 1, 24)
+    old = d.filter(F.col("doc_id") % 10 < 8).select(
+        url.alias("url"), dig.alias("digest"))
+    new = d.filter(F.col("doc_id") % 10 > 1).select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(dig, F.lit("x")))
+        .otherwise(dig).alias("digest"))
+    diff = dedup.snapshot_diff(old, new).select(
+        F.lit("diff").alias("variant"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1.0).alias("value"),
+        "url", "status",
+    )
+    return latest.unionByName(diff)
 
 
 def _synth_url_expr() -> Column:
@@ -1390,7 +1417,21 @@ def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("log_w", 6).alias("metric"),
         F.col("rank").cast("int").alias("rank"),
     )
-    return strat.unionByName(ds)
+    # 'split' = host-disjoint train/eval assignment over the synth
+    # urls (functions/corpus.py:host_disjoint_split — portable domain
+    # hash, scan-stage, no shuffle); strata carries the side
+    from xarray_spatial_spark.functions.corpus import host_disjoint_split
+
+    su = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id").withColumn("url", _synth_url_expr())
+    sp = host_disjoint_split(su, eval_frac=0.3, seed=2).select(
+        F.lit("split").alias("variant"),
+        "doc_id",
+        F.col("split").alias("strata"),
+        F.lit(-1.0).alias("metric"),
+        F.lit(-1).cast("int").alias("rank"),
+    )
+    return strat.unionByName(ds).unionByName(sp)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2183,6 +2224,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'dsir' AS variant, doc_id, '_all' AS strata,
                    round(log_w, 6) AS metric, CAST(rank AS INT) AS rank
             FROM sel WHERE rank <= 40
+            UNION ALL
+            -- 'split': host-disjoint train/eval over the synth urls —
+            -- domain -> portable char hash -> Knuth remix (seed 2) ->
+            -- threshold at int(0.3 * P)
+            SELECT 'split' AS variant, doc_id,
+                   CASE WHEN ((hh + 2) * 2654435761) % 1000000007
+                          < 300000002
+                        THEN 'eval' ELSE 'train' END AS strata,
+                   CAST(-1.0 AS DOUBLE) AS metric,
+                   CAST(-1 AS INT) AS rank
+            FROM (
+              SELECT doc_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_filter(string_split(dom, ''),
+                    c -> c <> ''),
+                  c -> CAST(ascii(c) AS BIGINT))),
+                  (h, x) -> (h * 131 + x) % 1000000007) AS hh
+              FROM (
+                SELECT doc_id,
+                  CASE WHEN n >= 3 AND parts[n-1] IN
+                         ('co','com','ac','gov','edu','org','net')
+                       AND length(parts[n]) = 2
+                       THEN array_to_string(parts[n-2:n], '.')
+                       ELSE array_to_string(parts[greatest(n-1,1):n], '.')
+                  END AS dom
+                FROM (
+                  SELECT doc_id, string_split(host, '.') AS parts,
+                         len(string_split(host, '.')) AS n
+                  FROM (
+                    SELECT doc_id,
+                      lower(regexp_replace(regexp_replace(
+                        regexp_extract(
+                          'https://'
+                          || CASE WHEN doc_id % 11 = 0 THEN 'user@'
+                                  ELSE '' END
+                          || CASE WHEN doc_id % 7 = 0 THEN 'WWW.'
+                                  ELSE '' END
+                          || 'site' || CAST(doc_id % 50 AS VARCHAR)
+                          || CASE WHEN doc_id % 3 = 0 THEN '.example.com'
+                                  WHEN doc_id % 3 = 1 THEN '.example.co.uk'
+                                  ELSE '.org' END
+                          || CASE WHEN doc_id % 13 = 0 THEN ':8080'
+                                  ELSE '' END
+                          || '/a/b/' || CAST(doc_id AS VARCHAR),
+                          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                        '^.*@', ''), ':[0-9]+$', '')) AS host
+                    FROM documents
+                  )
+                )
+              )
+            )
         """,
         "extract_text": """
             WITH h AS (
@@ -3093,15 +3185,39 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE cum - n_tokens < 5000 GROUP BY source
         """,
         "snapshot_dedup": """
-            -- keep-latest per key == row_number twin of the max_by
-            -- aggregate (ties broken by event_id, unique)
-            SELECT user_id, event_id, round(value, 6) AS value
+            -- 'latest': keep-latest per key == row_number twin of the
+            -- max_by aggregate (ties broken by event_id, unique)
+            SELECT 'latest' AS variant, user_id, event_id,
+                   round(value, 6) AS value, '' AS url, '' AS status
             FROM (
               SELECT user_id, event_id, value,
                      row_number() OVER (PARTITION BY user_id
                           ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1
+            UNION ALL
+            -- 'diff': change set of two 80%-overlap snapshots
+            SELECT 'diff' AS variant, CAST(-1 AS BIGINT) AS user_id,
+                   CAST(-1 AS BIGINT) AS event_id,
+                   CAST(-1.0 AS DOUBLE) AS value,
+                   coalesce(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'added'
+                        WHEN n.url IS NULL THEN 'gone'
+                        WHEN o.d = n.d THEN 'same'
+                        ELSE 'changed' END AS status
+            FROM (
+              SELECT 'https://h' || CAST(doc_id % 37 AS VARCHAR)
+                     || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     substr(text, 1, 24) AS d
+              FROM documents WHERE doc_id % 10 < 8
+            ) o FULL OUTER JOIN (
+              SELECT 'https://h' || CAST(doc_id % 37 AS VARCHAR)
+                     || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN substr(text, 1, 24) || 'x'
+                          ELSE substr(text, 1, 24) END AS d
+              FROM documents WHERE doc_id % 10 > 1
+            ) n ON o.url = n.url
         """,
         "host_agg": """
             WITH u AS (
