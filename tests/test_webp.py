@@ -494,3 +494,87 @@ def test_encode_dimension_guard():
         encode_webp_lossless(img)
     with pytest.raises(ValueError, match="16384"):
         encode_webp_lossless(np.zeros((16385, 1, 3), np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# LZ77 + color-cache encoder
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_code_inverse_exhaustive():
+    """_prefix_code is the exact inverse of the decoder's
+    _prefix_value over the whole length alphabet (1..4096) and the
+    plain-distance range's first segment."""
+    from xarray_spatial_spark.operators.webp import _prefix_code
+
+    for v in list(range(1, 4097)) + [120 + 1, 120 + 997, 1 << 19]:
+        sym, e, ev = _prefix_code(v)
+        if sym < 4:
+            assert (e, ev) == (0, 0) and sym + 1 == v
+        else:
+            extra = (sym - 2) >> 1
+            offset = (2 + (sym & 1)) << extra
+            assert e == extra and 0 <= ev < (1 << extra)
+            assert offset + ev + 1 == v
+
+
+@pytest.mark.parametrize("kw", [
+    {"lz77": True},
+    {"color_cache_bits": 6},
+    {"lz77": True, "color_cache_bits": 5},
+    {"lz77": True, "subtract_green": True},
+    {"palette": True, "lz77": True},
+])
+def test_lz77_cache_roundtrip(kw):
+    rng = np.random.default_rng(11)
+    if kw.get("palette"):
+        idx = rng.integers(0, 7, (45, 38), np.uint8)
+        img = np.stack([idx * 30, idx * 20, 255 - idx * 10], 2).astype(np.uint8)
+    else:
+        img = np.tile(rng.integers(0, 256, (9, 11, 4), np.uint8), (5, 4, 1))
+    out = decode_webp(encode_webp_lossless(img, **kw))
+    want = img if img.shape[2] == 4 else np.dstack(
+        [img, np.full(img.shape[:2], 255, np.uint8)])
+    np.testing.assert_array_equal(out, want)
+
+
+def test_lz77_compresses_repetitive_content():
+    """The point of the upgrade: a tiled image must shrink an order of
+    magnitude vs the literal-only stream."""
+    rng = np.random.default_rng(3)
+    img = np.tile(rng.integers(0, 256, (8, 8, 4), np.uint8), (8, 8, 1))
+    lit = len(encode_webp_lossless(img))
+    lz = len(encode_webp_lossless(img, lz77=True, color_cache_bits=6))
+    assert lz < lit / 5, (lit, lz)
+
+
+def test_cache_only_stream_uses_cache_symbols():
+    """With few distinct colors and no LZ77, repeats must arrive as
+    cache hits (mirrors the decoder's insert-on-every-emit rule)."""
+    from xarray_spatial_spark.operators.webp import (_cache_slot,
+                                                     _lz77_tokenize)
+
+    # two colors in DISTINCT cache slots (same-slot pairs evict each
+    # other every insert and legitimately never hit)
+    a = 0xFF000011
+    b = next(v for v in range(0xFF000012, 0xFF0000FF)
+             if _cache_slot(v, 4) != _cache_slot(a, 4))
+    argb = [a, b, a, b, a]
+    toks = _lz77_tokenize(argb, 5, cache_bits=4, min_len=99)  # no copies
+    kinds = [t[0] for t in toks]
+    assert kinds[:2] == ["lit", "lit"] and set(kinds[2:]) == {"cache"}
+
+
+def test_overlapping_copy_roundtrip():
+    """dist < length (run-length shape) must round-trip: the decoder
+    copies pixel-by-pixel, the encoder's match rule is equivalent."""
+    img = np.full((1, 64, 4), 200, np.uint8)
+    img[0, 0] = (1, 2, 3, 255)
+    out = decode_webp(encode_webp_lossless(img, lz77=True))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_encode_rejects_bad_cache_bits():
+    img = np.zeros((4, 4, 3), np.uint8)
+    with pytest.raises(ValueError):
+        encode_webp_lossless(img, color_cache_bits=12)

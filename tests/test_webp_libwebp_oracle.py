@@ -194,3 +194,44 @@ if HAVE_HYP:
         from-scratch decoder reproduces bit-exact."""
         np.testing.assert_array_equal(
             decode_webp(lw_encode_lossless(img)), img)
+
+
+@pytest.mark.parametrize("name", ["noise", "smooth", "palette",
+                                  "alpha_gradient"])
+@pytest.mark.parametrize("kw", [
+    {"lz77": True},
+    {"color_cache_bits": 6},
+    {"lz77": True, "color_cache_bits": 5},
+    {"lz77": True, "subtract_green": True},
+])
+def test_libwebp_decodes_our_lz77_cache_streams(name, kw):
+    """The upgraded encoder's LZ77 / color-cache streams must decode
+    identically through the REAL libwebp — the spec-compliance oracle
+    for the new symbol classes (backward refs, cache hits, extra
+    bits)."""
+    img = _cases()[name]
+    np.testing.assert_array_equal(
+        lw_decode(encode_webp_lossless(img, **kw)), img)
+
+
+def test_libwebp_decodes_heavy_lz77_stream():
+    """A tiled pattern maximizes copy tokens (including overlapping
+    ones); libwebp must reproduce it bit-exactly and the stream must
+    actually be copy-dominated."""
+    from xarray_spatial_spark.operators.webp import _lz77_tokenize
+
+    rng = np.random.default_rng(5)
+    tile = rng.integers(0, 256, (8, 8, 4), np.uint8)
+    img = np.tile(tile, (7, 9, 1))
+    data = encode_webp_lossless(img, lz77=True, color_cache_bits=6)
+    np.testing.assert_array_equal(lw_decode(data), img)
+    argb = ((img[:, :, 3].astype(np.int64) << 24)
+            | (img[:, :, 0].astype(np.int64) << 16)
+            | (img[:, :, 1].astype(np.int64) << 8)
+            | img[:, :, 2].astype(np.int64)).ravel().tolist()
+    toks = _lz77_tokenize(argb, img.shape[1], cache_bits=6)
+    kinds = {k: sum(1 for t in toks if t[0] == k) for k in
+             ("lit", "copy", "cache")}
+    assert kinds["copy"] > 0
+    copied = sum(t[1] for t in toks if t[0] == "copy")
+    assert copied > 0.8 * len(argb), kinds

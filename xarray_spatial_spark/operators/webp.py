@@ -14,9 +14,13 @@ Scope (documented, tested):
   palette with packed-index width reduction).  Truncated payloads
   raise (the bit reader tracks the true bit length) instead of
   decoding fabricated zero bits.
-- encode: a valid literal-only subset used for round-trip fixtures —
-  plain, subtract-green, or palette (COLOR_INDEXING) streams, one
-  Huffman group, normal code-length coding, no LZ77 / cache.
+- encode: plain, subtract-green, or palette (COLOR_INDEXING) streams
+  with one Huffman group and normal code-length coding; optional
+  greedy LZ77 backward references (plain distances, lengths <= 4096)
+  and color cache with an exact simulation of the decoder's insert
+  rule — streams decode bit-exact through both this decoder and the
+  system libwebp.  Not emitted (decode-only): predictor/cross-color
+  transforms, meta-Huffman groups, the short-distance map.
 
 Lossy VP8 chunks are OUTSIDE the from-scratch scope (a DCT codec):
 they decode through the SYSTEM libwebp via ctypes when one is
@@ -639,7 +643,7 @@ def decode_webp(buf: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# encoder (fixture-grade subset: literal-only, 1 group, normal codes)
+# encoder (1 group, normal codes; optional LZ77 + color cache)
 # ---------------------------------------------------------------------------
 
 
@@ -721,15 +725,168 @@ def _write_literal_planes(bw: _BitWriter, g, r, b, a, main: bool) -> None:
         at.write(bw, int(planes[3][i]))
 
 
+def _prefix_code(v: int) -> tuple[int, int, int]:
+    """Inverse of :func:`_prefix_value`: value >= 1 -> (symbol,
+    n_extra_bits, extra_value).  Exhaustively round-trip-tested against
+    the decoder over the whole length range."""
+    if v <= 4:
+        return v - 1, 0, 0
+    u = v - 1
+    e = u.bit_length() - 2
+    if u < 3 << e:
+        return 2 * e + 2, e, u - (2 << e)
+    return 2 * e + 3, e, u - (3 << e)
+
+
+def _cache_slot(argb: int, cache_bits: int) -> int:
+    """The VP8L color-cache hash slot (mirrors the decoder's emit)."""
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def _lz77_tokenize(
+    argb: list[int], w: int, cache_bits: int = 0, min_len: int = 3
+) -> list[tuple]:
+    """Greedy LZ77 over the ARGB pixel stream with an exact simulation
+    of the decoder's color cache (every EMITTED pixel inserts, copies
+    included).  Tokens: ('lit', argb) | ('copy', length, dist) |
+    ('cache', slot).  Hash-chain matcher on 3-pixel keys; plain
+    distances only (code = dist + 120 — spec-valid; the 120-entry
+    neighborhood map is an optional compaction the decoder also
+    accepts).  Length capped at 4096 and dist at the 40-symbol
+    ceiling, the alphabet bounds."""
+    n = len(argb)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    # seen[slot] tracks whether the slot was ever written: slot 0
+    # holds argb 0 only after an actual insert
+    seen = [False] * (1 << cache_bits) if cache_bits else None
+    chains: dict[tuple[int, int, int], list[int]] = {}
+    toks: list[tuple] = []
+    pos = 0
+
+    def insert(p: int) -> None:
+        if cache is not None:
+            s = _cache_slot(argb[p], cache_bits)
+            cache[s] = argb[p]
+            seen[s] = True
+        if p + 2 < n:
+            key = (argb[p], argb[p + 1], argb[p + 2])
+            lst = chains.setdefault(key, [])
+            lst.append(p)
+            if len(lst) > 16:
+                lst.pop(0)
+
+    max_dist = (1 << 20) - 120  # 40 distance symbols
+    while pos < n:
+        best_len, best_dist = 0, 0
+        if pos + 2 < n:
+            for cand in reversed(chains.get(
+                    (argb[pos], argb[pos + 1], argb[pos + 2]), ())):
+                dist = pos - cand
+                if dist > max_dist:
+                    continue
+                ln = 0
+                limit = min(n - pos, 4096)
+                while ln < limit and argb[cand + ln] == argb[pos + ln]:
+                    ln += 1
+                if ln > best_len:
+                    best_len, best_dist = ln, dist
+        if best_len >= min_len:
+            toks.append(("copy", best_len, best_dist))
+            for i in range(best_len):
+                insert(pos + i)
+            pos += best_len
+            continue
+        if cache is not None:
+            s = _cache_slot(argb[pos], cache_bits)
+            if seen[s] and cache[s] == argb[pos]:
+                toks.append(("cache", s))
+                insert(pos)
+                pos += 1
+                continue
+        toks.append(("lit", argb[pos]))
+        insert(pos)
+        pos += 1
+    return toks
+
+
+def _write_image_body(
+    bw: _BitWriter, argb: list[int], w: int, main: bool,
+    cache_bits: int = 0, lz77: bool = False,
+) -> None:
+    """Entropy-coded image body with optional LZ77 backward references
+    and color cache (one huffman group, plain distances).  Replaces
+    the literal-only body when either feature is on; emits the exact
+    inverse of the decoder loop above, so round-trips are
+    pixel-exact."""
+    bw.bits(1 if cache_bits else 0, 1)
+    if cache_bits:
+        bw.bits(cache_bits, 4)
+    if main:
+        bw.bits(0, 1)  # no meta-huffman
+    toks = _lz77_tokenize(argb, w, cache_bits) if (lz77 or cache_bits) else [
+        ("lit", v) for v in argb]
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    sizes = [256 + 24 + cache_size, 256, 256, 256, 40]
+    freqs = [[0] * s for s in sizes]
+    for t in toks:
+        if t[0] == "lit":
+            v = t[1]
+            freqs[0][(v >> 8) & 255] += 1
+            freqs[1][(v >> 16) & 255] += 1
+            freqs[2][v & 255] += 1
+            freqs[3][(v >> 24) & 255] += 1
+        elif t[0] == "copy":
+            ls, _, _ = _prefix_code(t[1])
+            ds, _, _ = _prefix_code(t[2] + 120)
+            freqs[0][256 + ls] += 1
+            freqs[4][ds] += 1
+        else:
+            freqs[0][256 + 24 + t[1]] += 1
+    if not any(freqs[4]):
+        freqs[4][0] = 1  # unused distance tree still needs a code
+    for i in (1, 2, 3):
+        if not any(freqs[i]):
+            freqs[i][0] = 1
+    trees = [_write_huffman(bw, _huffman_lengths(f)) for f in freqs]
+    gt, rt, bt, at, dt = trees
+    for t in toks:
+        if t[0] == "lit":
+            v = t[1]
+            gt.write(bw, (v >> 8) & 255)
+            rt.write(bw, (v >> 16) & 255)
+            bt.write(bw, v & 255)
+            at.write(bw, (v >> 24) & 255)
+        elif t[0] == "copy":
+            ls, le, lv = _prefix_code(t[1])
+            gt.write(bw, 256 + ls)
+            if le:
+                bw.bits(lv, le)
+            ds, de, dv = _prefix_code(t[2] + 120)
+            dt.write(bw, ds)
+            if de:
+                bw.bits(dv, de)
+        else:
+            gt.write(bw, 256 + 24 + t[1])
+
+
 def encode_webp_lossless(
-    img: np.ndarray, subtract_green: bool = False, palette: bool = False
+    img: np.ndarray, subtract_green: bool = False, palette: bool = False,
+    lz77: bool = False, color_cache_bits: int = 0,
 ) -> bytes:
-    """(h, w, 3|4) uint8 -> lossless WebP (literal-only subset).
+    """(h, w, 3|4) uint8 -> lossless WebP.
 
     ``palette=True`` writes a COLOR_INDEXING stream (requires <= 256
     distinct colors; indices packed per the spec's width reduction) —
-    the shape every palette-ish web image uses.  Otherwise plain
-    literals, optionally behind SUBTRACT_GREEN."""
+    the shape every palette-ish web image uses.  ``lz77=True`` emits
+    greedy backward references (plain distances, lengths <= 4096);
+    ``color_cache_bits`` in 1..11 adds the color cache with an exact
+    simulation of the decoder's insert rule.  Both compose with
+    SUBTRACT_GREEN and palette packing; streams decode bit-exact
+    through :func:`decode_vp8l` AND the system libwebp (oracle
+    tests).  Default remains plain literals."""
+    if not 0 <= color_cache_bits <= 11:
+        raise ValueError("color_cache_bits must be 0..11")
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = np.repeat(img[:, :, None], 3, axis=2)
@@ -792,10 +949,15 @@ def encode_webp_lossless(
         else:
             wd = w
             packed = idx
-        zero = np.zeros((h, wd), dtype=np.int64)
-        _write_literal_planes(
-            bw, packed, zero, zero, np.full((h, wd), 255, np.int64), main=True
-        )
+        if lz77 or color_cache_bits:
+            argb = ((np.int64(255) << 24) | (packed << 8)).ravel().tolist()
+            _write_image_body(bw, argb, wd, main=True,
+                              cache_bits=color_cache_bits, lz77=lz77)
+        else:
+            zero = np.zeros((h, wd), dtype=np.int64)
+            _write_literal_planes(
+                bw, packed, zero, zero, np.full((h, wd), 255, np.int64),
+                main=True)
     else:
         r = rgba[:, :, 0].astype(np.int64)
         g = rgba[:, :, 1].astype(np.int64)
@@ -807,7 +969,12 @@ def encode_webp_lossless(
             bw.bits(1, 1)  # transform present
             bw.bits(2, 2)  # SUBTRACT_GREEN
         bw.bits(0, 1)  # no more transforms
-        _write_literal_planes(bw, g, r, b, a, main=True)
+        if lz77 or color_cache_bits:
+            argb = ((a << 24) | (r << 16) | (g << 8) | b).ravel().tolist()
+            _write_image_body(bw, argb, w, main=True,
+                              cache_bits=color_cache_bits, lz77=lz77)
+        else:
+            _write_literal_planes(bw, g, r, b, a, main=True)
 
     payload = bw.finish()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
