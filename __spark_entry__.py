@@ -57,6 +57,86 @@ def _sql_tile_y(zoom: int, lat: str = SQL_LAT) -> str:
     return f"CAST(least(greatest(floor({merc}), 0), {n - 1}) AS BIGINT)"
 
 
+# S2 oracle: the published Hilbert automaton as a 16-row table
+# (orientation, ij-quadrant) -> (curve position, next orientation);
+# DuckDB replays the cube-face projection + quadratic ST + automaton
+# independently (recursive CTE, one iteration per level).
+_S2_IJ2POS = [[0, 1, 3, 2], [0, 3, 1, 2], [2, 3, 1, 0], [2, 1, 3, 0]]
+_S2_PTO = [1, 0, 0, 3]
+_S2_AUT = ", ".join(
+    f"({r},{ij},{_S2_IJ2POS[r][ij]},{r ^ _S2_PTO[_S2_IJ2POS[r][ij]]})"
+    for r in range(4)
+    for ij in range(4)
+)
+
+
+def _sql_s2_cells(level: int, lat: str = SQL_LAT, lon: str = SQL_LON) -> str:
+    """CTE chain computing (doc_id, n_chars, face, s2_cell) at ``level``
+    from documents — the DuckDB twin of s2.cell_of.  Uses the leaf>>k
+    shortcut (top ``level`` bits of i/j feed ``level`` automaton steps),
+    proven equal to parent(leaf, level) in tests/test_s2.py."""
+    n = 1 << level
+    shift = 2 * (30 - level)
+    return f"""
+      aut(r, ij, p, rnew) AS (VALUES {_S2_AUT}),
+      s2pts AS (
+        SELECT doc_id, n_chars, radians({lat}) AS rlat, radians({lon}) AS rlon
+        FROM documents
+      ),
+      s2xyz AS (
+        SELECT doc_id, n_chars,
+               cos(rlat)*cos(rlon) AS x, cos(rlat)*sin(rlon) AS y, sin(rlat) AS z
+        FROM s2pts
+      ),
+      s2fuv AS (
+        SELECT doc_id, n_chars,
+          CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                 THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+               WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+               ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face,
+          x, y, z
+        FROM s2xyz
+      ),
+      s2uv AS (
+        SELECT doc_id, n_chars, face,
+          CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                    WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+          CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                    WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+        FROM s2fuv
+      ),
+      s2ij AS (
+        SELECT doc_id, n_chars, face,
+          LEAST(GREATEST(CAST(floor(
+            (CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END) * {n}
+          ) AS BIGINT), 0), {n - 1}) AS i,
+          LEAST(GREATEST(CAST(floor(
+            (CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END) * {n}
+          ) AS BIGINT), 0), {n - 1}) AS j
+        FROM s2uv
+      ),
+      s2hil AS (
+        SELECT doc_id, n_chars, face, i, j,
+               {level - 1} AS k, CAST(face % 2 AS BIGINT) AS r, CAST(0 AS BIGINT) AS pos
+        FROM s2ij
+        UNION ALL
+        SELECT h.doc_id, h.n_chars, h.face, h.i, h.j, h.k - 1, t.rnew, h.pos * 4 + t.p
+        FROM s2hil h JOIN aut t
+          ON t.r = h.r AND t.ij = ((h.i >> h.k) & 1) * 2 + ((h.j >> h.k) & 1)
+        WHERE h.k >= 0
+      ),
+      s2cells AS (
+        SELECT doc_id, n_chars, face,
+          CAST(CAST(face AS HUGEINT) * {1 << 61}
+               + CAST(pos AS HUGEINT) * {1 << (shift + 1)} + {1 << shift}
+               - CASE WHEN face >= 4
+                      THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+               AS BIGINT) AS s2_cell
+        FROM s2hil WHERE k = -1
+      )
+    """
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -115,15 +195,40 @@ PIP_TRIANGLE = np.array(
 
 
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mercator-morton z8 AND genuine S2 level-12 tile assignment under
+    one tagged slot (union hash breaks if either index drifts).  The s2
+    variant batch-encodes cell ids in an Arrow UDF (s2.cell_col) — the
+    north star's "H3/S2 cells via vectorized pandas/Arrow UDFs" — and
+    reports tile_x = cell id (signed int64 bit pattern), tile_y = face."""
+    from xarray_spatial_spark import s2
+
     z = 8
-    return (
+    morton = (
         _doc_tiles(spark, sf_dir, z)
         .groupBy("tile_x", "tile_y")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
         )
+        .select(F.lit("z8").alias("variant"), "tile_x", "tile_y", "n_docs", "sum_chars")
     )
+    s2v = (
+        _docs(spark, sf_dir)
+        .withColumn("s2_cell", s2.cell_col(F.col("lon"), F.col("lat"), 12))
+        .groupBy("s2_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.lit("s2").alias("variant"),
+            F.col("s2_cell").alias("tile_x"),
+            s2.face_col(F.col("s2_cell")).cast("long").alias("tile_y"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+    return morton.unionByName(s2v)
 
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1960,9 +2065,14 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "tile_assign": f"""
-            SELECT {z8x} AS tile_x, {z8y} AS tile_y,
+            WITH RECURSIVE {_sql_s2_cells(12)}
+            SELECT 'z8' AS variant, {z8x} AS tile_x, {z8y} AS tile_y,
                    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-            FROM documents GROUP BY 1, 2
+            FROM documents GROUP BY 2, 3
+            UNION ALL
+            SELECT 's2', s2_cell, CAST(face AS BIGINT),
+                   count(*), CAST(sum(n_chars) AS BIGINT)
+            FROM s2cells GROUP BY 2, 3
         """,
         # both entry variants (agg / fused) against the SAME stats,
         # tagged — the union hash breaks if either plan diverges

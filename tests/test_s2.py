@@ -1,0 +1,203 @@
+"""S2 cell index (xarray_spatial_spark/s2.py) — structural properties
+that pin the from-scratch implementation:
+
+* Hilbert automaton correctness via the adjacency property (consecutive
+  curve positions are IJ-neighbors — Morton fails this; only a correct
+  Hilbert traversal passes it at every position),
+* id-algebra invariants (roundtrip, parent containment, range nesting),
+* the leaf>>k shortcut the DuckDB oracle uses,
+* Spark surface: Arrow-UDF encode == numpy, Catalyst parent/range ops,
+  containment as a broadcast range join.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_spatial_spark import s2
+
+rng = np.random.default_rng(7)
+
+
+def test_face_ij_roundtrip():
+    n = 5000
+    face = rng.integers(0, 6, n)
+    i = rng.integers(0, 1 << 30, n)
+    j = rng.integers(0, 1 << 30, n)
+    ids = s2.from_face_ij(face, i, j)
+    f2, i2, j2 = s2.to_face_ij(ids)
+    assert np.array_equal(face, f2)
+    assert np.array_equal(i, i2)
+    assert np.array_equal(j, j2)
+    assert np.all(s2.level_of(ids) == s2.MAX_LEVEL)
+    # ids for faces 4/5 are negative bit patterns, 0-3 positive
+    assert np.array_equal(ids < 0, face >= 4)
+
+
+def test_hilbert_adjacency():
+    """pos and pos+1 decode to IJ cells exactly one step apart — the
+    defining continuity property of a Hilbert curve."""
+    n = 4000
+    pos = rng.integers(0, (1 << 60) - 1, n).astype(np.uint64)
+    face = rng.integers(0, 6, n).astype(np.uint64)
+    id_a = ((face << np.uint64(61)) | (pos << np.uint64(1)) | np.uint64(1)).view(np.int64)
+    id_b = ((face << np.uint64(61)) | ((pos + np.uint64(1)) << np.uint64(1)) | np.uint64(1)).view(np.int64)
+    _, ia, ja = s2.to_face_ij(id_a)
+    _, ib, jb = s2.to_face_ij(id_b)
+    assert np.all(np.abs(ia - ib) + np.abs(ja - jb) == 1)
+
+
+def test_parent_containment_and_nesting():
+    n = 3000
+    ids = s2.from_face_ij(
+        rng.integers(0, 6, n), rng.integers(0, 1 << 30, n), rng.integers(0, 1 << 30, n)
+    )
+    prev = ids
+    for lev in (25, 18, 12, 6, 0):
+        p = s2.parent(ids, lev)
+        assert np.all(s2.level_of(p) == lev)
+        assert np.all(s2.contains(p, ids))
+        assert np.all(s2.contains(p, prev))
+        # range endpoints are leaf ids inside the cell
+        assert np.all(s2.contains(p, s2.range_min(p)))
+        assert np.all(s2.contains(p, s2.range_max(p)))
+        prev = p
+    # a cell never contains a foreign cell: shift i by the cell size
+    p12 = s2.parent(ids, 12)
+    f, i, j = s2.to_face_ij(ids)
+    size = 1 << 18
+    other = s2.parent(s2.from_face_ij(f, (i + size) % (1 << 30), j), 12)
+    assert not np.any(other == p12)
+
+
+def test_leaf_shift_shortcut_matches_parent():
+    """Top-k bits of (i, j) through k automaton steps == parent(leaf, k)
+    — the identity the DuckDB oracle's recursive CTE relies on."""
+    n = 2000
+    face = rng.integers(0, 6, n)
+    i = rng.integers(0, 1 << 30, n)
+    j = rng.integers(0, 1 << 30, n)
+    leaf = s2.from_face_ij(face, i, j)
+    for lev in (12, 8):
+        sh = 30 - lev
+        fsh = np.asarray(face, dtype=np.uint64)
+        r = fsh & np.uint64(1)
+        pos = np.zeros(n, dtype=np.uint64)
+        ii = (np.asarray(i, dtype=np.uint64) >> np.uint64(sh))
+        jj = (np.asarray(j, dtype=np.uint64) >> np.uint64(sh))
+        for k in range(lev - 1, -1, -1):
+            ij = (((ii >> np.uint64(k)) & np.uint64(1)) << np.uint64(1)) | (
+                (jj >> np.uint64(k)) & np.uint64(1)
+            )
+            p = s2._IJ_TO_POS[r, ij]
+            pos = (pos << np.uint64(2)) | p
+            r = r ^ s2._POS_TO_ORIENTATION[p]
+        shift = 2 * (30 - lev)
+        uid = (
+            (fsh << np.uint64(61))
+            | (pos << np.uint64(shift + 1))
+            | (np.uint64(1) << np.uint64(shift))
+        ).view(np.int64)
+        assert np.array_equal(uid, s2.parent(leaf, lev))
+
+
+def test_center_reencode_and_token():
+    n = 2000
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-89, 89, n)
+    for lev in (6, 14, 22):
+        c = s2.cell_of(lon, lat, lev)
+        clon, clat = s2.center_lnglat(c)
+        assert np.array_equal(s2.cell_of(clon, clat, lev), c)
+    leaf = s2.cell_of(lon, lat)
+    toks = s2.token(leaf[:64])
+    assert np.array_equal(s2.from_token(toks), leaf[:64])
+    assert all(not t.endswith("0") or t == "0" for t in toks)
+
+
+def test_quadratic_st_inverse():
+    u = rng.uniform(-1, 1, 10000)
+    s = s2._uv_to_st(u)
+    assert np.all((s >= 0) & (s <= 1))
+    assert np.allclose(s2._st_to_uv(s), u, atol=1e-12)
+
+
+def test_cell_of_level_validation():
+    with pytest.raises(ValueError):
+        s2.cell_of(np.array([0.0]), np.array([0.0]), 31)
+
+
+def test_spark_cell_col_matches_numpy(spark):
+    n = 1500
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-85, 85, n)
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"k": np.arange(n), "lon": lon, "lat": lat}))
+    out = (
+        df.withColumn("leaf", s2.cell_col(F.col("lon"), F.col("lat")))
+        .withColumn("c10", s2.cell_col(F.col("lon"), F.col("lat"), 10))
+        .withColumn("p10", s2.parent_col(F.col("leaf"), 10))
+        .withColumn("face", s2.face_col(F.col("leaf")))
+        .orderBy("k")
+        .toPandas()
+    )
+    leaf = s2.cell_of(lon, lat)
+    assert np.array_equal(out["leaf"].to_numpy(), leaf)
+    assert np.array_equal(out["c10"].to_numpy(), s2.cell_of(lon, lat, 10))
+    # Catalyst parent == numpy parent == UDF-at-level
+    assert np.array_equal(out["p10"].to_numpy(), s2.parent(leaf, 10))
+    assert np.array_equal(out["p10"].to_numpy(), out["c10"].to_numpy())
+    f, _, _ = s2.to_face_ij(leaf)
+    assert np.array_equal(out["face"].to_numpy(), f)
+
+
+def test_spark_containment_range_join(spark):
+    """Point-in-cells as a broadcast range join on (range_min, range_max):
+    every point lands in exactly the covering cell that contains it."""
+    import pandas as pd
+
+    n = 800
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-85, 85, n)
+    leaf = s2.cell_of(lon, lat)
+    covers = np.unique(s2.parent(leaf, 4))  # coarse covering of the points
+    pts = spark.createDataFrame(pd.DataFrame({"k": np.arange(n), "leaf": leaf}))
+    cov = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cell": covers,
+                "lo": s2.range_min(covers),
+                "hi": s2.range_max(covers),
+            }
+        )
+    )
+    joined = pts.join(
+        F.broadcast(cov),
+        (F.col("leaf") >= F.col("lo")) & (F.col("leaf") <= F.col("hi")),
+        "left",
+    )
+    got = joined.groupBy("k").agg(
+        F.count("cell").alias("n_cov"), F.min("cell").alias("cell")
+    ).orderBy("k").toPandas()
+    assert np.all(got["n_cov"].to_numpy() == 1)
+    assert np.array_equal(got["cell"].to_numpy(), s2.parent(leaf, 4))
+
+
+def test_unsigned_order_col(spark):
+    import pandas as pd
+
+    ids = s2.from_face_ij(
+        np.repeat(np.arange(6), 50),
+        rng.integers(0, 1 << 30, 300),
+        rng.integers(0, 1 << 30, 300),
+    )
+    df = spark.createDataFrame(pd.DataFrame({"id": ids}))
+    got = (
+        df.orderBy(s2.unsigned_order_col(F.col("id")))
+        .select("id")
+        .toPandas()["id"]
+        .to_numpy()
+    )
+    want = ids[np.argsort(ids.view(np.uint64), kind="stable")]
+    assert np.array_equal(got, want)

@@ -1,0 +1,315 @@
+"""From-scratch S2 cell index (cube-face + quadratic projection + Hilbert).
+
+The north-star data model assigns every geocoded page to an "H3/S2 cell"
+batch-encoded inside vectorized Arrow UDFs.  ``grid.py`` provides the
+Web-Mercator quadtree flavor; this module is the genuine S2 scheme built
+from scratch against the published algorithm (the S2 geometry library's
+public docs/papers: Hilbert-curve cell ids over the quadratic-projected
+cube — no code consulted, tables are the published automaton constants):
+
+* a point on the sphere maps to one of 6 cube faces, then through the
+  quadratic (area-equalizing) UV->ST transform to a 30-bit (i, j) leaf
+  coordinate on that face;
+* (face, i, j) maps to a position along a face-local Hilbert curve via a
+  2-bit-per-level automaton, giving the canonical 64-bit cell id layout
+  ``[3 face bits | 2*level position bits | 1 sentinel bit | zeros]``;
+* parent / range / containment are O(1) bit ops on the id — a cell's
+  descendants form one CONTIGUOUS id range, which is what makes S2 ids
+  a join/partition key: point-in-region is a range join, spatial
+  locality is id locality (Hilbert, unlike Morton, has no long jumps).
+
+Everything is vectorized numpy over ``uint64`` so it batch-encodes
+inside Arrow-batched pandas UDFs; ids are REINTERPRETED as signed int64
+bit patterns for Spark's LongType (faces 4 and 5 come out negative).
+Equality joins / groupBy are unaffected; for a globally ordered sort use
+:func:`unsigned_order_col` (flips the sign bit so signed order matches
+unsigned id order).
+
+Scale notes (100 TB): encoding is embarrassingly parallel in the scan
+stage; a coarse parent cell (level 8-12) is the shuffle/partition key
+with the same salting/AQE story as the mercator grid; containment joins
+broadcast the (small) covering-cell side and run as range predicates the
+optimizer can use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+MAX_LEVEL = 30
+_FACE_SHIFT = 61  # 64 - 3 face bits
+
+# Published Hilbert automaton constants (S2 docs): orientation is two
+# bits (swap=1, invert=2); each level consumes one (i_bit, j_bit) pair.
+_IJ_TO_POS = np.array(
+    [[0, 1, 3, 2], [0, 3, 1, 2], [2, 3, 1, 0], [2, 1, 3, 0]], dtype=np.uint64
+)
+_POS_TO_IJ = np.array(
+    [[0, 1, 3, 2], [0, 2, 3, 1], [3, 2, 0, 1], [3, 1, 0, 2]], dtype=np.uint64
+)
+_POS_TO_ORIENTATION = np.array([1, 0, 0, 3], dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# sphere -> face/UV -> ST -> IJ
+# ---------------------------------------------------------------------------
+
+
+def _lnglat_to_xyz(lon: np.ndarray, lat: np.ndarray):
+    rlon = np.radians(np.atleast_1d(np.asarray(lon, dtype=np.float64)))
+    rlat = np.radians(np.atleast_1d(np.asarray(lat, dtype=np.float64)))
+    cl = np.cos(rlat)
+    return cl * np.cos(rlon), cl * np.sin(rlon), np.sin(rlat)
+
+
+def _xyz_to_face_uv(x, y, z):
+    """Face = axis of the largest |component| (+3 when negative); (u, v)
+    is the gnomonic projection onto that face.  Tie-break priority is
+    x, then y, then z (ties live on a measure-zero set)."""
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    axis0 = (ax >= ay) & (ax >= az)
+    axis1 = ~axis0 & (ay >= az)
+    axis2 = ~axis0 & ~axis1
+    face = np.where(axis0, np.where(x >= 0, 0, 3),
+                    np.where(axis1, np.where(y >= 0, 1, 4),
+                             np.where(z >= 0, 2, 5))).astype(np.int64)
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for f, (un, ud, vn, vd) in enumerate(_FACE_UV):
+            m = face == f
+            if np.any(m):
+                u[m] = un(x[m], y[m], z[m]) / ud(x[m], y[m], z[m])
+                v[m] = vn(x[m], y[m], z[m]) / vd(x[m], y[m], z[m])
+    return face, u, v
+
+
+# per-face (u numerator, u denominator, v numerator, v denominator)
+_FACE_UV = [
+    (lambda x, y, z: y, lambda x, y, z: x, lambda x, y, z: z, lambda x, y, z: x),
+    (lambda x, y, z: -x, lambda x, y, z: y, lambda x, y, z: z, lambda x, y, z: y),
+    (lambda x, y, z: -x, lambda x, y, z: z, lambda x, y, z: -y, lambda x, y, z: z),
+    (lambda x, y, z: z, lambda x, y, z: x, lambda x, y, z: y, lambda x, y, z: x),
+    (lambda x, y, z: z, lambda x, y, z: y, lambda x, y, z: -x, lambda x, y, z: y),
+    (lambda x, y, z: -y, lambda x, y, z: z, lambda x, y, z: -x, lambda x, y, z: z),
+]
+
+# inverse: face center/axes to rebuild xyz from (face, u, v)
+_FACE_XYZ = [
+    lambda u, v: (np.ones_like(u), u, v),
+    lambda u, v: (-u, np.ones_like(u), v),
+    lambda u, v: (-u, -v, np.ones_like(u)),
+    lambda u, v: (-np.ones_like(u), -v, -u),
+    lambda u, v: (v, -np.ones_like(u), -u),
+    lambda u, v: (v, u, -np.ones_like(u)),
+]
+
+
+def _uv_to_st(u: np.ndarray) -> np.ndarray:
+    """Quadratic projection: equalizes cell areas across the face."""
+    with np.errstate(invalid="ignore"):  # np.where evaluates both branches
+        return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u),
+                        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+
+
+def _st_to_uv(s: np.ndarray) -> np.ndarray:
+    return np.where(s >= 0.5, (1.0 / 3.0) * (4.0 * s * s - 1.0),
+                    (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)))
+
+
+def _st_to_ij(s: np.ndarray) -> np.ndarray:
+    i = np.floor(s * float(1 << MAX_LEVEL)).astype(np.int64)
+    return np.clip(i, 0, (1 << MAX_LEVEL) - 1).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve: (face, i, j) <-> 64-bit cell id
+# ---------------------------------------------------------------------------
+
+
+def from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """Leaf (level-30) cell id from face + 30-bit ij.  Returns int64
+    bit patterns (faces 4/5 set the sign bit)."""
+    face = np.asarray(face, dtype=np.uint64)
+    i = np.asarray(i, dtype=np.uint64)
+    j = np.asarray(j, dtype=np.uint64)
+    r = face & np.uint64(1)  # initial orientation: swap bit on odd faces
+    pos = np.zeros_like(i)
+    for k in range(MAX_LEVEL - 1, -1, -1):
+        ij = (((i >> np.uint64(k)) & np.uint64(1)) << np.uint64(1)) | (
+            (j >> np.uint64(k)) & np.uint64(1)
+        )
+        p = _IJ_TO_POS[r, ij]
+        pos = (pos << np.uint64(2)) | p
+        r = r ^ _POS_TO_ORIENTATION[p]
+    uid = (face << np.uint64(_FACE_SHIFT)) | (pos << np.uint64(1)) | np.uint64(1)
+    return uid.view(np.int64)
+
+
+def to_face_ij(cell: np.ndarray):
+    """Inverse of :func:`from_face_ij` for LEAF ids; for a coarser cell
+    id this returns the (face, i, j) of the leaf its sentinel bit
+    pattern denotes (a leaf inside the cell)."""
+    c = np.asarray(cell).astype(np.int64).view(np.uint64)
+    face = (c >> np.uint64(_FACE_SHIFT)).astype(np.uint64)
+    pos = (c >> np.uint64(1)) & np.uint64((1 << 60) - 1)
+    r = face & np.uint64(1)
+    i = np.zeros_like(pos)
+    j = np.zeros_like(pos)
+    for k in range(MAX_LEVEL - 1, -1, -1):
+        p = (pos >> np.uint64(2 * k)) & np.uint64(3)
+        ij = _POS_TO_IJ[r, p]
+        i = (i << np.uint64(1)) | (ij >> np.uint64(1))
+        j = (j << np.uint64(1)) | (ij & np.uint64(1))
+        r = r ^ _POS_TO_ORIENTATION[p]
+    return face.view(np.int64), i.view(np.int64), j.view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# id algebra — all O(1) bit ops
+# ---------------------------------------------------------------------------
+
+
+def _lsb_at(level) -> np.uint64:
+    return np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+
+
+def _lsb(cell: np.ndarray) -> np.ndarray:
+    c = np.asarray(cell).astype(np.int64).view(np.uint64)
+    return c & (~c + np.uint64(1))
+
+
+def level_of(cell: np.ndarray) -> np.ndarray:
+    """Level from the sentinel bit position: 30 - ctz(id)/2."""
+    lsb = _lsb(cell).astype(np.float64)
+    ctz = np.log2(lsb).round().astype(np.int64)
+    return MAX_LEVEL - ctz // 2
+
+
+def parent(cell: np.ndarray, level: int) -> np.ndarray:
+    """Ancestor at ``level``: clear the finer position bits, set the
+    sentinel — ``(id & -lsb) | lsb``.  The containing cell of any
+    leaf/finer id."""
+    c = np.asarray(cell).astype(np.int64).view(np.uint64)
+    lsb = _lsb_at(level)
+    return ((c & ~(lsb - np.uint64(1))) | lsb).view(np.int64)
+
+
+def range_min(cell: np.ndarray) -> np.ndarray:
+    c = np.asarray(cell).astype(np.int64).view(np.uint64)
+    return (c - (_lsb(cell) - np.uint64(1))).view(np.int64)
+
+
+def range_max(cell: np.ndarray) -> np.ndarray:
+    c = np.asarray(cell).astype(np.int64).view(np.uint64)
+    return (c + (_lsb(cell) - np.uint64(1))).view(np.int64)
+
+
+def contains(cell: np.ndarray, other: np.ndarray) -> np.ndarray:
+    """cell contains other (descendant-or-self), via range inclusion on
+    the UNSIGNED bit patterns."""
+    lo = np.asarray(range_min(cell)).view(np.uint64)
+    hi = np.asarray(range_max(cell)).view(np.uint64)
+    o = np.asarray(other).astype(np.int64).view(np.uint64)
+    return (lo <= o) & (o <= hi)
+
+
+def cell_of(lon: np.ndarray, lat: np.ndarray, level: int = MAX_LEVEL) -> np.ndarray:
+    """Batch-encode points to S2 cell ids at ``level`` (the UDF core)."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    x, y, z = _lnglat_to_xyz(lon, lat)
+    face, u, v = _xyz_to_face_uv(x, y, z)
+    i = _st_to_ij(_uv_to_st(u))
+    j = _st_to_ij(_uv_to_st(v))
+    leaf = from_face_ij(face, i, j)
+    return leaf if level == MAX_LEVEL else parent(leaf, level)
+
+
+def center_lnglat(cell: np.ndarray):
+    """(lon, lat) of the cell's ij-range center — deterministic point
+    inside the cell; re-encoding it at the cell's level returns the
+    same cell."""
+    c = np.asarray(cell)
+    lev = level_of(c)
+    face, i, j = to_face_ij(c)
+    size = np.float64(2.0) ** (MAX_LEVEL - lev)
+    base_i = (i.astype(np.float64) // size) * size
+    base_j = (j.astype(np.float64) // size) * size
+    s = (base_i + size / 2.0) / float(1 << MAX_LEVEL)
+    t = (base_j + size / 2.0) / float(1 << MAX_LEVEL)
+    u = _st_to_uv(s)
+    v = _st_to_uv(t)
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    for f, fn in enumerate(_FACE_XYZ):
+        m = np.asarray(face) == f
+        if np.any(m):
+            xf, yf, zf = fn(u[m], v[m])
+            x[m], y[m], z[m] = xf, yf, zf
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.sqrt(x * x + y * y)))
+    return lon, lat
+
+
+def token(cell: np.ndarray) -> list[str]:
+    """Canonical S2 token: 16-hex-digit id with trailing zeros stripped."""
+    c = np.asarray(cell).astype(np.int64).view(np.uint64)
+    return [f"{int(v):016x}".rstrip("0") or "0" for v in c]
+
+
+def from_token(tokens) -> np.ndarray:
+    vals = [int((t + "0" * 16)[:16], 16) for t in tokens]
+    return np.array(vals, dtype=np.uint64).view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+
+def cell_col(lon: Column, lat: Column, level: int = MAX_LEVEL) -> Column:
+    """Arrow-batched pandas UDF wrapping :func:`cell_of` — the
+    "vectorized UDF that batch-encodes cell IDs" of the north star.
+    Runs in the scan stage; no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def _enc(lo: pd.Series, la: pd.Series) -> pd.Series:
+        return pd.Series(cell_of(lo.to_numpy(), la.to_numpy(), level))
+
+    return _enc(lon, lat)
+
+
+def parent_col(cell: Column, level: int) -> Column:
+    """Catalyst-native parent: clear bits below the level's lsb, set it.
+    Pure JVM bit ops — stays in whole-stage codegen."""
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    # (id & -lsb) | lsb in two's-complement int64
+    return (cell.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb)))
+
+
+def range_cols(cell: Column) -> tuple[Column, Column]:
+    """(range_min, range_max) Columns: id -/+ (lsb-1), lsb = id & -id.
+    int64 overflow cannot occur (sentinel layout bounds the offsets)."""
+    lsb = cell.bitwiseAND(-cell)
+    return (cell - (lsb - F.lit(1))).alias("s2_range_min"), (
+        cell + (lsb - F.lit(1))
+    ).alias("s2_range_max")
+
+
+def unsigned_order_col(cell: Column) -> Column:
+    """Monotonic remap so SIGNED ordering equals unsigned id ordering
+    (faces 4/5 store negative bit patterns): flip the sign bit."""
+    return cell.bitwiseXOR(F.lit(-(1 << 63)))
+
+
+def face_col(cell: Column) -> Column:
+    """Face 0-5 from the top 3 bits (sign-aware: arithmetic shift then
+    mask)."""
+    return F.shiftrightunsigned(cell, _FACE_SHIFT).cast("int")
