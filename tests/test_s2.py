@@ -115,6 +115,76 @@ def test_center_reencode_and_token():
     assert all(not t.endswith("0") or t == "0" for t in toks)
 
 
+def _edge_biased_cells(level, n):
+    """Random cells with many touching face boundaries."""
+    face = rng.integers(0, 6, n)
+    near = lambda: np.where(
+        rng.random(n) < 0.5,
+        rng.integers(0, 1 << 30, n),
+        np.where(
+            rng.random(n) < 0.5,
+            rng.integers(0, 1 << 21, n),
+            (1 << 30) - 1 - rng.integers(0, 1 << 21, n),
+        ),
+    )
+    return s2.parent(s2.from_face_ij(face, near(), near()), level)
+
+
+@pytest.mark.parametrize("level", [6, 10, 16])
+def test_edge_neighbors_geometric_mirror(level):
+    """For each cell edge, mirror an interior point across the edge in
+    UV space, project to the sphere, and re-encode: the landing cell
+    must be exactly the computed edge neighbor — including across
+    cube-face boundaries (the wrap path)."""
+    n = 1200
+    cells = _edge_biased_cells(level, n)
+    nbrs = s2.edge_neighbors(cells)
+    f, ci, cj = s2.to_face_ij(cells)
+    size = 1 << (30 - level)
+    i0, j0 = ci & ~(size - 1), cj & ~(size - 1)
+    ninv = float(1 << 30)
+    s0, s1 = i0 / ninv, (i0 + size) / ninv
+    t0, t1 = j0 / ninv, (j0 + size) / ninv
+    scen, tcen, w = (s0 + s1) / 2, (t0 + t1) / 2, size / ninv
+    # edges in _EDGE_OFFSETS order: j-, i+, j+, i-
+    specs = [
+        (scen, t0 + w / 4, None, t0),
+        (s1 - w / 4, tcen, s1, None),
+        (scen, t1 - w / 4, None, t1),
+        (s0 + w / 4, tcen, s0, None),
+    ]
+    for e, (s_in, t_in, s_edge, t_edge) in enumerate(specs):
+        uin, vin = s2._st_to_uv(np.asarray(s_in)), s2._st_to_uv(np.asarray(t_in))
+        if s_edge is not None:
+            ue = s2._st_to_uv(np.asarray(s_edge))
+            uout, vout = 2 * ue - uin, vin
+        else:
+            ve = s2._st_to_uv(np.asarray(t_edge))
+            uout, vout = uin, 2 * ve - vin
+        x, y, z = np.empty(n), np.empty(n), np.empty(n)
+        for ff in range(6):
+            m = f == ff
+            if m.any():
+                x[m], y[m], z[m] = s2._FACE_XYZ[ff](uout[m], vout[m])
+        lon = np.degrees(np.arctan2(y, x))
+        lat = np.degrees(np.arctan2(z, np.sqrt(x * x + y * y)))
+        assert np.array_equal(s2.cell_of(lon, lat, level), nbrs[:, e])
+
+
+def test_all_neighbors_ring():
+    cells = _edge_biased_cells(8, 400)
+    en = s2.edge_neighbors(cells)
+    an = s2.all_neighbors(cells)
+    for k in range(len(cells)):
+        assert set(en[k]) <= set(an[k])
+        assert cells[k] not in an[k]
+        assert 7 <= len(an[k]) <= 8
+        assert np.all(s2.level_of(an[k]) == 8)
+    # a face-corner cell has no diagonal across the cube corner: 7 nbrs
+    corner = s2.parent(s2.from_face_ij(np.array([0]), np.array([0]), np.array([0])), 5)
+    assert len(s2.all_neighbors(corner)[0]) == 7
+
+
 def test_quadratic_st_inverse():
     u = rng.uniform(-1, 1, 10000)
     s = s2._uv_to_st(u)

@@ -218,6 +218,89 @@ def contains(cell: np.ndarray, other: np.ndarray) -> np.ndarray:
     return (lo <= o) & (o <= hi)
 
 
+def _wrap_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray):
+    """Leaf (i, j) possibly one step outside [0, 2^30) -> the proper
+    (face', i', j') on the adjacent face.
+
+    Uses the LINEAR st<->uv projection for the round trip through xyz:
+    the cross-face transform is a coordinate permutation/reflection
+    that is identical in linear and quadratic space (the quadratic
+    transform is symmetric, st(-u) = 1 - st(u), and face grids align
+    along shared edges), and the half-leaf centering makes the integer
+    recovery exact for the in-range coordinate."""
+    face = np.asarray(face, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    n = 1 << MAX_LEVEL
+    inside = (i >= 0) & (i < n) & (j >= 0) & (j < n)
+    ic = np.clip(i, -1, n).astype(np.float64)
+    jc = np.clip(j, -1, n).astype(np.float64)
+    u = 2.0 * (ic + 0.5) / n - 1.0
+    v = 2.0 * (jc + 0.5) / n - 1.0
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    for f, fn in enumerate(_FACE_XYZ):
+        m = face == f
+        if np.any(m):
+            x[m], y[m], z[m] = fn(u[m], v[m])
+    face2, u2, v2 = _xyz_to_face_uv(x, y, z)
+    i2 = np.clip(np.floor((0.5 * (u2 + 1.0)) * n), 0, n - 1).astype(np.int64)
+    j2 = np.clip(np.floor((0.5 * (v2 + 1.0)) * n), 0, n - 1).astype(np.int64)
+    return (
+        np.where(inside, face, face2),
+        np.where(inside, np.clip(i, 0, n - 1), i2),
+        np.where(inside, np.clip(j, 0, n - 1), j2),
+    )
+
+
+_EDGE_OFFSETS = ((0, -1), (1, 0), (0, 1), (-1, 0))
+_ALL_OFFSETS = _EDGE_OFFSETS + ((-1, -1), (1, -1), (1, 1), (-1, 1))
+
+
+def _neighbors(cell: np.ndarray, offsets) -> np.ndarray:
+    c = np.asarray(cell)
+    lev = level_of(c)
+    size = np.int64(1) << (MAX_LEVEL - lev)
+    face, i, j = to_face_ij(c)
+    i0 = i & ~(size - 1)
+    j0 = j & ~(size - 1)
+    icen = i0 + size // 2
+    jcen = j0 + size // 2
+    cols = []
+    for di, dj in offsets:
+        # step one full cell from the base corner; use the center leaf
+        # for the in-range coordinate so the result is interior
+        ni = np.where(di == 0, icen, np.where(di < 0, i0 - size, i0 + size))
+        nj = np.where(dj == 0, jcen, np.where(dj < 0, j0 - size, j0 + size))
+        f2, i2, j2 = _wrap_face_ij(face, ni, nj)
+        leaf = from_face_ij(f2, i2, j2)
+        # per-row level parent (vectorized: (id & -lsb) | lsb)
+        lsb = (np.uint64(1) << (2 * (MAX_LEVEL - lev)).astype(np.uint64))
+        u64 = leaf.view(np.uint64)
+        cols.append(((u64 & ~(lsb - np.uint64(1))) | lsb).view(np.int64))
+    return np.stack(cols, axis=1)
+
+
+def edge_neighbors(cell: np.ndarray) -> np.ndarray:
+    """The 4 edge-adjacent cells at the same level, crossing cube-face
+    boundaries where needed.  Shape (len(cell), 4)."""
+    return _neighbors(cell, _EDGE_OFFSETS)
+
+
+def all_neighbors(cell: np.ndarray) -> list[np.ndarray]:
+    """Edge + vertex neighbors at the same level (the kNN ring-1
+    expansion set): per input cell, a deduped array of <= 8 distinct
+    neighboring ids (7 around a cube corner, where no diagonal exists)."""
+    raw = _neighbors(cell, _ALL_OFFSETS)
+    c = np.asarray(cell)
+    out = []
+    for k in range(raw.shape[0]):
+        row = np.unique(raw[k])
+        out.append(row[row != c[k]])
+    return out
+
+
 def cell_of(lon: np.ndarray, lat: np.ndarray, level: int = MAX_LEVEL) -> np.ndarray:
     """Batch-encode points to S2 cell ids at ``level`` (the UDF core)."""
     if not 0 <= level <= MAX_LEVEL:
