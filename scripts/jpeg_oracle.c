@@ -2,7 +2,7 @@
  * tests/test_jpeg_libjpeg_oracle.py when gcc + jpeglib.h exist; the
  * repo never ships or requires the binary).
  *
- *   jpeg_oracle enc <w> <h> <ncomp> <quality> <subsamp> <in.raw> <out.jpg>
+ *   jpeg_oracle enc <w> <h> <ncomp> <quality> <subsamp> <in.raw> <out.jpg> [prog [dri]]
  *       subsamp: 444 | 422 | 420 (ignored for ncomp=1)
  *   jpeg_oracle dec <in.jpg> <out.raw>
  *       prints "w h ncomp" on stdout; fancy upsampling is DISABLED so
@@ -55,6 +55,9 @@ static int do_enc(int argc, char **argv) {
         c.comp_info[2].h_samp_factor = 1;
         c.comp_info[2].v_samp_factor = 1;
     }
+    if (argc > 9 && !strcmp(argv[9], "prog"))
+        jpeg_simple_progression(&c);   /* the standard 10-scan script */
+    if (argc > 10) c.restart_interval = atoi(argv[10]);
     jpeg_start_compress(&c, TRUE);
     while (c.next_scanline < c.image_height) {
         JSAMPROW row = raw + (long)c.next_scanline * w * nc;

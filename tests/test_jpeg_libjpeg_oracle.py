@@ -39,14 +39,19 @@ def oracle(tmp_path_factory):
     if r.returncode != 0:
         pytest.skip(f"jpeg_oracle build failed: {r.stderr[:200]!r}")
 
-    def enc(img: np.ndarray, q: int, sub: str) -> bytes:
+    def enc(img: np.ndarray, q: int, sub: str, prog: bool = False,
+            dri: int = 0) -> bytes:
         h, w = img.shape[:2]
         nc = 1 if img.ndim == 2 else img.shape[2]
         raw = str(d / "in.raw")
         jpg = str(d / "out.jpg")
         open(raw, "wb").write(np.ascontiguousarray(img).tobytes())
-        subprocess.run([exe, "enc", str(w), str(h), str(nc), str(q), sub,
-                        raw, jpg], check=True)
+        cmd = [exe, "enc", str(w), str(h), str(nc), str(q), sub, raw, jpg]
+        if prog or dri:
+            cmd.append("prog" if prog else "seq")
+        if dri:
+            cmd.append(str(dri))
+        subprocess.run(cmd, check=True)
         return open(jpg, "rb").read()
 
     def dec(data: bytes) -> np.ndarray:
@@ -111,3 +116,72 @@ def test_adversarial_noise_divergence_is_rare_and_bounded(oracle, sub):
     assert d.mean() < 0.6
     assert (d > 2).mean() < 0.01      # <1% of samples beyond rounding
     assert d.max() < 64               # never a structural break
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2): libjpeg's jpeg_simple_progression emits the
+# standard 10-scan script — DC-first with successive approximation,
+# per-component spectral AC bands, DC + AC refinement scans.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+@pytest.mark.parametrize("q", [95, 75, 50])
+def test_progressive_real_stream(oracle, sub, q):
+    enc, dec = oracle
+    img = _smooth()
+    data = enc(img, q, sub, prog=True)
+    assert b"\xff\xc2" in data[:400]  # really SOF2
+    mine = decode_jpeg(data)
+    theirs = dec(data)
+    assert mine.shape == theirs.shape
+    assert np.abs(mine.astype(int) - theirs.astype(int)).max() <= 2
+
+
+def test_progressive_grayscale(oracle):
+    enc, dec = oracle
+    yy, xx = np.mgrid[0:40, 0:52]
+    img = ((yy * 4 + xx * 2) % 256).astype(np.uint8)
+    data = enc(img, 80, "444", prog=True)
+    mine = decode_jpeg(data)
+    theirs = dec(data)
+    if mine.ndim == 3:
+        theirs = theirs[:, :, None].repeat(mine.shape[2], 2)
+    assert np.abs(mine.astype(int) - theirs.astype(int)).max() <= 1
+
+
+def test_progressive_with_restart_markers(oracle):
+    """RSTn inside refinement scans reset DC prediction AND the EOB
+    run — the stateful paths the resync must clear."""
+    enc, dec = oracle
+    img = _smooth()
+    data = enc(img, 75, "420", prog=True, dri=3)
+    assert b"\xff\xdd" in data[:400]  # DRI present
+    mine = decode_jpeg(data)
+    theirs = dec(data)
+    assert np.abs(mine.astype(int) - theirs.astype(int)).max() <= 2
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (7, 5), (17, 31)])
+def test_progressive_odd_sizes(oracle, shape):
+    enc, dec = oracle
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, shape + (3,)).astype(np.uint8)
+    data = enc(img, 85, "420", prog=True)
+    mine = decode_jpeg(data)
+    theirs = dec(data)
+    assert mine.shape == theirs.shape
+    assert np.abs(mine.astype(int) - theirs.astype(int)).max() <= 2
+
+
+def test_progressive_noise_divergence_rare_and_bounded(oracle):
+    enc, dec = oracle
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 33, 3)).astype(np.uint8)
+    data = enc(img, 50, "420", prog=True)
+    mine = decode_jpeg(data)
+    theirs = dec(data)
+    d = np.abs(mine.astype(int) - theirs.astype(int))
+    assert d.mean() < 0.6
+    assert (d > 2).mean() < 0.01
+    assert d.max() < 64

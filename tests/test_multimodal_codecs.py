@@ -372,12 +372,14 @@ def test_jpeg_fill_bytes_and_scan_mismatch():
     padded = buf[:i] + b"\xff" + buf[i:]
     np.testing.assert_array_equal(jpeg.decode_jpeg(padded),
                                   jpeg.decode_jpeg(buf))
-    # a scan whose component count mismatches SOF raises, not garbage
+    # a single-component (non-interleaved) scan of a 3-component frame
+    # is legal sequential JPEG: the Y scan decodes, unscanned chroma
+    # stays at neutral 128 — for a black image the output is identical
     rgb = jpeg.encode_jpeg(np.zeros((8, 8, 3), np.uint8))
     j = rgb.index(b"\xff\xda")
     ln = int.from_bytes(rgb[j + 2: j + 4], "big")
-    bad = rgb[:j] + b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1]) \
+    y_only = rgb[:j] + b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1]) \
         + rgb[j + 5: j + 7] + rgb[j + 2 + ln - 3: j + 2 + ln] \
         + rgb[j + 2 + ln:]
-    with pytest.raises(NotImplementedError, match="SOS components"):
-        jpeg.decode_jpeg(bad)
+    np.testing.assert_array_equal(jpeg.decode_jpeg(y_only),
+                                  np.zeros((8, 8, 3), np.uint8))

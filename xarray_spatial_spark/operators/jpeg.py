@@ -1,7 +1,12 @@
-"""Baseline JPEG codec — pure stdlib + numpy (no codec libraries).
+"""JPEG codec — pure stdlib + numpy (no codec libraries).
 
-Decode: baseline DCT (SOF0), 8-bit, grayscale or YCbCr with 4:4:4 /
-4:2:2 / 4:2:0 sampling, restart markers.  Encode: 4:4:4 / grayscale
+Decode: baseline (SOF0) and extended sequential (SOF1) including
+non-interleaved multi-scan layouts, PLUS progressive (SOF2) with
+spectral selection and successive approximation (T.81 Annex G) — the
+dominant encoding of crawled web JPEGs; 8-bit, grayscale or YCbCr with
+4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers.  All scans accumulate
+into per-component coefficient buffers; dequantize + batched IDCT run
+once at EOI.  Encode: 4:4:4 / grayscale
 with the JPEG Annex K example quantization + Huffman tables, for
 round-trip tests and deterministic fixtures (JPEG is lossy: round
 trips assert PSNR, not equality; the spec's maths — FDCT/IDCT pair,
@@ -188,17 +193,189 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _block_full(br, zz, dc_tbl, ac_tbl, pred, cid) -> None:
+    """Sequential (baseline/extended) block: DC diff + run/size AC."""
+    s = _decode_huff(br, dc_tbl)
+    diff = _extend(br.read(s), s) if s else 0
+    pred[cid] += diff
+    zz[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = _decode_huff(br, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += r
+        zz[k] = _extend(br.read(s), s)
+        k += 1
+
+
+def _block_dc_first(br, zz, dc_tbl, pred, cid, al) -> None:
+    s = _decode_huff(br, dc_tbl)
+    diff = _extend(br.read(s), s) if s else 0
+    pred[cid] += diff
+    zz[0] = pred[cid] << al
+
+
+def _block_dc_refine(br, zz, al) -> None:
+    if br.read(1):
+        zz[0] |= 1 << al
+
+
+def _block_ac_first(br, zz, ac_tbl, ss, se, al, eob_run) -> None:
+    if eob_run[0]:
+        eob_run[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eob_run[0] = (1 << r) - 1  # EOBn: this block + run-1 more
+            if r:
+                eob_run[0] += br.read(r)
+            return
+        k += r
+        zz[k] = _extend(br.read(s), s) << al
+        k += 1
+
+
+def _block_ac_refine(br, zz, ac_tbl, ss, se, al, eob_run) -> None:
+    """Successive-approximation AC refinement (T.81 G.1.2.3): new
+    coefficients arrive as +-1<<Al; every already-nonzero coefficient
+    traversed consumes one correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eob_run[0] == 0:
+        while k <= se:
+            rs = _decode_huff(br, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn — includes THIS block: its remaining
+                    # nonzero coefficients still take correction bits
+                    eob_run[0] = 1 << r
+                    if r:
+                        eob_run[0] += br.read(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:  # s == 1: a newly significant coefficient
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = val
+            k += 1
+    if eob_run[0]:  # correction bits for the rest of an EOB-covered block
+        while k <= se:
+            if zz[k] != 0 and br.read(1) and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eob_run[0] -= 1
+
+
+def _decode_scan(buf, pos, scan, hdr, coefs, huff, restart, progressive,
+                 ss, se, ah, al) -> int:
+    """Decode one entropy-coded scan into the coefficient buffers;
+    returns the offset of the next marker.  ``scan`` is
+    [(cid, dc_table, ac_table)]; interleaved scans walk MCUs, single-
+    component scans walk the component's own block raster (T.81 A.2)."""
+    comps_by_id, w, h, hmax, vmax, mcux, mcuy = hdr
+    br = _BitReader(buf, pos)
+    pred = {cid: 0 for cid, _, _ in scan}
+    eob_run = [0]
+
+    def one_block(zz, cid, td, ta):
+        if not progressive:
+            _block_full(br, zz, huff[(0, td)], huff[(1, ta)], pred, cid)
+        elif ss == 0:
+            if ah == 0:
+                _block_dc_first(br, zz, huff[(0, td)], pred, cid, al)
+            else:
+                _block_dc_refine(br, zz, al)
+        elif ah == 0:
+            _block_ac_first(br, zz, huff[(1, ta)], ss, se, al, eob_run)
+        else:
+            _block_ac_refine(br, zz, huff[(1, ta)], ss, se, al, eob_run)
+
+    n_unit = 0
+    if len(scan) == 1:
+        cid, td, ta = scan[0]
+        hs, vs, _tq = comps_by_id[cid]
+        bw = (-(-w * hs // hmax) + 7) // 8
+        bh = (-(-h * vs // vmax) + 7) // 8
+        for by in range(bh):
+            for bx in range(bw):
+                if restart and n_unit and n_unit % restart == 0:
+                    br.resync()
+                    pred[cid] = 0
+                    eob_run[0] = 0
+                n_unit += 1
+                one_block(coefs[cid][by, bx], cid, td, ta)
+    else:
+        if progressive and ss != 0:
+            raise ValueError("progressive AC scans must be single-component")
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and n_unit and n_unit % restart == 0:
+                    br.resync()
+                    pred = {cid: 0 for cid, _, _ in scan}
+                    eob_run[0] = 0
+                n_unit += 1
+                for cid, td, ta in scan:
+                    hs, vs, _tq = comps_by_id[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            one_block(
+                                coefs[cid][my * vs + by, mx * hs + bx],
+                                cid, td, ta,
+                            )
+    # skip any trailing bits/stuffing/RSTn up to the next true marker
+    p = br.pos
+    while p + 1 < len(buf):
+        if (buf[p] == 0xFF and buf[p + 1] != 0x00
+                and not 0xD0 <= buf[p + 1] <= 0xD7):
+            break
+        p += 1
+    return p
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w) gray or (h, w, 3) RGB uint8."""
+    """JPEG -> (h, w) gray or (h, w, 3) RGB uint8.
+
+    Baseline (SOF0) and extended sequential (SOF1) including
+    non-interleaved / multi-scan layouts, and PROGRESSIVE (SOF2) with
+    spectral selection + successive approximation — the dominant
+    encoding of crawled web JPEGs.  All scans accumulate into per-
+    component coefficient buffers; dequantization + a batched IDCT run
+    once at EOI."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     comps = []  # (id, hs, vs, tq)
+    comps_by_id: dict[int, tuple[int, int, int]] = {}
+    coefs: dict[int, np.ndarray] = {}
     h = w = 0
     restart = 0
-    while True:
+    progressive = False
+    hdr = None
+    saw_scan = False
+    while pos + 1 < len(buf):
         if buf[pos] != 0xFF:
             pos += 1
             continue
@@ -207,8 +384,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             continue
         marker = buf[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI (no SOS seen)
-            raise ValueError("JPEG without scan data")
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # TEM/RSTn/SOI: no body
+            continue
         seg_len = struct.unpack(">H", buf[pos: pos + 2])[0]
         seg = buf[pos + 2: pos + seg_len]
         if marker == 0xDB:  # DQT
@@ -221,15 +400,30 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 tbl[ZIGZAG] = np.frombuffer(seg, np.uint8, 64, p + 1)
                 qt[tq] = tbl.reshape(8, 8)
                 p += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit sample precision")
             h = struct.unpack(">H", seg[1:3])[0]
             w = struct.unpack(">H", seg[3:5])[0]
             n = seg[5]
             for i in range(n):
                 cid, hv, tq = seg[6 + 3 * i: 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline (SOF0) JPEG")
+                comps_by_id[cid] = (hv >> 4, hv & 0x0F, tq)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, hs, vs, _tq in comps:
+                coefs[cid] = np.zeros((mcuy * vs, mcux * hs, 64), np.int32)
+            hdr = (comps_by_id, w, h, hmax, vmax, mcux, mcuy)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported JPEG coding process (SOF marker 0x{marker:02X}: "
+                "lossless/hierarchical/arithmetic)"
+            )
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -242,67 +436,35 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if hdr is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "only interleaved baseline scans (SOS components == "
-                    f"SOF components; got {ns} vs {len(comps)})"
-                )
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
-            pos += seg_len
-            break
+            ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_scan(
+                buf, pos + seg_len, scan, hdr, coefs, huff, restart,
+                progressive, ss_, se_, ahal >> 4, ahal & 0x0F,
+            )
+            saw_scan = True
+            continue
         pos += seg_len
+    if not saw_scan:
+        raise ValueError("JPEG without scan data")
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # finish: un-zigzag, dequantize, batched IDCT, assemble planes
     planes = {}
-    for cid, hs, vs, _tq in comps:
-        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8))
-    br = _BitReader(buf, pos)
-    pred = {cid: 0 for cid, *_ in comps}
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and n_mcu and n_mcu % restart == 0:
-                br.resync()
-                pred = {cid: 0 for cid, *_ in comps}
-            n_mcu += 1
-            for (cid, hs, vs, tq), (cs, td, ta) in zip(comps, scan):
-                if cid != cs:
-                    raise NotImplementedError(
-                        "scan component order differs from SOF order"
-                    )
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = _decode_huff(br, huff[(0, td)])
-                        diff = _extend(br.read(s), s) if s else 0
-                        pred[cid] += diff
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(br, huff[(1, ta)])
-                            r, s = rs >> 4, rs & 0x0F
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += r
-                            zz[k] = _extend(br.read(s), s)
-                            k += 1
-                        blk = np.zeros(64, dtype=np.int64)
-                        blk[ZIGZAG] = zz
-                        F8 = blk.reshape(8, 8) * qt[tq]
-                        sp = idct2(F8.astype(np.float64)) + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0: y0 + 8, x0: x0 + 8] = sp
+    for cid, hs, vs, tq in comps:
+        zzc = coefs[cid]
+        bh, bw = zzc.shape[:2]
+        nat = np.zeros((bh, bw, 64), np.float64)
+        nat[..., ZIGZAG] = zzc
+        F8 = nat.reshape(bh, bw, 8, 8) * qt[tq]
+        sp = _T.T @ F8 @ _T + 128.0  # matmul broadcasts over (bh, bw)
+        planes[cid] = sp.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
 
     out_planes = []
     for cid, hs, vs, _tq in comps:

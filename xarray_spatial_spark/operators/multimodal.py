@@ -7,11 +7,11 @@ shapes) is real and tested.  Codecs:
 - REAL decoders, pure numpy + stdlib (no external libs): PPM (P6),
   BMP (24-bit uncompressed), PNG (8-bit gray/RGB/RGBA, zlib inflate +
   all five row filters), GIF (LZW, still + animated — the lib-free
-  "video" container for ``gif_frames``), baseline JPEG
+  "video" container for ``gif_frames``), sequential + progressive JPEG
   (operators/jpeg.py: Huffman + DCT + YCbCr), lossless WebP
   (operators/webp.py: VP8L entropy + transforms), WAV (PCM16) —
   sniffed from magic bytes.
-- Remaining image formats (MP4 video, progressive JPEG, ...) need
+- Remaining image formats (MP4 video, AVIF, ...) need
   codec libraries absent from this environment: ``decode_image``
   raises ``NotImplementedError`` naming the format, or pass
   ``fake=True`` for a clearly-marked deterministic stand-in (keyed
@@ -552,7 +552,7 @@ def decode_image(
 ) -> DataFrame:
     """binary -> flattened pixel array + decoded shape columns.
 
-    PPM (P6), 24-bit BMP, PNG, GIF, baseline JPEG, and lossless WebP
+    PPM (P6), 24-bit BMP, PNG, GIF, sequential + progressive JPEG, and lossless WebP
     (VP8L) payloads decode natively (pure stdlib + numpy, no codec
     libs); lossy VP8 WebP decodes through the system libwebp when one
     is installed (ctypes, per-worker load).  Remaining formats raise
