@@ -271,3 +271,25 @@ def test_unsigned_order_col(spark):
     )
     want = ids[np.argsort(ids.view(np.uint64), kind="stable")]
     assert np.array_equal(got, want)
+
+
+def test_assign_cells_s2(spark):
+    """Tiling-operator integration: S2 cell + tile assignment matches
+    the numpy core; tile_id is the Catalyst parent of cell_id."""
+    import pandas as pd
+    from xarray_spatial_spark.operators.tiling import assign_cells_s2
+
+    n = 600
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-85, 85, n)
+    df = spark.createDataFrame(pd.DataFrame({"k": np.arange(n), "lon": lon, "lat": lat}))
+    out = assign_cells_s2(df, level=16, tile_level=6).orderBy("k").toPandas()
+    want = s2.cell_of(lon, lat, 16)
+    assert np.array_equal(out["cell_id"].to_numpy(), want)
+    assert np.array_equal(out["tile_id"].to_numpy(), s2.parent(want, 6))
+    # grouping by tile_id co-locates all descendants of a level-6 cell
+    grp = (
+        assign_cells_s2(df, 16, 6).groupBy("tile_id").count().toPandas()
+    )
+    assert grp["count"].sum() == n
+    assert np.all(s2.level_of(grp["tile_id"].to_numpy()) == 6)

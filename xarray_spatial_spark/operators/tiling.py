@@ -89,6 +89,33 @@ def assign_cells(
     return out
 
 
+def assign_cells_s2(
+    df: DataFrame,
+    level: int,
+    tile_level: int | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """The genuine-S2 twin of :func:`assign_cells`: add ``cell_id`` (S2
+    id at ``level``, signed int64 bit pattern) and optionally
+    ``tile_id`` (ancestor at ``tile_level``).
+
+    Encoding batch-runs in an Arrow pandas UDF in the scan stage (the
+    cube-face + Hilbert math needs trig, so there is no pure-Catalyst
+    twin); the parent rollup IS pure Catalyst bit ops.  Downstream
+    semantics match the mercator grid: tile_id is the shuffle/partition
+    key, salting/AQE apply unchanged, and descendant ranges make
+    point-in-region a broadcast range join (s2.range_cols)."""
+    from xarray_spatial_spark import s2
+
+    out = df.withColumn(
+        "cell_id", s2.cell_col(F.col(lon_col), F.col(lat_col), level)
+    )
+    if tile_level is not None:
+        out = out.withColumn("tile_id", s2.parent_col(F.col("cell_id"), tile_level))
+    return out
+
+
 def assign_cells_flat(
     df: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str = "lat",
     out_col: str = "cell_flat",
