@@ -1619,6 +1619,31 @@ def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer end to end
+    (functions/unigram.py): ONE distributed word-histogram pass ->
+    distributed EM (every E-step a histogram-scale Spark job with the
+    piece table broadcast) -> prune rounds -> vectorized Viterbi
+    apply.  Rows-only: EM has no SQL twin; training is pinned
+    step-for-step against an independent reference trainer and the
+    Viterbi segmentation against brute-force enumeration in
+    tests/test_unigram.py."""
+    from xarray_spatial_spark.functions import bpe, unigram
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    logp = unigram.train_unigram(
+        bpe.word_histogram(d, max_words=20_000),
+        vocab_size=400, seed_size=1200, max_piece_len=6, em_iters=1,
+    )
+    enc = unigram.unigram_encode(d, logp, max_piece_len=6)
+    return enc.select(
+        "doc_id",
+        F.size("pieces").alias("n_pieces"),
+        F.array_join(F.slice("pieces", 1, 5), "|").alias("head_pieces"),
+    )
+
+
 def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable quality classifier end to end
     (functions/quality_model.py): featurize-once -> per-iteration
@@ -1912,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": q_phash_neardup,
         "audio_neardup": q_audio_neardup,
         "video_neardup": q_video_neardup,
+        "unigram": q_unigram,
     }
 
 

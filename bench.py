@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "phash_neardup",
     "audio_neardup",
     "video_neardup",
+    "unigram",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

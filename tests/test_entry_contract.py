@@ -86,6 +86,9 @@ def test_oracle_keys_subset_of_queries():
         # GIF/DCT path has no SQL twin; planted recall, subset clips
         # and frame-order invariance are pytest-asserted
         "video_neardup",
+        # EM training has no SQL twin; pinned step-for-step against an
+        # independent reference trainer + brute-force Viterbi in pytest
+        "unigram",
     }
 
 
