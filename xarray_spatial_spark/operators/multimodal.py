@@ -916,7 +916,7 @@ def media_kind(payload: Column) -> Column:
     only need routing): 'image' (PNG/BMP/PPM/JPEG/WebP), 'audio'
     (RIFF/WAVE), 'video' (GIF — still GIFs ride the video path, where
     a 1-frame match degenerates to exactly the image semantics),
-    'other'."""
+    'document' (PDF — routes to operators/pdf.py:pdf_text), 'other'."""
     p4 = F.substring(payload, 1, 4)
     p2 = F.substring(payload, 1, 2)
     fmt = F.substring(payload, 9, 4)
@@ -927,6 +927,7 @@ def media_kind(payload: Column) -> Column:
                 .otherwise("other"))
         .when(p4 == F.lit(b"GIF8"), "video")
         .when(p4 == F.lit(b"\x89PNG"), "image")
+        .when(p4 == F.lit(b"%PDF"), "document")
         .when(p2 == F.lit(b"BM"), "image")
         .when(p2 == F.lit(b"P6"), "image")
         .when(p2 == F.lit(b"\xff\xd8"), "image")
