@@ -235,13 +235,14 @@ def test_media_kind_and_mixed_near_duplicates(spark):
         (6, b"\x00\x01unknown-payload"),
         (7, mm.encode_ppm(_img(9))),           # lone image, no twin
         (8, b"%PDF-1.7 minimal"),              # document routing
+        (9, bytes(4) + b"ftypisom" + bytes(8)),  # ISO-BMFF routing
     ]
     df = spark.createDataFrame(rows, schema="media_id long, payload binary")
     kinds = {r["media_id"]: r["k"] for r in df.select(
         "media_id", mm.media_kind(mm.F.col("payload")).alias("k")).collect()}
     assert kinds == {0: "image", 1: "image", 2: "audio", 3: "audio",
                      4: "video", 5: "video", 6: "other", 7: "image",
-                     8: "document"}
+                     8: "document", 9: "video"}
     # WebP payloads are RIFF but route as image
     from xarray_spatial_spark.operators import webp
     wimg = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])

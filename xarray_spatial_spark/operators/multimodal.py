@@ -926,6 +926,7 @@ def media_kind(payload: Column) -> Column:
                 .when(fmt == F.lit(b"WEBP"), "image")
                 .otherwise("other"))
         .when(p4 == F.lit(b"GIF8"), "video")
+        .when(F.substring(payload, 5, 4) == F.lit(b"ftyp"), "video")
         .when(p4 == F.lit(b"\x89PNG"), "image")
         .when(p4 == F.lit(b"%PDF"), "document")
         .when(p2 == F.lit(b"BM"), "image")
@@ -978,8 +979,13 @@ def media_near_duplicates(
         F.lit("audio").alias("modality"), "id_a", "id_b",
         (1.0 - F.col("hamming") / 64.0).alias("similarity"),
     )
+    # only GIF containers are frame-decodable lib-free; ISO-BMFF video
+    # routes to video_metadata for cataloging but cannot be hashed here
     vid_pairs = video_near_duplicates(
-        kinds.filter(F.col("_kind") == "video"),
+        kinds.filter(
+            (F.col("_kind") == "video")
+            & (F.substring(F.col(payload_col), 1, 4) == F.lit(b"GIF8"))
+        ),
         max_hamming=image_hamming, frame_match_frac=video_frame_frac,
         id_col=id_col, payload_col=payload_col,
         n_blocks=max(n_blocks, image_hamming + 2),
@@ -1033,3 +1039,137 @@ def sample_frames(
     ).select(
         "media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("ts_ms")
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (ISO 14496-12) container metadata — pure struct walk
+# ---------------------------------------------------------------------------
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in [start, end)."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(buf[i: i + 4], "big")
+        btype = buf[i + 4: i + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            size = int.from_bytes(buf[i + 8: i + 16], "big")
+            hdr = 16
+        elif size == 0:  # to end of enclosing box
+            size = end - i
+        if size < hdr or i + size > end:
+            break  # truncated/corrupt: stop cleanly
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def _find_box(buf: bytes, start: int, end: int, path: list[bytes]):
+    """First box at a nested path like [b'moov', b'trak']."""
+    for btype, b0, b1 in _iter_boxes(buf, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return b0, b1
+            got = _find_box(buf, b0, b1, path[1:])
+            if got is not None:
+                return got
+    return None
+
+
+def mp4_metadata_bytes(buf: bytes) -> dict:
+    """ISO-BMFF rollup: major brand, movie duration, per-track handler
+    + sample-entry codec fourccs, video dimensions.  No sample data is
+    touched — this is the crawl cataloging/filter stage; actual MP4
+    DECODING needs a codec library and raises by name in decode paths."""
+    buf = bytes(buf)
+    if buf[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    brand = buf[8:12].decode("latin-1", "replace")
+    out = {
+        "brand": brand, "duration_ms": 0, "width": None, "height": None,
+        "n_tracks": 0, "track_handlers": [], "codecs": [],
+    }
+    moov = _find_box(buf, 0, len(buf), [b"moov"])
+    if moov is None:
+        return out
+    m0, m1 = moov
+    mvhd = _find_box(buf, m0, m1, [b"mvhd"])
+    if mvhd is not None:
+        v = buf[mvhd[0]]
+        if v == 1:
+            ts = int.from_bytes(buf[mvhd[0] + 20: mvhd[0] + 24], "big")
+            dur = int.from_bytes(buf[mvhd[0] + 24: mvhd[0] + 32], "big")
+        else:
+            ts = int.from_bytes(buf[mvhd[0] + 12: mvhd[0] + 16], "big")
+            dur = int.from_bytes(buf[mvhd[0] + 16: mvhd[0] + 20], "big")
+        out["duration_ms"] = int(dur * 1000 // ts) if ts else 0
+    for btype, t0, t1 in _iter_boxes(buf, m0, m1):
+        if btype != b"trak":
+            continue
+        out["n_tracks"] += 1
+        hdlr = _find_box(buf, t0, t1, [b"mdia", b"hdlr"])
+        if hdlr is not None:
+            out["track_handlers"].append(
+                buf[hdlr[0] + 8: hdlr[0] + 12].decode("latin-1", "replace"))
+        stsd = _find_box(buf, t0, t1, [b"mdia", b"minf", b"stbl", b"stsd"])
+        if stsd is not None:
+            n = int.from_bytes(buf[stsd[0] + 4: stsd[0] + 8], "big")
+            p = stsd[0] + 8
+            for _ in range(n):
+                if p + 8 > stsd[1]:
+                    break
+                esz = int.from_bytes(buf[p: p + 4], "big")
+                out["codecs"].append(
+                    buf[p + 4: p + 8].decode("latin-1", "replace"))
+                p += max(esz, 8)
+        tkhd = _find_box(buf, t0, t1, [b"tkhd"])
+        if tkhd is not None and out["width"] is None:
+            # width/height are the LAST two 16.16 fixed-point fields of
+            # tkhd in both box versions — read from the box end
+            w = int.from_bytes(buf[tkhd[1] - 8: tkhd[1] - 4], "big") >> 16
+            h = int.from_bytes(buf[tkhd[1] - 4: tkhd[1]], "big") >> 16
+            if w and h:
+                out["width"], out["height"] = w, h
+    return out
+
+
+def video_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """binary -> container metadata columns for MP4/ISO-BMFF payloads
+    (brand/duration/dims/handlers/codecs), error column per row —
+    the catalog/filter stage that runs BEFORE any decode is attempted.
+    Scan-stage mapInPandas; no shuffle."""
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema)
+    schema += (", brand string, duration_ms long, width int, height int"
+               ", n_tracks int, track_handlers array<string>"
+               ", codecs array<string>, err string")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("brand", "duration_ms", "width",
+                                    "height", "n_tracks",
+                                    "track_handlers", "codecs", "err")}
+            for p in pdf[payload_col]:
+                try:
+                    m = mp4_metadata_bytes(bytes(p))
+                    err = None
+                except Exception as e:  # noqa: BLE001 — crawl robustness
+                    m = {"brand": None, "duration_ms": 0, "width": None,
+                         "height": None, "n_tracks": 0,
+                         "track_handlers": [], "codecs": []}
+                    err = f"{type(e).__name__}: {e}"[:200]
+                for k in m:
+                    cols[k].append(m[k])
+                cols["err"].append(err)
+            yield pdf.assign(
+                brand=cols["brand"],
+                duration_ms=pd.array(cols["duration_ms"], dtype="int64"),
+                width=pd.array(cols["width"], dtype="Int32"),
+                height=pd.array(cols["height"], dtype="Int32"),
+                n_tracks=pd.array(cols["n_tracks"], dtype="int32"),
+                track_handlers=cols["track_handlers"],
+                codecs=cols["codecs"],
+                err=cols["err"],
+            )
+
+    return df.mapInPandas(_op, schema=schema)
