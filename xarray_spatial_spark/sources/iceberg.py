@@ -11,6 +11,11 @@ not ship the jar, so this module:
   partitioning, snapshots, time travel all work as normal Iceberg);
 - when absent, degrades to a Hive-layout partitioned-parquet table
   under the same warehouse directory with the same logical API —
+  and sources/iceberg_format.py additionally implements the Iceberg
+  v2 TABLE FORMAT itself from scratch (metadata json chain + Avro
+  manifests via sources/avro.py, snapshots/appends/time travel,
+  metadata-layer partition pruning) so spec-compliant Iceberg tables
+  can be written and read with no jar at all —
   crucially preserving the claim that matters for the engine's scale
   story: a zone/tile predicate prunes partitions at the SCAN (plan
   shows PartitionFilters; verified by tests/test_iceberg.py), which
