@@ -1644,6 +1644,46 @@ def q_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction end to end (operators/pdf.py): each doc's
+    text renders into a deterministic one-page PDF (simple_pdf), the
+    binary payloads flow through the distributed from-scratch reader
+    (xref -> page tree -> content-stream text ops -> WinAnsi font),
+    and the row SELF-CHECKS: `match` compares the extraction against
+    the source text with whitespace collapsed (rendering wraps lines).
+    Rows-only: the binary format path has no SQL twin; spec fixtures +
+    two REAL pdfTeX documents are pytest-pinned (tests/test_pdf.py)."""
+    import pandas as pd
+
+    from xarray_spatial_spark.operators.pdf import pdf_text, simple_pdf
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").limit(400)
+    )
+
+    def _gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "expected": [t or "" for t in pdf["text"]],
+                "payload": [simple_pdf(t or "") for t in pdf["text"]],
+            })
+
+    pdfs = d.mapInPandas(_gen, "doc_id long, expected string, payload binary")
+    out = pdf_text(pdfs)
+    ws = r"[\s]+"
+    return out.select(
+        "doc_id",
+        F.length("pdf_text").alias("n_chars_extracted"),
+        (
+            F.regexp_replace(F.col("pdf_text"), ws, "")
+            == F.regexp_replace(F.col("expected"), ws, "")
+        ).alias("match"),
+        F.col("err").isNull().alias("clean"),
+    )
+
+
 def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable quality classifier end to end
     (functions/quality_model.py): featurize-once -> per-iteration
@@ -1938,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "video_neardup": q_video_neardup,
         "unigram": q_unigram,
+        "pdf_extract": q_pdf_extract,
     }
 
 

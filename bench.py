@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "audio_neardup",
     "video_neardup",
     "unigram",
+    "pdf_extract",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -805,3 +805,49 @@ def pdf_text(df: DataFrame, payload_col: str = "payload",
             yield res_pdf
 
     return df.mapInPandas(_op, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# fixture builder — deterministic one-page PDFs for tests/benchmarks
+# ---------------------------------------------------------------------------
+
+
+def simple_pdf(text: str, wrap: int = 80) -> bytes:
+    """A minimal spec-valid one-page PDF rendering ``text`` (ASCII;
+    other bytes replaced) line by line — the deterministic payload
+    generator for the pdf_extract benchmark and synthetic crawls."""
+    safe = text.encode("ascii", "replace").decode("ascii")
+    lines = []
+    for ln in safe.split("\n"):
+        while len(ln) > wrap:
+            lines.append(ln[:wrap])
+            ln = ln[wrap:]
+        lines.append(ln)
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    body = " ".join(f"({esc(ln)}) Tj 0 -13 Td" for ln in lines)
+    content = f"BT /F1 11 Tf 72 760 Td {body} ET".encode("ascii")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/MediaBox [0 0 612 792] >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for k, b_ in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{k} 0 obj\n".encode() + b_ + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
