@@ -87,9 +87,11 @@ def write_table(
     """Write ``df`` as table ``name`` partitioned by ``partition_by``.
 
     Iceberg path: ``writeTo(...).partitionedBy(...)`` (metadata-level
-    partitioning).  Fallback: Hive-layout partitioned parquet — same
-    pruning behavior at the scan, directory-level instead of
-    manifest-level."""
+    partitioning).  No-jar path: the from-scratch Iceberg v2 table
+    format (sources/iceberg_format.py) — real metadata json + Avro
+    manifest chain, append snapshots, metadata-level pruning; the
+    written layout is the spec's Hadoop-catalog layout, readable by a
+    real iceberg runtime pointed at the warehouse."""
     spark = df.sparkSession
     if iceberg_available(spark):
         writer = df.writeTo(table_identifier(name))
@@ -104,18 +106,30 @@ def write_table(
         else:
             raise ValueError(f"unsupported mode {mode!r}")
         return
-    w = df.write.mode(mode)
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(_fallback_path(spark, name))
+    from xarray_spatial_spark.sources import iceberg_format
+
+    path = _fallback_path(spark, name)
+    if mode == "overwrite":
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    elif mode != "append":
+        raise ValueError(f"unsupported mode {mode!r}")
+    iceberg_format.write_iceberg(df, path, partition_by=list(partition_by))
 
 
 def read_table(spark: SparkSession, name: str) -> DataFrame:
-    """Open table ``name``; filters on partition columns prune at the
-    scan on both paths."""
+    """Open table ``name``; partition predicates prune at the metadata
+    layer (native format) or the scan (jar catalog / legacy layout)."""
     if iceberg_available(spark):
         return spark.table(table_identifier(name))
-    return spark.read.parquet(_fallback_path(spark, name))
+    path = _fallback_path(spark, name)
+    if os.path.exists(os.path.join(path, "metadata", "version-hint.text")):
+        from xarray_spatial_spark.sources import iceberg_format
+
+        return iceberg_format.read_iceberg(spark, path)
+    # legacy Hive-layout fallback written by older versions
+    return spark.read.parquet(path)
 
 
 def drop_table(spark: SparkSession, name: str) -> None:
