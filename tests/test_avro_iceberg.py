@@ -218,3 +218,62 @@ def test_iceberg_empty_prune_returns_typed_empty(spark, docs, tmp_path):
     out = I.read_iceberg(spark, t, partition_filter={"lang": "xx"})
     assert out.count() == 0
     assert set(out.columns) == {"doc_id", "lang", "n_chars"}
+
+
+def test_iceberg_column_bounds_pruning(spark, tmp_path):
+    """Manifests carry parquet footer min/max as spec single-value
+    binaries; column_ranges skips whole FILES whose bounds cannot
+    intersect the query range."""
+    t = str(tmp_path / "tbl")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "n_chars",
+             (F.col("doc_id") / 100).cast("int").alias("bucket"))
+    I.write_iceberg(docs, t, partition_by=["bucket"])
+    # every file carries bounds for doc_id
+    files = I.data_files(t)
+    assert all(f["lower_bounds"] and f["upper_bounds"] for f in files)
+    # a narrow doc_id range skips most files and returns exact rows
+    want = docs.filter((F.col("doc_id") >= 0) & (F.col("doc_id") <= 4))
+    hit = I.data_files(t, column_ranges={"doc_id": (0, 4)})
+    assert 0 < len(hit) < len(files)
+    got = I.read_iceberg(spark, t, column_ranges={"doc_id": (0, 4)}).filter(
+        (F.col("doc_id") >= 0) & (F.col("doc_id") <= 4))
+    assert got.count() == want.count()
+    # open-ended ranges work; unknown columns raise
+    assert len(I.data_files(t, column_ranges={"doc_id": (None, 4)})) == len(hit)
+    with pytest.raises(KeyError):
+        I.data_files(t, column_ranges={"nope": (0, 1)})
+    # string bounds prune too
+    only_en = I.data_files(t, column_ranges={"lang": ("zz", None)})
+    assert len(only_en) == 0  # nothing sorts >= "zz"
+
+
+def test_iceberg_streaming_sink_exactly_once(spark, tmp_path):
+    """foreachBatch commits carry the batch id in the snapshot summary;
+    a replayed batch id is a no-op (the commit IS the dedup marker)."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    t = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    spark.range(0, 50).selectExpr(
+        "id", "id % 3 AS grp").write.json(os.path.join(src, "a"))
+    sdf = spark.readStream.schema("id long, grp long").json(src + "/*")
+    q = I.iceberg_sink(sdf, t, ck, partition_by=["grp"])
+    q.awaitTermination(120)
+    assert I.read_iceberg(spark, t).count() == 50
+    assert I.last_streaming_batch(t) == 0
+    # a NEW batch id commits and reads back
+    spark.range(100, 120).selectExpr(
+        "id", "id % 3 AS grp").write.json(os.path.join(src, "b"))
+    q2 = I.iceberg_sink(sdf, t, ck, partition_by=["grp"])
+    q2.awaitTermination(120)
+    assert I.read_iceberg(spark, t).count() == 70
+    assert I.last_streaming_batch(t) == 1
+    # REPLAY: a fresh checkpoint reprocesses everything as batch 0 —
+    # the committed-batch-id guard must turn it into a no-op
+    before = len(I.snapshots(t))
+    q3 = I.iceberg_sink(sdf, t, str(tmp_path / "ck2"), partition_by=["grp"])
+    q3.awaitTermination(120)
+    assert len(I.snapshots(t)) == before
+    assert I.read_iceberg(spark, t).count() == 70

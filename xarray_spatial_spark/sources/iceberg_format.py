@@ -77,6 +77,18 @@ def _manifest_schema(partition_fields: list[tuple[str, str]]) -> dict:
             for k, (n, t) in enumerate(partition_fields)
         ],
     }
+    def _bounds_map(name, fid, kid, vid):
+        # the spec encodes int-keyed maps as k/v record arrays
+        return {"name": name, "field-id": fid, "default": None,
+                "type": ["null", {
+                    "type": "array", "logicalType": "map",
+                    "items": {"type": "record", "name": f"k{kid}_v{vid}",
+                              "fields": [
+                                  {"name": "key", "type": "int",
+                                   "field-id": kid},
+                                  {"name": "value", "type": "bytes",
+                                   "field-id": vid}]}}]}
+
     data_file = {
         "type": "record", "name": "r2", "fields": [
             {"name": "content", "type": "int", "field-id": 134},
@@ -85,6 +97,8 @@ def _manifest_schema(partition_fields: list[tuple[str, str]]) -> dict:
             {"name": "partition", "type": part_record, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            _bounds_map("lower_bounds", 125, 126, 127),
+            _bounds_map("upper_bounds", 128, 129, 130),
         ],
     }
     return {
@@ -99,6 +113,70 @@ def _manifest_schema(partition_fields: list[tuple[str, str]]) -> dict:
             {"name": "data_file", "type": data_file, "field-id": 2},
         ],
     }
+
+
+def _encode_bound(v, itype: str) -> bytes:
+    """Iceberg single-value binary serialization (spec appendix D)."""
+    import struct as _s
+
+    if itype == "int":
+        return _s.pack("<i", int(v))
+    if itype == "long":
+        return _s.pack("<q", int(v))
+    if itype == "float":
+        return _s.pack("<f", float(v))
+    if itype == "double":
+        return _s.pack("<d", float(v))
+    if itype == "boolean":
+        return b"\x01" if v else b"\x00"
+    if itype == "string":
+        return str(v).encode("utf-8")
+    raise NotImplementedError(f"no bound serialization for {itype}")
+
+
+def _decode_bound(raw: bytes, itype: str):
+    import struct as _s
+
+    if itype == "int":
+        return _s.unpack("<i", raw)[0]
+    if itype == "long":
+        return _s.unpack("<q", raw)[0]
+    if itype == "float":
+        return _s.unpack("<f", raw)[0]
+    if itype == "double":
+        return _s.unpack("<d", raw)[0]
+    if itype == "boolean":
+        return raw == b"\x01"
+    if itype == "string":
+        return raw.decode("utf-8")
+    raise NotImplementedError(f"no bound deserialization for {itype}")
+
+
+def _file_bounds(fp: str, by_name: dict[str, tuple[int, str]]):
+    """(lower, upper) k/v record lists from the parquet footer stats,
+    aggregated across row groups; columns without stats are omitted."""
+    meta = pq.ParquetFile(fp).metadata
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if name not in by_name or st is None or not st.has_min_max:
+                continue
+            lo[name] = st.min if name not in lo else min(lo[name], st.min)
+            hi[name] = st.max if name not in hi else max(hi[name], st.max)
+    lower = [{"key": by_name[n][0], "value": _encode_bound(v, by_name[n][1])}
+             for n, v in sorted(lo.items()) if _boundable(by_name[n][1])]
+    upper = [{"key": by_name[n][0], "value": _encode_bound(v, by_name[n][1])}
+             for n, v in sorted(hi.items()) if _boundable(by_name[n][1])]
+    return lower or None, upper or None
+
+
+def _boundable(itype: str) -> bool:
+    return itype in ("int", "long", "float", "double", "boolean", "string")
 
 
 def _iceberg_type(spark_type: str) -> str:
@@ -133,6 +211,7 @@ def write_iceberg(
     table_dir: str,
     partition_by: list[str] | None = None,
     mode: str = "append",
+    summary_extra: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` as a new append snapshot of the Iceberg table at
     ``table_dir`` (created on first write).  Identity partitioning on
@@ -192,6 +271,7 @@ def write_iceberg(
                                     else _cast_part(v, by_name[k][1]))
             nrows = pq.ParquetFile(fp).metadata.num_rows
             n_rows_total += nrows
+            lower, upper = _file_bounds(fp, by_name)
             entries.append({
                 "status": 1,  # ADDED
                 "snapshot_id": snap_id,
@@ -204,6 +284,8 @@ def write_iceberg(
                     "partition": pvals,
                     "record_count": nrows,
                     "file_size_in_bytes": os.path.getsize(fp),
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
                 },
             })
 
@@ -240,7 +322,8 @@ def write_iceberg(
             "timestamp-ms": now,
             "summary": {"operation": "append",
                         "added-data-files": str(len(entries)),
-                        "added-records": str(n_rows_total)},
+                        "added-records": str(n_rows_total),
+                        **(summary_extra or {})},
             "manifest-list": ml_path, "schema-id": 0}
     version = (md["__version"] + 1) if md else 1
     new_md = {
@@ -301,15 +384,27 @@ def data_files(
     table_dir: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    column_ranges: dict | None = None,
 ) -> list[dict]:
     """Resolve a snapshot to its live data files via the manifest
-    chain, pruning whole files by identity-partition values BEFORE any
-    Spark planning.  Returns manifest data_file dicts."""
+    chain, pruning whole files BEFORE any Spark planning by
+
+    * identity-partition values (``partition_filter={'lang': 'en'}``),
+    * column min/max bounds from the manifests
+      (``column_ranges={'n_chars': (lo, hi)}``, either end None-able) —
+      a file survives only if [file_min, file_max] intersects the
+      range; files without stats for the column are kept (pruning must
+      never drop a possible match).
+
+    Returns manifest data_file dicts."""
     md = _read_metadata(table_dir)
     sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
     snap = next((s for s in md["snapshots"] if s["snapshot-id"] == sid), None)
     if snap is None:
         raise KeyError(f"snapshot {sid} not in table")
+    fields = md["schemas"][md["current-schema-id"]]["fields"]
+    type_by_id = {f["id"]: f["type"] for f in fields}
+    id_by_name = {f["name"]: f["id"] for f in fields}
     _, manifests = avro.read_container(snap["manifest-list"])
     out = []
     for mf in manifests:
@@ -317,12 +412,34 @@ def data_files(
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
-            part = e["data_file"]["partition"]
+            dfd = e["data_file"]
+            part = dfd["partition"]
             if partition_filter and any(
                     part.get(k) != v for k, v in partition_filter.items()):
                 continue
-            out.append(e["data_file"])
+            if column_ranges and not _ranges_match(
+                    dfd, column_ranges, id_by_name, type_by_id):
+                continue
+            out.append(dfd)
     return out
+
+
+def _ranges_match(dfd: dict, column_ranges: dict,
+                  id_by_name: dict, type_by_id: dict) -> bool:
+    lo_by_id = {kv["key"]: kv["value"] for kv in dfd.get("lower_bounds") or []}
+    hi_by_id = {kv["key"]: kv["value"] for kv in dfd.get("upper_bounds") or []}
+    for col, (qlo, qhi) in column_ranges.items():
+        fid = id_by_name.get(col)
+        if fid is None:
+            raise KeyError(f"no column {col!r} in table schema")
+        it = type_by_id[fid]
+        if fid in hi_by_id and qlo is not None:
+            if _decode_bound(hi_by_id[fid], it) < qlo:
+                return False
+        if fid in lo_by_id and qhi is not None:
+            if _decode_bound(lo_by_id[fid], it) > qhi:
+                return False
+    return True
 
 
 def read_iceberg(
@@ -330,13 +447,15 @@ def read_iceberg(
     table_dir: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    column_ranges: dict | None = None,
 ) -> DataFrame:
     """Plan a scan over exactly the snapshot's (pruned) data files.
     Each snapshot's files are read with the snapshot dir as
     ``basePath`` (recovering identity-partition columns from the
     layout — the spec allows them absent from data files) and the
     per-snapshot scans union; snapshot count = commit count, small."""
-    files = data_files(table_dir, snapshot_id, partition_filter)
+    files = data_files(table_dir, snapshot_id, partition_filter,
+                       column_ranges)
     if not files:
         md = _read_metadata(table_dir)
         from pyspark.sql.types import StructType
@@ -362,3 +481,49 @@ _SPARK_TYPE = {
     "string": "string", "boolean": "boolean", "binary": "binary",
     "date": "date", "timestamptz": "timestamp",
 }
+
+
+# ---------------------------------------------------------------------------
+# streaming sink — exactly-once appends via batch-id idempotence
+# ---------------------------------------------------------------------------
+
+
+def last_streaming_batch(table_dir: str) -> int:
+    """Highest streaming-batch-id already committed (-1 if none)."""
+    try:
+        snaps = snapshots(table_dir)
+    except FileNotFoundError:
+        return -1
+    best = -1
+    for s in snaps:
+        bid = s.get("summary", {}).get("streaming-batch-id")
+        if bid is not None:
+            best = max(best, int(bid))
+    return best
+
+
+def iceberg_sink(
+    sdf,
+    table_dir: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    trigger_once: bool = True,
+):
+    """Structured-Streaming sink writing each micro-batch as one
+    Iceberg append snapshot, EXACTLY-ONCE: the snapshot summary
+    records the batch id, and a replayed batch (foreachBatch reruns
+    after failures) is skipped when its id is already committed — the
+    commit and the dedup marker are the same atomic metadata write,
+    the standard Iceberg streaming-sink idempotence pattern."""
+
+    def _commit(batch_df, batch_id: int):
+        if batch_id <= last_streaming_batch(table_dir):
+            return  # replay of an already-committed batch
+        write_iceberg(batch_df, table_dir, partition_by=partition_by,
+                      summary_extra={"streaming-batch-id": str(batch_id)})
+
+    w = (sdf.writeStream.foreachBatch(_commit)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
