@@ -293,3 +293,106 @@ def test_assign_cells_s2(spark):
     )
     assert grp["count"].sum() == n
     assert np.all(s2.level_of(grp["tile_id"].to_numpy()) == 6)
+
+
+def _angdist_deg(lon1, lat1, lon2, lat2):
+    x1, y1, z1 = s2._lnglat_to_xyz(np.asarray(lon1), np.asarray(lat1))
+    x2, y2, z2 = s2._lnglat_to_xyz(np.asarray(lon2), np.asarray(lat2))
+    return np.degrees(np.arccos(np.clip(x1 * x2 + y1 * y2 + z1 * z2, -1, 1)))
+
+
+def test_children_tile_parent_range():
+    cells = _edge_biased_cells(9, 300)
+    ch = s2.children(cells)
+    for k in range(len(cells)):
+        kids = ch[k]
+        assert np.all(s2.level_of(kids) == 10)
+        assert np.all(s2.parent(kids, 9) == cells[k])
+        # LEAF ranges tile the parent: consecutive sibling ranges are
+        # separated by exactly one even (non-leaf) id
+        los = np.sort(s2.range_min(kids).view(np.uint64))
+        his = np.sort(s2.range_max(kids).view(np.uint64))
+        assert los[0] == np.uint64(s2.range_min(cells[k: k + 1])[0])
+        assert his[-1] == np.uint64(s2.range_max(cells[k: k + 1])[0])
+        assert np.all(los[1:] == his[:-1] + 2)
+
+
+def test_cell_vertices_reencode():
+    cells = _edge_biased_cells(7, 200)
+    vx, vy, vz = s2.cell_vertices(cells)
+    # nudge each vertex toward the center: the point is inside the cell
+    clon, clat = s2.center_lnglat(cells)
+    cx, cy, cz = s2._lnglat_to_xyz(clon, clat)
+    eps = 1e-6
+    px = vx * (1 - eps) + cx[:, None] * eps
+    py = vy * (1 - eps) + cy[:, None] * eps
+    pz = vz * (1 - eps) + cz[:, None] * eps
+    lon = np.degrees(np.arctan2(py, px))
+    lat = np.degrees(np.arctan2(pz, np.sqrt(px * px + py * py)))
+    for corner in range(4):
+        assert np.array_equal(
+            s2.cell_of(lon[:, corner], lat[:, corner], 7), cells)
+
+
+def test_cap_covering_conservative_and_budgeted():
+    """NO false negatives across random caps, and the cell budget
+    holds."""
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        clon = r.uniform(-180, 180)
+        clat = r.uniform(-80, 80)
+        rad = r.uniform(0.5, 30)
+        cov = s2.cap_covering(clon, clat, rad, max_level=10, max_cells=80)
+        assert 0 < len(cov) <= 80
+        n = 20000
+        lon = r.uniform(-180, 180, n)
+        lat = r.uniform(-85, 85, n)
+        d = _angdist_deg(lon, lat, clon, clat)
+        ul = s2.cell_of(lon, lat).view(np.uint64)
+        lo = s2.range_min(cov).view(np.uint64)
+        hi = s2.range_max(cov).view(np.uint64)
+        in_cov = ((ul[:, None] >= lo) & (ul[:, None] <= hi)).any(axis=1)
+        assert not np.any((d <= rad) & ~in_cov)  # nothing missed
+        # over-coverage stays small (cells hug the cap boundary)
+        assert ((d > rad) & in_cov).mean() < 0.05
+    with pytest.raises(ValueError):
+        s2.cap_covering(0, 0, 0)
+
+
+def test_cap_query_spark_exact(spark):
+    """The full region-query pattern: covering cells broadcast as id
+    ranges, points range-join into candidates, an exact angular-
+    distance refine finishes — result EQUALS the brute-force filter."""
+    import pandas as pd
+
+    n = 4000
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-85, 85, n)
+    clon, clat, rad = 12.5, 47.0, 9.0
+    cov = s2.cap_covering(clon, clat, rad, max_level=11, max_cells=64)
+    pts = spark.createDataFrame(pd.DataFrame({
+        "k": np.arange(n), "lon": lon, "lat": lat,
+        "leaf": s2.cell_of(lon, lat),
+        "u": s2.cell_of(lon, lat).view(np.uint64).astype("float64"),
+    }))
+    covdf = spark.createDataFrame(pd.DataFrame({
+        "lo": s2.range_min(cov), "hi": s2.range_max(cov),
+        "ulo": s2.range_min(cov).view(np.uint64).astype("float64"),
+        "uhi": s2.range_max(cov).view(np.uint64).astype("float64"),
+    }))
+    cand = pts.join(
+        F.broadcast(covdf),
+        (F.col("u") >= F.col("ulo")) & (F.col("u") <= F.col("uhi")),
+        "inner",
+    )
+    refine = (
+        F.degrees(F.acos(F.least(F.lit(1.0),
+            F.sin(F.radians(F.col("lat"))) * F.sin(F.radians(F.lit(clat)))
+            + F.cos(F.radians(F.col("lat"))) * F.cos(F.radians(F.lit(clat)))
+            * F.cos(F.radians(F.col("lon") - F.lit(clon))))))
+        <= F.lit(rad)
+    )
+    got = sorted(r["k"] for r in cand.filter(refine).select("k").collect())
+    want = sorted(np.where(_angdist_deg(lon, lat, clon, clat) <= rad)[0])
+    assert got == [int(w) for w in want]
+    assert len(got) > 0

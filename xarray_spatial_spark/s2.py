@@ -351,6 +351,102 @@ def from_token(tokens) -> np.ndarray:
     return np.array(vals, dtype=np.uint64).view(np.int64)
 
 
+def children(cell: np.ndarray) -> np.ndarray:
+    """The four child cells one level finer: ``id - lsb + (2k+1)·(lsb/4)``
+    (children tile the parent's contiguous id range).  Shape (n, 4)."""
+    c = np.asarray(cell).astype(np.int64).view(np.uint64)
+    lsb = _lsb(cell)
+    child_lsb = lsb >> np.uint64(2)
+    ks = np.arange(4, dtype=np.uint64)[None, :]
+    out = (c[:, None] - lsb[:, None]
+           + (np.uint64(2) * ks + np.uint64(1)) * child_lsb[:, None])
+    return out.view(np.int64)
+
+
+def cell_vertices(cell: np.ndarray):
+    """Unit-vector corners of each cell: (x, y, z) arrays of shape
+    (n, 4) in CCW st order."""
+    c = np.asarray(cell)
+    lev = level_of(c)
+    face, i, j = to_face_ij(c)
+    size = (np.int64(1) << (MAX_LEVEL - lev)).astype(np.float64)
+    ninv = float(1 << MAX_LEVEL)
+    bi = (i.astype(np.float64) // size) * size
+    bj = (j.astype(np.float64) // size) * size
+    s0, s1 = bi / ninv, (bi + size) / ninv
+    t0, t1 = bj / ninv, (bj + size) / ninv
+    ss = np.stack([s0, s1, s1, s0], axis=1)
+    tt = np.stack([t0, t0, t1, t1], axis=1)
+    u = _st_to_uv(ss)
+    v = _st_to_uv(tt)
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    for f, fn in enumerate(_FACE_XYZ):
+        m = np.asarray(face) == f
+        if np.any(m):
+            x[m], y[m], z[m] = fn(u[m], v[m])
+    norm = np.sqrt(x * x + y * y + z * z)
+    return x / norm, y / norm, z / norm
+
+
+def _angular_dist(x, y, z, cx, cy, cz):
+    dot = np.clip(x * cx + y * cy + z * cz, -1.0, 1.0)
+    return np.arccos(dot)
+
+
+def cap_covering(
+    lon: float, lat: float, radius_deg: float,
+    max_level: int = 12, max_cells: int = 64,
+) -> np.ndarray:
+    """Covering of a spherical cap by S2 cells (the region-query
+    primitive: covering -> broadcast id-range join -> exact refine).
+
+    Conservative by construction — NO false negatives: a cell is kept
+    as "may intersect" when dist(cap center, cell center) <= radius +
+    cell circumradius (every cell point lies within the circumradius
+    of its center).  Fully-contained cells (all four vertices AND
+    center inside — exact for caps up to a hemisphere, where the max
+    of geodesic distance over a convex cell sits at a vertex) emit at
+    their current level; intersecting cells subdivide until
+    ``max_level`` or the ``max_cells`` budget."""
+    if not 0 < radius_deg <= 90:
+        raise ValueError("radius_deg must be in (0, 90]")
+    r = np.radians(radius_deg)
+    cx, cy, cz = _lnglat_to_xyz(np.array([lon]), np.array([lat]))
+    cx, cy, cz = float(cx[0]), float(cy[0]), float(cz[0])
+
+    faces = parent(
+        from_face_ij(np.arange(6), np.full(6, 1 << 29), np.full(6, 1 << 29)),
+        0,
+    )
+    out: list[int] = []
+    queue: list[int] = sorted((int(f) for f in faces),
+                              key=lambda v: v & 0xFFFFFFFFFFFFFFFF)
+    while queue:
+        cell = np.array([queue.pop(0)], dtype=np.int64)
+        lev = int(level_of(cell)[0])
+        vx, vy, vz = cell_vertices(cell)
+        clon, clat = center_lnglat(cell)
+        ccx, ccy, ccz = _lnglat_to_xyz(clon, clat)
+        d_center = float(_angular_dist(ccx, ccy, ccz, cx, cy, cz)[0])
+        d_verts = _angular_dist(vx, vy, vz, cx, cy, cz)[0]
+        circum = float(
+            _angular_dist(vx, vy, vz, ccx[:, None], ccy[:, None],
+                          ccz[:, None]).max())
+        if d_center > r + circum:
+            continue  # provably disjoint
+        contained = d_verts.max() <= r and d_center <= r
+        # subdividing nets at most +3 cells over emitting this one
+        if contained or lev >= max_level or (
+                len(out) + len(queue) + 4 > max_cells):
+            out.append(int(cell[0]))
+        else:
+            queue.extend(int(ch) for ch in children(cell)[0])
+    return np.array(sorted(out, key=lambda v: v & 0xFFFFFFFFFFFFFFFF),
+                    dtype=np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------
