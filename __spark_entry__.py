@@ -547,10 +547,62 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+# deterministic spherical cap for the pip_assign 's2cap' variant
+CAP_LON, CAP_LAT, CAP_RAD = 12.5, 47.0, 25.0
+
+
+def _cap_cover_ranges():
+    """Literal covering-cell leaf-id ranges (computed once, shared by
+    the Spark query and the DuckDB oracle — the MEMBERSHIP decision is
+    what the two engines compute independently)."""
+    from xarray_spatial_spark import s2
+
+    cov = s2.cap_covering(CAP_LON, CAP_LAT, CAP_RAD,
+                          max_level=11, max_cells=48)
+    return [(int(lo), int(hi))
+            for lo, hi in zip(s2.range_min(cov), s2.range_max(cov))]
+
+
+def _sql_cap_ranges() -> str:
+    return ", ".join(f"({lo}, {hi})" for lo, hi in _cap_cover_ranges())
+
+
 def q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-region under one tagged slot: 'poly' = ray-cast
+    point-in-polygon join (operators/pip.py); 's2cap' = the S2
+    region-query pattern — leaf encode (full 30-level Hilbert, Arrow
+    UDF), broadcast covering-range join (signed BETWEEN is exact:
+    ranges never span the int64 sign boundary), exact angular refine.
+    The DuckDB twin replays the 30-level automaton per doc."""
+    from xarray_spatial_spark import s2
+
     d = _docs(spark, sf_dir).select("doc_id", "lon", "lat")
-    out = pip.pip_join(d, {1: PIP_SQUARE, 2: PIP_TRIANGLE})
-    return out.select("doc_id", F.col("zone").cast("long").alias("zone"))
+    poly = pip.pip_join(d, {1: PIP_SQUARE, 2: PIP_TRIANGLE}).select(
+        F.lit("poly").alias("variant"),
+        "doc_id",
+        F.col("zone").cast("long").alias("zone"),
+    )
+    covdf = spark.createDataFrame(_cap_cover_ranges(), "lo: long, hi: long")
+    dist = F.degrees(F.acos(F.least(F.lit(1.0),
+        F.sin(F.radians(F.col("lat"))) * F.sin(F.radians(F.lit(CAP_LAT)))
+        + F.cos(F.radians(F.col("lat"))) * F.cos(F.radians(F.lit(CAP_LAT)))
+        * F.cos(F.radians(F.col("lon") - F.lit(CAP_LON))))))
+    cap = (
+        d.withColumn("leaf", s2.cell_col(F.col("lon"), F.col("lat")))
+        .join(F.broadcast(covdf),
+              (F.col("leaf") >= F.col("lo")) & (F.col("leaf") <= F.col("hi")),
+              "left")
+        .select(
+            F.lit("s2cap").alias("variant"),
+            "doc_id",
+            F.when(
+                F.col("lo").isNotNull()
+                & (F.round(dist, 6) <= F.lit(CAP_RAD)),
+                F.lit(1),
+            ).cast("long").alias("zone"),
+        )
+    )
+    return poly.unionByName(cap)
 
 
 def q_resample_down(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2725,13 +2777,30 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
         "pip_assign": f"""
-            WITH g AS ({docs_geo})
-            SELECT doc_id,
+            WITH RECURSIVE {_sql_s2_cells(30)},
+            g AS ({docs_geo}),
+            capranges(lo, hi) AS (VALUES {_sql_cap_ranges()}),
+            capdist AS (
+              SELECT doc_id,
+                degrees(acos(least(1.0,
+                  sin(radians(lat)) * sin(radians({CAP_LAT}))
+                  + cos(radians(lat)) * cos(radians({CAP_LAT}))
+                    * cos(radians(lon - ({CAP_LON})))))) AS d
+              FROM g
+            )
+            SELECT 'poly' AS variant, doc_id,
               CASE WHEN lon > {sq[0][0]} AND lon < {sq[1][0]}
                     AND lat > {sq[0][1]} AND lat < {sq[2][1]} THEN 1
                    WHEN {tri_test} THEN 2
               END AS zone
             FROM g
+            UNION ALL
+            SELECT 's2cap', c.doc_id,
+              CASE WHEN r.lo IS NOT NULL AND round(cd.d, 6) <= {CAP_RAD}
+                   THEN 1 END
+            FROM s2cells c
+            LEFT JOIN capranges r ON c.s2_cell BETWEEN r.lo AND r.hi
+            JOIN capdist cd ON cd.doc_id = c.doc_id
         """,
         "resample_down": f"""
             WITH r AS ({SQL_EVENTS_RASTER})
