@@ -277,3 +277,47 @@ def test_iceberg_streaming_sink_exactly_once(spark, tmp_path):
     q3.awaitTermination(120)
     assert len(I.snapshots(t)) == before
     assert I.read_iceberg(spark, t).count() == 70
+
+
+def test_iceberg_overwrite_keeps_history(spark, docs, tmp_path):
+    """Overwrite commits a snapshot whose manifest list references only
+    the new data — old snapshots stay time-travelable, nothing is
+    deleted from disk."""
+    t = str(tmp_path / "tbl")
+    s1 = I.write_iceberg(docs.filter(F.col("doc_id") < 30), t)
+    s2 = I.write_iceberg(docs.filter(F.col("doc_id") >= 90), t,
+                         mode="overwrite")
+    assert I.read_iceberg(spark, t).count() == docs.filter(
+        F.col("doc_id") >= 90).count()
+    assert I.read_iceberg(spark, t, snapshot_id=s1).count() == 30
+    assert I.snapshots(t)[-1]["summary"]["operation"] == "overwrite"
+
+
+def test_iceberg_compact_manifests(spark, docs, tmp_path):
+    """Five streaming-style commits -> five manifests; compaction
+    merges them into ONE manifest in a new 'replace' snapshot with the
+    SAME data files and identical query results."""
+    t = str(tmp_path / "tbl")
+    for k in range(5):
+        I.write_iceberg(
+            docs.filter((F.col("doc_id") % 5) == k), t, partition_by=["lang"])
+    cur = I.snapshots(t)[-1]
+    _, manifests = A.read_container(cur["manifest-list"])
+    assert len(manifests) == 5
+    files_before = sorted(f["file_path"] for f in I.data_files(t))
+    rows_before = I.read_iceberg(spark, t).count()
+
+    sid = I.compact_manifests(t)
+    cur2 = I.snapshots(t)[-1]
+    assert cur2["snapshot-id"] == sid
+    assert cur2["summary"]["operation"] == "replace"
+    _, manifests2 = A.read_container(cur2["manifest-list"])
+    assert len(manifests2) == 1
+    assert sorted(f["file_path"] for f in I.data_files(t)) == files_before
+    assert I.read_iceberg(spark, t).count() == rows_before
+    # pruning still works through the compacted manifest
+    en = I.data_files(t, partition_filter={"lang": "en"})
+    assert 0 < len(en) < len(files_before)
+    # and appends continue normally afterwards
+    I.write_iceberg(docs.limit(7), t, partition_by=["lang"])
+    assert I.read_iceberg(spark, t).count() == rows_before + 7

@@ -109,13 +109,17 @@ def write_table(
     from xarray_spatial_spark.sources import iceberg_format
 
     path = _fallback_path(spark, name)
-    if mode == "overwrite":
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    if (mode == "overwrite" and os.path.exists(path)
+            and not os.path.exists(
+                os.path.join(path, "metadata", "version-hint.text"))):
+        # legacy Hive-layout dir: replace wholesale
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
-    elif mode != "append":
-        raise ValueError(f"unsupported mode {mode!r}")
-    iceberg_format.write_iceberg(df, path, partition_by=list(partition_by))
+    iceberg_format.write_iceberg(df, path, partition_by=list(partition_by),
+                                 mode=mode)
 
 
 def read_table(spark: SparkSession, name: str) -> DataFrame:

@@ -226,8 +226,8 @@ def write_iceberg(
     os.makedirs(meta_dir, exist_ok=True)
 
     exists = os.path.exists(os.path.join(meta_dir, "version-hint.text"))
-    if mode == "overwrite" and exists:
-        raise NotImplementedError("only append snapshots (mode='append')")
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode {mode!r}")
     if exists:
         md = _load_metadata_with_version(table_dir)
         if [f["name"] for f in md["partition-specs"][0]["fields"]] != partition_by:
@@ -292,9 +292,10 @@ def write_iceberg(
     man_path = os.path.join(meta_dir, f"manifest-{seq:05d}.avro")
     avro.write_container(man_path, _manifest_schema(part_fields), entries)
 
-    # ---- manifest list: prior snapshots' manifests + the new one
+    # ---- manifest list: prior manifests (append) or none (overwrite —
+    # old data files stay on disk and remain readable via time travel)
     prior = []
-    if md:
+    if md and mode == "append":
         cur = next(s for s in md["snapshots"]
                    if s["snapshot-id"] == md["current-snapshot-id"])
         _, prior = avro.read_container(cur["manifest-list"])
@@ -320,7 +321,7 @@ def write_iceberg(
     now = int(time.time() * 1000)
     snap = {"snapshot-id": snap_id, "sequence-number": seq,
             "timestamp-ms": now,
-            "summary": {"operation": "append",
+            "summary": {"operation": mode if md else "append",
                         "added-data-files": str(len(entries)),
                         "added-records": str(n_rows_total),
                         **(summary_extra or {})},
@@ -527,3 +528,75 @@ def iceberg_sink(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def compact_manifests(table_dir: str) -> int:
+    """Rewrite-manifests maintenance: merge the current snapshot's
+    manifest files into ONE, committed as a new snapshot referencing
+    the SAME data files (operation "replace" — no data moves, nothing
+    is recomputed).  After thousands of streaming commits the manifest
+    list grows one entry per commit and every planner pass re-reads
+    them all; compaction restores O(1) metadata reads.  Returns the
+    new snapshot id."""
+    md = _load_metadata_with_version(table_dir)
+    meta_dir = os.path.join(table_dir, "metadata")
+    cur = next(s for s in md["snapshots"]
+               if s["snapshot-id"] == md["current-snapshot-id"])
+    _, manifests = avro.read_container(cur["manifest-list"])
+    all_entries = []
+    schema = None
+    for mf in manifests:
+        mschema, entries = avro.read_container(mf["manifest_path"])
+        schema = schema or mschema
+        all_entries.extend(e for e in entries if e["status"] != 2)
+    seq = md["last-sequence-number"] + 1
+    snap_id = int(time.time() * 1000) * 10 + seq % 10
+    for e in all_entries:
+        # carry the original commit's sequence explicitly: "inherited"
+        # numbering only works for the manifest's own adding snapshot
+        if e["sequence_number"] is None:
+            e["sequence_number"] = next(
+                (s["sequence-number"] for s in md["snapshots"]
+                 if s["snapshot-id"] == e["snapshot_id"]), seq)
+        e["status"] = 0  # EXISTING
+    man_path = os.path.join(meta_dir, f"manifest-{seq:05d}-compact.avro")
+    avro.write_container(man_path, schema, all_entries)
+    n_rows = sum(e["data_file"]["record_count"] for e in all_entries)
+    entry = {
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": min(
+            (m["min_sequence_number"] for m in manifests), default=seq),
+        "added_snapshot_id": snap_id,
+        "added_files_count": 0,
+        "existing_files_count": len(all_entries),
+        "deleted_files_count": 0,
+        "added_rows_count": 0,
+        "existing_rows_count": n_rows,
+        "deleted_rows_count": 0,
+    }
+    ml_path = os.path.join(meta_dir, f"snap-{snap_id}-manifest-list.avro")
+    avro.write_container(ml_path, _MANIFEST_LIST_SCHEMA, [entry])
+    now = int(time.time() * 1000)
+    snap = {"snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now,
+            "summary": {"operation": "replace",
+                        "compacted-manifests": str(len(manifests))},
+            "manifest-list": ml_path, "schema-id": 0}
+    new_md = dict(md)
+    new_md.pop("__version", None)
+    new_md["last-sequence-number"] = seq
+    new_md["last-updated-ms"] = now
+    new_md["current-snapshot-id"] = snap_id
+    new_md["snapshots"] = md["snapshots"] + [snap]
+    new_md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": now}]
+    version = md["__version"] + 1
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(new_md, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snap_id
