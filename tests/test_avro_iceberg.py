@@ -321,3 +321,40 @@ def test_iceberg_compact_manifests(spark, docs, tmp_path):
     # and appends continue normally afterwards
     I.write_iceberg(docs.limit(7), t, partition_by=["lang"])
     assert I.read_iceberg(spark, t).count() == rows_before + 7
+
+
+def test_iceberg_equality_deletes(spark, docs, tmp_path):
+    """Spec v2 equality deletes: a delete snapshot hides matching rows
+    of OLDER data files; newer appends with the same keys survive
+    (sequence-number semantics); time travel still sees everything."""
+    t = str(tmp_path / "tbl")
+    s1 = I.write_iceberg(docs, t, partition_by=["lang"])
+    total = docs.count()
+
+    kill = docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    n_kill = kill.count()
+    sd = I.delete_equality(kill, t, ["doc_id"])
+    got = I.read_iceberg(spark, t)
+    assert got.count() == total - n_kill
+    assert got.filter(F.col("doc_id") % 10 == 3).count() == 0
+    # pre-delete snapshot unaffected
+    assert I.read_iceberg(spark, t, snapshot_id=s1).count() == total
+    assert I.snapshots(t)[-1]["summary"]["operation"] == "delete"
+    assert sd == I.snapshots(t)[-1]["snapshot-id"]
+
+    # a LATER append may re-add deleted keys: deletes only apply to
+    # data files with a strictly smaller sequence number
+    readd = docs.filter(F.col("doc_id").isin(3, 13)).select(
+        "doc_id", "lang", "n_chars")
+    I.write_iceberg(readd, t, partition_by=["lang"])
+    now = I.read_iceberg(spark, t)
+    assert now.count() == total - n_kill + 2
+    assert now.filter(F.col("doc_id") == 3).count() == 1
+
+    # multi-column delete keys
+    k2 = docs.filter(F.col("doc_id") < 5).select("doc_id", "lang")
+    I.delete_equality(k2, t, ["doc_id", "lang"])
+    assert I.read_iceberg(spark, t).filter(F.col("doc_id") < 5).count() == 0
+    # unknown column raises
+    with pytest.raises(KeyError):
+        I.delete_equality(kill, t, ["nope"])

@@ -99,6 +99,9 @@ def _manifest_schema(partition_fields: list[tuple[str, str]]) -> dict:
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
             _bounds_map("lower_bounds", 125, 126, 127),
             _bounds_map("upper_bounds", 128, 129, 130),
+            {"name": "equality_ids", "field-id": 135, "default": None,
+             "type": ["null", {"type": "array", "items": "int",
+                               "element-id": 136}]},
         ],
     }
     return {
@@ -286,6 +289,7 @@ def write_iceberg(
                     "file_size_in_bytes": os.path.getsize(fp),
                     "lower_bounds": lower,
                     "upper_bounds": upper,
+                    "equality_ids": None,
                 },
             })
 
@@ -406,6 +410,8 @@ def data_files(
     fields = md["schemas"][md["current-schema-id"]]["fields"]
     type_by_id = {f["id"]: f["type"] for f in fields}
     id_by_name = {f["name"]: f["id"] for f in fields}
+    seq_by_snap = {s["snapshot-id"]: s["sequence-number"]
+                   for s in md["snapshots"]}
     _, manifests = avro.read_container(snap["manifest-list"])
     out = []
     for mf in manifests:
@@ -414,6 +420,8 @@ def data_files(
             if e["status"] == 2:  # DELETED
                 continue
             dfd = e["data_file"]
+            if dfd.get("content", 0) != 0:  # delete file, not data
+                continue
             part = dfd["partition"]
             if partition_filter and any(
                     part.get(k) != v for k, v in partition_filter.items()):
@@ -421,6 +429,42 @@ def data_files(
             if column_ranges and not _ranges_match(
                     dfd, column_ranges, id_by_name, type_by_id):
                 continue
+            dfd = dict(dfd)
+            dfd["_seq"] = (e["sequence_number"]
+                           if e["sequence_number"] is not None
+                           else seq_by_snap.get(e["snapshot_id"], 0))
+            out.append(dfd)
+    return out
+
+
+def delete_files(table_dir: str, snapshot_id: int | None = None) -> list[dict]:
+    """Live equality-delete files of a snapshot, with their sequence
+    numbers and the NAMES of their equality columns resolved."""
+    md = _read_metadata(table_dir)
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    snap = next((s for s in md["snapshots"] if s["snapshot-id"] == sid), None)
+    if snap is None:
+        raise KeyError(f"snapshot {sid} not in table")
+    fields = md["schemas"][md["current-schema-id"]]["fields"]
+    name_by_id = {f["id"]: f["name"] for f in fields}
+    seq_by_snap = {s["snapshot-id"]: s["sequence-number"]
+                   for s in md["snapshots"]}
+    _, manifests = avro.read_container(snap["manifest-list"])
+    out = []
+    for mf in manifests:
+        _, entries = avro.read_container(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            dfd = e["data_file"]
+            if dfd.get("content", 0) != 2:
+                continue
+            dfd = dict(dfd)
+            dfd["_seq"] = (e["sequence_number"]
+                           if e["sequence_number"] is not None
+                           else seq_by_snap.get(e["snapshot_id"], 0))
+            dfd["_columns"] = [name_by_id[i]
+                               for i in dfd.get("equality_ids") or []]
             out.append(dfd)
     return out
 
@@ -464,15 +508,29 @@ def read_iceberg(
             f"`{f['name']}` {_SPARK_TYPE[f['type']]}"
             for f in md["schemas"][md["current-schema-id"]]["fields"]))
         return spark.createDataFrame([], schema=schema)
-    by_snap: dict[str, list[str]] = {}
+    dels = delete_files(table_dir, snapshot_id)
+    by_snap: dict[tuple, list[str]] = {}
     data_root = os.path.join(table_dir, "data")
     for f in files:
         rel = os.path.relpath(f["file_path"], data_root)
         snap_dir = os.path.join(data_root, rel.split(os.sep)[0])
-        by_snap.setdefault(snap_dir, []).append(f["file_path"])
+        by_snap.setdefault((snap_dir, f["_seq"]), []).append(f["file_path"])
     out = None
-    for snap_dir, paths in sorted(by_snap.items()):
+    for (snap_dir, seq), paths in sorted(by_snap.items()):
         part = spark.read.option("basePath", snap_dir).parquet(*paths)
+        # v2 equality deletes: a delete applies to rows of data files
+        # whose data sequence number is STRICTLY LESS than the
+        # delete's (spec) — group-wise broadcast anti-joins
+        applicable = [d for d in dels if d["_seq"] > seq]
+        by_cols: dict[tuple, list[str]] = {}
+        for d in applicable:
+            by_cols.setdefault(tuple(d["_columns"]), []).append(
+                d["file_path"])
+        for cols, dpaths in sorted(by_cols.items()):
+            keys = spark.read.parquet(*dpaths).select(*cols).distinct()
+            from pyspark.sql import functions as _F
+
+            part = part.join(_F.broadcast(keys), list(cols), "left_anti")
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -585,6 +643,107 @@ def compact_manifests(table_dir: str) -> int:
             "timestamp-ms": now,
             "summary": {"operation": "replace",
                         "compacted-manifests": str(len(manifests))},
+            "manifest-list": ml_path, "schema-id": 0}
+    new_md = dict(md)
+    new_md.pop("__version", None)
+    new_md["last-sequence-number"] = seq
+    new_md["last-updated-ms"] = now
+    new_md["current-snapshot-id"] = snap_id
+    new_md["snapshots"] = md["snapshots"] + [snap]
+    new_md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": now}]
+    version = md["__version"] + 1
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(new_md, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snap_id
+
+
+def delete_equality(
+    df_keys: DataFrame,
+    table_dir: str,
+    columns: list[str],
+) -> int:
+    """Commit an EQUALITY-DELETE snapshot (spec v2, data_file content
+    2): rows of OLDER data files matching any key tuple in ``df_keys``
+    on ``columns`` disappear from subsequent reads — the corpus
+    take-down path (URL/doc removal requests) without rewriting data.
+    Old snapshots still time-travel to the pre-delete state.  Returns
+    the new snapshot id."""
+    md = _load_metadata_with_version(table_dir)
+    meta_dir = os.path.join(table_dir, "metadata")
+    fields = md["schemas"][md["current-schema-id"]]["fields"]
+    id_by_name = {f["name"]: f["id"] for f in fields}
+    for c in columns:
+        if c not in id_by_name:
+            raise KeyError(f"no column {c!r} in table schema")
+    eq_ids = [id_by_name[c] for c in columns]
+    part_names = [f["name"] for f in md["partition-specs"][0]["fields"]]
+    type_by_name = {f["name"]: f["type"] for f in fields}
+
+    seq = md["last-sequence-number"] + 1
+    snap_id = int(time.time() * 1000) * 10 + seq % 10
+    del_dir = os.path.join(table_dir, "data", f"snap-{seq:05d}-deletes")
+    df_keys.select(*columns).distinct().write.mode("error").parquet(del_dir)
+
+    entries = []
+    n_rows = 0
+    for root, _dirs, fs in os.walk(del_dir):
+        for fn in fs:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            nrows = pq.ParquetFile(fp).metadata.num_rows
+            n_rows += nrows
+            entries.append({
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": fp,
+                    "file_format": "PARQUET",
+                    "partition": {c: None for c in part_names},
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(fp),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": eq_ids,
+                },
+            })
+    part_fields = [(c, type_by_name[c]) for c in part_names]
+    man_path = os.path.join(meta_dir, f"manifest-{seq:05d}-deletes.avro")
+    avro.write_container(man_path, _manifest_schema(part_fields), entries)
+
+    cur = next(s for s in md["snapshots"]
+               if s["snapshot-id"] == md["current-snapshot-id"])
+    _, prior = avro.read_container(cur["manifest-list"])
+    entry = {
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0,
+        "content": 1,  # deletes manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    ml_path = os.path.join(meta_dir, f"snap-{snap_id}-manifest-list.avro")
+    avro.write_container(ml_path, _MANIFEST_LIST_SCHEMA, prior + [entry])
+
+    now = int(time.time() * 1000)
+    snap = {"snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now,
+            "summary": {"operation": "delete",
+                        "added-delete-files": str(len(entries)),
+                        "added-equality-deletes": str(n_rows)},
             "manifest-list": ml_path, "schema-id": 0}
     new_md = dict(md)
     new_md.pop("__version", None)
