@@ -1071,7 +1071,36 @@ def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("value"),
         "url", "status",
     )
-    return latest.unionByName(diff)
+    # 'iceberg': the same docs pushed through the REAL from-scratch
+    # Iceberg v2 table format (sources/iceberg_format.py): two append
+    # snapshots -> equality delete -> re-add, then read back through
+    # the manifest chain.  The oracle computes the logical equivalent
+    # directly — hash-equal iff the format round-trips exactly.
+    import tempfile
+
+    from xarray_spatial_spark.sources import iceberg_format as icef
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars")
+    tdir = tempfile.mkdtemp(prefix="xss_ice_q_")
+    icef.write_iceberg(base.filter(F.col("doc_id") % 2 == 0), tdir,
+                       partition_by=["lang"])
+    icef.write_iceberg(base.filter(F.col("doc_id") % 2 == 1), tdir,
+                       partition_by=["lang"])
+    icef.delete_equality(
+        base.filter(F.col("doc_id") % 9 == 4).select("doc_id"),
+        tdir, ["doc_id"])
+    icef.write_iceberg(base.filter(F.col("doc_id") % 18 == 4), tdir,
+                       partition_by=["lang"])
+    ice = icef.read_iceberg(spark, tdir).select(
+        F.lit("iceberg").alias("variant"),
+        F.col("doc_id").alias("user_id"),
+        F.col("n_chars").cast("long").alias("event_id"),
+        F.lit(-1.0).alias("value"),
+        F.lit("").alias("url"),
+        F.col("lang").alias("status"),
+    )
+    return latest.unionByName(diff).unionByName(ice)
 
 
 def _synth_url_expr() -> Column:
@@ -3464,6 +3493,17 @@ def oracle_sql() -> dict[str, str]:
                           ELSE substr(text, 1, 24) END AS d
               FROM documents WHERE doc_id % 10 > 1
             ) n ON o.url = n.url
+            UNION ALL
+            -- 'iceberg': logical equivalent of two appends + an
+            -- equality delete (doc_id %% 9 = 4, strictly-older files
+            -- only) + a re-add of half the deleted keys
+            SELECT 'iceberg', doc_id, CAST(n_chars AS BIGINT),
+                   CAST(-1.0 AS DOUBLE), '', lang
+            FROM documents WHERE doc_id % 9 <> 4
+            UNION ALL
+            SELECT 'iceberg', doc_id, CAST(n_chars AS BIGINT),
+                   CAST(-1.0 AS DOUBLE), '', lang
+            FROM documents WHERE doc_id % 18 = 4
         """,
         "host_agg": """
             WITH u AS (
