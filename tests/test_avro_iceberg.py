@@ -358,3 +358,23 @@ def test_iceberg_equality_deletes(spark, docs, tmp_path):
     # unknown column raises
     with pytest.raises(KeyError):
         I.delete_equality(kill, t, ["nope"])
+
+
+def test_iceberg_sorted_write_tightens_bounds(spark, docs, tmp_path):
+    """sort_by clusters values into files, so a range query prunes to
+    a small fraction of files; the unsorted twin cannot prune at all
+    (every file spans the whole id range)."""
+    rand = docs.withColumn("r", F.xxhash64("doc_id")).orderBy("r").drop("r")
+    t1, t2 = str(tmp_path / "sorted"), str(tmp_path / "plain")
+    I.write_iceberg(rand, t1, sort_by=["doc_id"], sort_partitions=6)
+    I.write_iceberg(rand.repartition(8), t2)
+    q = {"doc_id": (10, 30)}
+    hit_sorted = len(I.data_files(t1, column_ranges=q))
+    all_sorted = len(I.data_files(t1))
+    hit_plain = len(I.data_files(t2, column_ranges=q))
+    all_plain = len(I.data_files(t2))
+    assert all_sorted > 1 and hit_sorted < all_sorted
+    assert hit_plain == all_plain  # random layout: no skipping possible
+    got = I.read_iceberg(spark, t1, column_ranges=q).filter(
+        (F.col("doc_id") >= 10) & (F.col("doc_id") <= 30))
+    assert got.count() == 21

@@ -37,6 +37,7 @@ import uuid
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from xarray_spatial_spark.sources import avro
 
@@ -215,6 +216,8 @@ def write_iceberg(
     partition_by: list[str] | None = None,
     mode: str = "append",
     summary_extra: dict[str, str] | None = None,
+    sort_by: list[str] | None = None,
+    sort_partitions: int | None = None,
 ) -> int:
     """Commit ``df`` as a new append snapshot of the Iceberg table at
     ``table_dir`` (created on first write).  Identity partitioning on
@@ -251,6 +254,15 @@ def write_iceberg(
     seq = (md["last-sequence-number"] + 1) if md else 1
     snap_id = int(time.time() * 1000) * 10 + seq % 10
     snap_dir = os.path.join(data_dir, f"snap-{seq:05d}")
+    if sort_by:
+        # cluster within files: repartitionByRange + in-file sort makes
+        # per-file min/max bounds TIGHT, so column_ranges skips most
+        # files instead of none (the write-side half of file skipping);
+        # explicit sort_partitions overrides AQE coalescing for small
+        # inputs (one file = no skipping)
+        args = ([sort_partitions] if sort_partitions else []) + [
+            F.col(c) for c in sort_by]
+        df = df.repartitionByRange(*args).sortWithinPartitions(*sort_by)
     w = df.write.mode("error")
     if partition_by:
         w = w.partitionBy(*partition_by)
