@@ -396,3 +396,80 @@ def test_cap_query_spark_exact(spark):
     want = sorted(np.where(_angdist_deg(lon, lat, clon, clat) <= rad)[0])
     assert got == [int(w) for w in want]
     assert len(got) > 0
+
+
+TRI = ([60.0, 120.0, 90.0], [40.0, 40.0, 80.0])
+QUAD = ([-30.0, 40.0, 40.0, -30.0], [-20.0, -20.0, 30.0, 30.0])
+
+
+def test_spherical_point_in_polygon_known():
+    verts = s2._poly_xyz(*TRI)
+    got = s2._point_in_spherical_polygon(
+        s2._poly_xyz([90, 90, 90, 0, -77, 61], [50, 70, 20, 0, -73, 41]),
+        verts,
+    )
+    # the bottom edge is a GEODESIC bulging poleward: at lon 61 it
+    # sits near lat 40.2, so (61, 41) is just inside; at lon 90 the
+    # bulge peaks near lat 44, so (90, 20) is far outside
+    assert list(got) == [True, True, False, False, False, True]
+
+
+@pytest.mark.parametrize("poly", [TRI, QUAD,
+                                  ([10, 20, 25, 15, 5], [0, 2, 12, 18, 10])])
+def test_polygon_covering_conservative(poly):
+    """No point inside the polygon (robust crossing-count truth) is
+    ever outside the covering."""
+    verts = s2._poly_xyz(*poly)
+    cov = s2.polygon_covering(*poly, max_level=9, max_cells=80)
+    assert 0 < len(cov) <= 80
+    n = 20000
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-85, 85, n)
+    inside = s2._point_in_spherical_polygon(s2._poly_xyz(lon, lat), verts)
+    ul = s2.cell_of(lon, lat).view(np.uint64)
+    lo = s2.range_min(cov).view(np.uint64)
+    hi = s2.range_max(cov).view(np.uint64)
+    in_cov = ((ul[:, None] >= lo) & (ul[:, None] <= hi)).any(axis=1)
+    assert not np.any(inside & ~in_cov)
+    assert (~inside & in_cov).mean() < 0.05
+    with pytest.raises(ValueError):
+        s2.polygon_covering([0, 1], [0, 1])
+
+
+def test_polygon_query_spark_exact(spark):
+    """Scalable PIP: covering prefilter (broadcast leaf-range join)
+    + exact spherical refine == brute force over all points."""
+    import pandas as pd
+
+    assert pd is not None
+
+    n = 3000
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-85, 85, n)
+    verts = s2._poly_xyz(*TRI)
+    cov = s2.polygon_covering(*TRI, max_level=11, max_cells=64)
+    pts = spark.createDataFrame(pd.DataFrame({
+        "k": np.arange(n), "lon": lon, "lat": lat,
+        "leaf": s2.cell_of(lon, lat)}))
+    covdf = spark.createDataFrame(pd.DataFrame({
+        "lo": s2.range_min(cov), "hi": s2.range_max(cov)}))
+    cand = pts.join(
+        F.broadcast(covdf),
+        (F.col("leaf") >= F.col("lo")) & (F.col("leaf") <= F.col("hi")),
+        "inner",
+    )
+
+    @F.pandas_udf("boolean")
+    def _refine(lo_: pd.Series, la_: pd.Series) -> pd.Series:
+        return pd.Series(s2._point_in_spherical_polygon(
+            s2._poly_xyz(lo_.to_numpy(), la_.to_numpy()), verts))
+
+    got = sorted(r["k"] for r in
+                 cand.filter(_refine(F.col("lon"), F.col("lat")))
+                 .select("k").collect())
+    want = np.where(s2._point_in_spherical_polygon(
+        s2._poly_xyz(lon, lat), verts))[0]
+    assert got == [int(w) for w in want]
+    assert 0 < len(got) < n
+    # the prefilter really reduced work
+    assert cand.count() < n * 0.2

@@ -447,6 +447,135 @@ def cap_covering(
                     dtype=np.int64)
 
 
+def _poly_xyz(lons, lats):
+    x, y, z = _lnglat_to_xyz(np.asarray(lons, float), np.asarray(lats, float))
+    return np.stack([x, y, z], axis=1)  # (n, 3) unit vectors
+
+
+def _on_arc(t: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Is unit point t on the minor arc a->b (within tolerance)?"""
+    ab = np.arccos(np.clip(np.sum(a * b, axis=-1), -1, 1))
+    ta = np.arccos(np.clip(np.sum(t * a, axis=-1), -1, 1))
+    tb = np.arccos(np.clip(np.sum(t * b, axis=-1), -1, 1))
+    return ta + tb <= ab + 1e-9
+
+
+def _point_in_spherical_polygon(p: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Crossing-count test: the geodesic from p to a reference point
+    OUTSIDE the polygon (the antipode of the vertex centroid) crosses
+    the boundary an odd number of times iff p is inside.  ``p``
+    (m, 3), ``verts`` (n, 3); simple polygons smaller than a
+    hemisphere.  Robust at any distance from the polygon (a winding-
+    angle formulation degenerates near the antipode)."""
+    # antipode of the centroid, with a fixed generic jitter so the
+    # test geodesic doesn't pass exactly through polygon vertices for
+    # symmetric inputs (vertex hits double-count and flip parity)
+    ref = -verts.mean(axis=0) + np.array([0.00731, 0.01193, 0.00547])
+    ref = ref / np.linalg.norm(ref)
+    m = len(p)
+    n1 = np.cross(p, ref)  # (m, 3): great circle through p and ref
+    crossings = np.zeros(m, dtype=np.int64)
+    n = len(verts)
+    for k in range(n):
+        a = verts[k]
+        b = verts[(k + 1) % n]
+        n2 = np.cross(a, b)
+        t = np.cross(n1, n2)
+        norm = np.linalg.norm(t, axis=1)
+        ok = norm > 1e-12
+        t = np.where(ok[:, None], t / np.where(ok, norm, 1.0)[:, None], t)
+        for cand in (t, -t):
+            hit = (
+                ok
+                & _on_arc(cand, a[None, :], b[None, :])
+                & _on_arc(cand, p, np.broadcast_to(ref, p.shape))
+            )
+            crossings += hit.astype(np.int64)
+    return crossings % 2 == 1
+
+
+def _dist_to_arc(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Angular distance from each unit point p (m, 3) to the geodesic
+    arc a->b."""
+    n = np.cross(a, b)
+    n = n / np.linalg.norm(n)
+    s = p @ n
+    d_plane = np.abs(np.arcsin(np.clip(s, -1, 1)))
+    c = p - s[:, None] * n[None, :]
+    norm = np.linalg.norm(c, axis=1)
+    ok = norm > 1e-12
+    c[ok] = c[ok] / norm[ok, None]
+    # closest great-circle point lies ON the arc iff it's between a, b
+    ab = np.arccos(np.clip(a @ b, -1, 1))
+    within = (
+        (np.arccos(np.clip(c @ a, -1, 1))
+         + np.arccos(np.clip(c @ b, -1, 1))) <= ab + 1e-9
+    ) & ok
+    d_ends = np.minimum(np.arccos(np.clip(p @ a, -1, 1)),
+                        np.arccos(np.clip(p @ b, -1, 1)))
+    return np.where(within, d_plane, d_ends)
+
+
+def _dist_to_boundary(p: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    n = len(verts)
+    d = np.full(len(p), np.inf)
+    for k in range(n):
+        d = np.minimum(d, _dist_to_arc(p, verts[k], verts[(k + 1) % n]))
+    return d
+
+
+def polygon_covering(
+    lons, lats, max_level: int = 12, max_cells: int = 64,
+) -> np.ndarray:
+    """Covering of a simple spherical polygon (vertices joined by
+    geodesics, smaller than a hemisphere) — same provable guarantees
+    as :func:`cap_covering`:
+
+    * may-intersect is conservative (NO false negatives): center
+      inside, or boundary within the cell circumradius of the center —
+      any shared point q gives dist(center, boundary) <= dist(center,
+      q) <= circumradius when the center is outside;
+    * containment is exact: all four cell vertices inside AND the
+      boundary farther than the circumradius (the whole cell sits on
+      one side).
+
+    This is the scalable PIP prefilter: covering -> leaf-range join ->
+    exact ray-cast refine (operators/pip.py)."""
+    verts = _poly_xyz(lons, lats)
+    if len(verts) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    faces = parent(
+        from_face_ij(np.arange(6), np.full(6, 1 << 29), np.full(6, 1 << 29)),
+        0,
+    )
+    out: list[int] = []
+    queue: list[int] = sorted((int(f) for f in faces),
+                              key=lambda v: v & 0xFFFFFFFFFFFFFFFF)
+    while queue:
+        cell = np.array([queue.pop(0)], dtype=np.int64)
+        lev = int(level_of(cell)[0])
+        vx, vy, vz = cell_vertices(cell)
+        cverts = np.stack([vx[0], vy[0], vz[0]], axis=1)
+        clon, clat = center_lnglat(cell)
+        cc = _poly_xyz(clon, clat)
+        circum = float(np.arccos(np.clip(cverts @ cc[0], -1, 1)).max())
+        d_bound = float(_dist_to_boundary(cc, verts)[0])
+        center_in = bool(_point_in_spherical_polygon(cc, verts)[0])
+        if not center_in and d_bound > circum:
+            continue  # provably disjoint
+        contained = (
+            center_in and d_bound > circum
+            and bool(_point_in_spherical_polygon(cverts, verts).all())
+        )
+        if contained or lev >= max_level or (
+                len(out) + len(queue) + 4 > max_cells):
+            out.append(int(cell[0]))
+        else:
+            queue.extend(int(ch) for ch in children(cell)[0])
+    return np.array(sorted(out, key=lambda v: v & 0xFFFFFFFFFFFFFFFF),
+                    dtype=np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------
