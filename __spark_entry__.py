@@ -1170,7 +1170,34 @@ def q_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "source", "level", "n_docs", "n_tokens",
         F.col("n_chars").alias("doc_chars"), "mean_tokens", "max_tokens",
     )
-    return hosts.unionByName(ds)
+    # 'drift': crawl-over-crawl JS divergence per language between two
+    # synthesized snapshots (every doc_id % 7 == 0 doc drifts its text
+    # in the new crawl) — functions/corpus.py:corpus_drift; js rides
+    # the mean_tokens column, vocab/doc counts ride the long slots
+    base = docs.select("doc_id", "lang", "text")
+    old_snap = base.filter(F.col("doc_id") % 10 < 8)
+    new_snap = base.filter(F.col("doc_id") % 10 > 1).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit("drift drift tokens "), F.col("lang")))
+        .otherwise(F.col("text")),
+    )
+    dr = corpus.corpus_drift(old_snap, new_snap).select(
+        F.lit("drift").alias("variant"),
+        F.lit("").alias("domain"),
+        F.lit(-1).cast("long").alias("n_pages"),
+        F.lit(-1).cast("long").alias("n_hosts"),
+        F.lit(-1).cast("long").alias("sum_depth"),
+        F.lit(-1).cast("long").alias("sum_chars"),
+        F.col("grp").alias("lang"), F.lit("").alias("source"),
+        F.lit(-1).cast("long").alias("level"),
+        F.col("docs_old").alias("n_docs"),
+        F.col("docs_new").alias("n_tokens"),
+        F.col("vocab_old").alias("doc_chars"),
+        F.col("js_divergence").alias("mean_tokens"),
+        F.col("vocab_new").cast("int").alias("max_tokens"),
+    )
+    return hosts.unionByName(ds).unionByName(dr)
 
 
 def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3579,6 +3606,69 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\\s+'))
                         END) AS INT) AS max_tokens
             FROM documents GROUP BY ROLLUP (lang, source)
+            UNION ALL
+            SELECT * FROM (
+              WITH dr_old AS (
+                SELECT lang, unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(text), '\\s+') END) AS word
+                FROM documents WHERE doc_id % 10 < 8
+              ),
+              dr_new AS (
+                SELECT lang, unnest(CASE WHEN trim(t2) = '' THEN []::VARCHAR[]
+                       ELSE string_split_regex(trim(t2), '\\s+') END) AS word
+                FROM (
+                  SELECT lang,
+                         CASE WHEN doc_id % 7 = 0
+                              THEN 'drift drift tokens ' || lang
+                              ELSE text END AS t2
+                  FROM documents WHERE doc_id % 10 > 1
+                )
+              ),
+              ho AS (SELECT lang, word, count(*) AS n_old FROM dr_old GROUP BY 1, 2),
+              hn AS (SELECT lang, word, count(*) AS n_new FROM dr_new GROUP BY 1, 2),
+              jj AS (
+                SELECT coalesce(ho.lang, hn.lang) AS lang,
+                       coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+                FROM ho FULL OUTER JOIN hn
+                  ON ho.lang = hn.lang AND ho.word = hn.word
+              ),
+              tt AS (
+                SELECT lang, sum(n_old) AS t_old, sum(n_new) AS t_new,
+                       sum(CASE WHEN n_old > 0 THEN 1 ELSE 0 END) AS vocab_old,
+                       sum(CASE WHEN n_new > 0 THEN 1 ELSE 0 END) AS vocab_new
+                FROM jj GROUP BY 1
+              ),
+              js AS (
+                SELECT jj.lang,
+                  round(sum(
+                    CASE WHEN n_old > 0 THEN
+                      0.5 * (n_old / t_old)
+                      * ln((n_old / t_old) / (((n_old / t_old) + (n_new / t_new)) / 2))
+                      ELSE 0 END
+                    + CASE WHEN n_new > 0 THEN
+                      0.5 * (n_new / t_new)
+                      * ln((n_new / t_new) / (((n_old / t_old) + (n_new / t_new)) / 2))
+                      ELSE 0 END), 6) AS jsd,
+                  any_value(vocab_old) AS vocab_old,
+                  any_value(vocab_new) AS vocab_new
+                FROM jj JOIN tt ON jj.lang = tt.lang GROUP BY 1
+              ),
+              dco AS (SELECT lang, count(*) AS docs_old FROM documents
+                      WHERE doc_id % 10 < 8 GROUP BY 1),
+              dcn AS (SELECT lang, count(*) AS docs_new FROM documents
+                      WHERE doc_id % 10 > 1 GROUP BY 1)
+              SELECT 'drift' AS variant, '' AS domain,
+                     CAST(-1 AS BIGINT) AS n_pages, CAST(-1 AS BIGINT) AS n_hosts,
+                     CAST(-1 AS BIGINT) AS sum_depth, CAST(-1 AS BIGINT) AS sum_chars,
+                     js.lang, '' AS source, CAST(-1 AS BIGINT) AS level,
+                     CAST(docs_old AS BIGINT) AS n_docs,
+                     CAST(docs_new AS BIGINT) AS n_tokens,
+                     CAST(vocab_old AS BIGINT) AS doc_chars,
+                     jsd AS mean_tokens,
+                     CAST(vocab_new AS INT) AS max_tokens
+              FROM js JOIN dco ON js.lang = dco.lang
+                      JOIN dcn ON js.lang = dcn.lang
+            )
         """,
     }
 

@@ -535,3 +535,45 @@ def test_host_disjoint_split_determinism_and_disjointness(spark):
     diff = out.select("url", "split").subtract(
         other.select("url", "split")).count()
     assert diff > 0
+
+
+def test_corpus_drift_identities_and_hand_case(spark):
+    """JS divergence: 0 on identical snapshots, ln 2 on disjoint
+    vocabularies, hand-computed value in between; doc/vocab deltas."""
+    import math
+
+    from xarray_spatial_spark.functions.corpus import corpus_drift
+
+    old = spark.createDataFrame(
+        [("en", "a b a"), ("en", "c"), ("de", "x y")],
+        "lang: string, text: string")
+    same = {r["grp"]: r for r in corpus_drift(old, old).collect()}
+    assert same["en"]["js_divergence"] == 0.0
+    assert same["de"]["js_divergence"] == 0.0
+    assert (same["en"]["docs_old"], same["en"]["docs_new"]) == (2, 2)
+    assert (same["en"]["vocab_old"], same["en"]["vocab_new"]) == (3, 3)
+
+    disj = spark.createDataFrame(
+        [("en", "z w z w"), ("de", "q")], "lang: string, text: string")
+    got = {r["grp"]: r["js_divergence"]
+           for r in corpus_drift(old, disj).collect()}
+    assert got["en"] == round(math.log(2), 6)
+    assert got["de"] == round(math.log(2), 6)
+
+    # hand case: en old P = {a: 1/2, b: 1/4, c: 1/4}; new Q = {a: 1/2,
+    # b: 1/2} -> JS = sum of pointwise halves against M
+    new = spark.createDataFrame(
+        [("en", "a b a b")], "lang: string, text: string")
+    p = {"a": 0.5, "b": 0.25, "c": 0.25}
+    q = {"a": 0.5, "b": 0.5, "c": 0.0}
+    js = 0.0
+    for w in p:
+        m = (p[w] + q[w]) / 2
+        if p[w]:
+            js += 0.5 * p[w] * math.log(p[w] / m)
+        if q[w]:
+            js += 0.5 * q[w] * math.log(q[w] / m)
+    row = {r["grp"]: r for r in corpus_drift(
+        old.filter("lang = 'en'"), new).collect()}["en"]
+    assert row["js_divergence"] == round(js, 6)
+    assert row["vocab_new"] == 2 and row["docs_new"] == 1
