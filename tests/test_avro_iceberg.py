@@ -378,3 +378,20 @@ def test_iceberg_sorted_write_tightens_bounds(spark, docs, tmp_path):
     got = I.read_iceberg(spark, t1, column_ranges=q).filter(
         (F.col("doc_id") >= 10) & (F.col("doc_id") <= 30))
     assert got.count() == 21
+
+
+def test_iceberg_incremental_read(spark, docs, tmp_path):
+    """The incremental-consumption contract: only rows appended after
+    the remembered snapshot come back; overlapping windows compose to
+    the full table; same-snapshot window is empty."""
+    t = str(tmp_path / "tbl")
+    thirds = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    s = [I.write_iceberg(x, t, partition_by=["lang"]) for x in thirds]
+    inc = I.read_incremental(spark, t, s[0])
+    assert inc.count() == thirds[1].count() + thirds[2].count()
+    assert inc.filter(F.col("doc_id") % 3 == 0).count() == 0
+    mid = I.read_incremental(spark, t, s[0], s[1])
+    assert mid.count() == thirds[1].count()
+    assert I.read_incremental(spark, t, s[2]).count() == 0
+    with pytest.raises(KeyError):
+        I.read_incremental(spark, t, 42)

@@ -771,3 +771,41 @@ def delete_equality(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
         f.write(str(version))
     return snap_id
+
+
+def read_incremental(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Rows APPENDED strictly after ``from_snapshot`` up to and
+    including ``to_snapshot`` (default: current) — the incremental-
+    consumption contract: a downstream pipeline remembers the last
+    snapshot it processed and reads only the delta, never rescanning
+    the table.  Implemented as a manifest diff: data files whose
+    adding sequence number lies in (seq_from, seq_to]."""
+    md = _read_metadata(table_dir)
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    if from_snapshot not in by_id:
+        raise KeyError(f"snapshot {from_snapshot} not in table")
+    sid_to = to_snapshot if to_snapshot is not None else md["current-snapshot-id"]
+    if sid_to not in by_id:
+        raise KeyError(f"snapshot {sid_to} not in table")
+    lo = by_id[from_snapshot]["sequence-number"]
+    hi = by_id[sid_to]["sequence-number"]
+    files = [f for f in data_files(table_dir, sid_to)
+             if lo < f["_seq"] <= hi]
+    if not files:
+        return read_iceberg(spark, table_dir, sid_to).limit(0)
+    data_root = os.path.join(table_dir, "data")
+    by_snap: dict[str, list[str]] = {}
+    for f in files:
+        rel = os.path.relpath(f["file_path"], data_root)
+        by_snap.setdefault(os.path.join(data_root, rel.split(os.sep)[0]),
+                           []).append(f["file_path"])
+    out = None
+    for snap_dir, paths in sorted(by_snap.items()):
+        part = spark.read.option("basePath", snap_dir).parquet(*paths)
+        out = part if out is None else out.unionByName(part)
+    return out
