@@ -395,3 +395,49 @@ def test_iceberg_incremental_read(spark, docs, tmp_path):
     assert I.read_incremental(spark, t, s[2]).count() == 0
     with pytest.raises(KeyError):
         I.read_incremental(spark, t, 42)
+
+
+def test_crawl_to_iceberg_end_to_end(spark, tmp_path):
+    """The north-star sentence as one call: WARC files -> corpus
+    pipeline -> geocode -> S2 cell/tile assignment -> Iceberg table
+    partitioned by s2_tile, with metadata-layer tile pruning."""
+    from xarray_spatial_spark import s2
+    from xarray_spatial_spark.functions.corpus import crawl_to_iceberg
+    from xarray_spatial_spark.sources import warc as W
+
+    wdir = tmp_path / "warc"
+    wdir.mkdir()
+    blobs = []
+    for i in range(40):
+        words = " ".join(
+            f"the page{i} shows word{(i + k) % 97} and item{k * 3 + i} here"
+            for k in range(12))
+        html = f"<html><body><p>page {i} {words}</p></body></html>"
+        blobs.append(W.gzip_member(W.response_record(
+            f"https://site{i % 9}.example.org/p/{i}",
+            html.encode(), f"2026-06-01T00:00:{i % 60:02d}Z")))
+    (wdir / "a.warc.gz").write_bytes(b"".join(blobs[:20]))
+    (wdir / "b.warc.gz").write_bytes(b"".join(blobs[20:]))
+
+    records = W.read_warc(spark, str(wdir / "*.warc.gz"))
+    t = str(tmp_path / "tbl")
+    sid = crawl_to_iceberg(records, t, tile_level=4, cell_level=12)
+    assert I.snapshots(t)[-1]["snapshot-id"] == sid
+
+    out = I.read_iceberg(spark, t)
+    rows = out.collect()
+    assert len(rows) == 40
+    import numpy as np
+
+    for r in rows:
+        leaf16 = s2.cell_of(np.array([r["lon"]]), np.array([r["lat"]]), 12)
+        assert int(leaf16[0]) == r["s2_cell"]
+        assert int(s2.parent(leaf16, 4)[0]) == r["s2_tile"]
+    # metadata-layer tile pruning: pick one tile, prune to its files
+    tiles = sorted({r["s2_tile"] for r in rows})
+    assert len(tiles) > 1
+    some = tiles[0]
+    pruned = I.data_files(t, partition_filter={"s2_tile": some})
+    assert 0 < len(pruned) < len(I.data_files(t))
+    got = I.read_iceberg(spark, t, partition_filter={"s2_tile": some})
+    assert got.count() == sum(1 for r in rows if r["s2_tile"] == some)

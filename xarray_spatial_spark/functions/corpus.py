@@ -688,3 +688,46 @@ def corpus_drift(
             F.coalesce("vocab_new", F.lit(0)).alias("vocab_new"),
         )
     )
+
+
+def crawl_to_iceberg(
+    records: DataFrame,
+    table_dir: str,
+    tile_level: int = 8,
+    cell_level: int = 16,
+    geocode_key: str = "url",
+    **corpus_kwargs,
+) -> int:
+    """The whole north-star pipeline in one call: WARC records ->
+    :func:`crawl_to_corpus` (latest-capture dedup, quality gate, text
+    dedup, redaction) -> deterministic geocode -> genuine S2 cell +
+    tile assignment (Arrow batch encode, s2.cell_col) -> committed as
+    an append snapshot of a spec-compliant ICEBERG table identity-
+    partitioned by ``s2_tile``.
+
+    Downstream, a tile predicate prunes at the METADATA layer
+    (iceberg_format.read_iceberg partition_filter / data_files) —
+    the file list of a 10^12-page table never reaches an executor.
+    Returns the committed snapshot id."""
+    from pyspark.sql import functions as F
+
+    from xarray_spatial_spark import s2
+    from xarray_spatial_spark.functions.geo import geocode_lat, geocode_lon
+    from xarray_spatial_spark.functions.text import portable_string_hash
+    from xarray_spatial_spark.sources.iceberg_format import write_iceberg
+
+    corpus = crawl_to_corpus(records, **corpus_kwargs)
+    key = portable_string_hash(F.col(geocode_key))
+    geo = (
+        corpus.withColumn("lat", geocode_lat(key))
+        .withColumn("lon", geocode_lon(key))
+    )
+    cells = geo.withColumn(
+        "s2_cell", s2.cell_col(F.col("lon"), F.col("lat"), cell_level)
+    ).withColumn("s2_tile", s2.parent_col(F.col("s2_cell"), tile_level))
+    return write_iceberg(
+        cells.select("url", "warc_ts", "text", "lang", "lat", "lon",
+                     "s2_cell", "s2_tile"),
+        table_dir,
+        partition_by=["s2_tile"],
+    )
