@@ -441,3 +441,34 @@ def test_crawl_to_iceberg_end_to_end(spark, tmp_path):
     assert 0 < len(pruned) < len(I.data_files(t))
     got = I.read_iceberg(spark, t, partition_filter={"s2_tile": some})
     assert got.count() == sum(1 for r in rows if r["s2_tile"] == some)
+
+
+def test_iceberg_expire_snapshots(spark, docs, tmp_path):
+    """Expiry drops old snapshots and deletes ONLY files no kept
+    snapshot references; the current state reads identically."""
+    import glob
+
+    t = str(tmp_path / "tbl")
+    for k in range(3):
+        I.write_iceberg(docs.filter(F.col("doc_id") % 3 == k), t,
+                        partition_by=["lang"])
+    before_rows = I.read_iceberg(spark, t).count()
+    n_parquet_before = len(glob.glob(t + "/data/**/*.parquet",
+                                     recursive=True))
+    stats = I.expire_snapshots(t, keep_last=1)
+    assert stats["snapshots"] == 2 and stats["files"] > 0
+    assert len(I.snapshots(t)) == 1
+    # appends reference prior manifests, so ALL data files stay live
+    assert I.read_iceberg(spark, t).count() == before_rows
+    assert len(glob.glob(t + "/data/**/*.parquet", recursive=True)) \
+        == n_parquet_before
+    # overwrite orphans the old data; expiry then really deletes files
+    I.write_iceberg(docs.limit(10), t, mode="overwrite",
+                    partition_by=["lang"])
+    stats2 = I.expire_snapshots(t, keep_last=1)
+    assert stats2["snapshots"] == 1
+    assert len(glob.glob(t + "/data/**/*.parquet", recursive=True)) \
+        < n_parquet_before
+    assert I.read_iceberg(spark, t).count() == 10
+    with pytest.raises(ValueError):
+        I.expire_snapshots(t, keep_last=0)

@@ -809,3 +809,62 @@ def read_incremental(
         part = spark.read.option("basePath", snap_dir).parquet(*paths)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Table maintenance: drop all but the newest ``keep_last``
+    snapshots from metadata and DELETE files no kept snapshot
+    references (data files, delete files, manifests, manifest lists).
+    Time travel to expired snapshots is gone by design; the current
+    state is untouched.  Returns {"snapshots": n, "files": n} removed.
+
+    Safety order matters: metadata commits FIRST (a crash after the
+    metadata write but before file deletion leaves harmless orphans,
+    never a broken table)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    md = _load_metadata_with_version(table_dir)
+    meta_dir = os.path.join(table_dir, "metadata")
+    snaps = md["snapshots"]
+    if len(snaps) <= keep_last:
+        return {"snapshots": 0, "files": 0}
+    keep = snaps[-keep_last:]
+    drop = snaps[:-keep_last]
+    if md["current-snapshot-id"] not in {s["snapshot-id"] for s in keep}:
+        raise ValueError("cannot expire the current snapshot")
+
+    def _referenced(snapshots):
+        refs = set()
+        for s in snapshots:
+            refs.add(s["manifest-list"])
+            _, manifests = avro.read_container(s["manifest-list"])
+            for mf in manifests:
+                refs.add(mf["manifest_path"])
+                _, entries = avro.read_container(mf["manifest_path"])
+                for e in entries:
+                    refs.add(e["data_file"]["file_path"])
+        return refs
+
+    keep_refs = _referenced(keep)
+    drop_refs = _referenced(drop) - keep_refs
+
+    new_md = dict(md)
+    new_md.pop("__version", None)
+    kept_ids = {s["snapshot-id"] for s in keep}
+    new_md["snapshots"] = keep
+    new_md["snapshot-log"] = [
+        e for e in md.get("snapshot-log", [])
+        if e["snapshot-id"] in kept_ids]
+    new_md["last-updated-ms"] = int(time.time() * 1000)
+    version = md["__version"] + 1
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(new_md, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+
+    n_files = 0
+    for p in sorted(drop_refs):
+        if os.path.exists(p):
+            os.remove(p)
+            n_files += 1
+    return {"snapshots": len(drop), "files": n_files}
