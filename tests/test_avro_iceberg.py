@@ -472,3 +472,38 @@ def test_iceberg_expire_snapshots(spark, docs, tmp_path):
     assert I.read_iceberg(spark, t).count() == 10
     with pytest.raises(ValueError):
         I.expire_snapshots(t, keep_last=0)
+
+
+def test_iceberg_schema_evolution_add_column(spark, docs, tmp_path):
+    """Add-column evolution: new columns get fresh field ids, old
+    files read back with typed nulls, type changes are refused."""
+    t = str(tmp_path / "tbl")
+    I.write_iceberg(docs, t, partition_by=["lang"])
+    widened = docs.withColumn("score", (F.col("doc_id") % 7).cast("double"))
+    I.write_iceberg(widened, t, partition_by=["lang"])
+
+    md = json.load(open(os.path.join(
+        t, "metadata",
+        f"v{open(os.path.join(t, 'metadata', 'version-hint.text')).read()}"
+        ".metadata.json")))
+    assert md["current-schema-id"] == 1
+    assert len(md["schemas"]) == 2
+    new_field = md["schemas"][1]["fields"][-1]
+    assert new_field["name"] == "score" and new_field["id"] == 4
+    assert md["last-column-id"] == 4
+
+    out = I.read_iceberg(spark, t)
+    assert out.count() == docs.count() * 2
+    assert "score" in out.columns
+    # old snapshot's rows surface typed nulls; new rows carry values
+    assert out.filter(F.col("score").isNull()).count() == docs.count()
+    got = out.filter(F.col("score").isNotNull())
+    assert got.filter(F.col("score") != (F.col("doc_id") % 7)).count() == 0
+
+    # type change refused
+    bad = docs.withColumn("score", F.lit("nope"))
+    with pytest.raises(ValueError, match="type change"):
+        I.write_iceberg(bad, t, partition_by=["lang"])
+    # unknown partition column refused
+    with pytest.raises(ValueError, match="partition column"):
+        I.write_iceberg(docs, str(tmp_path / "t2"), partition_by=["nope"])

@@ -241,13 +241,42 @@ def write_iceberg(
     else:
         md = None
 
-    fields = []
-    by_name = {}
-    for i, f in enumerate(df.schema.fields):
-        it = _iceberg_type(f.dataType.simpleString())
-        fields.append({"id": i + 1, "name": f.name,
-                       "required": False, "type": it})
-        by_name[f.name] = (i + 1, it)
+    # ---- schema (with ADD-COLUMN evolution): existing columns keep
+    # their field ids and must keep their types; new columns get fresh
+    # ids past last-column-id; dropped columns stay in the schema and
+    # read back as nulls for newer files (Iceberg reads by field id)
+    if md:
+        cur_schema = md["schemas"][md["current-schema-id"]]
+        fields = [dict(f) for f in cur_schema["fields"]]
+        known = {f["name"]: f for f in fields}
+        next_id = md["last-column-id"]
+        for f in df.schema.fields:
+            it = _iceberg_type(f.dataType.simpleString())
+            have = known.get(f.name)
+            if have is None:
+                next_id += 1
+                nf = {"id": next_id, "name": f.name,
+                      "required": False, "type": it}
+                fields.append(nf)
+                known[f.name] = nf
+            elif have["type"] != it:
+                raise ValueError(
+                    f"column {f.name!r} type change "
+                    f"{have['type']} -> {it} is not supported")
+        last_col_id = max(md["last-column-id"], next_id)
+        schema_changed = len(fields) != len(cur_schema["fields"])
+    else:
+        fields = []
+        for i, f in enumerate(df.schema.fields):
+            fields.append({"id": i + 1, "name": f.name,
+                           "required": False,
+                           "type": _iceberg_type(f.dataType.simpleString())})
+        last_col_id = len(fields)
+        schema_changed = False
+    by_name = {f["name"]: (f["id"], f["type"]) for f in fields}
+    for c in partition_by:
+        if c not in by_name:
+            raise ValueError(f"partition column {c!r} not in dataframe")
     part_fields = [(c, by_name[c][1]) for c in partition_by]
 
     # ---- data files: ONE partitioned write into a per-snapshot dir
@@ -341,7 +370,9 @@ def write_iceberg(
                         "added-data-files": str(len(entries)),
                         "added-records": str(n_rows_total),
                         **(summary_extra or {})},
-            "manifest-list": ml_path, "schema-id": 0}
+            "manifest-list": ml_path,
+            "schema-id": (md["current-schema-id"] + 1 if md and schema_changed
+                          else (md["current-schema-id"] if md else 0))}
     version = (md["__version"] + 1) if md else 1
     new_md = {
         "format-version": 2,
@@ -349,9 +380,11 @@ def write_iceberg(
         "location": table_dir,
         "last-sequence-number": seq,
         "last-updated-ms": now,
-        "last-column-id": len(fields),
-        "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
-        "current-schema-id": 0,
+        "last-column-id": last_col_id,
+        "schemas": _evolved_schemas(md, fields, schema_changed),
+        "current-schema-id": (
+            md["current-schema-id"] + 1 if md and schema_changed
+            else (md["current-schema-id"] if md else 0)),
         "partition-specs": [{"spec-id": 0, "fields": [
             {"name": c, "transform": "identity",
              "source-id": by_name[c][0], "field-id": 1000 + k}
@@ -373,6 +406,18 @@ def write_iceberg(
         f.write(str(version))
     # spark never sees __version; track it for appends via the hint
     return snap_id
+
+
+def _evolved_schemas(md, fields, schema_changed):
+    if not md:
+        return [{"type": "struct", "schema-id": 0, "fields": fields}]
+    if not schema_changed:
+        return md["schemas"]
+    return md["schemas"] + [{
+        "type": "struct",
+        "schema-id": md["current-schema-id"] + 1,
+        "fields": fields,
+    }]
 
 
 def _cast_part(v: str, itype: str):
@@ -527,9 +572,21 @@ def read_iceberg(
         rel = os.path.relpath(f["file_path"], data_root)
         snap_dir = os.path.join(data_root, rel.split(os.sep)[0])
         by_snap.setdefault((snap_dir, f["_seq"]), []).append(f["file_path"])
+    md = _read_metadata(table_dir)
+    schema_fields = md["schemas"][md["current-schema-id"]]["fields"]
     out = None
     for (snap_dir, seq), paths in sorted(by_snap.items()):
         part = spark.read.option("basePath", snap_dir).parquet(*paths)
+        # schema evolution: files written before a column existed get
+        # typed nulls (Iceberg read-by-field-id semantics)
+        from pyspark.sql import functions as _F
+
+        for f in schema_fields:
+            if f["name"] not in part.columns:
+                part = part.withColumn(
+                    f["name"],
+                    _F.lit(None).cast(_SPARK_TYPE[f["type"]]))
+        part = part.select(*[f["name"] for f in schema_fields])
         # v2 equality deletes: a delete applies to rows of data files
         # whose data sequence number is STRICTLY LESS than the
         # delete's (spec) — group-wise broadcast anti-joins
@@ -655,7 +712,8 @@ def compact_manifests(table_dir: str) -> int:
             "timestamp-ms": now,
             "summary": {"operation": "replace",
                         "compacted-manifests": str(len(manifests))},
-            "manifest-list": ml_path, "schema-id": 0}
+            "manifest-list": ml_path,
+            "schema-id": md["current-schema-id"]}
     new_md = dict(md)
     new_md.pop("__version", None)
     new_md["last-sequence-number"] = seq
@@ -756,7 +814,8 @@ def delete_equality(
             "summary": {"operation": "delete",
                         "added-delete-files": str(len(entries)),
                         "added-equality-deletes": str(n_rows)},
-            "manifest-list": ml_path, "schema-id": 0}
+            "manifest-list": ml_path,
+            "schema-id": md["current-schema-id"]}
     new_md = dict(md)
     new_md.pop("__version", None)
     new_md["last-sequence-number"] = seq
