@@ -473,3 +473,22 @@ def test_polygon_query_spark_exact(spark):
     assert 0 < len(got) < n
     # the prefilter really reduced work
     assert cand.count() < n * 0.2
+
+
+def test_lut_equals_reference_automaton():
+    """The 4-levels-per-step LUT path is bit-identical to the 2-bit
+    published-automaton loop it was built from."""
+    n = 20000
+    face = rng.integers(0, 6, n)
+    i = rng.integers(0, 1 << 30, n)
+    j = rng.integers(0, 1 << 30, n)
+    assert np.array_equal(s2.from_face_ij(face, i, j),
+                          s2._from_face_ij_ref(face, i, j))
+    # corners of the ij domain
+    for ii in (0, (1 << 30) - 1):
+        for jj in (0, (1 << 30) - 1):
+            a = np.full(6, ii)
+            b = np.full(6, jj)
+            f = np.arange(6)
+            assert np.array_equal(s2.from_face_ij(f, a, b),
+                                  s2._from_face_ij_ref(f, a, b))

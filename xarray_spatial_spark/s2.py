@@ -131,21 +131,68 @@ def _st_to_ij(s: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _build_luts():
+    """4-levels-per-step automaton tables (the canonical speedup):
+    fwd[(ij8 << 2) | r] = (pos8 << 2) | r'   (ij8 = four MSB-first
+    (i_bit, j_bit) quads), and the inverse for decode.  Built once by
+    running the published 2-bit automaton, so the LUT path is
+    definitionally equal to the reference loop (pinned in tests)."""
+    fwd = np.zeros(1024, np.uint16)
+    inv = np.zeros(1024, np.uint16)
+    for r0 in range(4):
+        for ij8 in range(256):
+            r = r0
+            pos = 0
+            for k in (3, 2, 1, 0):
+                ijq = (ij8 >> (2 * k)) & 3
+                p = int(_IJ_TO_POS[r, ijq])
+                pos = (pos << 2) | p
+                r = r ^ int(_POS_TO_ORIENTATION[p])
+            fwd[(ij8 << 2) | r0] = (pos << 2) | r
+        for pos8 in range(256):
+            r = r0
+            ij = 0
+            for k in (3, 2, 1, 0):
+                p = (pos8 >> (2 * k)) & 3
+                q = int(_POS_TO_IJ[r, p])
+                ij = (ij << 2) | q
+                r = r ^ int(_POS_TO_ORIENTATION[p])
+            inv[(pos8 << 2) | r0] = (ij << 2) | r
+    # 4-bit nibble spreaders: i bits to odd positions, j bits to even
+    spread_i = np.zeros(16, np.uint16)
+    spread_j = np.zeros(16, np.uint16)
+    for v in range(16):
+        si = sj = 0
+        for b in range(4):
+            if v & (1 << b):
+                si |= 1 << (2 * b + 1)
+                sj |= 1 << (2 * b)
+        spread_i[v] = si
+        spread_j[v] = sj
+    return fwd, inv, spread_i, spread_j
+
+
+_LUT_FWD, _LUT_INV, _SPREAD_I, _SPREAD_J = _build_luts()
+
+
 def from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
     """Leaf (level-30) cell id from face + 30-bit ij.  Returns int64
-    bit patterns (faces 4/5 set the sign bit)."""
+    bit patterns (faces 4/5 set the sign bit).  Vectorized 4 levels
+    per step via the automaton LUT; the low 2-bit padding is dropped
+    afterwards (later levels never affect earlier position bits)."""
     face = np.asarray(face, dtype=np.uint64)
-    i = np.asarray(i, dtype=np.uint64)
-    j = np.asarray(j, dtype=np.uint64)
-    r = face & np.uint64(1)  # initial orientation: swap bit on odd faces
-    pos = np.zeros_like(i)
-    for k in range(MAX_LEVEL - 1, -1, -1):
-        ij = (((i >> np.uint64(k)) & np.uint64(1)) << np.uint64(1)) | (
-            (j >> np.uint64(k)) & np.uint64(1)
-        )
-        p = _IJ_TO_POS[r, ij]
-        pos = (pos << np.uint64(2)) | p
-        r = r ^ _POS_TO_ORIENTATION[p]
+    i32 = (np.asarray(i, dtype=np.uint64) << np.uint64(2))
+    j32 = (np.asarray(j, dtype=np.uint64) << np.uint64(2))
+    r = (face & np.uint64(1)).astype(np.uint16)
+    pos = np.zeros_like(i32)
+    for step in range(7, -1, -1):
+        ni = ((i32 >> np.uint64(4 * step)) & np.uint64(0xF)).astype(np.int64)
+        nj = ((j32 >> np.uint64(4 * step)) & np.uint64(0xF)).astype(np.int64)
+        ij8 = (_SPREAD_I[ni] | _SPREAD_J[nj]).astype(np.int64)
+        ent = _LUT_FWD[(ij8 << 2) | r]
+        pos = (pos << np.uint64(8)) | (ent >> np.uint16(2)).astype(np.uint64)
+        r = ent & np.uint16(3)
+    pos >>= np.uint64(4)  # drop the two padded levels
     uid = (face << np.uint64(_FACE_SHIFT)) | (pos << np.uint64(1)) | np.uint64(1)
     return uid.view(np.int64)
 
@@ -156,17 +203,48 @@ def to_face_ij(cell: np.ndarray):
     pattern denotes (a leaf inside the cell)."""
     c = np.asarray(cell).astype(np.int64).view(np.uint64)
     face = (c >> np.uint64(_FACE_SHIFT)).astype(np.uint64)
-    pos = (c >> np.uint64(1)) & np.uint64((1 << 60) - 1)
-    r = face & np.uint64(1)
-    i = np.zeros_like(pos)
-    j = np.zeros_like(pos)
-    for k in range(MAX_LEVEL - 1, -1, -1):
-        p = (pos >> np.uint64(2 * k)) & np.uint64(3)
-        ij = _POS_TO_IJ[r, p]
-        i = (i << np.uint64(1)) | (ij >> np.uint64(1))
-        j = (j << np.uint64(1)) | (ij & np.uint64(1))
-        r = r ^ _POS_TO_ORIENTATION[p]
+    pos32 = ((c >> np.uint64(1)) & np.uint64((1 << 60) - 1)) << np.uint64(4)
+    r = (face & np.uint64(1)).astype(np.uint16)
+    i = np.zeros_like(pos32)
+    j = np.zeros_like(pos32)
+    for step in range(7, -1, -1):
+        p8 = ((pos32 >> np.uint64(8 * step)) & np.uint64(0xFF)).astype(np.int64)
+        ent = _LUT_INV[(p8 << 2) | r]
+        ij8 = (ent >> np.uint16(2)).astype(np.uint64)
+        # un-interleave: odd bits -> i nibble, even bits -> j nibble
+        ii = ((ij8 >> np.uint64(7)) & np.uint64(1)) << np.uint64(3)
+        ii |= ((ij8 >> np.uint64(5)) & np.uint64(1)) << np.uint64(2)
+        ii |= ((ij8 >> np.uint64(3)) & np.uint64(1)) << np.uint64(1)
+        ii |= (ij8 >> np.uint64(1)) & np.uint64(1)
+        jj = ((ij8 >> np.uint64(6)) & np.uint64(1)) << np.uint64(3)
+        jj |= ((ij8 >> np.uint64(4)) & np.uint64(1)) << np.uint64(2)
+        jj |= ((ij8 >> np.uint64(2)) & np.uint64(1)) << np.uint64(1)
+        jj |= ij8 & np.uint64(1)
+        i = (i << np.uint64(4)) | ii
+        j = (j << np.uint64(4)) | jj
+        r = ent & np.uint16(3)
+    i >>= np.uint64(2)  # drop the two padded levels
+    j >>= np.uint64(2)
     return face.view(np.int64), i.view(np.int64), j.view(np.int64)
+
+
+def _from_face_ij_ref(face, i, j) -> np.ndarray:
+    """Reference 2-bit-per-level loop (the published automaton as
+    written) — kept for the LUT equality pin in tests."""
+    face = np.asarray(face, dtype=np.uint64)
+    i = np.asarray(i, dtype=np.uint64)
+    j = np.asarray(j, dtype=np.uint64)
+    r = face & np.uint64(1)
+    pos = np.zeros_like(i)
+    for k in range(MAX_LEVEL - 1, -1, -1):
+        ij = (((i >> np.uint64(k)) & np.uint64(1)) << np.uint64(1)) | (
+            (j >> np.uint64(k)) & np.uint64(1)
+        )
+        p = _IJ_TO_POS[r, ij]
+        pos = (pos << np.uint64(2)) | p
+        r = r ^ _POS_TO_ORIENTATION[p]
+    uid = (face << np.uint64(_FACE_SHIFT)) | (pos << np.uint64(1)) | np.uint64(1)
+    return uid.view(np.int64)
 
 
 # ---------------------------------------------------------------------------
