@@ -492,3 +492,30 @@ def test_lut_equals_reference_automaton():
             f = np.arange(6)
             assert np.array_equal(s2.from_face_ij(f, a, b),
                                   s2._from_face_ij_ref(f, a, b))
+
+
+def test_polygon_area_known_values():
+    """Octant triangle = 4π/8; small square ~ planar; concave-safe
+    signed decomposition; cap area closed form."""
+    # octant: (0,0), (90,0), (0,90) covers exactly 1/8 of the sphere
+    oct_area = s2.polygon_area_steradians([0, 90, 0], [0, 0, 90])
+    assert oct_area == pytest.approx(4 * np.pi / 8, rel=1e-12)
+    # a tiny square of side d degrees ~ (d*pi/180)^2 steradians
+    d = 0.1
+    sq = s2.polygon_area_steradians([0, d, d, 0], [0, 0, d, d])
+    assert sq == pytest.approx(np.radians(d) ** 2, rel=1e-3)
+    # vertex order (orientation) must not change the magnitude
+    rev = s2.polygon_area_steradians([0, 0, d, d], [d, 0, 0, d])
+    assert rev == pytest.approx(sq, rel=1e-12)
+    # covering cells of a cap sum to roughly the cap's area
+    cap = s2.cap_area_steradians(10.0)
+    cov = s2.cap_covering(30.0, 20.0, 10.0, max_level=9, max_cells=128)
+    cells_area = 0.0
+    for c in cov:
+        vx, vy, vz = s2.cell_vertices(np.array([c]))
+        cells_area += s2.polygon_area_steradians(
+            np.degrees(np.arctan2(vy[0], vx[0])),
+            np.degrees(np.arctan2(vz[0], np.sqrt(vx[0]**2 + vy[0]**2))))
+    assert cap < cells_area < cap * 1.35  # covering ⊇ cap, modest excess
+    with pytest.raises(ValueError):
+        s2.polygon_area_steradians([0, 1], [0, 1])

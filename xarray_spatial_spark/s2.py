@@ -654,6 +654,35 @@ def polygon_covering(
                     dtype=np.int64)
 
 
+def polygon_area_steradians(lons, lats) -> float:
+    """Area of a simple spherical polygon (geodesic edges, smaller
+    than a hemisphere) by summing signed triangle areas from the first
+    vertex (L'Huilier's theorem per triangle; signs from the triple
+    product).  Multiply by R² for a physical area."""
+    verts = _poly_xyz(lons, lats)
+    if len(verts) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    total = 0.0
+    a = verts[0]
+    for k in range(1, len(verts) - 1):
+        b, c = verts[k], verts[k + 1]
+        ab = np.arccos(np.clip(a @ b, -1, 1))
+        bc = np.arccos(np.clip(b @ c, -1, 1))
+        ca = np.arccos(np.clip(c @ a, -1, 1))
+        s = (ab + bc + ca) / 2
+        t = np.tan(s / 2) * np.tan((s - ab) / 2) \
+            * np.tan((s - bc) / 2) * np.tan((s - ca) / 2)
+        e = 4 * np.arctan(np.sqrt(max(t, 0.0)))
+        sign = 1.0 if float(np.dot(a, np.cross(b, c))) >= 0 else -1.0
+        total += sign * e
+    return abs(total)
+
+
+def cap_area_steradians(radius_deg: float) -> float:
+    """Area of a spherical cap: 2π(1 - cos r)."""
+    return 2 * np.pi * (1 - np.cos(np.radians(radius_deg)))
+
+
 # ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------
