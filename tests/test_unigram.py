@@ -252,3 +252,32 @@ def test_encode_roundtrip_and_ids(spark, docs):
 def test_train_validates_shrink(spark, docs):
     with pytest.raises(ValueError):
         U.train_unigram(word_histogram(docs), shrink=1.5)
+
+
+def test_tokenizer_persistence_roundtrip(spark, docs, tmp_path):
+    """Saved models reload to identical segmentations — the artifact
+    contract between the training job and tokenizer workers."""
+    from xarray_spatial_spark.functions.bpe import (
+        bpe_encode, load_bpe, save_bpe, train_bpe)
+
+    hist = word_histogram(docs)
+    logp = U.train_unigram(hist, vocab_size=30, seed_size=40,
+                           max_piece_len=5, em_iters=1, shrink=0.7)
+    p1 = str(tmp_path / "uni.json")
+    U.save_unigram(logp, p1)
+    back = U.load_unigram(p1)
+    assert back == logp
+    a = U.unigram_encode(docs, logp, max_piece_len=5).orderBy("doc_id").collect()
+    b = U.unigram_encode(docs, back, max_piece_len=5).orderBy("doc_id").collect()
+    assert [r["pieces"] for r in a] == [r["pieces"] for r in b]
+
+    merges = train_bpe(hist, n_merges=50)
+    p2 = str(tmp_path / "bpe.json")
+    save_bpe(merges, p2)
+    merges2 = load_bpe(p2)
+    assert merges2 == merges
+    x = bpe_encode(docs, merges).orderBy("doc_id").collect()
+    y = bpe_encode(docs, merges2).orderBy("doc_id").collect()
+    assert [r["bpe_tokens"] for r in x] == [r["bpe_tokens"] for r in y]
+    with pytest.raises(ValueError):
+        U.load_unigram(p2)

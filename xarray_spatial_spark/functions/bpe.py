@@ -296,3 +296,24 @@ def bpe_encode_ids(
         return pd.Series(out)
 
     return df.withColumn(out_col, _ids(F.col(text_col)))
+
+
+def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the ordered merge list as deterministic JSON."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"type": "bpe", "merges": [list(m) for m in merges]},
+                  f, ensure_ascii=False)
+
+
+def load_bpe(path: str) -> list[tuple[str, str]]:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("type") != "bpe":
+        raise ValueError(f"not a bpe model file: {path}")
+    return [tuple(m) for m in d["merges"]]

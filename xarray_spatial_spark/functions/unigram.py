@@ -356,3 +356,25 @@ def unigram_token_count(
 ) -> DataFrame:
     enc = unigram_encode(df, logp, text_col, "__pieces", max_piece_len)
     return enc.withColumn(out_col, F.size("__pieces")).drop("__pieces")
+
+
+def save_unigram(logp: dict[str, float], path: str) -> None:
+    """Persist the piece table as deterministic JSON (sorted keys) —
+    the artifact a training job ships to its tokenizer workers."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"type": "unigram", "pieces": dict(sorted(logp.items()))},
+                  f, ensure_ascii=False, sort_keys=True)
+
+
+def load_unigram(path: str) -> dict[str, float]:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("type") != "unigram":
+        raise ValueError(f"not a unigram model file: {path}")
+    return {str(k): float(v) for k, v in d["pieces"].items()}
