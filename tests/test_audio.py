@@ -353,3 +353,45 @@ def test_audio_fingerprint_distributed_matches_local(spark):
         x, rate = au.decode_audio_bytes(
             au.encode_wav(_pcm16(c), 16000, "pcm"))
         assert got[i] == au._fingerprint_bits(x, rate)
+
+
+def test_log_mel_spectrogram_tone_localization():
+    """A pure tone concentrates energy in the mel band whose center is
+    nearest the tone; silence sits at the log floor."""
+    import numpy as np
+
+    from xarray_spatial_spark.operators.audio import (
+        _mel_filterbank, log_mel_spectrogram)
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    for hz in (500, 1000, 3000):
+        m = log_mel_spectrogram(np.sin(2 * np.pi * hz * t), rate)
+        assert m.shape == (61, 40)
+        fb = _mel_filterbank(40, 512, rate)
+        freqs = np.fft.rfftfreq(512, 1 / rate)
+        centers = (fb * freqs).sum(1) / np.maximum(fb.sum(1), 1e-12)
+        peak = centers[m.mean(axis=0).argmax()]
+        assert abs(peak - hz) / hz < 0.25
+    sil = log_mel_spectrogram(np.zeros(rate), rate)
+    assert np.all(sil == np.log(1e-10))
+    # shorter-than-window input pads instead of failing
+    assert log_mel_spectrogram(np.ones(100), rate).shape[0] == 1
+
+
+def test_audio_features_distributed(spark):
+    import numpy as np
+
+    from xarray_spatial_spark.operators import audio as au
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    pcm = (np.sin(2 * np.pi * 700 * t) * 20000).astype(np.int16)
+    rows = [(0, au.encode_wav(pcm, rate, "pcm")),
+            (1, b"not audio at all")]
+    df = spark.createDataFrame(rows, "id: long, payload: binary")
+    out = {r["id"]: r for r in au.audio_features(df, max_frames=10).collect()}
+    assert out[0]["err"] is None
+    assert (out[0]["n_frames"], out[0]["n_mels"]) == (10, 40)
+    assert len(out[0]["features"]) == 400
+    assert out[1]["err"] and out[1]["n_frames"] == 0

@@ -763,3 +763,91 @@ def audio_near_duplicates(
         sig, hash_col="afp", id_col=id_col,
         max_hamming=max_hamming, n_blocks=n_blocks, n_docs=n_docs,
     )
+
+
+# ---------------------------------------------------------------------------
+# log-mel spectrogram features (ML feature extraction, from scratch)
+# ---------------------------------------------------------------------------
+
+
+def _mel_filterbank(n_mels: int, n_fft: int, rate: int) -> np.ndarray:
+    """Triangular mel filterbank (HTK mel scale, public formula
+    m = 2595 log10(1 + f/700)): (n_mels, n_fft//2 + 1)."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, float) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, float) / 2595.0) - 1.0)
+
+    mels = np.linspace(0.0, hz_to_mel(rate / 2), n_mels + 2)
+    freqs = mel_to_hz(mels)
+    bins = np.floor((n_fft + 1) * freqs / rate).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        lo, c, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, c):
+            if c > lo:
+                fb[m - 1, k] = (k - lo) / (c - lo)
+        for k in range(c, hi):
+            if hi > c:
+                fb[m - 1, k] = (hi - k) / (hi - c)
+    return fb
+
+
+def log_mel_spectrogram(
+    samples: np.ndarray, rate: int,
+    n_fft: int = 512, hop: int = 256, n_mels: int = 40,
+) -> np.ndarray:
+    """(frames, n_mels) log-mel energies — Hann window, rFFT power
+    spectrum, triangular mel filterbank, natural log with a 1e-10
+    floor.  Pure numpy (np.fft)."""
+    x = np.asarray(samples, np.float64)
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    win = np.hanning(n_fft)
+    frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[::hop][:n_frames]
+    spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+    fb = _mel_filterbank(n_mels, n_fft, rate)
+    return np.log(np.maximum(spec @ fb.T, 1e-10))
+
+
+def audio_features(
+    df: DataFrame, payload_col: str = "payload",
+    n_fft: int = 512, hop: int = 256, n_mels: int = 40,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """binary audio -> per-row log-mel feature matrix (flattened) +
+    shape columns — the ML feature-extraction stage.  Decode routes
+    through decode_audio_bytes (WAV family native, MP3/Ogg via system
+    libs); per-row errors surface in ``err``; scan-stage mapInPandas,
+    only the (small) feature vectors continue downstream."""
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema)
+    schema += (", n_frames int, n_mels int, features array<float>"
+               ", err string")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nf, nm, feats, errs = [], [], [], []
+            for p in pdf[payload_col]:
+                try:
+                    x, rate = decode_audio_bytes(bytes(p))
+                    m = log_mel_spectrogram(x, rate, n_fft, hop, n_mels)
+                    if max_frames is not None:
+                        m = m[:max_frames]
+                    nf.append(m.shape[0])
+                    nm.append(n_mels)
+                    feats.append(m.astype(np.float32).ravel())
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — crawl robustness
+                    nf.append(0)
+                    nm.append(0)
+                    feats.append(np.array([], np.float32))
+                    errs.append(f"{type(e).__name__}: {e}"[:200])
+            yield pdf.assign(
+                n_frames=pd.array(nf, dtype="int32"),
+                n_mels=pd.array(nm, dtype="int32"),
+                features=feats, err=errs)
+
+    return df.mapInPandas(_op, schema=schema)
