@@ -255,3 +255,28 @@ def test_media_kind_and_mixed_near_duplicates(spark):
     got = {(r["modality"], r["id_a"], r["id_b"]) for r in pairs}
     assert got == {("image", 0, 1), ("audio", 2, 3), ("video", 4, 5)}, got
     assert all(0.0 < r["similarity"] <= 1.0 for r in pairs)
+
+
+def test_image_quality_signals(spark):
+    """The media Gopher gate: flat fills, slivers and tiny images are
+    dropped; textured real-size images keep."""
+    rng2 = np.random.default_rng(3)
+    textured = rng2.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    flat = np.full((64, 64, 3), 200, np.uint8)
+    sliver = rng2.integers(0, 256, (8, 200, 3)).astype(np.uint8)
+    tiny = rng2.integers(0, 256, (4, 4, 3)).astype(np.uint8)
+    rows = [
+        (0, mm.encode_png(textured)),
+        (1, mm.encode_png(flat)),
+        (2, mm.encode_png(sliver)),
+        (3, mm.encode_png(tiny)),
+        (4, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "id: long, payload: binary")
+    out = {r["id"]: r for r in mm.image_quality_signals(df).collect()}
+    assert out[0]["keep"] and out[0]["px_entropy"] > 4
+    assert not out[1]["keep"] and out[1]["px_std"] == 0.0
+    assert not out[2]["keep"] and out[2]["aspect"] == 25.0
+    assert not out[3]["keep"] and (out[3]["width"], out[3]["height"]) == (4, 4)
+    assert not out[4]["keep"] and out[4]["err"]
+    assert out[0]["err"] is None

@@ -1173,3 +1173,72 @@ def video_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(_op, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# image quality signals — the media analog of the Gopher text gates
+# ---------------------------------------------------------------------------
+
+
+def image_quality_signals(
+    df: DataFrame, payload_col: str = "payload",
+    min_side: int = 32, max_aspect: float = 5.0,
+    min_std: float = 4.0, min_entropy: float = 1.0,
+) -> DataFrame:
+    """Cheap per-image statistics + a keep rule — the crawl gate that
+    drops tracking pixels, blank placeholders, banner slivers and
+    single-color fills BEFORE any expensive downstream stage:
+
+    * ``px_std``: luma standard deviation (0 for flat fills),
+    * ``px_entropy``: 64-bin luma histogram entropy in bits,
+    * dims / aspect ratio,
+    * ``keep``: min side, aspect, std and entropy thresholds.
+
+    Decode reuses the sniff_and_decode seam (errors -> err column,
+    keep = false); scan-stage mapInPandas, payloads never shuffle."""
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema)
+    schema += (", width int, height int, aspect double, px_std double"
+               ", px_entropy double, keep boolean, err string")
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, asp, std, ent, keep, errs = [], [], [], [], [], [], []
+            for p in pdf[payload_col]:
+                try:
+                    img = sniff_and_decode(bytes(p))
+                    if img.ndim == 3:
+                        luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                                + 0.114 * img[..., 2])
+                    else:
+                        luma = img.astype(np.float64)
+                    h, w = luma.shape
+                    s = float(luma.std())
+                    hist, _ = np.histogram(luma, bins=64, range=(0, 256))
+                    pk = hist / max(hist.sum(), 1)
+                    pk = pk[pk > 0]
+                    e = float(-(pk * np.log2(pk)).sum())
+                    a = max(w, h) / max(min(w, h), 1)
+                    ws.append(w)
+                    hs.append(h)
+                    asp.append(a)
+                    std.append(s)
+                    ent.append(e)
+                    keep.append(bool(
+                        min(w, h) >= min_side and a <= max_aspect
+                        and s >= min_std and e >= min_entropy))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — crawl robustness
+                    ws.append(0)
+                    hs.append(0)
+                    asp.append(0.0)
+                    std.append(0.0)
+                    ent.append(0.0)
+                    keep.append(False)
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
+            yield pdf.assign(
+                width=pd.array(ws, dtype="int32"),
+                height=pd.array(hs, dtype="int32"),
+                aspect=asp, px_std=std, px_entropy=ent, keep=keep, err=errs)
+
+    return df.mapInPandas(_op, schema=schema)
