@@ -507,3 +507,34 @@ def test_iceberg_schema_evolution_add_column(spark, docs, tmp_path):
     # unknown partition column refused
     with pytest.raises(ValueError, match="partition column"):
         I.write_iceberg(docs, str(tmp_path / "t2"), partition_by=["nope"])
+
+
+def test_iceberg_positional_deletes(spark, docs, tmp_path):
+    """delete_where locates rows by (file, row index) via parquet
+    _metadata and commits a position-delete snapshot: matching rows
+    vanish without any data rewrite; later appends are untouched
+    (pos deletes apply to files with seq <= their own); pre-delete
+    snapshots still time-travel."""
+    t = str(tmp_path / "tbl")
+    s1 = I.write_iceberg(docs, t, partition_by=["lang"])
+    total = docs.count()
+    n_kill = docs.filter("n_chars > 300").count()
+    assert 0 < n_kill < total
+    I.delete_where(spark, t, "n_chars > 300")
+    got = I.read_iceberg(spark, t)
+    assert got.count() == total - n_kill
+    assert got.filter("n_chars > 300").count() == 0
+    assert I.read_iceberg(spark, t, snapshot_id=s1).count() == total
+    assert I.snapshots(t)[-1]["summary"]["operation"] == "delete"
+    # a later append with big n_chars rows is NOT affected
+    readd = docs.filter("n_chars > 300").limit(5)
+    I.write_iceberg(readd, t, partition_by=["lang"])
+    now = I.read_iceberg(spark, t)
+    assert now.filter("n_chars > 300").count() == 5
+    assert now.count() == total - n_kill + 5
+    # combined with equality deletes on the same table: keys chosen
+    # from rows that SURVIVED the position delete, so the arithmetic
+    # is exact
+    keys = docs.filter("n_chars <= 300").limit(3).select("doc_id")
+    I.delete_equality(keys, t, ["doc_id"])
+    assert I.read_iceberg(spark, t).count() == total - n_kill + 5 - 3

@@ -514,7 +514,7 @@ def delete_files(table_dir: str, snapshot_id: int | None = None) -> list[dict]:
             if e["status"] == 2:
                 continue
             dfd = e["data_file"]
-            if dfd.get("content", 0) != 2:
+            if dfd.get("content", 0) not in (1, 2):
                 continue
             dfd = dict(dfd)
             dfd["_seq"] = (e["sequence_number"]
@@ -587,18 +587,41 @@ def read_iceberg(
                     f["name"],
                     _F.lit(None).cast(_SPARK_TYPE[f["type"]]))
         part = part.select(*[f["name"] for f in schema_fields])
+        from pyspark.sql import functions as _F
+
+        # v2 position deletes apply to data files with seq <= their
+        # own: anti-join on (file_path, row index) via _metadata
+        pos_dels = [d for d in dels
+                    if d.get("content") == 1 and d["_seq"] >= seq]
+        if pos_dels:
+            with_meta = spark.read.option("basePath", snap_dir).parquet(
+                *paths).withColumn(
+                "__fp", _F.regexp_replace(
+                    _F.col("_metadata.file_path"), "^file:", "")
+            ).withColumn("__pos", _F.col("_metadata.row_index"))
+            for f in schema_fields:
+                if f["name"] not in with_meta.columns:
+                    with_meta = with_meta.withColumn(
+                        f["name"],
+                        _F.lit(None).cast(_SPARK_TYPE[f["type"]]))
+            keys = spark.read.parquet(
+                *[d["file_path"] for d in pos_dels]).select(
+                _F.regexp_replace("file_path", "^file:", "").alias("__fp"),
+                _F.col("pos").alias("__pos"))
+            part = with_meta.join(
+                _F.broadcast(keys), ["__fp", "__pos"], "left_anti"
+            ).select(*[f["name"] for f in schema_fields])
         # v2 equality deletes: a delete applies to rows of data files
         # whose data sequence number is STRICTLY LESS than the
         # delete's (spec) — group-wise broadcast anti-joins
-        applicable = [d for d in dels if d["_seq"] > seq]
+        applicable = [d for d in dels
+                      if d.get("content") == 2 and d["_seq"] > seq]
         by_cols: dict[tuple, list[str]] = {}
         for d in applicable:
             by_cols.setdefault(tuple(d["_columns"]), []).append(
                 d["file_path"])
         for cols, dpaths in sorted(by_cols.items()):
             keys = spark.read.parquet(*dpaths).select(*cols).distinct()
-            from pyspark.sql import functions as _F
-
             part = part.join(_F.broadcast(keys), list(cols), "left_anti")
         out = part if out is None else out.unionByName(part)
     return out
@@ -927,3 +950,122 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
             os.remove(p)
             n_files += 1
     return {"snapshots": len(drop), "files": n_files}
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+) -> int:
+    """Commit a POSITION-DELETE snapshot (spec v2, data_file content
+    1): rows of the current snapshot matching the SQL ``predicate``
+    are located by (file_path, row index) through the parquet
+    ``_metadata`` columns — one distributed pass, no data rewrite —
+    and disappear from subsequent reads (position deletes apply to
+    data files with sequence number <= the delete's own).  Returns
+    the new snapshot id."""
+    from pyspark.sql import functions as F_
+
+    md = _load_metadata_with_version(table_dir)
+    meta_dir = os.path.join(table_dir, "metadata")
+    part_names = [f["name"] for f in md["partition-specs"][0]["fields"]]
+    type_by_name = {f["name"]: f["type"]
+                    for f in md["schemas"][md["current-schema-id"]]["fields"]}
+
+    files = data_files(table_dir)
+    data_root = os.path.join(table_dir, "data")
+    by_snap: dict[str, list[str]] = {}
+    for f in files:
+        rel = os.path.relpath(f["file_path"], data_root)
+        by_snap.setdefault(os.path.join(data_root, rel.split(os.sep)[0]),
+                           []).append(f["file_path"])
+    hits = None
+    for snap_dir, paths in sorted(by_snap.items()):
+        part = (
+            spark.read.option("basePath", snap_dir).parquet(*paths)
+            .withColumn("__fp", F_.regexp_replace(
+                F_.col("_metadata.file_path"), "^file:", ""))
+            .withColumn("__pos", F_.col("_metadata.row_index"))
+            .filter(predicate)
+            .select(F_.col("__fp").alias("file_path"),
+                    F_.col("__pos").alias("pos"))
+        )
+        hits = part if hits is None else hits.unionByName(part)
+
+    seq = md["last-sequence-number"] + 1
+    snap_id = int(time.time() * 1000) * 10 + seq % 10
+    del_dir = os.path.join(table_dir, "data", f"snap-{seq:05d}-posdel")
+    (hits.repartitionByRange(1, "file_path", "pos")
+     .sortWithinPartitions("file_path", "pos")
+     .write.mode("error").parquet(del_dir))
+
+    entries = []
+    n_rows = 0
+    for root, _dirs, fs in os.walk(del_dir):
+        for fn in fs:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            nrows = pq.ParquetFile(fp).metadata.num_rows
+            n_rows += nrows
+            entries.append({
+                "status": 1, "snapshot_id": snap_id,
+                "sequence_number": None, "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": fp,
+                    "file_format": "PARQUET",
+                    "partition": {c: None for c in part_names},
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(fp),
+                    "lower_bounds": None, "upper_bounds": None,
+                    "equality_ids": None,
+                },
+            })
+    part_fields = [(c, type_by_name[c]) for c in part_names]
+    man_path = os.path.join(meta_dir, f"manifest-{seq:05d}-posdel.avro")
+    avro.write_container(man_path, _manifest_schema(part_fields), entries)
+
+    cur = next(s for s in md["snapshots"]
+               if s["snapshot-id"] == md["current-snapshot-id"])
+    _, prior = avro.read_container(cur["manifest-list"])
+    entry = {
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    ml_path = os.path.join(meta_dir, f"snap-{snap_id}-manifest-list.avro")
+    avro.write_container(ml_path, _MANIFEST_LIST_SCHEMA, prior + [entry])
+
+    now = int(time.time() * 1000)
+    snap = {"snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now,
+            "summary": {"operation": "delete",
+                        "added-delete-files": str(len(entries)),
+                        "added-position-deletes": str(n_rows)},
+            "manifest-list": ml_path,
+            "schema-id": md["current-schema-id"]}
+    new_md = dict(md)
+    new_md.pop("__version", None)
+    new_md["last-sequence-number"] = seq
+    new_md["last-updated-ms"] = now
+    new_md["current-snapshot-id"] = snap_id
+    new_md["snapshots"] = md["snapshots"] + [snap]
+    new_md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": now}]
+    version = md["__version"] + 1
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(new_md, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snap_id
