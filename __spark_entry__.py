@@ -524,6 +524,24 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup RESOLUTION chain, oracle-backed end to end:
+    deterministic jaccard pairs -> transitive connected components ->
+    keep-one survivor election (longest text wins, tie -> smallest id)
+    -> per-doc audit row (functions/dedup.py:near_dup_resolution).
+    The pair generator is the exact n-gram Jaccard (already oracled in
+    'ngram_jaccard'); the CC + election + audit stages are what this
+    entry newly pins cross-engine (DuckDB recursive min-label CTE +
+    two-step arg-max election)."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text", F.length("text").alias("_len"))
+    )
+    pairs = dedup.ngram_jaccard_pairs(d, k=5, threshold=0.4)
+    return dedup.near_dup_resolution(d, pairs, score_col="_len")
+
+
 def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -1647,6 +1665,24 @@ def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strat.unionByName(ds).unionByName(sp)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES,
+    functions/corpus.py:weighted_sample): weight = n_chars, so the
+    draw approximates token-uniform selection — the mixture weighting
+    a training-data pipeline actually wants, with an EXACT output
+    size.  The key ln(u)/w is deterministic (Knuth-hash u from
+    doc_id), so DuckDB replays the identical top-40."""
+    from xarray_spatial_spark.functions.corpus import weighted_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("weight")
+    )
+    out = weighted_sample(d, n=40, weight_col="weight", seed=11)
+    return out.select(
+        "doc_id", "source", "weight", F.round("es_key", 6).alias("es_key")
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup (functions/similarity.py
     semantic_dedup) — kept-row roster; kmeans buckets have no sane
@@ -2044,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "snapshot_dedup": q_snapshot_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
@@ -2063,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "chunk_docs": q_chunk_docs,
         "strat_sample": q_strat_sample,
+        "weighted_sample": q_weighted_sample,
         "window_events": q_window_events,
         "warc_roundtrip": q_warc_roundtrip,
         "substring_dedup": q_substring_dedup,
@@ -2561,6 +2599,23 @@ def oracle_sql() -> dict[str, str]:
               )
             )
         """,
+        "weighted_sample": """
+            -- A-ES weighted sample: deterministic u from the same
+            -- Knuth hash (seed 11), key = ln(u)/w, top-40 by key desc
+            WITH k AS (
+              SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS weight,
+                     ln( ((((doc_id + 11) % 1000000007 + 1000000007)
+                            % 1000000007 * 2654435761) % 1000000007
+                          + 0.5) / 1000000007.0 )
+                       / CAST(n_chars AS DOUBLE) AS es_key
+              FROM documents
+              WHERE n_chars > 0
+            )
+            SELECT doc_id, source, weight, round(es_key, 6) AS es_key
+            FROM k
+            ORDER BY es_key DESC, doc_id ASC
+            LIMIT 40
+        """,
         "extract_text": """
             WITH h AS (
               SELECT doc_id, text,
@@ -2815,6 +2870,71 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.4
+        """,
+        "dedup_clusters": """
+            -- jaccard pairs (same CTE as 'ngram_jaccard') -> recursive
+            -- min-label CC (12 bounded rounds, fixed point is
+            -- round-count independent) -> survivor = longest text,
+            -- tie smallest id -> per-doc audit row
+            WITH RECURSIVE
+            d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+            idx AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+              FROM d
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS s
+              FROM idx
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.4
+            ),
+            sym AS (SELECT id_a AS s, id_b AS t FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT s AS node FROM sym),
+            adj AS (SELECT s, t FROM sym
+                    UNION SELECT node, node FROM nodes),
+            cc AS (
+              SELECT 0 AS it, node, node AS label FROM nodes
+              UNION ALL
+              SELECT c.it + 1, a.t AS node, MIN(c.label) AS label
+              FROM cc c JOIN adj a ON a.s = c.node
+              WHERE c.it < 12
+              GROUP BY c.it, a.t
+            ),
+            grp AS (SELECT node AS doc_id, label AS group_id
+                    FROM cc WHERE it = 12),
+            nm AS (SELECT group_id, count(*) AS n_members
+                   FROM grp GROUP BY 1),
+            lens AS (SELECT doc_id, length(text) AS L FROM d),
+            mx AS (
+              SELECT g.group_id, max(l.L) AS mL
+              FROM grp g JOIN lens l USING (doc_id) GROUP BY 1
+            ),
+            win AS (
+              SELECT g.group_id, min(g.doc_id) AS survivor
+              FROM grp g JOIN lens l USING (doc_id)
+              JOIN mx ON mx.group_id = g.group_id
+              WHERE l.L = mx.mL GROUP BY g.group_id
+            )
+            SELECT d.doc_id,
+                   coalesce(g.group_id, d.doc_id) AS group_id,
+                   coalesce(nm.n_members, 1) AS n_members,
+                   (g.group_id IS NULL OR d.doc_id = w.survivor) AS kept
+            FROM d
+            LEFT JOIN grp g ON g.doc_id = d.doc_id
+            LEFT JOIN nm ON nm.group_id = g.group_id
+            LEFT JOIN win w ON w.group_id = g.group_id
         """,
         "window_events": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,

@@ -577,3 +577,65 @@ def test_corpus_drift_identities_and_hand_case(spark):
         old.filter("lang = 'en'"), new).collect()}["en"]
     assert row["js_divergence"] == round(js, 6)
     assert row["vocab_new"] == 2 and row["docs_new"] == 1
+
+
+def test_weighted_sample_matches_numpy_replica(spark):
+    """A-ES top-n must equal a numpy replay of the exact same
+    arithmetic (hash -> u -> ln(u)/w -> n largest), pinning the
+    algorithm bit-for-bit; plus exact size, reproducibility, and a
+    TakeOrderedAndProject plan (partial per-partition top-n, no
+    corpus-scale sort)."""
+    import numpy as np
+    from xarray_spatial_spark.functions.corpus import weighted_sample
+
+    P = 1_000_000_007
+    ids = np.arange(1, 201, dtype=np.int64)
+    w = (ids % 17 + 1).astype(np.float64) * 3.5
+    df = spark.createDataFrame(
+        [(int(i), float(x)) for i, x in zip(ids, w)],
+        "doc_id long, weight double")
+
+    out = weighted_sample(df, n=12, weight_col="weight", seed=3)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert out.count() == 12
+
+    h = ((ids + 3) % P * 2654435761) % P
+    u = (h.astype(np.float64) + 0.5) / P
+    key = np.log(u) / w
+    want = sorted(ids[np.argsort(-key)][:12].tolist())
+    assert got == want
+
+    # deterministic rerun; different seed -> (almost surely) different set
+    assert sorted(r["doc_id"] for r in
+                  weighted_sample(df, n=12, weight_col="weight",
+                                  seed=3).collect()) == got
+    assert sorted(r["doc_id"] for r in
+                  weighted_sample(df, n=12, weight_col="weight",
+                                  seed=4).collect()) != got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_weights_drive_inclusion(spark):
+    """Non-positive weights are never sampled; a dominant weight is
+    effectively always in the sample; across seeds the heavy half of
+    the corpus is sampled far more often than the light half (the
+    A-ES w_i / sum w guarantee, checked statistically)."""
+    from xarray_spatial_spark.functions.corpus import weighted_sample
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(100)]
+    rows += [(100, 0.0), (101, -5.0), (102, 1e6)]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+
+    heavy = light = 0
+    for seed in range(8):
+        ids = {r["doc_id"] for r in
+               weighted_sample(df, n=20, weight_col="weight",
+                               seed=seed).collect()}
+        assert len(ids) == 20
+        assert not ids & {100, 101}      # non-positive: excluded
+        assert 102 in ids                # dominant weight: always in
+        heavy += sum(1 for i in ids if i < 50)
+        light += sum(1 for i in ids if 50 <= i < 100)
+    assert heavy > 4 * light

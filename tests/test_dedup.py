@@ -386,6 +386,42 @@ def test_near_dup_groups_end_to_end_minhash(spark):
     assert 3 not in groups  # unpaired docs form no group rows
 
 
+def test_near_dup_resolution_audit(spark):
+    """Per-doc audit view: singleton pass-through, score election
+    (highest score wins, tie -> smallest id), and kept-set equality
+    with the resolve_near_duplicates survivor list."""
+    from xarray_spatial_spark.functions.dedup import (
+        near_dup_resolution, resolve_near_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 1.0), (20, 7.0)],
+        schema="doc_id long, score double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], schema="id_a long, id_b long")
+    res = {r["doc_id"]: r for r in
+           near_dup_resolution(docs, pairs, score_col="score").collect()}
+    assert len(res) == 6
+    # cluster {1,2,3}: max score 9.0 shared by 2 and 3 -> smallest id 2
+    assert [res[i]["group_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [res[i]["n_members"] for i in (1, 2, 3)] == [3, 3, 3]
+    assert [res[i]["kept"] for i in (1, 2, 3)] == [False, True, False]
+    # cluster {10,11}: tie on score -> smallest id 10
+    assert (res[10]["kept"], res[11]["kept"]) == (True, False)
+    # unpaired doc: own singleton group, kept
+    assert (res[20]["group_id"], res[20]["n_members"], res[20]["kept"]) \
+        == (20, 1, True)
+    kept = {i for i, r in res.items() if r["kept"]}
+    survivors = {r["doc_id"] for r in
+                 resolve_near_duplicates(docs, pairs,
+                                         score_col="score").collect()}
+    assert kept == survivors == {2, 10, 20}
+    # no score: smallest id wins everywhere
+    res0 = {r["doc_id"]: r["kept"] for r in
+            near_dup_resolution(docs, pairs).collect()}
+    assert {i for i, k in res0.items() if k} == {1, 10, 20}
+
+
 def test_simhash_default_layout_runs_no_job(spark):
     """Omitting n_docs/n_blocks must not trigger a count job: the
     layout comes from optimizer stats.  An accumulator canary inside

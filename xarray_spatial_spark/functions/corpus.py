@@ -542,6 +542,56 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    u_col: Column | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, algorithm A-ES): each row draws ``es_key = ln(u) / w`` with
+    u ~ U(0,1) and w its weight, and the n LARGEST keys are an exact
+    weighted sample (the probability row i is drawn first is
+    w_i / sum w — the mixture sampler's guarantee with an EXACT output
+    size, which ``sample_mixture``'s Bernoulli fractions can't give).
+    ln(u)/w is the monotone log of the paper's u^(1/w): same order,
+    no underflow when web-scale weights push 1/w toward 0.
+
+    u derives deterministically from the id — the same
+    any-int64-safe Knuth multiplicative form as
+    :func:`stratified_sample` (``((id + seed) % P * 2654435761) % P``
+    with P = 1e9+7, then +0.5 and /P to land strictly inside (0,1)) —
+    so reruns, resumes, and a SQL oracle all reproduce the identical
+    sample; ``u_col`` overrides the generator, ``seed`` redraws it.
+    Non-positive weights are excluded (zero weight = never sampled,
+    per the paper's support).
+
+    Scale: no normalisation pass (keys compare raw, so sum(w) is never
+    needed) and ``orderBy(desc).limit(n)`` plans as
+    TakeOrderedAndProject — per-partition partial top-n, one n-row
+    merge, no corpus-scale sort or shuffle.  The whole sample is ONE
+    job over one scan."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    P = 1_000_000_007
+    if u_col is None:
+        h = F.pmod(
+            F.pmod(F.col(id_col) + F.lit(seed), F.lit(P))
+            * F.lit(2654435761),
+            F.lit(P),
+        )
+        u_col = (h.cast("double") + F.lit(0.5)) / F.lit(float(P))
+    key = F.log(u_col) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(n)
+    )
+
+
 def crawl_to_corpus(
     records: DataFrame,
     min_words: int = 50,

@@ -1342,3 +1342,58 @@ def resolve_near_duplicates(
             F.col("doc_id") != F.col("_win"))
     return docs.join(
         losers.select(F.col("doc_id").alias(id_col)), id_col, "left_anti")
+
+
+def near_dup_resolution(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Per-document AUDIT of the keep-one decision that
+    :func:`resolve_near_duplicates` applies: one row per input doc with
+    ``(doc_id, group_id, n_members, kept)``.  Docs in no candidate pair
+    are their own singleton group (``n_members = 1``, kept).  Within a
+    transitive cluster the survivor is the highest-``score_col`` member
+    (ties -> smallest id), or the smallest id when no score is given —
+    identical rules to the apply step, so ``kept`` rows == the
+    survivor set.
+
+    Production dedup pipelines need this view, not just the survivor
+    list: removal-rate reporting, cluster-size histograms, and manual
+    spot checks of what was dropped all read it (the reference-world
+    analog is the "dedup manifest" audit table).
+
+    Scale: ``groups``/``sizes``/``winners`` are CLUSTERED-docs-sized
+    (pairs come from sub-quadratic LSH, so clustered docs << corpus);
+    the only corpus-scale exchange is the final left join on id, and
+    the clustered-side tables broadcast when small."""
+    groups = near_dup_groups(pairs, id_a=id_a, id_b=id_b)
+    sizes = groups.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    if score_col is None:
+        winners = groups.groupBy("group_id").agg(
+            F.min("doc_id").alias("_win"))
+    else:
+        scored = groups.join(
+            docs.select(F.col(id_col).alias("doc_id"), score_col), "doc_id")
+        winners = scored.groupBy("group_id").agg(
+            F.expr(f"max_by(doc_id, struct({score_col}, -doc_id))")
+            .alias("_win"))
+    ann = (
+        groups.join(sizes, "group_id").join(winners, "group_id")
+        .select(F.col("doc_id").alias("_gd"), "group_id", "n_members",
+                (F.col("doc_id") == F.col("_win")).alias("kept"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(ann, F.col("doc_id") == F.col("_gd"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("group_id", F.col("doc_id")).alias("group_id"),
+            F.coalesce("n_members", F.lit(1)).alias("n_members"),
+            F.coalesce("kept", F.lit(True)).alias("kept"),
+        )
+    )
