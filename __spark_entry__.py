@@ -1219,8 +1219,12 @@ def q_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub with planted emails / IPs / phones
-    (functions/text.py:redact_pii; chained codegen regexp_replace)."""
+    """PII scrub with planted emails / IPs / phones / cards
+    (functions/text.py:redact_pii + redact_cards).  The card branch
+    pins Luhn VALIDATION cross-engine: doc_id%8==3 plants a
+    Luhn-valid card (must become <CARD>), %8==7 a checksum-failing
+    twin (must survive card redaction — only the phone pattern may
+    touch it)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     planted = d.withColumn(
         "text",
@@ -1230,9 +1234,16 @@ def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.concat(F.col("text"), F.lit(" from 10.0.42.7 today")))
         .when(F.col("doc_id") % 4 == 2,
               F.concat(F.col("text"), F.lit(" call +1 (555) 123-4567 now")))
-        .otherwise(F.col("text")),
+        .when(F.col("doc_id") % 8 == 3,
+              F.concat(F.col("text"), F.lit(" pay 4111 1111 1111 1111 now")))
+        .otherwise(
+            F.concat(F.col("text"), F.lit(" ref 4111-1111-1111-1112 x"))),
     )
-    return planted.select("doc_id", tx.redact_pii(F.col("text")).alias("redacted"))
+    return planted.select(
+        "doc_id",
+        tx.redact_pii(F.col("text")).alias("redacted"),
+        tx.redact_cards(F.col("text")).alias("card_redacted"),
+    )
 
 
 def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3331,10 +3342,13 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN doc_id % 4 = 0 THEN text || ' contact bob@example.com'
                      WHEN doc_id % 4 = 1 THEN text || ' from 10.0.42.7 today'
                      WHEN doc_id % 4 = 2 THEN text || ' call +1 (555) 123-4567 now'
-                     ELSE text END AS text
+                     WHEN doc_id % 8 = 3 THEN text || ' pay 4111 1111 1111 1111 now'
+                     ELSE text || ' ref 4111-1111-1111-1112 x' END AS text
               FROM documents
             )
-            SELECT doc_id, {tx.redact_pii_sql("text")} AS redacted FROM p
+            SELECT doc_id, {tx.redact_pii_sql("text")} AS redacted,
+                   {tx.redact_cards_sql("text")} AS card_redacted
+            FROM p
         """,
         "gopher": _gopher_oracle(),
         "corpus": _corpus_oracle(),

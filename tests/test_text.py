@@ -691,3 +691,34 @@ def test_fix_mojibake_null_and_idempotent(spark):
     # repairing repaired text is a no-op
     twice = fixed.select(tx.fix_mojibake(F.col("f")).alias("g")).collect()
     assert {r["g"] for r in twice} == {None, "café"}
+
+
+def test_redact_cards_luhn_validation(spark):
+    """Luhn-valid card numbers (space/dash/bare separators, Visa 16,
+    Amex 15) are replaced; checksum-failing or over-long digit runs
+    survive; 'card' in redact_pii kinds runs before the phone rule."""
+    from xarray_spatial_spark.functions.text import redact_cards, redact_pii
+
+    rows = [
+        (1, "pay 4111 1111 1111 1111 now"),      # valid Visa, spaces
+        (2, "pay 4111 1111 1111 1112 now"),      # checksum fails
+        (3, "two 4111-1111-1111-1111 and 5500 0000 0000 0004 ok"),
+        (4, "amex 378282246310005 yes"),          # valid, 15 bare digits
+        (5, "id 1234567890123456789012 long"),    # 22 digits: no match
+        (6, "plain text no digits"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["r"] for r in df.select(
+        "doc_id", redact_cards(F.col("text")).alias("r")).collect()}
+    assert got[1] == "pay <CARD> now"
+    assert got[2] == rows[1][1]
+    assert got[3] == "two <CARD> and <CARD> ok"
+    assert got[4] == "amex <CARD> yes"
+    assert got[5] == rows[4][1]
+    assert got[6] == rows[5][1]
+
+    # via redact_pii kinds: card redaction wins over the phone pattern
+    full = df.filter("doc_id = 1").select(redact_pii(
+        F.col("text"), kinds=("email", "ip", "phone", "card")).alias("r")
+    ).first()["r"]
+    assert full == "pay <CARD> now"

@@ -197,12 +197,81 @@ PII_PATTERNS = [
 ]
 
 
+# Card-shaped digit run: 13-19 digits, single space/dash separators
+# allowed.  The trailing \b (no lookarounds — RE2 has none) means a
+# 20+-digit run matches NOWHERE (no 19-digit prefix is falsely taken):
+# every candidate is a maximal run.  Same pattern verbatim both engines.
+CARD_PATTERN = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_valid(candidate: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812) over the digits of a card-shaped
+    string, plus the 13-19 digit length rule — pure Catalyst: digits
+    via regexp_extract_all on the REVERSED string (so index i counts
+    from the rightmost digit, the direction Luhn doubles in), an
+    indexed ``transform`` doubling odd positions, one ``aggregate``
+    sum.  Lambda ops run interpreted but over <=19 elements per
+    candidate, and only on regex-matched candidates."""
+    digits = F.regexp_extract_all(F.reverse(candidate), F.lit("[0-9]"), 0)
+
+    def dval(x: Column) -> Column:
+        return F.ascii(x) - 48
+
+    vals = F.transform(
+        digits,
+        lambda x, i: F.when(
+            i % 2 == 1,
+            F.when(dval(x) * 2 > 9, dval(x) * 2 - 9).otherwise(dval(x) * 2),
+        ).otherwise(dval(x)),
+    )
+    total = F.aggregate(vals, F.lit(0), lambda a, b: a + b)
+    return (total % 10 == 0) & F.size(digits).between(13, 19)
+
+
+def redact_cards(text: Column, token: str = "<CARD>") -> Column:
+    """Replace Luhn-VALID card numbers with ``token``; card-shaped
+    digit runs that fail the checksum (or fall outside 13-19 digits)
+    survive untouched — checksum validation a bare regexp_replace
+    can't express, so this is the one PII kind that isn't a
+    PII_PATTERNS row.  Candidates fold left-to-right in regex match
+    order (deterministic; re-replacing a repeated literal is a no-op),
+    all scan-stage with no extra exchange."""
+    cands = F.regexp_extract_all(text, F.lit(CARD_PATTERN), 0)
+    valid = F.filter(cands, luhn_valid)
+    return F.aggregate(
+        valid, text, lambda acc, c: F.replace(acc, c, F.lit(token)))
+
+
+def redact_cards_sql(text_expr: str, token: str = "<CARD>") -> str:
+    """DuckDB twin of :func:`redact_cards` — identical candidate
+    regex, Luhn arithmetic (DuckDB list indexes are 1-based, so the
+    doubled positions are the EVEN i), and left-to-right replace fold
+    (list_reduce seeded by prepending the text itself)."""
+    luhn = (
+        "list_sum(list_transform(regexp_extract_all(reverse(c), '[0-9]'),"
+        " (x, i) -> CASE WHEN i % 2 = 0 THEN"
+        " CASE WHEN (ascii(x)-48)*2 > 9 THEN (ascii(x)-48)*2 - 9"
+        " ELSE (ascii(x)-48)*2 END"
+        " ELSE ascii(x)-48 END)) % 10 = 0"
+        " AND len(regexp_extract_all(reverse(c), '[0-9]'))"
+        " BETWEEN 13 AND 19"
+    )
+    return (
+        f"list_reduce(list_prepend({text_expr},"
+        f" list_filter(regexp_extract_all({text_expr}, '{CARD_PATTERN}'),"
+        f" c -> {luhn})), (acc, c) -> replace(acc, c, '{token}'))"
+    )
+
+
 def redact_pii(text: Column, kinds: tuple[str, ...] = ("email", "ip", "phone")) -> Column:
     """Scrub emails / IPv4s / phone-shaped digit runs with typed
     placeholders — the standard pre-training privacy pass.  A chain of
     ``regexp_replace`` (codegen, scan-stage); heuristic by design —
-    swap patterns per policy, keep the ordering rule above."""
-    out = text
+    swap patterns per policy, keep the ordering rule above.  Include
+    ``"card"`` in ``kinds`` for Luhn-validated card redaction
+    (:func:`redact_cards`); it runs FIRST so the phone pattern can't
+    eat a valid card's digits."""
+    out = redact_cards(text) if "card" in kinds else text
     for kind, pat, rep in PII_PATTERNS:
         if kind in kinds:
             out = F.regexp_replace(out, pat, rep)
@@ -212,7 +281,7 @@ def redact_pii(text: Column, kinds: tuple[str, ...] = ("email", "ip", "phone")) 
 def redact_pii_sql(text_expr: str, kinds: tuple[str, ...] = ("email", "ip", "phone")) -> str:
     """DuckDB twin of :func:`redact_pii` (same patterns, same order;
     'g' flag because DuckDB replaces first-match by default)."""
-    out = text_expr
+    out = redact_cards_sql(text_expr) if "card" in kinds else text_expr
     for kind, pat, rep in PII_PATTERNS:
         if kind in kinds:
             sql_pat = pat.replace("'", "''")
