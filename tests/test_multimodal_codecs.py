@@ -383,3 +383,37 @@ def test_jpeg_fill_bytes_and_scan_mismatch():
         + rgb[j + 2 + ln:]
     np.testing.assert_array_equal(jpeg.decode_jpeg(y_only),
                                   np.zeros((8, 8, 3), np.uint8))
+
+
+def test_jpeg_16bit_quant_tables_decode():
+    """Pq=1 DQT segments (16-bit quant values, T.81 B.2.4.1): rewrite
+    the encoder's 8-bit tables as 16-bit with identical values — the
+    decode must be pixel-identical to the 8-bit stream."""
+    import struct
+
+    from xarray_spatial_spark.operators import jpeg
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    buf = jpeg.encode_jpeg(img)
+
+    out, pos = bytearray(buf[:2]), 2
+    while pos + 1 < len(buf):
+        marker = buf[pos + 1]
+        if buf[pos] != 0xFF or marker in (0x00, 0xFF) or marker == 0xDA:
+            out += buf[pos:]
+            break
+        seg_len = struct.unpack(">H", buf[pos + 2: pos + 4])[0]
+        seg = buf[pos + 2 + 2: pos + 2 + seg_len]
+        if marker == 0xDB:
+            pq_tq, vals = seg[0], seg[1:65]
+            assert pq_tq >> 4 == 0 and len(seg) == 65
+            body = bytes([0x10 | pq_tq]) + b"".join(
+                struct.pack(">H", v) for v in vals)
+            out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+        else:
+            out += buf[pos: pos + 2 + seg_len]
+        pos += 2 + seg_len
+
+    np.testing.assert_array_equal(jpeg.decode_jpeg(bytes(out)),
+                                  jpeg.decode_jpeg(buf))

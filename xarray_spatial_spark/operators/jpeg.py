@@ -394,12 +394,15 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[ZIGZAG] = np.frombuffer(seg, np.uint8, 64, p + 1)
+                if pq:  # 16-bit table (T.81 B.2.4.1, Pq=1)
+                    tbl[ZIGZAG] = np.frombuffer(
+                        seg, ">u2", 64, p + 1).astype(np.int64)
+                    p += 129
+                else:
+                    tbl[ZIGZAG] = np.frombuffer(seg, np.uint8, 64, p + 1)
+                    p += 65
                 qt[tq] = tbl.reshape(8, 8)
-                p += 65
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             progressive = marker == 0xC2
             if seg[0] != 8:
