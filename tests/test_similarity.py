@@ -49,11 +49,20 @@ def test_topk_broadcast_matches_expr(spark, emb):
 
 
 def test_topk_broadcast_parallelism_invariant(spark, emb):
+    """Same ids and ranks at any partitioning.  Cosine VALUES are
+    compared to ulp tolerance, not bit-equality: the per-batch matmul
+    goes through BLAS, whose blocking (and thus float accumulation
+    order) depends on the batch's row count, so different partition
+    boundaries legitimately move the last ulp."""
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").limit(3)
     a = sim.cosine_topk_broadcast(emb.repartition(1), queries, k=4).collect()
     b = sim.cosine_topk_broadcast(emb.repartition(7), queries, k=4).collect()
     key = lambda r: (r["query_id"], r["rank"])
-    assert sorted(a, key=key) == sorted(b, key=key)
+    a, b = sorted(a, key=key), sorted(b, key=key)
+    assert [(r["query_id"], r["rank"], r["vec_id"]) for r in a] == \
+        [(r["query_id"], r["rank"], r["vec_id"]) for r in b]
+    np.testing.assert_allclose([r["cosine"] for r in a],
+                               [r["cosine"] for r in b], rtol=1e-12)
 
 
 def test_ivf_recall(spark, emb):
