@@ -1694,6 +1694,28 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (functions/similarity.py:pq_train/
+    pq_encode/pq_topk): train deterministic codebooks, encode the
+    corpus to m-byte codes, ADC top-10 per query with exact rerank of
+    the top-40.  Rows-only (codebook arithmetic has no sane SQL twin);
+    pytest pins encode bit-equality vs numpy, recall vs brute force,
+    and rerank==exact-cosine on survivors."""
+    from xarray_spatial_spark.functions.similarity import (
+        pq_encode, pq_topk, pq_train,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    cb = pq_train(e, m=16, n_codes=32, sample=2000)
+    codes = pq_encode(e, cb)
+    q = e.select(F.col("vec_id").alias("query_id"), "embedding").filter(
+        "query_id % 50 = 3")
+    out = pq_topk(codes, q, cb, k=10, rerank=40, corpus=e)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias(
+        "cosine"), "rank")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup (functions/similarity.py
     semantic_dedup) — kept-row roster; kmeans buckets have no sane
@@ -2126,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain": q_terrain,
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
+        "pq_topk": q_pq_topk,
         "host_cap_salted": q_host_cap_salted,
         "link_graph": q_link_graph,
         "anchor_text": q_anchor_text,

@@ -58,6 +58,9 @@ def test_oracle_keys_subset_of_queries():
         "minhash_pairs", "simhash_groups", "simhash_neardup",
         "polygonize", "a_star", "viewshed", "terrain",
         "embedding_neardup", "semantic_dedup",
+        # PQ codebook/ADC arithmetic has no SQL twin; encode bit-parity
+        # vs numpy, recall floor, and rerank==exact are pytest-pinned
+        "pq_topk",
         # ring variant is oracle-backed inside the "knn" union; this
         # standalone entry keeps the bench series comparable across
         # rounds

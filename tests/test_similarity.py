@@ -264,3 +264,70 @@ def test_semantic_dedup_chunked_matches_unchunked(spark):
                semantic_dedup(df, threshold=0.99, n_clusters=3,
                               chunk=10**6).collect())
     assert a == b and len(a) <= 5 * 3  # collapsed per (cluster, bucket)
+
+
+def test_pq_encode_matches_numpy_replica(spark, emb):
+    """Distributed PQ encoding must equal a numpy replay of the same
+    argmin assignment against the same codebooks, at any partitioning;
+    codes are exactly m bytes."""
+    cb = sim.pq_train(emb, m=8, n_codes=16, sample=500)
+    assert cb.shape == (8, 16, 8)
+    enc = {r["vec_id"]: bytes(r["pq_code"]) for r in
+           sim.pq_encode(emb.repartition(7), cb).collect()}
+    pdf = emb.toPandas()
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    for i, vid in enumerate(pdf["vec_id"]):
+        code = enc[vid]
+        assert len(code) == 8
+        for j in range(8):
+            sub = vecs[i, j * 8: (j + 1) * 8]
+            want = int(np.argmin(((cb[j] - sub) ** 2).sum(axis=1)))
+            assert code[j] == want, (vid, j)
+
+
+def test_pq_train_deterministic(spark, emb):
+    a = sim.pq_train(emb, m=4, n_codes=8, sample=300)
+    b = sim.pq_train(emb.repartition(5), m=4, n_codes=8, sample=300)
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_train(emb, m=7)
+
+
+def test_pq_topk_recall_planted_and_rerank(spark, emb):
+    """ADC recall@10 vs brute force is high on the clustered table; a
+    query that IS a corpus vector comes back rank 1; the rerank stage
+    returns EXACT cosines (matching cosine_topk_broadcast bit-for-bit
+    on the shared survivors) and recall at least as good as raw ADC."""
+    cb = sim.pq_train(emb, m=16, n_codes=32, sample=500)
+    codes = sim.pq_encode(emb, cb).cache()
+    queries = emb.select(F.col("vec_id").alias("query_id"),
+                         "embedding").filter("query_id % 50 = 3")
+
+    exact = sim.cosine_topk_broadcast(emb, queries, k=10)
+    want = {}
+    for r in exact.collect():
+        want.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
+
+    adc = sim.pq_topk(codes, queries, cb, k=10).collect()
+    got_adc = {}
+    for r in adc:
+        got_adc.setdefault(r["query_id"], set()).add(r["vec_id"])
+        if r["rank"] == 1:
+            # self-query: the planted identical vector wins ADC too
+            assert r["vec_id"] == r["query_id"]
+    hits = sum(len(got_adc[q] & set(w)) for q, w in want.items())
+    total = sum(len(w) for w in want.values())
+    assert hits / total >= 0.6, f"ADC recall {hits}/{total}"
+
+    rr = sim.pq_topk(codes, queries, cb, k=10, rerank=40,
+                     corpus=emb).collect()
+    got_rr = {}
+    for r in rr:
+        got_rr.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]
+    hits_rr = sum(len(set(got_rr[q]) & set(w)) for q, w in want.items())
+    assert hits_rr >= hits
+    for q, w in want.items():  # exact re-scores match the exact path
+        for vid in set(got_rr[q]) & set(w):
+            assert got_rr[q][vid] == pytest.approx(w[vid], rel=1e-9)

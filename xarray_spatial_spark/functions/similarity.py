@@ -16,6 +16,12 @@ proximity family:
 Also ``cosine_topk_expr``: a pure-expression brute force (explode-free
 zip_with dot product vs a literal query vector) used for
 oracle-checkable single-query top-k.
+
+Plus the compression leg: ``pq_train`` / ``pq_encode`` / ``pq_topk``
+(product quantization, Jegou et al. 2011) — m-byte codes instead of
+KB-scale float vectors, ADC table-lookup scoring, optional exact
+rerank of the short list.  At 100 TB of raw embeddings the code table
+is ~1 TB; the ADC scan touches ONLY it.
 """
 
 from __future__ import annotations
@@ -451,3 +457,221 @@ def semantic_dedup(
         _bucket_dupes, schema=f"{id_col} long"
     )
     return corpus.join(dupes, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression leg)
+# ---------------------------------------------------------------------------
+
+def _pq_kmeans(x: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
+    """Deterministic EUCLIDEAN Lloyd's (PQ codebooks quantize raw
+    subvectors, so unlike :func:`_spherical_kmeans` there is no
+    normalization step).  Init = first k rows of the caller's
+    hash-ordered sample; empty cells respawn on the worst-served
+    points.  No RNG anywhere."""
+    c = x[: min(k, len(x))].copy()
+    k = len(c)
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        newc = np.zeros_like(c)
+        np.add.at(newc, assign, x)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        if empty.any():
+            worst = np.argsort(-d2[np.arange(len(x)), assign])
+            newc[empty] = x[worst[: int(empty.sum())]]
+            counts[empty] = 1
+        newc /= counts[:, None]
+        if np.allclose(newc, c, atol=1e-9):
+            return newc
+        c = newc
+    return c
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int | None = None,
+    iters: int = 12,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jegou et al. 2011): the
+    vector splits into ``m`` contiguous subvectors, each quantized by
+    its own ``n_codes``-entry Euclidean k-means codebook.  Returns
+    ``(m, n_codes, dim//m)`` float64 — a driver-side artifact a few
+    hundred KB large that BROADCASTS; training reads only a
+    hash-ordered sample (deterministic, parallelism-independent), one
+    bounded collect like :func:`_centroids`."""
+    if sample is None:
+        sample = max(16384, 64 * n_codes)
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 61)))
+        .limit(sample)
+        .collect()
+    )
+    vecs = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    dim = vecs.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n_codes > 256:
+        raise ValueError("n_codes > 256 needs >1 byte per code")
+    dsub = dim // m
+    return np.stack([
+        _pq_kmeans(vecs[:, j * dsub: (j + 1) * dsub], n_codes, iters)
+        for j in range(m)
+    ])
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """(id, m-byte binary code) — each subvector's nearest codebook
+    entry, one byte per subspace.  THE scale artifact: a 256-dim
+    float32 corpus stores 1 KB/vector; its m=8 code table stores 8 B
+    (128x), small enough to keep hot or even broadcast at sizes where
+    the raw vectors can't be scanned interactively.  Zero shuffle:
+    codebooks broadcast, assignment is a map-only Arrow pass
+    (||x-c||^2 = ||x||^2 - 2x.c + ||c||^2 via one matmul per
+    subspace)."""
+    m, _, dsub = codebooks.shape
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(codebooks)
+    schema = f"{id_col} long, {out_col} binary"
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = bc.value
+        cnorm2 = [(cb[j] ** 2).sum(axis=1) for j in range(m)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(vecs), m), dtype=np.uint8)
+            for j in range(m):
+                sub = vecs[:, j * dsub: (j + 1) * dsub]
+                d2 = cnorm2[j][None, :] - 2.0 * (sub @ cb[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                out_col: [c.tobytes() for c in codes],
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(_op, schema=schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    rerank: int | None = None,
+    corpus: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, an
+    inner-product lookup table ``dt[m, n_codes]`` (query subvector x
+    codebook) computes each stored vector's approximate score as m
+    TABLE LOOKUPS + a sum — no float vector is ever read.  Broadcast
+    queries + codebooks; per-partition partial top-k; one k-row-per-
+    query final window (the :func:`cosine_topk_broadcast` shape over
+    a 100x smaller scan).
+
+    ``rerank=r`` re-scores each query's top-r ADC candidates EXACTLY
+    by joining those ids (a k-scale, not corpus-scale, join) back to
+    ``corpus`` and ranking on true cosine — the standard two-stage
+    recall fix.  Scores are cosine against the RECONSTRUCTED vector
+    when unreranked (queries normalized driver-side; reconstruction
+    norms from the lookup tables are approximate by design)."""
+    if rerank is not None and corpus is None:
+        raise ValueError("rerank needs the raw-vector corpus frame")
+    m, n_codes, dsub = codebooks.shape
+    sc = codes.sparkSession.sparkContext
+    qpdf = queries.select(query_id, vec_col).toPandas()
+    qids = qpdf[query_id].to_numpy()
+    qmat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn[:, None]
+    bc = sc.broadcast((qids, qmat, codebooks))
+    n_out = max(k, rerank or 0)
+    schema = f"{query_id} long, {id_col} long, score double"
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, qm, cb = bc.value
+        # dt[q, j, c] = q_sub_j . codebook[j][c]; recon norm^2 rides a
+        # second table so the score is cosine vs the reconstruction
+        qsubs = qm.reshape(len(qm), m, dsub)
+        dt = np.einsum("qjd,jcd->qjc", qsubs, cb)
+        rn2 = np.stack([(cb[j] ** 2).sum(axis=1) for j in range(m)])
+        best: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.stack([
+                np.frombuffer(b, dtype=np.uint8) for b in pdf[code_col]
+            ]).astype(np.int64)
+            cids = pdf[id_col].to_numpy()
+            jj = np.arange(m)[None, :]
+            norms = np.sqrt(rn2[jj, cmat].sum(axis=1)).clip(1e-12)
+            kk = min(n_out, len(cids))
+            for q in range(len(ids_q)):
+                s = dt[q][jj, cmat].sum(axis=1) / norms
+                rows = np.argpartition(-s, kk - 1)[:kk]
+                cand = np.stack([s[rows], cids[rows]], axis=1)
+                prev = best.get(q)
+                best[q] = cand if prev is None else np.vstack([prev, cand])
+                if len(best[q]) > 4 * n_out:
+                    keep = np.argpartition(-best[q][:, 0], n_out - 1)[:n_out]
+                    best[q] = best[q][keep]
+        out_q, out_id, out_s = [], [], []
+        for q, arr in best.items():
+            keep = arr[np.argsort(-arr[:, 0])][:n_out]
+            out_q.extend([ids_q[q]] * len(keep))
+            out_id.extend(keep[:, 1].astype(np.int64))
+            out_s.extend(keep[:, 0])
+        yield pd.DataFrame({query_id: out_q, id_col: out_id, "score": out_s})
+
+    partial = codes.select(id_col, code_col).mapInPandas(_op, schema=schema)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    approx = (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_out)
+    )
+    if rerank is None:
+        return (approx.filter(F.col("rank") <= k)
+                .select(query_id, id_col, F.col("score").alias("cosine"),
+                        "rank"))
+    cand = approx.select(query_id, id_col).join(
+        corpus.select(id_col, vec_col), id_col)
+    qv = queries.select(F.col(query_id).alias(query_id),
+                        F.col(vec_col).alias("_qvec"))
+    joined = cand.join(F.broadcast(qv), query_id)
+    dot = F.aggregate(
+        F.zip_with(vec_col, "_qvec",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, v: a + v)
+    nv = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda a, v: a + v.cast("double") * v.cast("double")))
+    nq = F.sqrt(F.aggregate(
+        F.col("_qvec"), F.lit(0.0),
+        lambda a, v: a + v.cast("double") * v.cast("double")))
+    scored = joined.withColumn("cosine", dot / (nv * nq))
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )
