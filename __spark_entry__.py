@@ -1215,7 +1215,31 @@ def q_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("js_divergence").alias("mean_tokens"),
         F.col("vocab_new").cast("int").alias("max_tokens"),
     )
-    return hosts.unionByName(ds).unionByName(dr)
+    # 'heavy': exact Space-Saving heavy hitters over the same domain
+    # stream (functions/sketch.py:heavy_hitters) — m=16 counters force
+    # real summary eviction (52 distinct domains), yet the top-2
+    # megasite counts (~N/3 each) clear the summed min-counter ceiling
+    # (<= N/16) so the certificate PROVES the ranking exact; the DuckDB
+    # twin is a plain exact top-2 and matches iff the two-pass sketch
+    # recovers it, flag included
+    from xarray_spatial_spark.functions.sketch import heavy_hitters
+
+    hh = heavy_hitters(sel.select("domain"), "domain", k=2, m=16).select(
+        F.lit("heavy").alias("variant"),
+        "domain",
+        F.col("cnt").alias("n_pages"),
+        F.lit(-1).cast("long").alias("n_hosts"),
+        F.lit(-1).cast("long").alias("sum_depth"),
+        F.lit(-1).cast("long").alias("sum_chars"),
+        F.lit("").alias("lang"), F.lit("").alias("source"),
+        F.lit(-1).cast("long").alias("level"),
+        F.col("guaranteed").cast("long").alias("n_docs"),
+        F.lit(-1).cast("long").alias("n_tokens"),
+        F.lit(-1).cast("long").alias("doc_chars"),
+        F.lit(-1.0).alias("mean_tokens"),
+        F.lit(-1).cast("int").alias("max_tokens"),
+    )
+    return hosts.unionByName(ds).unionByName(dr).unionByName(hh)
 
 
 def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1716,6 +1740,30 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine"), "rank")
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN (functions/similarity.py:ivfpq_train/
+    ivfpq_encode/ivfpq_topk): coarse inverted lists prune the scan to
+    n_probe/B of the corpus, residual-trained PQ codes compress what
+    remains, exact rerank of the top-40 finishes.  Rows-only (two
+    stacked k-means artifacts have no sane SQL twin); pytest pins the
+    encode numpy replay, recall vs brute force, rerank==exact cosine,
+    and partitioning invariance."""
+    from xarray_spatial_spark.functions.similarity import (
+        ivfpq_encode, ivfpq_topk, ivfpq_train,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    cents, cb = ivfpq_train(e, n_centroids=16, m=16, n_codes=32, sample=2000)
+    codes = ivfpq_encode(e, cents, cb)
+    q = e.select(F.col("vec_id").alias("query_id"), "embedding").filter(
+        "query_id % 50 = 3")
+    out = ivfpq_topk(codes, q, cents, cb, k=10, n_probe=4, rerank=40,
+                     corpus=e)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias(
+        "cosine"), "rank")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup (functions/similarity.py
     semantic_dedup) — kept-row roster; kmeans buckets have no sane
@@ -2149,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "host_cap_salted": q_host_cap_salted,
         "link_graph": q_link_graph,
         "anchor_text": q_anchor_text,
@@ -3825,6 +3874,23 @@ def oracle_sql() -> dict[str, str]:
                      CAST(vocab_new AS INT) AS max_tokens
               FROM js JOIN dco ON js.lang = dco.lang
                       JOIN dcn ON js.lang = dcn.lang
+            )
+            UNION ALL
+            SELECT 'heavy' AS variant, domain,
+                   cnt AS n_pages,
+                   CAST(-1 AS BIGINT) AS n_hosts,
+                   CAST(-1 AS BIGINT) AS sum_depth,
+                   CAST(-1 AS BIGINT) AS sum_chars,
+                   '' AS lang, '' AS source,
+                   CAST(-1 AS BIGINT) AS level,
+                   CAST(1 AS BIGINT) AS n_docs,
+                   CAST(-1 AS BIGINT) AS n_tokens,
+                   CAST(-1 AS BIGINT) AS doc_chars,
+                   CAST(-1.0 AS DOUBLE) AS mean_tokens,
+                   CAST(-1 AS INT) AS max_tokens
+            FROM (
+              SELECT domain, count(*) AS cnt FROM e
+              GROUP BY domain ORDER BY cnt DESC, domain ASC LIMIT 2
             )
         """,
     }

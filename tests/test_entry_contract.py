@@ -61,6 +61,10 @@ def test_oracle_keys_subset_of_queries():
         # PQ codebook/ADC arithmetic has no SQL twin; encode bit-parity
         # vs numpy, recall floor, and rerank==exact are pytest-pinned
         "pq_topk",
+        # composed IVF-PQ: two stacked k-means artifacts, no SQL twin;
+        # encode replay, recall, rerank==exact, and partitioning
+        # invariance are pytest-pinned
+        "ivfpq_topk",
         # ring variant is oracle-backed inside the "knn" union; this
         # standalone entry keeps the bench series comparable across
         # rounds

@@ -331,3 +331,75 @@ def test_pq_topk_recall_planted_and_rerank(spark, emb):
     for q, w in want.items():  # exact re-scores match the exact path
         for vid in set(got_rr[q]) & set(w):
             assert got_rr[q][vid] == pytest.approx(w[vid], rel=1e-9)
+
+
+def test_ivfpq_encode_replay_and_train_shapes(spark, emb):
+    """ivfpq_encode must equal a numpy replay (normalize -> coarse
+    argmax -> residual -> per-subspace argmin) at any partitioning;
+    train returns the documented artifact shapes deterministically."""
+    cents, cb = sim.ivfpq_train(emb, n_centroids=6, m=8, n_codes=16,
+                                sample=400)
+    assert cents.shape[0] == 6 and cb.shape == (8, 16, 8)
+    cents2, cb2 = sim.ivfpq_train(emb.repartition(5), n_centroids=6, m=8,
+                                  n_codes=16, sample=400)
+    np.testing.assert_array_equal(cents, cents2)
+    np.testing.assert_array_equal(cb, cb2)
+
+    enc = {r["vec_id"]: (r["bucket"], bytes(r["pq_code"])) for r in
+           sim.ivfpq_encode(emb.repartition(7), cents, cb).collect()}
+    pdf = emb.toPandas()
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for i, vid in enumerate(pdf["vec_id"]):
+        b, code = enc[vid]
+        want_b = int(np.argmax(unit[i] @ cents.T))
+        assert b == want_b
+        resid = unit[i] - cents[want_b]
+        for j in range(8):
+            sub = resid[j * 8: (j + 1) * 8]
+            assert code[j] == int(np.argmin(((cb[j] - sub) ** 2).sum(axis=1)))
+
+
+def test_ivfpq_topk_recall_and_exact_rerank(spark, emb):
+    """Composed index recall vs brute force; self-queries return
+    themselves at rank 1; full-probe + rerank reproduces the exact
+    path's scores bit-for-bit on shared survivors; results are
+    invariant to corpus partitioning."""
+    cents, cb = sim.ivfpq_train(emb, n_centroids=8, m=16, n_codes=32,
+                                sample=500)
+    codes = sim.ivfpq_encode(emb, cents, cb).cache()
+    queries = emb.select(F.col("vec_id").alias("query_id"),
+                         "embedding").filter("query_id % 50 = 3")
+
+    exact = sim.cosine_topk_broadcast(emb, queries, k=10)
+    want = {}
+    for r in exact.collect():
+        want.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
+
+    adc = sim.ivfpq_topk(codes, queries, cents, cb, k=10, n_probe=4).collect()
+    got = {}
+    for r in adc:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]
+    hits = sum(len(got[q] & set(w)) for q, w in want.items())
+    total = sum(len(w) for w in want.values())
+    assert hits / total >= 0.5, f"IVFPQ recall {hits}/{total}"
+
+    rr = sim.ivfpq_topk(codes, queries, cents, cb, k=10, n_probe=8,
+                        rerank=60, corpus=emb).collect()
+    got_rr = {}
+    for r in rr:
+        got_rr.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]
+    hits_rr = sum(len(set(got_rr[q]) & set(w)) for q, w in want.items())
+    assert hits_rr >= hits
+    for q, w in want.items():
+        for vid in set(got_rr[q]) & set(w):
+            assert got_rr[q][vid] == pytest.approx(w[vid], rel=1e-9)
+
+    again = sim.ivfpq_topk(codes.repartition(13), queries, cents, cb,
+                           k=10, n_probe=4).collect()
+    assert {(r["query_id"], r["vec_id"], r["rank"]) for r in again} == {
+        (r["query_id"], r["vec_id"], r["rank"]) for r in adc}

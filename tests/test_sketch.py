@@ -1,0 +1,144 @@
+"""Frequency sketches: exact heavy hitters (Space-Saving + recount)
+and the Count-Min artifact (functions/sketch.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_spatial_spark.functions import sketch as sk
+
+
+def _zipf_df(spark, n=20_000, n_keys=400, seed=7):
+    """Deterministic zipfian key stream: key i appears ~ n/(i+1)."""
+    rows = []
+    i = 0
+    while len(rows) < n:
+        key = f"host{i % n_keys:04d}"
+        reps = max(1, n_keys // (i % n_keys + 1))
+        rows.extend([(key,)] * reps)
+        i += 1
+    return spark.createDataFrame(rows[:n], ["host"])
+
+
+def _exact_topk(df, col, k):
+    return [
+        (r[col], r["cnt"])
+        for r in df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col(col).asc()).limit(k).collect()
+    ]
+
+
+class TestHeavyHitters:
+    def test_matches_exact_topk_on_zipf(self, spark):
+        df = _zipf_df(spark).repartition(8)
+        got = sk.heavy_hitters(df, "host", k=10, m=128).collect()
+        assert [(r["host"], r["cnt"]) for r in got] == _exact_topk(df, "host", 10)
+        assert all(r["guaranteed"] for r in got)
+
+    def test_parallelism_invariance(self, spark):
+        df = _zipf_df(spark)
+        a = sk.heavy_hitters(df.repartition(3), "host", k=5, m=256).collect()
+        b = sk.heavy_hitters(df.repartition(17), "host", k=5, m=256).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_planted_heavy_key_always_found(self, spark):
+        base = spark.range(5000).select(
+            F.concat(F.lit("k"), (F.col("id") % 997).cast("string")).alias("host"))
+        heavy = spark.range(1200).select(F.lit("MEGAHOST").alias("host"))
+        df = base.unionAll(heavy).repartition(16)
+        got = sk.heavy_hitters(df, "host", k=1, m=64).collect()
+        assert got[0]["host"] == "MEGAHOST" and got[0]["cnt"] == 1200
+        assert got[0]["guaranteed"]
+
+    def test_uniform_small_m_counts_still_exact(self, spark):
+        # near-uniform keys with a tiny summary: the certificate must
+        # withdraw, but every returned count is still a real recount
+        df = spark.range(4000).select(
+            (F.col("id") % 1000).cast("string").alias("host")).repartition(8)
+        got = sk.heavy_hitters(df, "host", k=5, m=8)
+        exact = {r["host"]: r["cnt"]
+                 for r in df.groupBy("host").agg(
+                     F.count(F.lit(1)).alias("cnt")).collect()}
+        for r in got.collect():
+            assert r["cnt"] == exact[r["host"]]
+            assert not r["guaranteed"]
+
+    def test_uniform_still_returns_k_rows(self, spark):
+        # regression: a batched Misra-Gries decrement can wipe every
+        # counter on near-uniform data and return NOTHING; the
+        # Space-Saving summary never empties, so top-k always has
+        # min(k, distinct) rows
+        df = spark.range(20_000).select(
+            (F.col("id") % 37).cast("string").alias("host")).repartition(8)
+        got = sk.heavy_hitters(df, "host", k=3, m=16).collect()
+        assert len(got) == 3
+        exact = dict(_exact_topk(df, "host", 37))
+        for r in got:
+            assert r["cnt"] == exact[r["host"]]
+
+    def test_lossless_certificate_when_no_eviction(self, spark):
+        # 3 distinct keys, m=64: no partition ever evicts, so the
+        # top-k is certified even though counts sit under any N/m bar
+        df = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2, ["host"]).repartition(4)
+        got = sk.heavy_hitters(df, "host", k=3, m=64).collect()
+        assert [(r["host"], r["cnt"]) for r in got] == [("a", 5), ("b", 3), ("c", 2)]
+        assert all(r["guaranteed"] for r in got)
+
+    def test_m_smaller_than_k_raises(self, spark):
+        with pytest.raises(ValueError):
+            sk.heavy_hitters(_zipf_df(spark, n=100), "host", k=10, m=4)
+
+
+class TestCountMin:
+    def test_never_undercounts_and_bounded_over(self, spark):
+        df = _zipf_df(spark, n=10_000).repartition(8)
+        w, d = sk.cms_params(eps=0.005, delta=0.01)
+        sketch = sk.cms_build(df, "host", w, d)
+        n_total = df.count()
+        exact = {r["host"]: r["cnt"]
+                 for r in df.groupBy("host").agg(
+                     F.count(F.lit(1)).alias("cnt")).collect()}
+        keys = spark.createDataFrame([(h,) for h in exact], ["host"])
+        est = {r["host"]: r["est"]
+               for r in keys.select(
+                   "host", sk.cms_estimate(spark, sketch, "host").alias("est"))
+               .collect()}
+        for h, true in exact.items():
+            assert est[h] >= true, h
+            assert est[h] <= true + 0.005 * n_total + 1, h
+
+    def test_merge_equals_build_over_union(self, spark):
+        a = _zipf_df(spark, n=3000, seed=1)
+        b = _zipf_df(spark, n=2000, seed=2).withColumn(
+            "host", F.concat(F.lit("x"), F.col("host")))
+        w, d = 1024, 4
+        merged = sk.cms_merge(sk.cms_build(a, "host", w, d),
+                              sk.cms_build(b, "host", w, d))
+        whole = sk.cms_build(a.unionAll(b), "host", w, d)
+        assert np.array_equal(merged, whole)
+
+    def test_save_load_roundtrip(self, spark, tmp_path):
+        df = _zipf_df(spark, n=1000)
+        sketch = sk.cms_build(df, "host", 512, 3)
+        p = str(tmp_path / "cms.parquet")
+        sk.cms_save(sketch, p)
+        loaded = sk.cms_load(p)
+        assert loaded.shape == (3, 512)
+        assert np.array_equal(loaded, sketch)
+
+    def test_load_rejects_non_artifact(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        p = str(tmp_path / "not_cms.parquet")
+        pq.write_table(pa.table({"cnt": pa.array([1, 2])}), p)
+        with pytest.raises(ValueError):
+            sk.cms_load(p)
+
+    def test_merge_rejects_mismatched_shapes(self, spark):
+        with pytest.raises(ValueError):
+            sk.cms_merge(np.zeros((2, 8), np.int64), np.zeros((2, 16), np.int64))
+
+    def test_params_sane(self):
+        w, d = sk.cms_params(eps=0.001, delta=0.01)
+        assert w >= int(np.e / 0.001) and d >= 5

@@ -22,6 +22,12 @@ Plus the compression leg: ``pq_train`` / ``pq_encode`` / ``pq_topk``
 KB-scale float vectors, ADC table-lookup scoring, optional exact
 rerank of the short list.  At 100 TB of raw embeddings the code table
 is ~1 TB; the ADC scan touches ONLY it.
+
+``ivfpq_train`` / ``ivfpq_encode`` / ``ivfpq_topk`` compose the two:
+coarse inverted lists prune WHICH codes are scanned (n_probe/B of the
+corpus) while residual-trained PQ codes compress WHAT is scanned —
+the production FAISS recipe, here with the pruning done by bucket
+membership inside a zero-shuffle broadcast scan.
 """
 
 from __future__ import annotations
@@ -652,6 +658,23 @@ def pq_topk(
         return (approx.filter(F.col("rank") <= k)
                 .select(query_id, id_col, F.col("score").alias("cosine"),
                         "rank"))
+    return _exact_rerank(approx, corpus, queries, k, vec_col, id_col, query_id)
+
+
+def _exact_rerank(
+    approx: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    query_id: str,
+) -> DataFrame:
+    """Second-stage exact scorer shared by :func:`pq_topk` and
+    :func:`ivfpq_topk`: join each query's approximate candidates (a
+    k-scale, not corpus-scale, set) back to the raw vectors and rank
+    on true cosine — scores match :func:`cosine_topk_broadcast`
+    bit-for-bit on shared survivors."""
     cand = approx.select(query_id, id_col).join(
         corpus.select(id_col, vec_col), id_col)
     qv = queries.select(F.col(query_id).alias(query_id),
@@ -675,3 +698,202 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed 100-TB ANN recipe (coarse inverted lists prune
+# the scan; PQ codes compress what remains; optional exact rerank)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int | None = None,
+    iters: int = 12,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the two-level quantizer (Jegou et al. 2011, the FAISS
+    IVFPQ layout): spherical k-means coarse centroids over a
+    hash-ordered sample, then per-subspace Euclidean codebooks over
+    the sample's RESIDUALS (x/||x|| - nearest centroid) — residual
+    energy is what PQ actually has to encode once the coarse cell is
+    known, so codebooks trained on residuals quantize far tighter
+    than raw-vector codebooks at the same bit budget.  One bounded
+    collect; returns ``(centroids (B, dim), codebooks
+    (m, n_codes, dim/m))``, a driver artifact that broadcasts."""
+    if sample is None:
+        sample = max(16384, max(256 * n_centroids, 64 * n_codes))
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 61)))
+        .limit(sample)
+        .collect()
+    )
+    vecs = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    dim = vecs.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n_codes > 256:
+        raise ValueError("n_codes > 256 needs >1 byte per code")
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    cents = _spherical_kmeans(unit, n_centroids, iters)
+    resid = unit - cents[np.argmax(unit @ cents.T, axis=1)]
+    dsub = dim // m
+    codebooks = np.stack([
+        _pq_kmeans(resid[:, j * dsub: (j + 1) * dsub], n_codes, iters)
+        for j in range(m)
+    ])
+    return cents, codebooks
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, bucket, m-byte code): nearest coarse centroid plus the
+    PQ code of the residual.  Zero shuffle — both artifacts
+    broadcast, assignment and encoding are one map-only Arrow pass.
+    The output is THE index: bucket prunes, code scores, and at
+    8 B + 4 B per vector it stays hot at corpus sizes where the raw
+    float vectors can't."""
+    m, _, dsub = codebooks.shape
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((centroids, codebooks))
+    schema = f"{id_col} long, bucket int, pq_code binary"
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents, cb = bc.value
+        cnorm2 = [(cb[j] ** 2).sum(axis=1) for j in range(m)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms[:, None]
+            bucket = np.argmax(unit @ cents.T, axis=1)
+            resid = unit - cents[bucket]
+            codes = np.empty((len(vecs), m), dtype=np.uint8)
+            for j in range(m):
+                sub = resid[:, j * dsub: (j + 1) * dsub]
+                d2 = cnorm2[j][None, :] - 2.0 * (sub @ cb[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "bucket": bucket.astype(np.int32),
+                "pq_code": [c.tobytes() for c in codes],
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(_op, schema=schema)
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int | None = None,
+    corpus: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k over an :func:`ivfpq_encode` index.
+
+    Each query probes its ``n_probe`` nearest coarse cells; rows in
+    probed cells score by pure TABLE LOOKUPS against the broadcast
+    artifacts (no float vector is read):
+    ``cos ~= (q.c_b + sum_j dt[q,j,code_j]) / ||c_b + r_hat||`` where
+    the reconstruction norm also folds from per-(bucket, code) tables
+    (``||c+r||^2 = 1 + 2 c.r + ||r||^2``).  Were PQ lossless this IS
+    exact cosine, so the only error is quantization.  Zero shuffle on
+    the corpus side: queries broadcast, each partition scans only its
+    probed-cell rows and emits a bounded partial top-k; one k-row
+    window finishes.  ``rerank=r`` re-scores each query's top-r
+    candidates exactly via :func:`_exact_rerank`."""
+    if rerank is not None and corpus is None:
+        raise ValueError("rerank needs the raw-vector corpus frame")
+    m, n_codes, dsub = codebooks.shape
+    n_buckets = len(centroids)
+    n_probe = min(n_probe, n_buckets)
+    sc = codes.sparkSession.sparkContext
+    qpdf = queries.select(query_id, vec_col).toPandas()
+    qids = qpdf[query_id].to_numpy()
+    qmat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn[:, None]
+    bc = sc.broadcast((qids, qmat, centroids, codebooks))
+    n_out = max(k, rerank or 0)
+    schema = f"{query_id} long, {id_col} long, score double"
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, qm, cents, cb = bc.value
+        qc = qm @ cents.T                               # (Q, B) q.c_b
+        probes = np.argsort(-qc, axis=1)[:, :n_probe]   # (Q, n_probe)
+        qsubs = qm.reshape(len(qm), m, dsub)
+        dt = np.einsum("qjd,jcd->qjc", qsubs, cb)       # (Q, m, codes)
+        csubs = cents.reshape(n_buckets, m, dsub)
+        cross = np.einsum("bjd,jcd->bjc", csubs, cb)    # (B, m, codes)
+        rn2 = np.stack([(cb[j] ** 2).sum(axis=1) for j in range(m)])
+        jj = np.arange(m)[None, :]
+        best: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.stack([
+                np.frombuffer(b, dtype=np.uint8) for b in pdf["pq_code"]
+            ]).astype(np.int64)
+            buckets = pdf["bucket"].to_numpy()
+            cids = pdf[id_col].to_numpy()
+            # per-row reconstruction pieces are query-independent
+            c_dot_r = cross[buckets[:, None], jj, cmat].sum(axis=1)
+            r2 = rn2[jj, cmat].sum(axis=1)
+            norms = np.sqrt((1.0 + 2.0 * c_dot_r + r2).clip(1e-24))
+            for q in range(len(ids_q)):
+                mask = np.isin(buckets, probes[q])
+                if not mask.any():
+                    continue
+                s = (qc[q, buckets[mask]]
+                     + dt[q][jj, cmat[mask]].sum(axis=1)) / norms[mask]
+                ids_m = cids[mask]
+                kk = min(n_out, len(ids_m))
+                rows = np.argpartition(-s, kk - 1)[:kk]
+                cand = np.stack([s[rows], ids_m[rows]], axis=1)
+                prev = best.get(q)
+                best[q] = cand if prev is None else np.vstack([prev, cand])
+                if len(best[q]) > 4 * n_out:
+                    keep = np.argpartition(-best[q][:, 0], n_out - 1)[:n_out]
+                    best[q] = best[q][keep]
+        out_q, out_id, out_s = [], [], []
+        for q, arr in best.items():
+            keep = arr[np.argsort(-arr[:, 0])][:n_out]
+            out_q.extend([ids_q[q]] * len(keep))
+            out_id.extend(keep[:, 1].astype(np.int64))
+            out_s.extend(keep[:, 0])
+        yield pd.DataFrame({query_id: out_q, id_col: out_id, "score": out_s})
+
+    partial = codes.select(id_col, "bucket", "pq_code").mapInPandas(
+        _op, schema=schema)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    approx = (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_out)
+    )
+    if rerank is None:
+        return (approx.filter(F.col("rank") <= k)
+                .select(query_id, id_col, F.col("score").alias("cosine"),
+                        "rank"))
+    return _exact_rerank(approx, corpus, queries, k, vec_col, id_col, query_id)
