@@ -1764,6 +1764,28 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine"), "rank")
 
 
+def q_pca_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA -> ANN composition (functions/similarity.py:
+    pca_train/pca_project): exact one-pass sufficient statistics,
+    project to 16 dims, brute-force cosine top-5 over the REDUCED
+    vectors.  Rows-only (eigendecomposition has no SQL twin); pytest
+    pins train==numpy, projection replay, orthonormality, and
+    self-query rank 1 on the reduced space."""
+    from xarray_spatial_spark.functions.similarity import (
+        cosine_topk_broadcast, pca_project, pca_train,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    mean, comps, _ = pca_train(e, n_components=16)
+    red = pca_project(e, mean, comps, out_col="embedding")
+    q = red.select(F.col("vec_id").alias("query_id"), "embedding").filter(
+        "query_id % 50 = 3")
+    out = cosine_topk_broadcast(red, q, k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias(
+        "cosine"), "rank")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup (functions/similarity.py
     semantic_dedup) — kept-row roster; kmeans buckets have no sane
@@ -2198,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "pca_ann": q_pca_ann,
         "host_cap_salted": q_host_cap_salted,
         "link_graph": q_link_graph,
         "anchor_text": q_anchor_text,

@@ -65,6 +65,10 @@ def test_oracle_keys_subset_of_queries():
         # encode replay, recall, rerank==exact, and partitioning
         # invariance are pytest-pinned
         "ivfpq_topk",
+        # PCA eigendecomposition has no SQL twin; train==numpy,
+        # projection replay, and reduced-space self-query are
+        # pytest-pinned
+        "pca_ann",
         # ring variant is oracle-backed inside the "knn" union; this
         # standalone entry keeps the bench series comparable across
         # rounds

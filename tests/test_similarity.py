@@ -403,3 +403,59 @@ def test_ivfpq_topk_recall_and_exact_rerank(spark, emb):
                            k=10, n_probe=4).collect()
     assert {(r["query_id"], r["vec_id"], r["rank"]) for r in again} == {
         (r["query_id"], r["vec_id"], r["rank"]) for r in adc}
+
+
+def test_pca_train_matches_numpy(spark, emb):
+    """Distributed sufficient statistics must reproduce numpy PCA on
+    the collected table: same mean, same covariance eigenvalues, same
+    components up to the shared sign convention; parallelism-invariant
+    to float tolerance."""
+    mean, comps, ev = sim.pca_train(emb, n_components=8)
+    pdf = emb.toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    np.testing.assert_allclose(mean, x.mean(axis=0), atol=1e-9)
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    np.testing.assert_allclose(ev, evals[order], rtol=1e-8)
+    want = evecs[:, order].T
+    flip = np.sign(want[np.arange(8), np.argmax(np.abs(want), axis=1)])
+    np.testing.assert_allclose(comps, want * flip[:, None], atol=1e-7)
+
+    m2, c2, e2 = sim.pca_train(emb.repartition(11), n_components=8)
+    np.testing.assert_allclose(c2, comps, atol=1e-7)
+
+    # components are orthonormal; variance is non-increasing
+    np.testing.assert_allclose(comps @ comps.T, np.eye(8), atol=1e-9)
+    assert (np.diff(ev) <= 1e-12).all()
+
+
+def test_pca_project_reconstruction_and_ann(spark, emb):
+    """Full-rank projection reconstructs the input; reduced vectors
+    still rank a planted self-query first through the existing ANN
+    path; projection replay matches numpy."""
+    d = len(emb.select("embedding").first()[0])
+    mean, comps, _ = sim.pca_train(emb, n_components=d)
+    proj = sim.pca_project(emb.repartition(7), mean, comps,
+                           out_col="pca").toPandas()
+    pdf = emb.toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    got = {r["vec_id"]: np.asarray(r["pca"]) for _, r in proj.iterrows()}
+    want = (x - x.mean(axis=0)) @ comps.T
+    for i, vid in enumerate(pdf["vec_id"]):
+        np.testing.assert_allclose(got[vid], want[i], atol=1e-7)
+        np.testing.assert_allclose(got[vid] @ comps + mean, x[i], atol=1e-7)
+
+    mean16, comps16, _ = sim.pca_train(emb, n_components=16)
+    red = sim.pca_project(emb, mean16, comps16, out_col="embedding")
+    q = red.select(F.col("vec_id").alias("query_id"), "embedding").filter(
+        "query_id % 100 = 7")
+    top = sim.cosine_topk_broadcast(red, q, k=3).filter("rank = 1").collect()
+    assert top and all(r["vec_id"] == r["query_id"] for r in top)
+
+
+def test_pca_train_rejects_bad_args(spark, emb):
+    with pytest.raises(ValueError):
+        sim.pca_train(emb, n_components=0)
+    with pytest.raises(ValueError):
+        sim.pca_train(emb, n_components=10_000)

@@ -897,3 +897,116 @@ def ivfpq_topk(
                 .select(query_id, id_col, F.col("score").alias("cosine"),
                         "rank"))
     return _exact_rerank(approx, corpus, queries, k, vec_col, id_col, query_id)
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: the dimension-reduction stage in front of ANN /
+# clustering (project 768-dim embeddings to 64 before indexing)
+# ---------------------------------------------------------------------------
+
+
+def pca_train(
+    corpus: DataFrame,
+    n_components: int,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact PCA over an embedding column in ONE distributed pass.
+
+    The sufficient statistics (n, sum x, upper triangle of sum x x^T)
+    are accumulated dense per Arrow batch and emitted as sparse
+    (cell, value) partials — the exchange and the driver collect are
+    bounded by d(d+3)/2 + 1 cells (d=1024 -> ~526k rows), independent
+    of corpus size; the hash aggregate map-side-combines per task.
+    The driver assembles the covariance (C = (Sxx - n mu mu^T)/(n-1)),
+    runs eigh, and fixes each component's sign so its largest-|.|
+    coordinate is positive (deterministic up to summation order).
+
+    Returns ``(mean (d,), components (p, d) row-major by decreasing
+    variance, explained_variance (p,))``.  Unlike the sampled k-means
+    trainers this is EXACT over all rows: PCA's statistics are
+    mergeable, so nothing is gained by subsampling.
+
+    Pass ``dim`` to skip the one-row probe job (parquet callers can
+    read it from the footer via ``sources.parquet_first_array_len``).
+    """
+    if dim is None:
+        first = corpus.select(vec_col).first()
+        if first is None:
+            raise ValueError("pca_train on an empty corpus")
+        dim = len(first[0])
+    d = dim
+    if not (0 < n_components <= d):
+        raise ValueError(f"n_components={n_components} not in 1..{d}")
+    iu = np.triu_indices(d)
+    n_cells = 1 + d + len(iu[0])
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(n_cells, np.float64)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            x = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+            acc[0] += len(x)
+            acc[1: 1 + d] += x.sum(axis=0)
+            acc[1 + d:] += (x.T @ x)[iu]
+        if any_rows:
+            yield pd.DataFrame({"cell": np.arange(n_cells), "val": acc})
+
+    rows = (
+        corpus.select(vec_col).mapInPandas(_partial, schema="cell long, val double")
+        .groupBy("cell").agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    acc = np.zeros(n_cells, np.float64)
+    for r in rows:
+        acc[r["cell"]] = r["val"]
+    n = acc[0]
+    if n < 2:
+        raise ValueError("pca_train needs at least 2 rows")
+    mean = acc[1: 1 + d] / n
+    sxx = np.zeros((d, d), np.float64)
+    sxx[iu] = acc[1 + d:]
+    sxx = sxx + np.triu(sxx, 1).T
+    cov = (sxx - n * np.outer(mean, mean)) / (n - 1.0)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.argmax(np.abs(comps), axis=1)])
+    comps = comps * flip[:, None]
+    return mean, comps, evals[order].clip(0.0)
+
+
+def pca_project(
+    corpus: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pca",
+) -> DataFrame:
+    """(id, projected vector): center on the broadcast mean and apply
+    the component matrix — one map-only Arrow pass, same zero-shuffle
+    shape as :func:`pq_encode`.  The output array feeds every
+    downstream consumer unchanged (cosine_topk_*, ivf/pq/ivfpq,
+    semantic_dedup) at p/d of the byte volume."""
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (np.asarray(mean, np.float64), np.asarray(components, np.float64)))
+    schema = f"{id_col} long, {out_col} array<double>"
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mu, w = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            proj = (x - mu) @ w.T
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                out_col: list(proj),
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(_op, schema=schema)
