@@ -639,3 +639,55 @@ def test_weighted_sample_weights_drive_inclusion(spark):
         heavy += sum(1 for i in ids if i < 50)
         light += sum(1 for i in ids if 50 <= i < 100)
     assert heavy > 4 * light
+
+
+def test_host_cap_incremental_never_exceeds_cap(spark):
+    """Cross-snapshot cap via the Count-Min artifact: combined per-host
+    totals never exceed the cap (CM never undercounts), best-scored
+    rows survive, and with a collision-free sketch the remaining
+    budget is exact."""
+    from xarray_spatial_spark.functions import sketch as sk
+    from xarray_spatial_spark.functions.corpus import host_cap_incremental
+
+    # snapshot 1: h0 x4, h1 x1, h2 x0
+    snap1 = spark.createDataFrame(
+        [(i, f"https://h{h}.org/a/{i}") for i, h in
+         enumerate([0, 0, 0, 0, 1])], "doc_id long, url string")
+    from xarray_spatial_spark.functions.url import url_host
+    hosts1 = snap1.select(url_host(F.col("url")).alias("host"))
+    cms = sk.cms_build(hosts1, "host", w=2048, d=5)
+
+    # snapshot 2: 6 pages per host, cap=5 across both snapshots
+    rows = [(100 + j * 10 + h, f"https://h{h}.org/b/{j}", float(j))
+            for h in range(3) for j in range(6)]
+    snap2 = spark.createDataFrame(rows, "doc_id long, url string, score double")
+    out = host_cap_incremental(snap2, cap=5, prior_counts=cms,
+                               score_col="score").collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r["url"].split("/")[2], []).append(r)
+    # h0 already used 4 of 5 -> 1 slot; h1 used 1 -> 4; h2 unseen -> 5
+    assert len(kept.get("h0.org", [])) == 1
+    assert len(kept.get("h1.org", [])) == 4
+    assert len(kept["h2.org"]) == 5
+    # best-scored first: h0's single survivor is score 5.0
+    assert kept["h0.org"][0]["score"] == 5.0
+    # rolling forward: merged sketch counts == build over the union
+    hosts2 = spark.createDataFrame(
+        [(r["url"].split("/")[2],) for r in out], ["host"])
+    merged = sk.cms_merge(cms, sk.cms_build(hosts2, "host", w=2048, d=5))
+    est = hosts2.limit(1).select(
+        sk.cms_estimate(spark, merged, F.lit("h2.org")).alias("e")).collect()
+    assert est[0]["e"] == 5
+
+
+def test_host_cap_incremental_rejects_bad_cap(spark):
+    import numpy as np
+    import pytest as _pytest
+    from xarray_spatial_spark.functions.corpus import host_cap_incremental
+
+    df = spark.createDataFrame([(1, "https://a.org/x", 1.0)],
+                               "doc_id long, url string, score double")
+    with _pytest.raises(ValueError):
+        host_cap_incremental(df, cap=0, prior_counts=np.zeros((2, 8)),
+                             score_col="score")

@@ -428,6 +428,49 @@ def host_cap(
     )
 
 
+def host_cap_incremental(
+    df: DataFrame,
+    cap: int,
+    prior_counts,
+    score_col: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    host_col: str | None = None,
+) -> DataFrame:
+    """Cap each host's TOTAL page count across crawl snapshots without
+    storing a per-host count table: ``prior_counts`` is the Count-Min
+    sketch (functions/sketch.py) built over earlier snapshots' host
+    stream; this snapshot keeps at most ``cap - estimate(host)`` of a
+    host's pages, best ``score_col`` first.
+
+    The CM estimate NEVER undercounts, so the combined total provably
+    never exceeds ``cap`` — the sketch's one-sided error maps onto the
+    cap's one-sided semantics (a rare over-estimate under-fills a
+    host by at most eps*N pages; it can never over-fill).  The probe
+    is one broadcast Arrow column — no join, no second shuffle: the
+    plan is host_cap's single host-partitioned window plus a
+    per-host-constant filter.  Feed survivors' hosts back through
+    ``cms_build`` + ``cms_merge`` to roll the artifact forward."""
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    from pyspark.sql import Window
+
+    from xarray_spatial_spark.functions.sketch import cms_estimate
+    from xarray_spatial_spark.functions.url import url_host
+
+    host = (F.col(host_col) if host_col else url_host(F.col(url_col)))
+    prior = cms_estimate(df.sparkSession, prior_counts, host)
+    w = Window.partitionBy(host).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_remaining", F.greatest(F.lit(0), F.lit(cap) - prior))
+        .withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= F.col("_remaining"))
+        .drop("_remaining")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int,
