@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "video_neardup",
     "unigram",
     "pdf_extract",
+    "pq_topk",
+    "ivfpq_topk",
+    "pca_ann",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

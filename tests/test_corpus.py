@@ -691,3 +691,37 @@ def test_host_cap_incremental_rejects_bad_cap(spark):
     with _pytest.raises(ValueError):
         host_cap_incremental(df, cap=0, prior_counts=np.zeros((2, 8)),
                              score_col="score")
+
+
+def test_temperature_mixture(spark):
+    """alpha=1 at the natural budget is the identity (every doc kept
+    exactly once); alpha=0 moves per-source token mass toward uniform;
+    low-resource sources upsample with distinct copy indices;
+    parallelism-invariant."""
+    from xarray_spatial_spark.functions.corpus import temperature_mixture
+
+    rows = ([(i, "big", 100) for i in range(90)]
+            + [(1000 + i, "small", 100) for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+
+    ident = temperature_mixture(df, alpha=1.0).collect()
+    assert len(ident) == 100 and all(r["copy"] == 0 for r in ident)
+
+    out = temperature_mixture(df, alpha=0.0).collect()
+    tok = {}
+    for r in out:
+        tok[r["source"]] = tok.get(r["source"], 0) + r["n_tokens"]
+    # uniform target: ~5000 tokens each (hash realization, +-15%)
+    assert abs(tok["big"] - 5000) <= 750
+    assert abs(tok["small"] - 5000) <= 750
+    # small upsamples: some doc appears with copy index >= 1
+    copies = [r["copy"] for r in out if r["source"] == "small"]
+    assert max(copies) >= 1
+    # same (doc_id, copy) multiset at a different parallelism
+    again = temperature_mixture(df.repartition(13), alpha=0.0).collect()
+    assert sorted((r["doc_id"], r["copy"]) for r in again) == sorted(
+        (r["doc_id"], r["copy"]) for r in out)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_mixture(df, alpha=-0.5)

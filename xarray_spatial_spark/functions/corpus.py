@@ -176,6 +176,63 @@ def sample_mixture(
     return df.filter(bucket < expr)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float,
+    budget_tokens: int | None = None,
+    source_col: str = "source",
+    len_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the mT5/XLM-R alpha
+    recipe): target share of source i is p_i^alpha renormalized,
+    where p_i is its token share — alpha=1 keeps the natural mix,
+    alpha=0 forces uniform, 0<alpha<1 boosts low-resource sources.
+
+    One per-source token aggregation (bounded by distinct sources)
+    sizes the plan driver-side; each source then gets a REAL factor
+    f_i = budget*q_i / tokens_i realized deterministically: every doc
+    is kept floor(f_i) times plus one more iff
+    pmod(xxhash64(id, salt), 1e6) < frac(f_i)*1e6 — the
+    :func:`sample_mixture` hash rule extended to f_i > 1, so
+    low-resource UPSAMPLING (docs repeated with a ``copy`` index) and
+    high-resource downsampling come out of the same expression, at
+    any parallelism, identically on resume.  ``budget_tokens``
+    defaults to the corpus total (pure rebalance)."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    totals = {
+        r["s"]: r["t"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(len_col).alias("t")).collect()
+        if r["t"]
+    }
+    if not totals:
+        return df.withColumn("copy", F.lit(0)).limit(0)
+    grand = sum(totals.values())
+    budget = grand if budget_tokens is None else int(budget_tokens)
+    q = {s_: (t / grand) ** alpha for s_, t in totals.items()}
+    qsum = sum(q.values())
+    M = 1_000_000
+    factor = F.lit(0.0)
+    for s_, t in totals.items():
+        f_i = budget * (q[s_] / qsum) / t
+        factor = F.when(F.col(source_col) == s_, F.lit(f_i)).otherwise(factor)
+    whole = F.floor(factor).cast("int")
+    frac_gate = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(M))
+        < ((factor - whole) * M).cast("long")
+    ).cast("int")
+    copies = (whole + frac_gate).alias("_copies")
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)))
+        .drop("_copies")
+    )
+
+
 def _auto_salts(df: DataFrame, key) -> int | None:
     """Skew probe for the hot-key window ops: ONE counting job
     (map-side partial agg -> key-scale shuffle -> 1-row max) decides
