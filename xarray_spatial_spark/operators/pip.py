@@ -29,9 +29,19 @@ from xarray_spatial_spark import grid
 
 
 class PolygonSet:
-    """Driver-side packed polygons + grid-bucketed candidate index."""
+    """Driver-side packed polygons + a candidate index: either the
+    grid-bucketed cell map or an STR-packed R-tree (plans/rtree.py).
 
-    def __init__(self, polygons: dict[int, np.ndarray], index_zoom: int = 6):
+    ``index='auto'`` dispatches on the ARITHMETIC rasterization cost:
+    the grid pays (bbox width x height in cells) per polygon — compact
+    bboxes are cheap, a dateline-spanning or high-zoom set explodes —
+    while the R-tree's build/query cost is geometry-independent.  When
+    the average bbox would rasterize onto > 64 cells the set routes to
+    the R-tree; both indexes return identical candidates (superset of
+    containing polygons), so assignment is index-invariant."""
+
+    def __init__(self, polygons: dict[int, np.ndarray], index_zoom: int = 6,
+                 index: str = "auto"):
         self.zones = np.array(sorted(polygons), dtype=np.int64)
         self.verts = {int(z): np.asarray(polygons[z], dtype=np.float64) for z in self.zones}
         self.bbox = {
@@ -39,9 +49,22 @@ class PolygonSet:
             for z, v in self.verts.items()
         }
         self.index_zoom = index_zoom
-        # rasterize bboxes onto coarse cells -> candidate lists
-        self.index: dict[int, list[int]] = {}
         n = 1 << index_zoom
+        bb = np.array([self.bbox[int(z)] for z in self.zones], np.float64)
+        if index == "auto":
+            x0, y1 = grid.lnglat_to_tile(bb[:, 0], bb[:, 1], index_zoom)
+            x1, y0 = grid.lnglat_to_tile(bb[:, 2], bb[:, 3], index_zoom)
+            cells = (x1 - x0 + 1) * (y1 - y0 + 1)
+            index = "rtree" if cells.mean() > 64 else "grid"
+        self.method = index
+        self.index: dict[int, list[int]] = {}
+        self.rtree = None
+        if index == "rtree":
+            from xarray_spatial_spark.plans.rtree import STRtree
+
+            self.rtree = STRtree(bb)
+            return
+        # grid: rasterize bboxes onto coarse cells -> candidate lists
         for z in self.zones:
             lon0, lat0, lon1, lat1 = self.bbox[int(z)]
             x0, y1 = grid.lnglat_to_tile(np.array([lon0]), np.array([lat0]), index_zoom)
@@ -135,17 +158,19 @@ def pip_join(
     lat_col: str = "lat",
     zone_col: str = "zone",
     index_zoom: int = 6,
+    index: str = "auto",
 ) -> DataFrame:
     """Assign each point the id of the (first) polygon containing it;
-    NULL when none does."""
-    pset = PolygonSet(polygons, index_zoom)
+    NULL when none does.  ``index`` picks the broadcast candidate
+    structure ('grid' | 'rtree' | 'auto', see :class:`PolygonSet`)."""
+    pset = PolygonSet(polygons, index_zoom, index=index)
     sc = points.sparkSession.sparkContext
     bc = sc.broadcast(pset)
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in points.schema)
     schema += f", {zone_col} double"
 
-    few_polygons = len(pset.zones) <= 64
+    few_polygons = len(pset.zones) <= 64 and pset.method == "grid"
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ps: PolygonSet = bc.value
@@ -167,6 +192,27 @@ def pip_join(
                         continue
                     hit = _ray_cast(px[m], py[m], ps.verts[z])
                     where = np.flatnonzero(m)[hit]
+                    out[where] = float(z)
+                    unassigned[where] = False
+            elif len(pdf) and ps.method == "rtree":
+                # many polygons, R-tree index: candidate (point, zone)
+                # pairs from one vectorized descent, then ray-cast per
+                # polygon in ASCENDING zone order so first-match
+                # semantics survive (a point already assigned by a
+                # lower zone masks out of later polygons)
+                ppt, pent = ps.rtree.query_pairs(px, py)
+                by_ent = np.argsort(pent, kind="stable")
+                ppt, pent = ppt[by_ent], pent[by_ent]
+                bounds = np.flatnonzero(np.r_[True, pent[1:] != pent[:-1]])
+                unassigned = np.ones(len(pdf), dtype=bool)
+                for s, e in zip(bounds, np.r_[bounds[1:], len(pent)]):
+                    z = int(ps.zones[pent[s]])
+                    idx = ppt[s:e]
+                    idx = idx[unassigned[idx]]
+                    if not len(idx):
+                        continue
+                    hit = _ray_cast(px[idx], py[idx], ps.verts[z])
+                    where = idx[hit]
                     out[where] = float(z)
                     unassigned[where] = False
             elif len(pdf):
