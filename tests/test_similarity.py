@@ -459,3 +459,71 @@ def test_pca_train_rejects_bad_args(spark, emb):
         sim.pca_train(emb, n_components=0)
     with pytest.raises(ValueError):
         sim.pca_train(emb, n_components=10_000)
+
+
+def test_opq_rotation_orthogonal_and_deterministic(spark, emb):
+    rot, cb = sim.opq_train(emb, m=8, n_codes=16, sample=400, opq_iters=4)
+    d = rot.shape[0]
+    np.testing.assert_allclose(rot @ rot.T, np.eye(d), atol=1e-9)
+    assert cb.shape == (8, 16, d // 8)
+    rot2, cb2 = sim.opq_train(emb.repartition(9), m=8, n_codes=16,
+                              sample=400, opq_iters=4)
+    np.testing.assert_array_equal(rot, rot2)
+    np.testing.assert_array_equal(cb, cb2)
+
+
+def test_opq_beats_plain_pq_on_correlated_dims(spark):
+    """The rotation's whole point: on dimension-correlated data, OPQ's
+    sample quantization error must not exceed plain PQ's."""
+    rng = np.random.RandomState(0)
+    latent = rng.randn(600, 8)
+    mix = rng.randn(8, 32)
+    x = latent @ mix + 0.05 * rng.randn(600, 32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>")
+
+    cb_pq = sim.pq_train(df, m=8, n_codes=16, sample=600)
+    rot, cb_opq = sim.opq_train(df, m=8, n_codes=16, sample=600)
+
+    def err(y, cb):
+        tot = 0.0
+        for j in range(8):
+            sub = y[:, j * 4: (j + 1) * 4]
+            d2 = ((cb[j] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ cb[j].T)
+                  + (sub ** 2).sum(axis=1)[:, None])
+            tot += d2.min(axis=1).sum()
+        return tot
+
+    assert err(x @ rot, cb_opq) <= err(x, cb_pq) * 1.0001
+
+
+def test_opq_encode_and_topk_roundtrip(spark, emb):
+    """Rotated encode equals the numpy replay; the rotated ADC path
+    returns the self-query at rank 1 and rerank yields exact cosines
+    against the RAW vectors."""
+    rot, cb = sim.opq_train(emb, m=16, n_codes=32, sample=500, opq_iters=3)
+    codes = sim.pq_encode(emb.repartition(5), cb, rotation=rot)
+    enc = {r["vec_id"]: bytes(r["pq_code"]) for r in codes.collect()}
+    pdf = emb.toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) @ rot
+    for i, vid in list(enumerate(pdf["vec_id"]))[:50]:
+        for j in range(16):
+            sub = x[i, j * 4: (j + 1) * 4]
+            want = int(np.argmin(((cb[j] - sub) ** 2).sum(axis=1)))
+            assert enc[vid][j] == want
+
+    queries = emb.select(F.col("vec_id").alias("query_id"),
+                         "embedding").filter("query_id % 100 = 3")
+    out = sim.pq_topk(codes, queries, cb, k=5, rerank=20, corpus=emb,
+                      rotation=rot).collect()
+    exact = sim.cosine_topk_broadcast(emb, queries, k=5)
+    want = {}
+    for r in exact.collect():
+        want.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
+    for r in out:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]
+        if r["vec_id"] in want.get(r["query_id"], {}):
+            assert r["cosine"] == pytest.approx(
+                want[r["query_id"]][r["vec_id"]], rel=1e-9)

@@ -538,6 +538,7 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     out_col: str = "pq_code",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, m-byte binary code) — each subvector's nearest codebook
     entry, one byte per subspace.  THE scale artifact: a 256-dim
@@ -546,19 +547,22 @@ def pq_encode(
     the raw vectors can't be scanned interactively.  Zero shuffle:
     codebooks broadcast, assignment is a map-only Arrow pass
     (||x-c||^2 = ||x||^2 - 2x.c + ||c||^2 via one matmul per
-    subspace)."""
+    subspace).  ``rotation`` applies an :func:`opq_train` orthogonal
+    matrix inside the same pass (OPQ: quantize x R, not x)."""
     m, _, dsub = codebooks.shape
     sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast(codebooks)
+    bc = sc.broadcast((codebooks, rotation))
     schema = f"{id_col} long, {out_col} binary"
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cb = bc.value
+        cb, rot = bc.value
         cnorm2 = [(cb[j] ** 2).sum(axis=1) for j in range(m)]
         for pdf in batches:
             if not len(pdf):
                 continue
             vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if rot is not None:
+                vecs = vecs @ rot
             codes = np.empty((len(vecs), m), dtype=np.uint8)
             for j in range(m):
                 sub = vecs[:, j * dsub: (j + 1) * dsub]
@@ -572,6 +576,68 @@ def pq_encode(
     return corpus.select(id_col, vec_col).mapInPandas(_op, schema=schema)
 
 
+def opq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int | None = None,
+    iters: int = 12,
+    opq_iters: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized Product Quantization (Ge et al. 2014, non-parametric
+    alternation): learn an orthogonal rotation R so that PQ quantizes
+    x R instead of x — correlated / unevenly-scaled dimensions get
+    redistributed across subspaces, cutting quantization error at the
+    same bit budget (plain PQ is the R=I special case).
+
+    Each round fits codebooks on the rotated sample, reconstructs,
+    and solves the orthogonal Procrustes problem R = UV^T from
+    svd(X^T X_hat).  All driver-side on the one hash-ordered sample
+    (same bounded collect as :func:`pq_train`); deterministic — no
+    RNG anywhere.  Returns ``(rotation (d, d), codebooks)`` to pass
+    as ``rotation=`` to :func:`pq_encode` / :func:`pq_topk`."""
+    if sample is None:
+        sample = max(16384, 64 * n_codes)
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 61)))
+        .limit(sample)
+        .collect()
+    )
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n_codes > 256:
+        raise ValueError("n_codes > 256 needs >1 byte per code")
+    dsub = dim // m
+    rot = np.eye(dim)
+
+    def _fit(y: np.ndarray, it: int) -> np.ndarray:
+        return np.stack([
+            _pq_kmeans(y[:, j * dsub: (j + 1) * dsub], n_codes, it)
+            for j in range(m)
+        ])
+
+    def _reconstruct(y: np.ndarray, cb: np.ndarray) -> np.ndarray:
+        out = np.empty_like(y)
+        for j in range(m):
+            sub = y[:, j * dsub: (j + 1) * dsub]
+            d2 = ((cb[j] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ cb[j].T))
+            out[:, j * dsub: (j + 1) * dsub] = cb[j][np.argmin(d2, axis=1)]
+        return out
+
+    for _ in range(opq_iters):
+        y = x @ rot
+        cb = _fit(y, max(2, iters // 3))
+        u, _, vt = np.linalg.svd(x.T @ _reconstruct(y, cb))
+        rot = u @ vt
+    cb = _fit(x @ rot, iters)
+    return rot, cb
+
+
 def pq_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -583,6 +649,7 @@ def pq_topk(
     id_col: str = "vec_id",
     query_id: str = "query_id",
     code_col: str = "pq_code",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: per query, an
     inner-product lookup table ``dt[m, n_codes]`` (query subvector x
@@ -608,6 +675,11 @@ def pq_topk(
     qn = np.linalg.norm(qmat, axis=1)
     qn[qn == 0] = 1.0
     qmat = qmat / qn[:, None]
+    if rotation is not None:
+        # OPQ: codes live in the rotated space; rotating the (unit)
+        # queries preserves cosine, so scores stay comparable and the
+        # exact rerank below still uses the RAW vectors
+        qmat = qmat @ rotation
     bc = sc.broadcast((qids, qmat, codebooks))
     n_out = max(k, rerank or 0)
     schema = f"{query_id} long, {id_col} long, score double"
