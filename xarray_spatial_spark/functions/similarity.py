@@ -28,6 +28,11 @@ coarse inverted lists prune WHICH codes are scanned (n_probe/B of the
 corpus) while residual-trained PQ codes compress WHAT is scanned —
 the production FAISS recipe, here with the pruning done by bucket
 membership inside a zero-shuffle broadcast scan.
+
+``opq_train`` learns an orthogonal rotation ahead of PQ (Ge et al.
+2014) — pass it as ``rotation=`` to pq_encode/pq_topk.  ``pca_train``
+/ ``pca_project`` reduce dimensionality exactly (one-pass sufficient
+statistics) before any of the index paths.
 """
 
 from __future__ import annotations
