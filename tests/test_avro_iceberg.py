@@ -538,3 +538,68 @@ def test_iceberg_positional_deletes(spark, docs, tmp_path):
     keys = docs.filter("n_chars <= 300").limit(3).select("doc_id")
     I.delete_equality(keys, t, ["doc_id"])
     assert I.read_iceberg(spark, t).count() == total - n_kill + 5 - 3
+
+
+def test_iceberg_merge_into_upsert(spark, docs, tmp_path):
+    """MERGE INTO as ONE snapshot: matched keys take the source's
+    rows, unmatched source keys insert, and time travel still sees the
+    pre-merge state.  The same-sequence rule is what makes it atomic:
+    the equality delete (seq N) hides only strictly-older files, so
+    the inserts committed at seq N survive their own delete."""
+    t = str(tmp_path / "tbl")
+    base = docs.filter(F.col("doc_id") < 100)
+    s1 = I.write_iceberg(base, t, partition_by=["lang"])
+    total = base.count()
+    n_snaps = len(I.snapshots(t))
+
+    # source: updated n_chars for keys 50..99, new keys 100..119
+    src = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 120)) \
+        .withColumn("n_chars", F.lit(-7))
+    n_src = src.count()
+    sm = I.merge_into(src, t, on=["doc_id"])
+
+    assert len(I.snapshots(t)) == n_snaps + 1          # ONE commit
+    assert I.snapshots(t)[-1]["summary"]["operation"] == "overwrite"
+    assert sm == I.snapshots(t)[-1]["snapshot-id"]
+
+    got = I.read_iceberg(spark, t)
+    assert got.count() == total + (n_src - 50)          # 100 old-range + 20 new
+    assert got.filter(F.col("doc_id") >= 50).filter(
+        F.col("n_chars") != -7).count() == 0            # all updated
+    assert got.filter(F.col("doc_id") < 50).filter(
+        F.col("n_chars") == -7).count() == 0            # untouched rows intact
+    # exactly one row per key (the old version is gone)
+    assert got.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # time travel to pre-merge
+    pre = I.read_iceberg(spark, t, snapshot_id=s1)
+    assert pre.count() == total
+    assert pre.filter(F.col("n_chars") == -7).count() == 0
+
+
+def test_iceberg_merge_into_delete_and_guards(spark, docs, tmp_path):
+    t = str(tmp_path / "tbl")
+    base = docs.filter(F.col("doc_id") < 60)
+    I.write_iceberg(base, t, partition_by=["lang"])
+
+    # when_matched='delete', when_not_matched='ignore': pure take-down
+    src = docs.filter(F.col("doc_id") < 10)
+    I.merge_into(src, t, on=["doc_id"], when_matched="delete",
+                 when_not_matched="ignore")
+    got = I.read_iceberg(spark, t)
+    assert got.count() == 50
+    assert got.filter(F.col("doc_id") < 10).count() == 0
+
+    # when_matched='delete' + insert: replaces-with-nothing, adds new
+    src2 = docs.filter((F.col("doc_id") >= 55) & (F.col("doc_id") < 70))
+    I.merge_into(src2, t, on=["doc_id"], when_matched="delete")
+    got2 = I.read_iceberg(spark, t)
+    assert got2.filter((F.col("doc_id") >= 55) & (F.col("doc_id") < 60)).count() == 0
+    assert got2.filter(F.col("doc_id") >= 60).count() == 10
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        I.merge_into(src, t, on=["doc_id"], when_matched="upsert")
+    with _pytest.raises(KeyError):
+        I.merge_into(src, t, on=["nope"])
+    with _pytest.raises(ValueError):
+        I.merge_into(src.drop("n_chars"), t, on=["doc_id"])

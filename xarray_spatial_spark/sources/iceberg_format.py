@@ -1069,3 +1069,189 @@ def delete_where(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
         f.write(str(version))
     return snap_id
+
+
+def merge_into(
+    source: DataFrame,
+    table_dir: str,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> int:
+    """MERGE INTO (upsert) as ONE atomic snapshot: an equality-delete
+    file on the ``on`` key columns (restricted to keys that actually
+    exist in the current table) plus the new data files, committed at
+    the SAME sequence number N.  The spec applies equality deletes to
+    data files with sequence STRICTLY below the delete's, so the
+    inserted versions at seq N are untouched — single-commit upsert
+    semantics with no intermediate deleted-but-not-reinserted state,
+    and time travel to the pre-merge snapshot still works.
+
+    ``when_matched``: 'update' (matched keys get the source's rows) or
+    'delete' (matched keys disappear).  ``when_not_matched``: 'insert'
+    or 'ignore'.  The source must carry the table's columns (including
+    its partition columns); schema evolution belongs to write_iceberg.
+    Returns the new snapshot id."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched={when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched={when_not_matched!r}")
+    spark = source.sparkSession
+    md = _load_metadata_with_version(table_dir)
+    meta_dir = os.path.join(table_dir, "metadata")
+    fields = md["schemas"][md["current-schema-id"]]["fields"]
+    id_by_name = {f["name"]: f["id"] for f in fields}
+    by_name = {f["name"]: (f["id"], f["type"]) for f in fields}
+    for c in on:
+        if c not in id_by_name:
+            raise KeyError(f"no merge key {c!r} in table schema")
+    missing = [f["name"] for f in fields if f["name"] not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing table columns {missing}")
+    eq_ids = [id_by_name[c] for c in on]
+    part_names = [f["name"] for f in md["partition-specs"][0]["fields"]]
+    type_by_name = {f["name"]: f["type"] for f in fields}
+
+    target_keys = read_iceberg(spark, table_dir).select(*on).distinct()
+    matched = (source.select(*on).distinct()
+               .join(target_keys, on).persist())
+    n_matched = matched.count()
+
+    if when_matched == "update":
+        rows = source if when_not_matched == "insert" else source.join(
+            F.broadcast(matched), on, "left_semi")
+    else:  # delete
+        rows = (source.join(F.broadcast(matched), on, "left_anti")
+                if when_not_matched == "insert" else None)
+
+    seq = md["last-sequence-number"] + 1
+    snap_id = int(time.time() * 1000) * 10 + seq % 10
+    list_entries = []
+
+    # ---- equality-delete file for the matched keys (content 2)
+    n_del = 0
+    if n_matched:
+        del_dir = os.path.join(table_dir, "data", f"snap-{seq:05d}-merge-del")
+        matched.select(*on).write.mode("error").parquet(del_dir)
+        del_entries = []
+        for root, _dirs, fs in os.walk(del_dir):
+            for fn in fs:
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(root, fn)
+                nrows = pq.ParquetFile(fp).metadata.num_rows
+                n_del += nrows
+                del_entries.append({
+                    "status": 1, "snapshot_id": snap_id,
+                    "sequence_number": None, "file_sequence_number": None,
+                    "data_file": {
+                        "content": 2, "file_path": fp,
+                        "file_format": "PARQUET",
+                        "partition": {c: None for c in part_names},
+                        "record_count": nrows,
+                        "file_size_in_bytes": os.path.getsize(fp),
+                        "lower_bounds": None, "upper_bounds": None,
+                        "equality_ids": eq_ids,
+                    },
+                })
+        part_fields = [(c, type_by_name[c]) for c in part_names]
+        man_del = os.path.join(meta_dir, f"manifest-{seq:05d}-merge-del.avro")
+        avro.write_container(man_del, _manifest_schema(part_fields),
+                             del_entries)
+        list_entries.append({
+            "manifest_path": man_del,
+            "manifest_length": os.path.getsize(man_del),
+            "partition_spec_id": 0, "content": 1,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(del_entries),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": n_del,
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+        })
+    matched.unpersist()
+
+    # ---- data files for the inserted/updated rows (content 0)
+    n_rows_total = 0
+    if rows is not None:
+        snap_dir = os.path.join(table_dir, "data", f"snap-{seq:05d}")
+        w = rows.select(*[f["name"] for f in fields]).write.mode("error")
+        if part_names:
+            w = w.partitionBy(*part_names)
+        w.parquet(snap_dir)
+        entries = []
+        for root, _dirs, fs in os.walk(snap_dir):
+            for fn in fs:
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(root, fn)
+                rel = os.path.relpath(root, snap_dir)
+                pvals: dict[str, object] = {c: None for c in part_names}
+                if rel != ".":
+                    for seg in rel.split(os.sep):
+                        k, _, v = seg.partition("=")
+                        if k in pvals:
+                            pvals[k] = (
+                                None if v == "__HIVE_DEFAULT_PARTITION__"
+                                else _cast_part(v, by_name[k][1]))
+                nrows = pq.ParquetFile(fp).metadata.num_rows
+                n_rows_total += nrows
+                lower, upper = _file_bounds(fp, by_name)
+                entries.append({
+                    "status": 1, "snapshot_id": snap_id,
+                    "sequence_number": None, "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0, "file_path": fp,
+                        "file_format": "PARQUET",
+                        "partition": pvals,
+                        "record_count": nrows,
+                        "file_size_in_bytes": os.path.getsize(fp),
+                        "lower_bounds": lower, "upper_bounds": upper,
+                        "equality_ids": None,
+                    },
+                })
+        part_fields = [(c, type_by_name[c]) for c in part_names]
+        man_data = os.path.join(meta_dir, f"manifest-{seq:05d}-merge.avro")
+        avro.write_container(man_data, _manifest_schema(part_fields), entries)
+        list_entries.append({
+            "manifest_path": man_data,
+            "manifest_length": os.path.getsize(man_data),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": n_rows_total,
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+        })
+
+    # ---- one snapshot carrying both manifests
+    cur = next(s for s in md["snapshots"]
+               if s["snapshot-id"] == md["current-snapshot-id"])
+    _, prior = avro.read_container(cur["manifest-list"])
+    ml_path = os.path.join(meta_dir, f"snap-{snap_id}-manifest-list.avro")
+    avro.write_container(ml_path, _MANIFEST_LIST_SCHEMA,
+                         prior + list_entries)
+    now = int(time.time() * 1000)
+    snap = {"snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now,
+            "summary": {"operation": "overwrite",
+                        "merge-matched-keys": str(n_matched),
+                        "added-equality-deletes": str(n_del),
+                        "added-records": str(n_rows_total)},
+            "manifest-list": ml_path,
+            "schema-id": md["current-schema-id"]}
+    new_md = dict(md)
+    new_md.pop("__version", None)
+    new_md["last-sequence-number"] = seq
+    new_md["last-updated-ms"] = now
+    new_md["current-snapshot-id"] = snap_id
+    new_md["snapshots"] = md["snapshots"] + [snap]
+    new_md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": now}]
+    version = md["__version"] + 1
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(new_md, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snap_id
