@@ -603,3 +603,38 @@ def test_iceberg_merge_into_delete_and_guards(spark, docs, tmp_path):
         I.merge_into(src, t, on=["nope"])
     with _pytest.raises(ValueError):
         I.merge_into(src.drop("n_chars"), t, on=["doc_id"])
+
+
+def test_iceberg_rewrite_data_files(spark, docs, tmp_path):
+    """Compaction materializes deletes into fresh files, collapses the
+    manifest list to one entry, keeps rows/pruning identical, and old
+    snapshots still time-travel."""
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 100, 20):  # 5 small commits
+        I.write_iceberg(docs.filter((F.col("doc_id") >= lo)
+                                    & (F.col("doc_id") < lo + 20)),
+                        t, partition_by=["lang"])
+    kill = docs.filter(F.col("doc_id") % 7 == 0).filter(
+        F.col("doc_id") < 100).select("doc_id")
+    I.delete_equality(kill, t, ["doc_id"])
+    pre = I.read_iceberg(spark, t)
+    want = {(r["doc_id"], r["lang"], r["n_chars"]) for r in pre.collect()}
+    pre_snap = I.snapshots(t)[-1]["snapshot-id"]
+
+    sid = I.rewrite_data_files(spark, t, target_files=2)
+    cur = next(s for s in I.snapshots(t) if s["snapshot-id"] == sid)
+    assert cur["summary"]["operation"] == "replace"
+    _, ml = A.read_container(cur["manifest-list"])
+    assert len(ml) == 1 and ml[0]["content"] == 0   # only the data manifest
+
+    got = I.read_iceberg(spark, t)
+    assert {(r["doc_id"], r["lang"], r["n_chars"])
+            for r in got.collect()} == want
+    # deletes are materialized: no delete files apply to the rewrite
+    assert [d for d in I.delete_files(t) if d["_seq"] >= cur["sequence-number"]] == []
+    # partition pruning still works on the rewritten layout
+    langs = [r["lang"] for r in got.select("lang").distinct().collect()]
+    one = I.read_iceberg(spark, t, partition_filter={"lang": langs[0]})
+    assert one.count() == got.filter(F.col("lang") == langs[0]).count()
+    # pre-rewrite snapshot still readable
+    assert I.read_iceberg(spark, t, snapshot_id=pre_snap).count() == len(want)

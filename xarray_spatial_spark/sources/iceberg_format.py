@@ -210,6 +210,50 @@ def _partition_value_str(v) -> str:
     return "null" if v is None else str(v)
 
 
+def _walk_data_entries(snap_dir, snap_id, partition_by, by_name):
+    """Driver walk of a freshly-written snapshot dir -> ADDED data-file
+    manifest entries (content 0) with partition values recovered from
+    the Hive layout and per-file column bounds; returns
+    (entries, total_rows).  Shared by write_iceberg / merge_into /
+    rewrite_data_files."""
+    entries = []
+    n_rows_total = 0
+    for root, _dirs, files in os.walk(snap_dir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            rel = os.path.relpath(root, snap_dir)
+            pvals: dict[str, object] = {c: None for c in partition_by}
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    if k in pvals:
+                        pvals[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                                    else _cast_part(v, by_name[k][1]))
+            nrows = pq.ParquetFile(fp).metadata.num_rows
+            n_rows_total += nrows
+            lower, upper = _file_bounds(fp, by_name)
+            entries.append({
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "sequence_number": None,  # inherited = this snapshot's seq
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fp,
+                    "file_format": "PARQUET",
+                    "partition": pvals,
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(fp),
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
+                    "equality_ids": None,
+                },
+            })
+    return entries, n_rows_total
+
+
 def write_iceberg(
     df: DataFrame,
     table_dir: str,
@@ -298,41 +342,8 @@ def write_iceberg(
     w.parquet(snap_dir)
 
     # ---- manifest entries from the written files (driver walk)
-    entries = []
-    n_rows_total = 0
-    for root, _dirs, files in os.walk(snap_dir):
-        for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
-            fp = os.path.join(root, fn)
-            rel = os.path.relpath(root, snap_dir)
-            pvals: dict[str, object] = {c: None for c in partition_by}
-            if rel != ".":
-                for seg in rel.split(os.sep):
-                    k, _, v = seg.partition("=")
-                    if k in pvals:
-                        pvals[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
-                                    else _cast_part(v, by_name[k][1]))
-            nrows = pq.ParquetFile(fp).metadata.num_rows
-            n_rows_total += nrows
-            lower, upper = _file_bounds(fp, by_name)
-            entries.append({
-                "status": 1,  # ADDED
-                "snapshot_id": snap_id,
-                "sequence_number": None,  # inherited = this snapshot's seq
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 0,
-                    "file_path": fp,
-                    "file_format": "PARQUET",
-                    "partition": pvals,
-                    "record_count": nrows,
-                    "file_size_in_bytes": os.path.getsize(fp),
-                    "lower_bounds": lower,
-                    "upper_bounds": upper,
-                    "equality_ids": None,
-                },
-            })
+    entries, n_rows_total = _walk_data_entries(
+        snap_dir, snap_id, partition_by, by_name)
 
     man_path = os.path.join(meta_dir, f"manifest-{seq:05d}.avro")
     avro.write_container(man_path, _manifest_schema(part_fields), entries)
@@ -1179,37 +1190,8 @@ def merge_into(
         if part_names:
             w = w.partitionBy(*part_names)
         w.parquet(snap_dir)
-        entries = []
-        for root, _dirs, fs in os.walk(snap_dir):
-            for fn in fs:
-                if not fn.endswith(".parquet"):
-                    continue
-                fp = os.path.join(root, fn)
-                rel = os.path.relpath(root, snap_dir)
-                pvals: dict[str, object] = {c: None for c in part_names}
-                if rel != ".":
-                    for seg in rel.split(os.sep):
-                        k, _, v = seg.partition("=")
-                        if k in pvals:
-                            pvals[k] = (
-                                None if v == "__HIVE_DEFAULT_PARTITION__"
-                                else _cast_part(v, by_name[k][1]))
-                nrows = pq.ParquetFile(fp).metadata.num_rows
-                n_rows_total += nrows
-                lower, upper = _file_bounds(fp, by_name)
-                entries.append({
-                    "status": 1, "snapshot_id": snap_id,
-                    "sequence_number": None, "file_sequence_number": None,
-                    "data_file": {
-                        "content": 0, "file_path": fp,
-                        "file_format": "PARQUET",
-                        "partition": pvals,
-                        "record_count": nrows,
-                        "file_size_in_bytes": os.path.getsize(fp),
-                        "lower_bounds": lower, "upper_bounds": upper,
-                        "equality_ids": None,
-                    },
-                })
+        entries, n_rows_total = _walk_data_entries(
+            snap_dir, snap_id, part_names, by_name)
         part_fields = [(c, type_by_name[c]) for c in part_names]
         man_data = os.path.join(meta_dir, f"manifest-{seq:05d}-merge.avro")
         avro.write_container(man_data, _manifest_schema(part_fields), entries)
@@ -1239,6 +1221,94 @@ def merge_into(
                         "merge-matched-keys": str(n_matched),
                         "added-equality-deletes": str(n_del),
                         "added-records": str(n_rows_total)},
+            "manifest-list": ml_path,
+            "schema-id": md["current-schema-id"]}
+    new_md = dict(md)
+    new_md.pop("__version", None)
+    new_md["last-sequence-number"] = seq
+    new_md["last-updated-ms"] = now
+    new_md["current-snapshot-id"] = snap_id
+    new_md["snapshots"] = md["snapshots"] + [snap]
+    new_md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": now}]
+    version = md["__version"] + 1
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(new_md, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snap_id
+
+
+def rewrite_data_files(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int | None = None,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Bin-packing compaction (the rewrite-data-files maintenance job):
+    read the CURRENT snapshot — all equality/position deletes
+    materialized — write it back as a fresh compacted file set, and
+    commit a "replace" snapshot whose manifest list holds ONLY the new
+    data manifest.  After thousands of streaming micro-commits (each a
+    handful of small files plus, over time, delete files every reader
+    must anti-join), one rewrite restores large scan-friendly files
+    and drops the delete-application work from every future read.
+
+    Sequence numbering makes the delete drop safe without bookkeeping:
+    carried-forward deletes would only apply to files with seq below
+    their own, and every rewritten file sits at the NEW top sequence —
+    so the replace list simply omits the delete manifests.  Old
+    snapshots still time-travel (their files stay on disk until
+    ``expire_snapshots``).  ``target_files`` coalesces the output;
+    ``sort_by`` additionally range-clusters it so per-file bounds stay
+    tight for ``column_ranges`` skipping.  Returns the snapshot id."""
+    md = _load_metadata_with_version(table_dir)
+    meta_dir = os.path.join(table_dir, "metadata")
+    fields = md["schemas"][md["current-schema-id"]]["fields"]
+    by_name = {f["name"]: (f["id"], f["type"]) for f in fields}
+    part_names = [f["name"] for f in md["partition-specs"][0]["fields"]]
+    type_by_name = {f["name"]: f["type"] for f in fields}
+
+    rows = read_iceberg(spark, table_dir)
+    if sort_by:
+        args = ([target_files] if target_files else []) + [
+            F.col(c) for c in sort_by]
+        rows = rows.repartitionByRange(*args).sortWithinPartitions(*sort_by)
+    elif target_files:
+        rows = rows.coalesce(target_files)
+
+    seq = md["last-sequence-number"] + 1
+    snap_id = int(time.time() * 1000) * 10 + seq % 10
+    snap_dir = os.path.join(table_dir, "data", f"snap-{seq:05d}-rewrite")
+    w = rows.select(*[f["name"] for f in fields]).write.mode("error")
+    if part_names:
+        w = w.partitionBy(*part_names)
+    w.parquet(snap_dir)
+
+    entries, n_rows = _walk_data_entries(snap_dir, snap_id, part_names,
+                                         by_name)
+    part_fields = [(c, type_by_name[c]) for c in part_names]
+    man_path = os.path.join(meta_dir, f"manifest-{seq:05d}-rewrite.avro")
+    avro.write_container(man_path, _manifest_schema(part_fields), entries)
+    entry = {
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }
+    ml_path = os.path.join(meta_dir, f"snap-{snap_id}-manifest-list.avro")
+    avro.write_container(ml_path, _MANIFEST_LIST_SCHEMA, [entry])
+    now = int(time.time() * 1000)
+    snap = {"snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now,
+            "summary": {"operation": "replace",
+                        "rewritten-rows": str(n_rows),
+                        "data-files": str(len(entries))},
             "manifest-list": ml_path,
             "schema-id": md["current-schema-id"]}
     new_md = dict(md)
