@@ -638,3 +638,85 @@ def test_iceberg_rewrite_data_files(spark, docs, tmp_path):
     assert one.count() == got.filter(F.col("lang") == langs[0]).count()
     # pre-rewrite snapshot still readable
     assert I.read_iceberg(spark, t, snapshot_id=pre_snap).count() == len(want)
+
+
+def test_murmur3_matches_iceberg_spec_vectors():
+    """The bucket transform's hash is the spec's murmur3_x86_32 —
+    pinned against the test vectors published in the Iceberg spec
+    (Appendix B): long 34, string 'iceberg', date 2017-11-16."""
+    import struct
+
+    import numpy as np
+
+    assert I._murmur3_32(struct.pack("<q", 34)) == 2017239379
+    assert I._murmur3_32("iceberg".encode()) == 1210000089
+    assert np.int32(np.uint32(I._murmur3_32(struct.pack("<q", 17486)))) == -653330422
+    got = I._murmur3_long_np(np.array([34, 17486, -99, 2**62], np.int64))
+    want = [I._murmur3_32(struct.pack("<q", v)) for v in (34, 17486, -99, 2**62)]
+    assert got.tolist() == want
+
+
+def test_iceberg_partition_transforms(spark, docs, tmp_path):
+    """day(ts) / bucket(N, col) / truncate(W, col) hidden partitioning:
+    layout dirs carry the transform values, metadata records the spec
+    transform strings, pruning works on transform values, and reads
+    return the original columns untouched."""
+    import glob
+    import struct
+
+    t = str(tmp_path / "tbl")
+    d = docs.withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 12:00:00"))
+        + F.make_interval(days=F.col("doc_id") % 3))
+    I.write_iceberg(d, t, partition_by=["day(ts)", "bucket(4, doc_id)"])
+
+    spec = I._read_metadata(t)["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("ts_day", "day"), ("doc_id_bucket", "bucket[4]")]
+    # layout: ts_day=19723..19725 (2024-01-01 is day 19723)
+    days = sorted({p.split("=")[1] for p in glob.glob(f"{t}/data/*/ts_day=*")})
+    assert days == ["19723", "19724", "19725"]
+
+    got = I.read_iceberg(spark, t)
+    assert sorted(got.columns) == sorted(d.columns)
+    assert got.count() == d.count()
+
+    # pruning on the bucket value: exactly the keys whose spec-hash
+    # bucket is 2, nothing else (replayed via the pinned murmur3)
+    sub = I.read_iceberg(spark, t, partition_filter={"doc_id_bucket": 2})
+    ids = {r["doc_id"] for r in sub.select("doc_id").collect()}
+    want = {r["doc_id"] for r in d.select("doc_id").collect()
+            if (I._murmur3_32(struct.pack("<q", r["doc_id"])) & 0x7FFFFFFF) % 4 == 2}
+    assert ids == want and ids
+    # day pruning composes
+    one_day = I.read_iceberg(spark, t, partition_filter={"ts_day": 19724})
+    assert one_day.count() == d.filter(F.col("doc_id") % 3 == 1).count()
+
+    # append with the same spec works; a different spec raises
+    I.write_iceberg(d.limit(5), t, partition_by=["day(ts)", "bucket(4, doc_id)"])
+    with pytest.raises(ValueError):
+        I.write_iceberg(d.limit(5), t, partition_by=["day(ts)"])
+
+    # merge on the transformed table recomputes the hidden partitions
+    src = d.limit(20).withColumn("n_chars", F.lit(-3))
+    I.merge_into(src, t, on=["doc_id"])
+    assert I.read_iceberg(spark, t).filter(
+        (F.col("doc_id") < 20) & (F.col("n_chars") != -3)).count() == 0
+
+
+def test_iceberg_truncate_transform(spark, docs, tmp_path):
+    t = str(tmp_path / "tbl")
+    I.write_iceberg(docs, t, partition_by=["truncate(2, lang)"])
+    spec = I._read_metadata(t)["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("lang_trunc", "truncate[2]")]
+    got = I.read_iceberg(spark, t)
+    assert got.count() == docs.count()
+    langs2 = {r["lang"][:2] for r in docs.select("lang").distinct().collect()}
+    pruned = I.read_iceberg(
+        spark, t, partition_filter={"lang_trunc": sorted(langs2)[0]})
+    assert pruned.count() == docs.filter(
+        F.substring("lang", 1, 2) == sorted(langs2)[0]).count()
+    with pytest.raises(ValueError):
+        I.write_iceberg(docs, t.replace("tbl", "t2"),
+                        partition_by=["bucket(doc_id)"])  # missing N

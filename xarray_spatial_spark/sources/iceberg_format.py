@@ -35,6 +35,7 @@ import os
 import time
 import uuid
 
+import pandas as pd
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -210,12 +211,212 @@ def _partition_value_str(v) -> str:
     return "null" if v is None else str(v)
 
 
-def _walk_data_entries(snap_dir, snap_id, partition_by, by_name):
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 from the public algorithm — the hash the Iceberg
+    spec mandates for bucket transforms (int/long values hash as their
+    8-byte little-endian LONG form, strings as UTF-8 bytes).  Returns
+    the unsigned 32-bit hash; spec test vectors pinned in tests."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n4 = len(data) // 4
+    for i in range(n4):
+        k = int.from_bytes(data[4 * i: 4 * i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[4 * n4:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _murmur3_long_np(v):
+    """Vectorized murmur3_x86_32 over int64 values in their 8-byte
+    little-endian form (two 4-byte blocks) — bit-identical to
+    ``_murmur3_32(struct.pack('<q', v))``; used for fast bucket
+    assignment on integer columns."""
+    import numpy as np
+
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    x = v.astype(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(x), np.uint32)
+        for blk in ((x & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                    (x >> np.uint64(32)).astype(np.uint32)):
+            k = blk * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h
+
+
+_PART_RE = None
+
+
+def _parse_partition_by(partition_by, by_name):
+    """Parse partition specs: plain column names (identity) plus the
+    spec transforms ``day(ts)``, ``bucket(N, col)``, ``truncate(W,
+    col)``.  Returns [{name, transform, source, param, itype}];
+    ``transform`` uses the metadata JSON forms (identity / day /
+    bucket[N] / truncate[W]), names follow the Iceberg convention
+    (ts_day, url_bucket, lang_trunc)."""
+    import re
+
+    global _PART_RE
+    if _PART_RE is None:
+        _PART_RE = re.compile(
+            r"^\s*(day|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?"
+            r"([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$")
+    specs = []
+    for p in partition_by:
+        m = _PART_RE.match(p)
+        if m is None:
+            if p not in by_name:
+                raise ValueError(f"partition column {p!r} not in dataframe")
+            specs.append({"name": p, "transform": "identity", "source": p,
+                          "param": None, "itype": by_name[p][1],
+                          "_stype": by_name[p][1]})
+            continue
+        fn, param, src = m.group(1), m.group(2), m.group(3)
+        if src not in by_name:
+            raise ValueError(f"partition source column {src!r} not in dataframe")
+        stype = by_name[src][1]
+        if fn == "day":
+            if param is not None:
+                raise ValueError("day() takes no width")
+            if stype not in ("timestamptz", "date"):
+                raise ValueError(f"day() needs a timestamp/date, got {stype}")
+            specs.append({"name": f"{src}_day", "transform": "day",
+                          "source": src, "param": None, "itype": "int",
+                          "_stype": stype})
+        elif fn == "bucket":
+            if not param:
+                raise ValueError("bucket(N, col) needs N")
+            if stype not in ("int", "long", "string"):
+                raise ValueError(f"bucket() on {stype} not supported")
+            specs.append({"name": f"{src}_bucket",
+                          "transform": f"bucket[{int(param)}]",
+                          "source": src, "param": int(param), "itype": "int",
+                          "_stype": stype})
+        else:
+            if not param:
+                raise ValueError("truncate(W, col) needs W")
+            if stype not in ("int", "long", "string"):
+                raise ValueError(f"truncate() on {stype} not supported")
+            specs.append({"name": f"{src}_trunc",
+                          "transform": f"truncate[{int(param)}]",
+                          "source": src, "param": int(param),
+                          "itype": "string" if stype == "string" else stype,
+                          "_stype": stype})
+    if len({sp["name"] for sp in specs}) != len(specs):
+        raise ValueError("duplicate partition field names")
+    return specs
+
+
+def _specs_from_metadata(md):
+    """Reconstruct the parsed partition specs from table metadata (the
+    inverse of :func:`_parse_partition_by`) so merge/rewrite can
+    recompute transform columns."""
+    fields = md["schemas"][md["current-schema-id"]]["fields"]
+    name_by_id = {f["id"]: f["name"] for f in fields}
+    type_by_id = {f["id"]: f["type"] for f in fields}
+    specs = []
+    for pf in md["partition-specs"][0]["fields"]:
+        tf = pf["transform"]
+        src = name_by_id[pf["source-id"]]
+        stype = type_by_id[pf["source-id"]]
+        param = None
+        if tf.startswith(("bucket[", "truncate[")):
+            param = int(tf.split("[", 1)[1].rstrip("]"))
+        if tf == "identity":
+            itype = stype
+        elif tf == "day" or tf.startswith("bucket["):
+            itype = "int"
+        else:
+            itype = "string" if stype == "string" else stype
+        specs.append({"name": pf["name"], "transform": tf, "source": src,
+                      "param": param, "itype": itype, "_stype": stype})
+    return specs
+
+
+def _transform_column(spec):
+    """Column expression for a non-identity partition transform.
+
+    day: floor(epoch_seconds / 86400) — the UTC day ordinal, timezone-
+    independent.  bucket[N]: (murmur3_x86_32(v) & MAX_INT) % N per the
+    spec, via an Arrow-batched udf (vectorized two-block hash for
+    integer sources, per-row UTF-8 hash for strings).  truncate[W]:
+    string prefix / floor-multiple for integers."""
+    src = F.col(spec["source"])
+    tf = spec["transform"]
+    if tf == "day":
+        return F.floor(src.cast("double") / 86400).cast("int")
+    if tf.startswith("truncate["):
+        w = spec["param"]
+        if spec["itype"] == "string":
+            return F.substring(src, 1, w)
+        return (src - F.pmod(src, F.lit(w))).cast(
+            "bigint" if spec["itype"] == "long" else "int")
+    if tf.startswith("bucket["):
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        n = spec["param"]
+        str_source = spec["_stype"] == "string"
+
+        @pandas_udf("int")
+        def _bucket(sr: pd.Series) -> pd.Series:
+            mask = sr.notna()
+            out = pd.Series([pd.NA] * len(sr), dtype="Int32")
+            if not mask.any():
+                return out
+            vals = sr[mask]
+            if str_source:
+                hs = np.fromiter(
+                    (_murmur3_32(str(x).encode("utf-8")) for x in vals),
+                    dtype=np.uint32, count=len(vals))
+            else:
+                hs = _murmur3_long_np(vals.to_numpy(np.int64))
+            out[mask] = ((hs & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(
+                "int32")
+            return out
+
+        return _bucket(src)
+    raise ValueError(f"unknown transform {tf!r}")
+
+
+def _walk_data_entries(snap_dir, snap_id, partition_by, by_name,
+                       part_types=None):
     """Driver walk of a freshly-written snapshot dir -> ADDED data-file
     manifest entries (content 0) with partition values recovered from
     the Hive layout and per-file column bounds; returns
     (entries, total_rows).  Shared by write_iceberg / merge_into /
-    rewrite_data_files."""
+    rewrite_data_files.  ``part_types`` maps partition FIELD names to
+    iceberg types (transform fields aren't schema columns); defaults
+    to the schema type."""
+    part_types = part_types or {}
     entries = []
     n_rows_total = 0
     for root, _dirs, files in os.walk(snap_dir):
@@ -229,8 +430,10 @@ def _walk_data_entries(snap_dir, snap_id, partition_by, by_name):
                 for seg in rel.split(os.sep):
                     k, _, v = seg.partition("=")
                     if k in pvals:
-                        pvals[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
-                                    else _cast_part(v, by_name[k][1]))
+                        pvals[k] = (
+                            None if v == "__HIVE_DEFAULT_PARTITION__"
+                            else _cast_part(
+                                v, part_types.get(k, by_name.get(k, (0, "string"))[1])))
             nrows = pq.ParquetFile(fp).metadata.num_rows
             n_rows_total += nrows
             lower, upper = _file_bounds(fp, by_name)
@@ -264,8 +467,11 @@ def write_iceberg(
     sort_partitions: int | None = None,
 ) -> int:
     """Commit ``df`` as a new append snapshot of the Iceberg table at
-    ``table_dir`` (created on first write).  Identity partitioning on
-    ``partition_by``.  Returns the new snapshot id.
+    ``table_dir`` (created on first write).  ``partition_by`` entries
+    are identity column names or the spec's hidden-partition
+    transforms — ``day(ts)``, ``bucket(N, col)`` (spec murmur3),
+    ``truncate(W, col)`` — so a Common-Crawl table lays out as e.g.
+    ``["day(warc_ts)", "bucket(64, url)"]``.  Returns the snapshot id.
 
     One Spark write job for the data files; everything else is
     KB-scale driver metadata (the Iceberg design point)."""
@@ -278,12 +484,7 @@ def write_iceberg(
     exists = os.path.exists(os.path.join(meta_dir, "version-hint.text"))
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
-    if exists:
-        md = _load_metadata_with_version(table_dir)
-        if [f["name"] for f in md["partition-specs"][0]["fields"]] != partition_by:
-            raise ValueError("partition_by differs from the table's spec")
-    else:
-        md = None
+    md = _load_metadata_with_version(table_dir) if exists else None
 
     # ---- schema (with ADD-COLUMN evolution): existing columns keep
     # their field ids and must keep their types; new columns get fresh
@@ -318,10 +519,14 @@ def write_iceberg(
         last_col_id = len(fields)
         schema_changed = False
     by_name = {f["name"]: (f["id"], f["type"]) for f in fields}
-    for c in partition_by:
-        if c not in by_name:
-            raise ValueError(f"partition column {c!r} not in dataframe")
-    part_fields = [(c, by_name[c][1]) for c in partition_by]
+    specs = _parse_partition_by(partition_by, by_name)
+    part_names = [sp["name"] for sp in specs]
+    if md is not None:
+        want = [(f["name"], f["transform"])
+                for f in md["partition-specs"][0]["fields"]]
+        if [(sp["name"], sp["transform"]) for sp in specs] != want:
+            raise ValueError("partition_by differs from the table's spec")
+    part_fields = [(sp["name"], sp["itype"]) for sp in specs]
 
     # ---- data files: ONE partitioned write into a per-snapshot dir
     seq = (md["last-sequence-number"] + 1) if md else 1
@@ -336,14 +541,18 @@ def write_iceberg(
         args = ([sort_partitions] if sort_partitions else []) + [
             F.col(c) for c in sort_by]
         df = df.repartitionByRange(*args).sortWithinPartitions(*sort_by)
+    for sp in specs:
+        if sp["transform"] != "identity":
+            df = df.withColumn(sp["name"], _transform_column(sp))
     w = df.write.mode("error")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
+    if part_names:
+        w = w.partitionBy(*part_names)
     w.parquet(snap_dir)
 
     # ---- manifest entries from the written files (driver walk)
     entries, n_rows_total = _walk_data_entries(
-        snap_dir, snap_id, partition_by, by_name)
+        snap_dir, snap_id, part_names, by_name,
+        {sp["name"]: sp["itype"] for sp in specs})
 
     man_path = os.path.join(meta_dir, f"manifest-{seq:05d}.avro")
     avro.write_container(man_path, _manifest_schema(part_fields), entries)
@@ -397,11 +606,11 @@ def write_iceberg(
             md["current-schema-id"] + 1 if md and schema_changed
             else (md["current-schema-id"] if md else 0)),
         "partition-specs": [{"spec-id": 0, "fields": [
-            {"name": c, "transform": "identity",
-             "source-id": by_name[c][0], "field-id": 1000 + k}
-            for k, c in enumerate(partition_by)]}],
+            {"name": sp["name"], "transform": sp["transform"],
+             "source-id": by_name[sp["source"]][0], "field-id": 1000 + k}
+            for k, sp in enumerate(specs)]}],
         "default-spec-id": 0,
-        "last-partition-id": 1000 + len(partition_by) - 1,
+        "last-partition-id": 1000 + len(specs) - 1,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": {"write.format.default": "parquet"},
@@ -783,8 +992,9 @@ def delete_equality(
         if c not in id_by_name:
             raise KeyError(f"no column {c!r} in table schema")
     eq_ids = [id_by_name[c] for c in columns]
-    part_names = [f["name"] for f in md["partition-specs"][0]["fields"]]
-    type_by_name = {f["name"]: f["type"] for f in fields}
+    specs = _specs_from_metadata(md)
+    part_names = [sp["name"] for sp in specs]
+    spec_part_fields = [(sp["name"], sp["itype"]) for sp in specs]
 
     seq = md["last-sequence-number"] + 1
     snap_id = int(time.time() * 1000) * 10 + seq % 10
@@ -817,7 +1027,7 @@ def delete_equality(
                     "equality_ids": eq_ids,
                 },
             })
-    part_fields = [(c, type_by_name[c]) for c in part_names]
+    part_fields = spec_part_fields
     man_path = os.path.join(meta_dir, f"manifest-{seq:05d}-deletes.avro")
     avro.write_container(man_path, _manifest_schema(part_fields), entries)
 
@@ -979,9 +1189,9 @@ def delete_where(
 
     md = _load_metadata_with_version(table_dir)
     meta_dir = os.path.join(table_dir, "metadata")
-    part_names = [f["name"] for f in md["partition-specs"][0]["fields"]]
-    type_by_name = {f["name"]: f["type"]
-                    for f in md["schemas"][md["current-schema-id"]]["fields"]}
+    specs = _specs_from_metadata(md)
+    part_names = [sp["name"] for sp in specs]
+    spec_part_fields = [(sp["name"], sp["itype"]) for sp in specs]
 
     files = data_files(table_dir)
     data_root = os.path.join(table_dir, "data")
@@ -1033,7 +1243,7 @@ def delete_where(
                     "equality_ids": None,
                 },
             })
-    part_fields = [(c, type_by_name[c]) for c in part_names]
+    part_fields = spec_part_fields
     man_path = os.path.join(meta_dir, f"manifest-{seq:05d}-posdel.avro")
     avro.write_container(man_path, _manifest_schema(part_fields), entries)
 
@@ -1120,8 +1330,10 @@ def merge_into(
     if missing:
         raise ValueError(f"source is missing table columns {missing}")
     eq_ids = [id_by_name[c] for c in on]
-    part_names = [f["name"] for f in md["partition-specs"][0]["fields"]]
-    type_by_name = {f["name"]: f["type"] for f in fields}
+    specs = _specs_from_metadata(md)
+    part_names = [sp["name"] for sp in specs]
+    part_fields = [(sp["name"], sp["itype"]) for sp in specs]
+    part_types = {sp["name"]: sp["itype"] for sp in specs}
 
     target_keys = read_iceberg(spark, table_dir).select(*on).distinct()
     matched = (source.select(*on).distinct()
@@ -1165,7 +1377,6 @@ def merge_into(
                         "equality_ids": eq_ids,
                     },
                 })
-        part_fields = [(c, type_by_name[c]) for c in part_names]
         man_del = os.path.join(meta_dir, f"manifest-{seq:05d}-merge-del.avro")
         avro.write_container(man_del, _manifest_schema(part_fields),
                              del_entries)
@@ -1186,13 +1397,17 @@ def merge_into(
     n_rows_total = 0
     if rows is not None:
         snap_dir = os.path.join(table_dir, "data", f"snap-{seq:05d}")
-        w = rows.select(*[f["name"] for f in fields]).write.mode("error")
+        out_rows = rows.select(*[f["name"] for f in fields])
+        for sp in specs:
+            if sp["transform"] != "identity":
+                out_rows = out_rows.withColumn(sp["name"],
+                                               _transform_column(sp))
+        w = out_rows.write.mode("error")
         if part_names:
             w = w.partitionBy(*part_names)
         w.parquet(snap_dir)
         entries, n_rows_total = _walk_data_entries(
-            snap_dir, snap_id, part_names, by_name)
-        part_fields = [(c, type_by_name[c]) for c in part_names]
+            snap_dir, snap_id, part_names, by_name, part_types)
         man_data = os.path.join(meta_dir, f"manifest-{seq:05d}-merge.avro")
         avro.write_container(man_data, _manifest_schema(part_fields), entries)
         list_entries.append({
@@ -1266,8 +1481,10 @@ def rewrite_data_files(
     meta_dir = os.path.join(table_dir, "metadata")
     fields = md["schemas"][md["current-schema-id"]]["fields"]
     by_name = {f["name"]: (f["id"], f["type"]) for f in fields}
-    part_names = [f["name"] for f in md["partition-specs"][0]["fields"]]
-    type_by_name = {f["name"]: f["type"] for f in fields}
+    specs = _specs_from_metadata(md)
+    part_names = [sp["name"] for sp in specs]
+    part_fields = [(sp["name"], sp["itype"]) for sp in specs]
+    part_types = {sp["name"]: sp["itype"] for sp in specs}
 
     rows = read_iceberg(spark, table_dir)
     if sort_by:
@@ -1280,14 +1497,17 @@ def rewrite_data_files(
     seq = md["last-sequence-number"] + 1
     snap_id = int(time.time() * 1000) * 10 + seq % 10
     snap_dir = os.path.join(table_dir, "data", f"snap-{seq:05d}-rewrite")
-    w = rows.select(*[f["name"] for f in fields]).write.mode("error")
+    out_rows = rows.select(*[f["name"] for f in fields])
+    for sp in specs:
+        if sp["transform"] != "identity":
+            out_rows = out_rows.withColumn(sp["name"], _transform_column(sp))
+    w = out_rows.write.mode("error")
     if part_names:
         w = w.partitionBy(*part_names)
     w.parquet(snap_dir)
 
     entries, n_rows = _walk_data_entries(snap_dir, snap_id, part_names,
-                                         by_name)
-    part_fields = [(c, type_by_name[c]) for c in part_names]
+                                         by_name, part_types)
     man_path = os.path.join(meta_dir, f"manifest-{seq:05d}-rewrite.avro")
     avro.write_container(man_path, _manifest_schema(part_fields), entries)
     entry = {
