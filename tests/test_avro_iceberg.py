@@ -720,3 +720,37 @@ def test_iceberg_truncate_transform(spark, docs, tmp_path):
     with pytest.raises(ValueError):
         I.write_iceberg(docs, t.replace("tbl", "t2"),
                         partition_by=["bucket(doc_id)"])  # missing N
+
+
+def test_iceberg_remove_orphan_files(spark, docs, tmp_path):
+    """Orphan sweep: unreferenced snap dirs (crashed writer) and
+    expiry leftovers go; every referenced file, marker files in live
+    dirs, and metadata versions stay; reads are byte-identical."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    I.write_iceberg(docs.limit(50), t, partition_by=["lang"])
+    I.write_iceberg(docs.filter(F.col("doc_id") >= 50).limit(30), t,
+                    partition_by=["lang"])
+    want = {(r["doc_id"], r["lang"]) for r in
+            I.read_iceberg(spark, t).select("doc_id", "lang").collect()}
+
+    # a crashed writer's data dir: written but never committed
+    docs.limit(7).write.parquet(f"{t}/data/snap-99999")
+    # a stray tmp manifest
+    open(f"{t}/metadata/manifest-junk.avro.tmp", "wb").write(b"junk")
+
+    removed = I.remove_orphan_files(t)
+    assert removed["files"] >= 2 and removed["bytes"] > 0
+    assert not os.path.exists(f"{t}/data/snap-99999")
+    assert not os.path.exists(f"{t}/metadata/manifest-junk.avro.tmp")
+    got = {(r["doc_id"], r["lang"]) for r in
+           I.read_iceberg(spark, t).select("doc_id", "lang").collect()}
+    assert got == want
+    # second sweep is a no-op; the table still reads
+    assert I.remove_orphan_files(t) == {"files": 0, "bytes": 0}
+    # grace window: young orphans survive
+    docs.limit(3).write.parquet(f"{t}/data/snap-88888")
+    assert I.remove_orphan_files(t, older_than_s=3600)["files"] == 0
+    assert os.path.exists(f"{t}/data/snap-88888")
+    I.remove_orphan_files(t)

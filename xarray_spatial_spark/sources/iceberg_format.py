@@ -1173,6 +1173,70 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     return {"snapshots": len(drop), "files": n_files}
 
 
+def remove_orphan_files(table_dir: str, older_than_s: float = 0.0) -> dict:
+    """Table maintenance, third leg after manifest compaction and
+    snapshot expiry: delete files under the table location that NO
+    snapshot references.  Orphans accrue by design — expire_snapshots
+    commits metadata before deleting (a crash leaves orphans, never a
+    broken table), and a writer that dies between its data write and
+    its metadata commit leaves a whole unreferenced snap dir.
+
+    The reference set is every snapshot's manifest list, manifests,
+    data and delete files, plus all metadata.json versions and the
+    version hint — anything else under data/ and metadata/ goes.
+    Spark write-markers (_SUCCESS, .crc) survive while any referenced
+    file lives in their directory subtree.  ``older_than_s`` is the
+    concurrency grace window (the real procedure's age threshold):
+    files younger than it are kept so an in-flight writer's data
+    isn't swept before its commit.  Returns {"files": n, "bytes": n}
+    removed.  Mirrors the catalog procedure of the same name."""
+    md = _load_metadata_with_version(table_dir)
+    meta_dir = os.path.join(table_dir, "metadata")
+    data_dir = os.path.join(table_dir, "data")
+    refs = set()
+    for snap in md["snapshots"]:
+        refs.add(snap["manifest-list"])
+        _, manifests = avro.read_container(snap["manifest-list"])
+        for mf in manifests:
+            refs.add(mf["manifest_path"])
+            _, entries = avro.read_container(mf["manifest_path"])
+            for e in entries:
+                refs.add(e["data_file"]["file_path"])
+    for fn in os.listdir(meta_dir):
+        if fn.endswith(".metadata.json") or fn == "version-hint.text":
+            refs.add(os.path.join(meta_dir, fn))
+    ref_dirs = set()
+    for r in refs:
+        d = os.path.dirname(r)
+        while d.startswith(table_dir.rstrip(os.sep)):
+            ref_dirs.add(d)
+            d = os.path.dirname(d)
+
+    cutoff = time.time() - older_than_s
+    n_files = 0
+    n_bytes = 0
+    for root_dir in (data_dir, meta_dir):
+        if not os.path.isdir(root_dir):
+            continue
+        for root, _dirs, fs in os.walk(root_dir, topdown=False):
+            for fn in fs:
+                fp = os.path.join(root, fn)
+                if fp in refs:
+                    continue
+                is_marker = (fn == "_SUCCESS" or fn.endswith(".crc")
+                             or fn.startswith("."))
+                if is_marker and root in ref_dirs:
+                    continue  # Spark write-marker riding a live dir
+                if os.path.getmtime(fp) > cutoff:
+                    continue
+                n_bytes += os.path.getsize(fp)
+                os.remove(fp)
+                n_files += 1
+            if not os.listdir(root):
+                os.rmdir(root)
+    return {"files": n_files, "bytes": n_bytes}
+
+
 def delete_where(
     spark: SparkSession,
     table_dir: str,
