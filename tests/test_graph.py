@@ -1,6 +1,7 @@
 """pagerank — numpy power-iteration oracle + invariants."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from xarray_spatial_spark.functions import graph
@@ -62,3 +63,45 @@ def test_connected_components_long_chain(spark):
     got = {r["node"]: r["label"]
            for r in graph.connected_components(df).collect()}
     assert set(got.values()) == {0} and len(got) == 61
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """HITS scores equal a dense numpy replay of the same normalized
+    mutual recursion on a small digraph; hubs/authorities land where
+    Kleinberg says (pointy hub -> high hub, pointed-at -> authority);
+    parallelism-invariant to float tolerance."""
+    import numpy as np
+
+    edges = [(0, 3), (0, 4), (1, 3), (1, 4), (2, 4), (3, 2), (4, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from xarray_spatial_spark.functions.graph import hits
+
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(df, iters=12).collect()}
+
+    n = 5
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(12):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    for v in range(n):
+        assert got[v][0] == pytest.approx(h[v], abs=1e-9), v
+        assert got[v][1] == pytest.approx(a[v], abs=1e-9), v
+    # 0 and 1 point at both sinks -> top hubs; 4 is the top authority
+    assert sorted(range(n), key=lambda v: -got[v][0])[:2] == [0, 1] or \
+        sorted(range(n), key=lambda v: -got[v][0])[:2] == [1, 0]
+    assert max(range(n), key=lambda v: got[v][1]) == 4
+
+    again = {r["node"]: (r["hub"], r["authority"])
+             for r in hits(df.repartition(7), iters=12).collect()}
+    for v in range(n):
+        assert again[v][0] == pytest.approx(got[v][0], rel=1e-12)
+
+    with pytest.raises(ValueError):
+        hits(df, iters=-1)

@@ -128,3 +128,67 @@ def pagerank(
         if i % 2 == 1 or i == iters - 1:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, hub, authority) after ``iters`` rounds of the classic
+    HITS mutual recursion (Kleinberg 1999):
+
+        auth_t+1(v) = sum_{(u,v)} hub_t(u)      then L2-normalize
+        hub_t+1(u)  = sum_{(u,v)} auth_t+1(v)   then L2-normalize
+
+    Complements :func:`pagerank` on crawl link graphs: hubs surface
+    directory/index pages (what a frontier should expand), authorities
+    surface the pages those concentrate on (what a quality prior
+    should boost).  Per round: two equi-joins + two aggregations, the
+    same shuffle shape as one pagerank step; the L2 norms ride as
+    broadcast 1-row aggregates; every second round ends in an eager
+    localCheckpoint (module docstring: lineage, not data, is what
+    dies on iterative plans).  Duplicate edges contribute multiply."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = edges.select(F.col(src).alias("_src"),
+                     F.col(dst).alias("_dst")).localCheckpoint()
+    scores = nodes.select("node", F.lit(1.0).alias("hub"),
+                          F.lit(1.0).alias("authority"))
+
+    def _l2_normalize(df: DataFrame, col: str) -> DataFrame:
+        norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
+        return df.crossJoin(F.broadcast(norm)).select(
+            "node", *[
+                (F.col(c) / F.col("_n")).alias(c) if c == col else F.col(c)
+                for c in ("hub", "authority")
+            ])
+
+    for i in range(iters):
+        auth = (
+            e.join(scores.select("node", "hub"), e["_src"] == F.col("node"))
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        scores = scores.drop("authority").join(auth, "node", "left").select(
+            "node", "hub", F.coalesce("_a", F.lit(0.0)).alias("authority"))
+        scores = _l2_normalize(scores, "authority")
+        hub = (
+            e.join(scores.select("node", "authority"),
+                   e["_dst"] == F.col("node"))
+            .groupBy(F.col("_src").alias("node"))
+            .agg(F.sum("authority").alias("_h"))
+        )
+        scores = scores.drop("hub").join(hub, "node", "left").select(
+            "node", F.coalesce("_h", F.lit(0.0)).alias("hub"), "authority")
+        scores = _l2_normalize(scores, "hub")
+        if i % 2 == 1 or i == iters - 1:
+            scores = scores.localCheckpoint()
+    return scores
