@@ -1517,6 +1517,34 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the same deterministic synthetic
+    link graph as q_link_graph (functions/graph.py:hits) — top-20
+    authorities.  Rows-only (iterative normalized recursion has no
+    SQL twin; pinned against dense numpy power iteration in pytest)."""
+    from xarray_spatial_spark.functions import url as uf
+    from xarray_spatial_spark.functions.graph import hits
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    t1 = (F.col("doc_id") * 31 + 7) % 1009
+    t2 = (F.col("doc_id") * 17 + 3) % 97
+    page = d.select(
+        _synth_url_expr().alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="/a/b/'), t1.cast("string"),
+            F.lit('">x</a> <a href="/a/b/'), t2.cast("string"),
+            F.lit('">y</a></body></html>'),
+        ).alias("html"),
+    )
+    sc = hits(uf.link_edges(page), iters=5)
+    return (
+        sc.orderBy(F.desc("authority"), "node")
+        .limit(20)
+        .select("node", F.round("hub", 6).alias("hub"),
+                F.round("authority", 6).alias("authority"))
+    )
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Render every document as a CC-style per-record-gzip WARC member
     and parse it back with the from-scratch reader (sources/warc.py)
@@ -2223,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_ann": q_pca_ann,
         "host_cap_salted": q_host_cap_salted,
         "link_graph": q_link_graph,
+        "hits": q_hits,
         "anchor_text": q_anchor_text,
         "bpe": q_bpe,
         "quality_clf": q_quality_clf,

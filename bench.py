@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "pq_topk",
     "ivfpq_topk",
     "pca_ann",
+    "hits",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

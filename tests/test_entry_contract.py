@@ -76,6 +76,9 @@ def test_oracle_keys_subset_of_queries():
         # iterative PageRank composition; extraction branches are
         # pytest goldens, pagerank itself oracle-backed separately
         "link_graph",
+        # HITS normalized mutual recursion; numpy power-iteration
+        # pinned in pytest
+        "hits",
         # salted==plain equality is pytest-asserted; the entry exists
         # to benchmark the skewed-host path, not to re-prove results
         "host_cap_salted",
