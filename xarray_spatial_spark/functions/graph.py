@@ -146,10 +146,18 @@ def hits(
     directory/index pages (what a frontier should expand), authorities
     surface the pages those concentrate on (what a quality prior
     should boost).  Per round: two equi-joins + two aggregations, the
-    same shuffle shape as one pagerank step; the L2 norms ride as
-    broadcast 1-row aggregates; every second round ends in an eager
-    localCheckpoint (module docstring: lineage, not data, is what
-    dies on iterative plans).  Duplicate edges contribute multiply."""
+    same shuffle shape as one pagerank step; every second round ends
+    in an eager localCheckpoint (module docstring: lineage, not data,
+    is what dies on iterative plans).
+
+    Normalization is DEFERRED: power iteration is scale-invariant, so
+    per-round L2 norms (two extra full-pass aggregations each) buy
+    nothing — the direction after t rounds is identical whether you
+    normalize every round or once at the end.  Magnitudes grow like
+    the principal eigenvalue^t, so a rescale every 16 rounds keeps
+    very deep runs inside float64 range; the returned hub/authority
+    columns are the standard unit-L2 scores.  Duplicate edges
+    contribute multiply."""
     if iters < 0:
         raise ValueError("iters must be >= 0")
     nodes = (
@@ -163,11 +171,15 @@ def hits(
     scores = nodes.select("node", F.lit(1.0).alias("hub"),
                           F.lit(1.0).alias("authority"))
 
-    def _l2_normalize(df: DataFrame, col: str) -> DataFrame:
-        norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
+    def _l2_normalize(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+        norm = df.agg(*[
+            F.sqrt(F.sum(F.col(c) * F.col(c))).alias(f"_n_{c}") for c in cols
+        ])
         return df.crossJoin(F.broadcast(norm)).select(
             "node", *[
-                (F.col(c) / F.col("_n")).alias(c) if c == col else F.col(c)
+                (F.col(c) / F.when(F.col(f"_n_{c}") > 0, F.col(f"_n_{c}"))
+                 .otherwise(F.lit(1.0))).alias(c)
+                if c in cols else F.col(c)
                 for c in ("hub", "authority")
             ])
 
@@ -179,7 +191,6 @@ def hits(
         )
         scores = scores.drop("authority").join(auth, "node", "left").select(
             "node", "hub", F.coalesce("_a", F.lit(0.0)).alias("authority"))
-        scores = _l2_normalize(scores, "authority")
         hub = (
             e.join(scores.select("node", "authority"),
                    e["_dst"] == F.col("node"))
@@ -188,7 +199,8 @@ def hits(
         )
         scores = scores.drop("hub").join(hub, "node", "left").select(
             "node", F.coalesce("_h", F.lit(0.0)).alias("hub"), "authority")
-        scores = _l2_normalize(scores, "hub")
+        if (i + 1) % 16 == 0:
+            scores = _l2_normalize(scores, ("hub", "authority"))
         if i % 2 == 1 or i == iters - 1:
             scores = scores.localCheckpoint()
-    return scores
+    return _l2_normalize(scores, ("hub", "authority"))
