@@ -725,3 +725,32 @@ def test_temperature_mixture(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         temperature_mixture(df, alpha=-0.5)
+
+
+def test_host_cap_incremental_salted_equals_plain(spark):
+    """The (host, salt) pre-cut keeps each salt's top cap rows — a
+    superset of any remaining <= cap final cut — so salted and plain
+    results are byte-identical even with a megahost."""
+    import numpy as np
+    from xarray_spatial_spark.functions import sketch as sk
+    from xarray_spatial_spark.functions.corpus import host_cap_incremental
+    from xarray_spatial_spark.functions.url import url_host
+
+    prior_rows = [(i, f"https://mega.org/p/{i}") for i in range(7)] + [
+        (100 + i, f"https://h{i % 5}.org/p/{i}") for i in range(10)]
+    snap1 = spark.createDataFrame(prior_rows, "doc_id long, url string")
+    cms = sk.cms_build(snap1.select(url_host(F.col("url")).alias("host")),
+                       "host", w=2048, d=5)
+    rows = [(1000 + i, "https://mega.org/q/" + str(i), float(i % 97))
+            for i in range(600)] + [
+        (5000 + i, f"https://h{i % 5}.org/q/{i}", float(i)) for i in range(50)]
+    snap2 = spark.createDataFrame(rows, "doc_id long, url string, score double")
+    plain = host_cap_incremental(snap2, cap=10, prior_counts=cms,
+                                 score_col="score", n_salts=0).collect()
+    salted = host_cap_incremental(snap2, cap=10, prior_counts=cms,
+                                  score_col="score", n_salts=8).collect()
+    key = lambda r: (r["doc_id"], r["host_rank"])
+    assert sorted(map(key, plain)) == sorted(map(key, salted))
+    # mega had 7 prior -> exactly 3 kept
+    mega = [r for r in plain if "mega" in r["url"]]
+    assert len(mega) == 3

@@ -493,6 +493,7 @@ def host_cap_incremental(
     url_col: str = "url",
     id_col: str = "doc_id",
     host_col: str | None = None,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Cap each host's TOTAL page count across crawl snapshots without
     storing a per-host count table: ``prior_counts`` is the Count-Min
@@ -506,8 +507,15 @@ def host_cap_incremental(
     host by at most eps*N pages; it can never over-fill).  The probe
     is one broadcast Arrow column — no join, no second shuffle: the
     plan is host_cap's single host-partitioned window plus a
-    per-host-constant filter.  Feed survivors' hosts back through
-    ``cms_build`` + ``cms_merge`` to roll the artifact forward."""
+    per-host-constant filter.
+
+    Skew: same contract as :func:`host_cap` — a megahost trips the
+    auto-salt probe and gets the EXACT (host, salt) pre-cut first; the
+    pre-cut keeps each salt's top ``cap`` rows, a superset of any
+    ``remaining <= cap`` final cut, so results are byte-identical at
+    any salt count (pytest-asserted).  Feed survivors' hosts back
+    through ``cms_build`` + ``cms_merge`` to roll the artifact
+    forward."""
     if cap <= 0:
         raise ValueError("cap must be positive")
     from pyspark.sql import Window
@@ -516,6 +524,18 @@ def host_cap_incremental(
     from xarray_spatial_spark.functions.url import url_host
 
     host = (F.col(host_col) if host_col else url_host(F.col(url_col)))
+    if n_salts is None:
+        n_salts = _auto_salts(df, host)
+    if n_salts:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+        w1 = Window.partitionBy(host, salt).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        df = (
+            df.withColumn("_pr", F.row_number().over(w1))
+            .filter(F.col("_pr") <= cap)
+            .drop("_pr")
+        )
     prior = cms_estimate(df.sparkSession, prior_counts, host)
     w = Window.partitionBy(host).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
