@@ -754,3 +754,73 @@ def test_iceberg_remove_orphan_files(spark, docs, tmp_path):
     assert I.remove_orphan_files(t, older_than_s=3600)["files"] == 0
     assert os.path.exists(f"{t}/data/snap-88888")
     I.remove_orphan_files(t)
+
+
+def test_incremental_crawl_round_loop(spark, tmp_path):
+    """Two rounds of the continuous ingest loop: upsert (no duplicate
+    urls, recrawls replace atomically), cross-round host cap from the
+    CM artifact, Bloom seen-state grows, time travel to round 1."""
+    import numpy as np
+    from xarray_spatial_spark.functions.corpus import incremental_crawl_round
+    from xarray_spatial_spark.functions.dedup import (
+        bloom_load, bloom_might_contain,
+    )
+    from xarray_spatial_spark.sources import warc as W
+
+    def _round_files(dirname, n, day, text_tag):
+        wdir = tmp_path / dirname
+        wdir.mkdir()
+        blobs = []
+        for i in range(n):
+            words = " ".join(
+                f"the {text_tag} page{i} shows word{(i + k) % 31} and "
+                f"item{k * 3 + i} here" for k in range(12))
+            html = f"<html><body><p>{words}</p></body></html>"
+            blobs.append(W.gzip_member(W.response_record(
+                f"https://site{i % 4}.example.org/p/{i}",
+                html.encode(), f"2026-06-{day:02d}T00:00:{i % 60:02d}Z")))
+        (wdir / "a.warc.gz").write_bytes(b"".join(blobs))
+        return W.read_warc(spark, str(wdir / "*.warc.gz"))
+
+    t = str(tmp_path / "tbl")
+    st = str(tmp_path / "state")
+    r1 = incremental_crawl_round(
+        _round_files("w1", 12, 1, "alpha"), t, st,
+        host_cap_total=5, tile_level=4, cell_level=12, min_words=5)
+    assert r1["rows"] > 0
+    tbl1 = I.read_iceberg(spark, t)
+    n1 = tbl1.count()
+    assert n1 == r1["rows"]
+    s1 = I.snapshots(t)[-1]["snapshot-id"]
+
+    # round 2: urls 0..11 recrawled later + 12..19 new, same 4 hosts
+    # cap 7 with 3 prior pages/host -> 4 of round-2's 5 candidates
+    # per host survive (newest first): recrawls p/4..p/11 replace,
+    # the oldest recrawls p/0..p/3 lose to the budget
+    r2 = incremental_crawl_round(
+        _round_files("w2", 20, 9, "bravo"), t, st,
+        host_cap_total=7, tile_level=4, cell_level=12, min_words=5)
+    tbl2 = I.read_iceberg(spark, t)
+    rows = tbl2.collect()
+    # no duplicate urls after the upsert
+    assert tbl2.groupBy("url").count().filter("count > 1").count() == 0
+    # kept recrawls carry round-2 text; budget-cut recrawls keep round 1's
+    by_url = {r["url"]: r["text"] for r in rows}
+    for i in range(4, 12):
+        assert "bravo" in by_url[f"https://site{i % 4}.example.org/p/{i}"], i
+    for i in range(0, 4):
+        assert "alpha" in by_url[f"https://site{i % 4}.example.org/p/{i}"], i
+    # cross-round host budget: <= 7 INGESTED pages per host, so the
+    # live table can never exceed 7 per host either
+    hosts = tbl2.groupBy(F.expr(
+        "regexp_extract(url, '//([^/]+)/', 1)").alias("h")).count()
+    assert hosts.filter("count > 7").count() == 0
+    # round 2 ingested LESS than its gated candidates: budget bound
+    assert r2["rows"] < 20
+    # state artifacts: bloom knows every live url, cms persists
+    bitmap, k = bloom_load(f"{st}/seen_urls.parquet")
+    assert tbl2.filter(
+        ~bloom_might_contain(spark, bitmap, F.col("url"), k)).count() == 0
+    # time travel to the round-1 state
+    assert I.read_iceberg(spark, t, snapshot_id=s1).count() == n1
+    assert len(I.snapshots(t)) == 2

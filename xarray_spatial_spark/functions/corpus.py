@@ -901,3 +901,100 @@ def crawl_to_iceberg(
         table_dir,
         partition_by=["s2_tile"],
     )
+
+
+def incremental_crawl_round(
+    records: DataFrame,
+    table_dir: str,
+    state_dir: str,
+    host_cap_total: int | None = None,
+    cms_w: int = 1 << 16,
+    cms_d: int = 5,
+    tile_level: int = 8,
+    cell_level: int = 16,
+    geocode_key: str = "url",
+    **corpus_kwargs,
+) -> dict:
+    """One round of the CONTINUOUS crawl-ingest loop — the incremental
+    twin of :func:`crawl_to_iceberg`, stitching the durable-state
+    pieces together:
+
+    1. ``crawl_to_corpus`` gates this round's WARC records;
+    2. ``host_cap_incremental`` enforces ``host_cap_total`` pages per
+       host ACROSS ALL ROUNDS from the Count-Min artifact in
+       ``state_dir`` (never over-fills — the sketch overestimates);
+    3. geocode + S2 cell/tile assignment (the crawl_to_iceberg shape);
+    4. ``merge_into`` upserts on url — a recrawled page REPLACES its
+       old version in ONE atomic snapshot instead of duplicating it,
+       new urls insert, time travel keeps the pre-round state;
+    5. the host CM sketch rolls forward (cms_merge is exactly the
+       sketch of the concatenated rounds) and kept urls OR into the
+       Bloom seen-filter the frontier consumes — both artifacts
+       rewritten atomically.
+
+    First round bootstraps: missing table -> plain partitioned write,
+    missing sketches -> zero CM / fresh Bloom.  Returns
+    {"snapshot_id", "rows", "hosts"}."""
+    import os
+
+    import numpy as np
+
+    from xarray_spatial_spark import s2
+    from xarray_spatial_spark.functions import sketch as sk
+    from xarray_spatial_spark.functions.dedup import (
+        bloom_build, bloom_load, bloom_merge, bloom_params, bloom_save,
+    )
+    from xarray_spatial_spark.functions.geo import geocode_lat, geocode_lon
+    from xarray_spatial_spark.functions.text import portable_string_hash
+    from xarray_spatial_spark.functions.url import url_host
+    from xarray_spatial_spark.sources.iceberg_format import (
+        merge_into, write_iceberg,
+    )
+
+    os.makedirs(state_dir, exist_ok=True)
+    cms_path = os.path.join(state_dir, "host_counts.parquet")
+    bloom_path = os.path.join(state_dir, "seen_urls.parquet")
+
+    corpus = crawl_to_corpus(records, **corpus_kwargs)
+    if host_cap_total is not None:
+        prior = (sk.cms_load(cms_path) if os.path.exists(cms_path)
+                 else np.zeros((cms_d, cms_w), np.int64))
+        corpus = host_cap_incremental(
+            corpus, cap=host_cap_total, prior_counts=prior,
+            score_col="warc_ts", id_col="url").drop("host_rank")
+
+    key = portable_string_hash(F.col(geocode_key))
+    geo = (corpus.withColumn("lat", geocode_lat(key))
+           .withColumn("lon", geocode_lon(key)))
+    cells = geo.withColumn(
+        "s2_cell", s2.cell_col(F.col("lon"), F.col("lat"), cell_level)
+    ).withColumn("s2_tile", s2.parent_col(F.col("s2_cell"), tile_level))
+    out = cells.select("url", "warc_ts", "text", "lang", "lat", "lon",
+                       "s2_cell", "s2_tile").localCheckpoint()
+
+    exists = os.path.exists(os.path.join(table_dir, "metadata",
+                                         "version-hint.text"))
+    if exists:
+        snap_id = merge_into(out, table_dir, on=["url"])
+    else:
+        snap_id = write_iceberg(out, table_dir, partition_by=["s2_tile"])
+
+    hosts = out.select(url_host(F.col("url")).alias("host"))
+    delta = sk.cms_build(hosts, "host", cms_w, cms_d)
+    if os.path.exists(cms_path):
+        delta = sk.cms_merge(sk.cms_load(cms_path), delta)
+    sk.cms_save(np.ascontiguousarray(delta), cms_path + ".tmp")
+    os.replace(cms_path + ".tmp", cms_path)
+
+    n_bits, k = bloom_params(1_000_000, 0.001)
+    seen = bloom_build(out, "url", n_bits, k)
+    if os.path.exists(bloom_path):
+        prev, k_prev = bloom_load(bloom_path)
+        if k_prev == k and len(prev) * 64 == n_bits:
+            seen = bloom_merge(prev, seen)
+    bloom_save(seen, k, bloom_path + ".tmp")
+    os.replace(bloom_path + ".tmp", bloom_path)
+
+    n_rows = out.count()
+    return {"snapshot_id": snap_id, "rows": n_rows,
+            "hosts": int((delta[0] > 0).sum())}
