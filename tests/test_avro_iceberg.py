@@ -824,3 +824,45 @@ def test_incremental_crawl_round_loop(spark, tmp_path):
     # time travel to the round-1 state
     assert I.read_iceberg(spark, t, snapshot_id=s1).count() == n1
     assert len(I.snapshots(t)) == 2
+
+
+def test_iceberg_zorder_prunes_both_columns(spark, tmp_path):
+    """Z-order clustering keeps per-file bounds tight on BOTH columns:
+    a narrow range on either column prunes files, where the 1-D sort
+    baseline only prunes on its leading column; results identical."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+        zip(rng.uniform(0, 1000, 4000), rng.uniform(0, 1000, 4000)))]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+
+    tz = str(tmp_path / "tz")
+    I.write_iceberg(df, tz, zorder=["x", "y"], sort_partitions=16)
+    ts = str(tmp_path / "ts")
+    I.write_iceberg(df, ts, sort_by=["x"], sort_partitions=16)
+
+    total = len(I.data_files(tz))
+    assert total >= 8
+    qx = {"x": (100.0, 160.0)}
+    qy = {"y": (100.0, 160.0)}
+    # both layouts prune on x
+    assert len(I.data_files(tz, column_ranges=qx)) < total
+    assert len(I.data_files(ts, column_ranges=qx)) < len(I.data_files(ts))
+    # only zorder prunes on y
+    z_y = len(I.data_files(tz, column_ranges=qy))
+    s_y = len(I.data_files(ts, column_ranges=qy))
+    assert z_y < total and z_y < s_y, (z_y, s_y, total)
+    # pruned reads return exactly the matching rows
+    got = I.read_iceberg(spark, tz, column_ranges=qy).filter(
+        "y >= 100 and y <= 160").count()
+    want = sum(1 for _, x, y in rows if 100 <= y <= 160)
+    assert got == want
+    # combined two-column range prunes hardest
+    both = len(I.data_files(tz, column_ranges={**qx, **qy}))
+    assert both <= min(z_y, len(I.data_files(tz, column_ranges=qx)))
+    with pytest.raises(ValueError):
+        I.write_iceberg(df, str(tmp_path / "bad"), sort_by=["x"],
+                        zorder=["x", "y"])
+    with pytest.raises(ValueError):
+        I.zorder_column(df, ["x"])

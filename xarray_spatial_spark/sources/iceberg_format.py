@@ -211,6 +211,50 @@ def _partition_value_str(v) -> str:
     return "null" if v is None else str(v)
 
 
+def zorder_column(
+    df: DataFrame,
+    columns: list[str],
+    bits: int = 8,
+) -> "tuple[DataFrame, str]":
+    """(df + ``_zorder`` column, its name): a Z-ORDER clustering key
+    over 2-4 columns — each column maps to a ``bits``-bit QUANTILE
+    bucket (cut points from one approxQuantile pass, so skew can't
+    collapse buckets), and the bucket ids bit-interleave into one
+    morton value.  Sorting files by it keeps per-file min/max bounds
+    tight on EVERY participating column at once, where a 1-D sort
+    helps only its leading column — the multi-column file-skipping
+    clustering (Databricks' OPTIMIZE ZORDER semantics, built from
+    Catalyst bit ops; the interleave is pure codegen, the only scan
+    cost is the one quantile pass)."""
+    if not 2 <= len(columns) <= 4:
+        raise ValueError("zorder needs 2-4 columns")
+    n_buckets = 1 << bits
+    all_cuts = df.stat.approxQuantile(
+        columns, [i / n_buckets for i in range(1, n_buckets)], 0.01)
+    bucket_cols = []
+    for c, cuts in zip(columns, all_cuts):
+        # strictly increasing cut points; duplicates (skew) collapse
+        dedup = []
+        for v in cuts:
+            if not dedup or v > dedup[-1]:
+                dedup.append(v)
+        arr = F.array(*[F.lit(float(v)) for v in dedup])
+        bucket = F.aggregate(
+            arr, F.lit(0),
+            lambda acc, cut: acc + F.when(
+                F.col(c).cast("double") >= cut, 1).otherwise(0))
+        bucket_cols.append(F.coalesce(bucket, F.lit(0)))
+    # morton interleave: bit b of column j lands at position
+    # b*len(columns)+j
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, bc in enumerate(bucket_cols):
+            z = z + (F.shiftleft(
+                F.shiftright(bc.cast("long"), b).bitwiseAND(F.lit(1)),
+                b * len(columns) + j))
+    return df.withColumn("_zorder", z), "_zorder"
+
+
 def _murmur3_32(data: bytes, seed: int = 0) -> int:
     """murmur3_x86_32 from the public algorithm — the hash the Iceberg
     spec mandates for bucket transforms (int/long values hash as their
@@ -465,6 +509,7 @@ def write_iceberg(
     summary_extra: dict[str, str] | None = None,
     sort_by: list[str] | None = None,
     sort_partitions: int | None = None,
+    zorder: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new append snapshot of the Iceberg table at
     ``table_dir`` (created on first write).  ``partition_by`` entries
@@ -532,7 +577,17 @@ def write_iceberg(
     seq = (md["last-sequence-number"] + 1) if md else 1
     snap_id = int(time.time() * 1000) * 10 + seq % 10
     snap_dir = os.path.join(data_dir, f"snap-{seq:05d}")
-    if sort_by:
+    if zorder:
+        if sort_by:
+            raise ValueError("pass sort_by or zorder, not both")
+        # multi-column clustering: quantile-bucketed morton key keeps
+        # per-file bounds tight on EVERY zorder column (1-D sort_by
+        # only helps its leading column)
+        df, zcol = zorder_column(df, zorder)
+        args = ([sort_partitions] if sort_partitions else []) + [F.col(zcol)]
+        df = df.repartitionByRange(*args).sortWithinPartitions(zcol)
+        df = df.drop(zcol)
+    elif sort_by:
         # cluster within files: repartitionByRange + in-file sort makes
         # per-file min/max bounds TIGHT, so column_ranges skips most
         # files instead of none (the write-side half of file skipping);
