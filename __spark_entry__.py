@@ -1239,7 +1239,34 @@ def q_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("mean_tokens"),
         F.lit(-1).cast("int").alias("max_tokens"),
     )
-    return hosts.unionByName(ds).unionByName(dr).unionByName(hh)
+    # 'hll': a cardinality DECISION over the same host stream
+    # (functions/sketch.py:hll_distinct — grouped HyperLogLog, pure
+    # Catalyst registers): domains whose estimated distinct-host count
+    # clears 10.  The registered-domain map puts ~2 hosts on every
+    # .org domain and ~34 (www x site) on the two shared domains, so
+    # the selection is invariant to the sketch's ~1% error band and
+    # the DuckDB twin can assert it with an EXACT count(DISTINCT).
+    from xarray_spatial_spark.functions.sketch import hll_distinct
+
+    hl = hll_distinct(
+        sel.select("domain", "host"), "domain", "host", p=14
+    ).filter(F.col("distinct_est") >= 10).select(
+        F.lit("hll").alias("variant"),
+        "domain",
+        F.lit(-1).cast("long").alias("n_pages"),
+        F.lit(-1).cast("long").alias("n_hosts"),
+        F.lit(-1).cast("long").alias("sum_depth"),
+        F.lit(-1).cast("long").alias("sum_chars"),
+        F.lit("").alias("lang"), F.lit("").alias("source"),
+        F.lit(-1).cast("long").alias("level"),
+        F.lit(-1).cast("long").alias("n_docs"),
+        F.lit(-1).cast("long").alias("n_tokens"),
+        F.lit(-1).cast("long").alias("doc_chars"),
+        F.lit(-1.0).alias("mean_tokens"),
+        F.lit(-1).cast("int").alias("max_tokens"),
+    )
+    return (hosts.unionByName(ds).unionByName(dr).unionByName(hh)
+            .unionByName(hl))
 
 
 def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3943,6 +3970,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT domain, count(*) AS cnt FROM e
               GROUP BY domain ORDER BY cnt DESC, domain ASC LIMIT 2
+            )
+            UNION ALL
+            SELECT 'hll' AS variant, domain,
+                   CAST(-1 AS BIGINT) AS n_pages,
+                   CAST(-1 AS BIGINT) AS n_hosts,
+                   CAST(-1 AS BIGINT) AS sum_depth,
+                   CAST(-1 AS BIGINT) AS sum_chars,
+                   '' AS lang, '' AS source,
+                   CAST(-1 AS BIGINT) AS level,
+                   CAST(-1 AS BIGINT) AS n_docs,
+                   CAST(-1 AS BIGINT) AS n_tokens,
+                   CAST(-1 AS BIGINT) AS doc_chars,
+                   CAST(-1.0 AS DOUBLE) AS mean_tokens,
+                   CAST(-1 AS INT) AS max_tokens
+            FROM (
+              SELECT domain FROM e
+              GROUP BY domain HAVING count(DISTINCT host) >= 10
             )
         """,
     }

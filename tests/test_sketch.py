@@ -142,3 +142,98 @@ class TestCountMin:
     def test_params_sane(self):
         w, d = sk.cms_params(eps=0.001, delta=0.01)
         assert w >= int(np.e / 0.001) and d >= 5
+
+
+class TestHLL:
+    def test_idx_rho_match_python_bit_ops(self, spark):
+        # known longs through the Catalyst extraction vs plain python
+        p = 12
+        vals = [1, -1, 0, 2**63 - 1, -2**63, 123456789123456789,
+                -42, 1 << 52, (1 << 52) - 1, 7]
+        df = spark.createDataFrame([(v,) for v in vals], "h long")
+        idx, rho = sk._hll_idx_rho(F.col("h"), p)
+        got = {r["h"]: (r["i"], r["r"])
+               for r in df.select("h", idx.alias("i"), rho.alias("r")).collect()}
+        for v in vals:
+            u = v & 0xFFFFFFFFFFFFFFFF
+            exp_idx = u >> (64 - p)
+            w = (u << p) & 0xFFFFFFFFFFFFFFFF
+            exp_rho = (64 - p + 1) if w == 0 else (65 - w.bit_length())
+            assert got[v] == (exp_idx, exp_rho), v
+
+    def test_cardinality_accuracy(self, spark):
+        p = 12  # stderr ~= 1.04/sqrt(4096) = 1.6%
+        n = 20_000
+        df = spark.range(n).select(
+            F.concat(F.lit("url"), F.col("id")).alias("u"))
+        est = sk.hll_cardinality(sk.hll_build(df, "u", p))
+        assert abs(est / n - 1) < 3 * 1.04 / np.sqrt(1 << p)
+
+    def test_small_range_linear_counting_is_near_exact(self, spark):
+        df = spark.range(1000).select(
+            F.concat(F.lit("h"), (F.col("id") % 10).cast("string")).alias("u"))
+        est = sk.hll_cardinality(sk.hll_build(df, "u", p=14))
+        assert round(est) == 10
+
+    def test_merge_equals_concatenated_build(self, spark):
+        a = spark.range(0, 6000).select(F.concat(F.lit("u"), F.col("id")).alias("u"))
+        b = spark.range(4000, 9000).select(F.concat(F.lit("u"), F.col("id")).alias("u"))
+        merged = sk.hll_merge(sk.hll_build(a, "u", 10), sk.hll_build(b, "u", 10))
+        both = sk.hll_build(a.unionAll(b), "u", 10)
+        assert np.array_equal(merged, both)
+
+    def test_parallelism_invariance(self, spark):
+        df = spark.range(5000).select(F.concat(F.lit("u"), F.col("id")).alias("u"))
+        r1 = sk.hll_build(df.repartition(1), "u", 11)
+        r2 = sk.hll_build(df.repartition(16), "u", 11)
+        assert np.array_equal(r1, r2)
+
+    def test_save_load_roundtrip(self, spark, tmp_path):
+        df = spark.range(3000).select(F.concat(F.lit("u"), F.col("id")).alias("u"))
+        regs = sk.hll_build(df, "u", 10)
+        path = str(tmp_path / "hll.parquet")
+        sk.hll_save(regs, path)
+        back = sk.hll_load(path)
+        assert np.array_equal(regs, back)
+        assert sk.hll_cardinality(back) == sk.hll_cardinality(regs)
+
+    def test_load_rejects_foreign_artifact(self, spark, tmp_path):
+        path = str(tmp_path / "cms.parquet")
+        sk.cms_save(np.zeros((2, 8), np.int64), path)
+        with pytest.raises(ValueError, match="hll_save artifact"):
+            sk.hll_load(path)
+
+    def test_grouped_matches_global_formula(self, spark):
+        # per-key Catalyst estimate == numpy estimate on that key's slice
+        df = spark.range(12_000).select(
+            (F.col("id") % 3).cast("string").alias("k"),
+            F.concat(F.lit("u"), (F.col("id") % 2000).cast("string")).alias("u"),
+        )
+        grouped = {r["k"]: r["distinct_est"]
+                   for r in sk.hll_distinct(df, "k", "u", p=10).collect()}
+        assert set(grouped) == {"0", "1", "2"}
+        for k in grouped:
+            regs = sk.hll_build(df.filter(F.col("k") == k), "u", 10)
+            assert grouped[k] == pytest.approx(sk.hll_cardinality(regs), rel=1e-9)
+
+    def test_grouped_accuracy_and_null_drop(self, spark):
+        df = spark.range(8000).select(
+            F.lit("a").alias("k"),
+            F.when(F.col("id") % 8 != 7,
+                   F.concat(F.lit("u"), F.col("id"))).alias("u"))
+        n = 7000  # 1/8 of rows are NULL and must not hash into a register
+        est = sk.hll_distinct(df, "k", "u", p=12).collect()[0]["distinct_est"]
+        assert abs(est / n - 1) < 3 * 1.04 / np.sqrt(1 << 12)
+
+    def test_merge_rejects_mismatched_sizes(self):
+        with pytest.raises(ValueError, match="mismatched"):
+            sk.hll_merge(np.zeros(16, np.uint8), np.zeros(32, np.uint8))
+        with pytest.raises(ValueError, match="at least one"):
+            sk.hll_merge()
+
+    def test_bad_precision_rejected(self, spark):
+        df = spark.range(5).select(F.col("id").cast("string").alias("u"))
+        with pytest.raises(ValueError, match="outside"):
+            sk.hll_build(df, "u", p=3)
+        with pytest.raises(ValueError, match="outside"):
+            sk.hll_distinct(df, "u", "u", p=19)

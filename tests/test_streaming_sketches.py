@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from xarray_spatial_spark.functions import sketch as sk
 from xarray_spatial_spark.functions.dedup import bloom_load, bloom_might_contain
+from xarray_spatial_spark.streaming import sketches as sk_sinks
 from xarray_spatial_spark.streaming.sketches import bloom_sink, cms_sink
 
 
@@ -64,3 +65,27 @@ def test_bloom_sink_contains_all_streamed(spark, tmp_path):
     misses = hosts.filter(
         ~bloom_might_contain(spark, bitmap, F.col("host"), k)).count()
     assert misses == 0  # no false negatives, ever
+
+
+def test_hll_sink_equals_batch_build(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batches(spark, src)
+    art = str(tmp_path / "hll.parquet")
+
+    stream = (spark.readStream.schema("id long, host string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(sk_sinks.hll_sink("host", art, p=10))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sk.hll_load(art)
+    want = sk.hll_build(spark.read.parquet(src), "host", p=10)
+    assert np.array_equal(got, want)
+    assert round(sk.hll_cardinality(got)) == 23  # 23 distinct hosts
+
+    # replay is harmless WITHOUT a ledger check: max-merge is idempotent
+    sink = sk_sinks.hll_sink("host", art, p=10)
+    sink(spark.read.parquet(src), batch_id=0)
+    assert np.array_equal(sk.hll_load(art), want)

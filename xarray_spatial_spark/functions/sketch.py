@@ -56,6 +56,12 @@ __all__ = [
     "cms_merge",
     "cms_save",
     "cms_load",
+    "hll_build",
+    "hll_cardinality",
+    "hll_distinct",
+    "hll_merge",
+    "hll_save",
+    "hll_load",
 ]
 
 
@@ -291,3 +297,181 @@ def cms_load(path: str) -> np.ndarray:
         raise ValueError(f"{path} is not a cms_save artifact")
     d, w = int(meta[b"cms_d"]), int(meta[b"cms_w"])
     return table["cnt"].to_numpy().astype(np.int64).reshape(d, w)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: mergeable distinct-count registers
+# ---------------------------------------------------------------------------
+#
+# The cardinality sibling of the Bloom (membership) and Count-Min
+# (frequency) artifacts: "how many DISTINCT urls/hosts/shingles did all
+# previous crawls see", in 2^p bytes, mergeable across snapshots.
+# Flajolet et al. 2007, with the 64-bit-hash adaptation (a 64-bit hash
+# makes the 32-bit large-range correction unnecessary: collisions are
+# negligible below ~2^57 distincts, so only the small-range linear
+# counting branch remains).  Standard error ~= 1.04 / sqrt(2^p).
+#
+# Register extraction is PURE Catalyst bit math inside codegen — no
+# Python anywhere on the build path:
+#
+#   h   = xxhash64(value)                     (one JVM hash)
+#   idx = h >>> (64 - p)                      (register index, p bits)
+#   w   = h << p                              (suffix, top-aligned)
+#   rho = 65 - length(bin(w))                 (leading-zero count + 1)
+#
+# ``bin`` renders the long as its unsigned binary string WITHOUT
+# leading zeros, so ``64 - length`` IS the leading-zero count — exact
+# integer semantics, no floating-point log to round the wrong way.
+# A register update is max(), so the distributed build is a plain
+# two-level hash aggregate; the merge of two registers arrays is
+# elementwise max — idempotent AND exactly the registers of the
+# concatenated streams (order- and partitioning-invariant, pinned).
+
+
+def _hll_alpha(m: int) -> float:
+    """Bias constant alpha_m from the HLL paper."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _check_hll_p(p: int) -> None:
+    if not 4 <= p <= 18:
+        raise ValueError(f"hll precision p={p} outside [4, 18]")
+
+
+def _hll_idx_rho(h: Column, p: int) -> tuple[Column, Column]:
+    """(register index, rho) Columns from an already-hashed long.
+
+    rho = leading zeros of the suffix (h << p) plus one, capped at
+    64 - p + 1 when every suffix bit is zero.  All exact integer ops."""
+    idx = F.shiftrightunsigned(h, 64 - p)
+    w = F.shiftleft(h, p)
+    rho = F.when(w == 0, F.lit(64 - p + 1)).otherwise(
+        F.lit(65) - F.length(F.bin(w)))
+    return idx, rho
+
+
+def hll_build(df: DataFrame, col: str, p: int = 14) -> np.ndarray:
+    """Distributed HLL build -> (2^p,) uint8 register array.
+
+    One codegen'd projection (hash + bit ops) feeds a two-level hash
+    aggregate ``groupBy(idx).max(rho)`` with map-side combine; the
+    driver collect is bounded by OCCUPIED REGISTERS (<= 2^p ~= 16k
+    rows at p=14), never by input rows — the same bounded-collect
+    contract as cms_build, with max() in place of sum."""
+    _check_hll_p(p)
+    idx, rho = _hll_idx_rho(F.xxhash64(F.col(col)), p)
+    rows = (
+        df.select(F.col(col)).na.drop()
+        .select(idx.alias("idx"), rho.alias("rho"))
+        .groupBy("idx").agg(F.max("rho").alias("rho"))
+        .collect()
+    )
+    regs = np.zeros(1 << p, np.uint8)
+    for r in rows:
+        regs[r["idx"]] = r["rho"]
+    return regs
+
+
+def hll_cardinality(regs: np.ndarray) -> float:
+    """Distinct-count estimate from a register array.
+
+    Raw estimator alpha_m * m^2 / sum_j 2^(-M_j) (empty registers
+    contribute 2^0 = 1 each); linear counting m*ln(m/V) below 2.5m
+    while zero registers remain.  64-bit hash => no large-range branch
+    (see module comment)."""
+    m = int(regs.size)
+    v_zero = int((regs == 0).sum())
+    s = float(np.ldexp(1.0, -regs.astype(np.int64)).sum())
+    raw = _hll_alpha(m) * m * m / s
+    if raw <= 2.5 * m and v_zero > 0:
+        return m * math.log(m / v_zero)
+    return raw
+
+
+def hll_merge(*regs: np.ndarray) -> np.ndarray:
+    """Elementwise max — EXACTLY the registers of the concatenated
+    streams (max is associative/commutative/idempotent, so replays and
+    re-merges are harmless, unlike CM's sum)."""
+    if not regs:
+        raise ValueError("hll_merge needs at least one register array")
+    sizes = {r.size for r in regs}
+    if len(sizes) != 1:
+        raise ValueError(f"mismatched register sizes: {sorted(sizes)}")
+    return np.maximum.reduce([r.astype(np.uint8) for r in regs])
+
+
+def hll_save(regs: np.ndarray, path: str) -> None:
+    """Persist registers as parquet with p in the file metadata — the
+    bloom_save/cms_save durable-artifact contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = int(regs.size).bit_length() - 1
+    if (1 << p) != regs.size:
+        raise ValueError(f"register count {regs.size} is not a power of two")
+    table = pa.table({"reg": pa.array(regs.astype(np.uint8), pa.uint8())})
+    table = table.replace_schema_metadata({b"hll_p": str(p).encode()})
+    pq.write_table(table, path)
+
+
+def hll_load(path: str) -> np.ndarray:
+    """Load a :func:`hll_save` artifact -> (2^p,) uint8 registers."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_schema(path).metadata or {}
+    if b"hll_p" not in meta:
+        raise ValueError(f"{path} is not an hll_save artifact")
+    p = int(meta[b"hll_p"])
+    table = pq.read_table(path, columns=["reg"])
+    return table["reg"].to_numpy().astype(np.uint8).reshape(1 << p)
+
+
+def hll_distinct(
+    df: DataFrame,
+    key: str | list[str],
+    col: str,
+    p: int = 14,
+    out_col: str = "distinct_est",
+) -> DataFrame:
+    """Per-key approximate distinct counts — GROUPED HLL, pure Catalyst.
+
+    Two hash aggregates, zero Python: ``groupBy(key, idx).max(rho)``
+    materializes each group's occupied registers (<= 2^p rows per key,
+    map-side combined), then one aggregate folds them into the estimate
+    with empty registers entering as ``m - occupied`` (each contributes
+    2^0 to the harmonic sum and one unit to the linear-counting zero
+    roster).  Same estimator as :func:`hll_cardinality`, pinned equal
+    in tests; deterministic under any partitioning (max is order-free).
+
+    Spark's own approx_count_distinct is the per-query answer; THIS
+    form exists because the register rows are reusable state — the
+    same first aggregate feeds rollups at several key granularities,
+    and its output is what the durable artifact folds in."""
+    _check_hll_p(p)
+    keys = [key] if isinstance(key, str) else list(key)
+    m = 1 << p
+    idx, rho = _hll_idx_rho(F.xxhash64(F.col(col)), p)
+    regs = (
+        df.na.drop(subset=[col])
+        .select(*keys, idx.alias("_hll_idx"), rho.alias("_hll_rho"))
+        .groupBy(*keys, "_hll_idx")
+        .agg(F.max("_hll_rho").alias("_hll_rho"))
+    )
+    g = regs.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_hll_rho"))).alias("_s"),
+        F.count(F.lit(1)).alias("_occ"),
+    )
+    raw = F.lit(_hll_alpha(m) * m * m) / (
+        F.col("_s") + (F.lit(m) - F.col("_occ")).cast("double"))
+    v_zero = (F.lit(m) - F.col("_occ")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
+    ).otherwise(raw)
+    return g.select(*keys, est.alias(out_col))

@@ -30,7 +30,7 @@ from xarray_spatial_spark.functions.dedup import (
     bloom_build, bloom_load, bloom_merge, bloom_save,
 )
 
-__all__ = ["bloom_sink", "cms_sink"]
+__all__ = ["bloom_sink", "cms_sink", "hll_sink"]
 
 
 def _last_batch(path: str) -> int:
@@ -88,6 +88,31 @@ def cms_sink(col: str, path: str, w: int, d: int = 5):
             delta = sk.cms_merge(prev, delta)
         tmp = path + ".tmp"
         sk.cms_save(np.ascontiguousarray(delta), tmp)
+        os.replace(tmp, path)
+        _record_batch(path, batch_id)
+
+    return _sink
+
+
+def hll_sink(col: str, path: str, p: int = 14):
+    """foreachBatch callback maintaining a HyperLogLog artifact at
+    ``path`` (distinct urls/hosts seen across ALL micro-batches).
+    Register merge is elementwise MAX — idempotent like Bloom's
+    bit-or, so replayed batches are harmless and no batch-id ledger is
+    needed; the batch id is still recorded for observability.  The
+    per-batch build's driver collect is bounded by 2^p registers."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = sk.hll_build(batch_df, col, p)
+        if os.path.exists(path):
+            prev = sk.hll_load(path)
+            if prev.size != delta.size:
+                raise ValueError(
+                    f"hll artifact has {prev.size} registers, sink expects "
+                    f"{delta.size}")
+            delta = sk.hll_merge(prev, delta)
+        tmp = path + ".tmp"
+        sk.hll_save(delta, tmp)
         os.replace(tmp, path)
         _record_batch(path, batch_id)
 
