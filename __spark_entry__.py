@@ -1265,8 +1265,38 @@ def q_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("mean_tokens"),
         F.lit(-1).cast("int").alias("max_tokens"),
     )
+    # 'kll': a quantile DECISION over a plateaued length column
+    # (functions/sketch.py:kll_build — distributed KLL, driver collect
+    # bounded by partitions x sketch size): (doc_id % 10) * 10000 puts
+    # 10% of the mass on each plateau, and the probed quantiles sit
+    # mid-plateau (boundary distance 5% of rank vs ~0.5% sketch error
+    # at k=400), so the sketch MUST return the exact plateau value and
+    # the DuckDB twin asserts it with exact quantile_disc.
+    from xarray_spatial_spark.functions.sketch import kll_build
+
+    plateau = docs.select(
+        ((F.col("doc_id") % 10) * 10000).cast("double").alias("v"))
+    kll_qs = [0.15, 0.35, 0.55, 0.75, 0.95]
+    kq = kll_build(plateau, "v", k=400).quantiles(kll_qs)
+    kl = spark.createDataFrame(
+        [(f"q={q:.2f}", int(v)) for q, v in zip(kll_qs, kq)],
+        "domain string, n_pages long",
+    ).select(
+        F.lit("kll").alias("variant"),
+        "domain", "n_pages",
+        F.lit(-1).cast("long").alias("n_hosts"),
+        F.lit(-1).cast("long").alias("sum_depth"),
+        F.lit(-1).cast("long").alias("sum_chars"),
+        F.lit("").alias("lang"), F.lit("").alias("source"),
+        F.lit(-1).cast("long").alias("level"),
+        F.lit(-1).cast("long").alias("n_docs"),
+        F.lit(-1).cast("long").alias("n_tokens"),
+        F.lit(-1).cast("long").alias("doc_chars"),
+        F.lit(-1.0).alias("mean_tokens"),
+        F.lit(-1).cast("int").alias("max_tokens"),
+    )
     return (hosts.unionByName(ds).unionByName(dr).unionByName(hh)
-            .unionByName(hl))
+            .unionByName(hl).unionByName(kl))
 
 
 def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3988,6 +4018,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT domain FROM e
               GROUP BY domain HAVING count(DISTINCT host) >= 10
             )
+            UNION ALL
+            SELECT 'kll' AS variant, x.domain, x.n_pages,
+                   CAST(-1 AS BIGINT) AS n_hosts,
+                   CAST(-1 AS BIGINT) AS sum_depth,
+                   CAST(-1 AS BIGINT) AS sum_chars,
+                   '' AS lang, '' AS source,
+                   CAST(-1 AS BIGINT) AS level,
+                   CAST(-1 AS BIGINT) AS n_docs,
+                   CAST(-1 AS BIGINT) AS n_tokens,
+                   CAST(-1 AS BIGINT) AS doc_chars,
+                   CAST(-1.0 AS DOUBLE) AS mean_tokens,
+                   CAST(-1 AS INT) AS max_tokens
+            FROM (
+              SELECT unnest(['q=0.15', 'q=0.35', 'q=0.55',
+                             'q=0.75', 'q=0.95']) AS domain,
+                     unnest([q15, q35, q55, q75, q95]) AS n_pages
+              FROM (
+                SELECT CAST(quantile_disc(v, 0.15) AS BIGINT) AS q15,
+                       CAST(quantile_disc(v, 0.35) AS BIGINT) AS q35,
+                       CAST(quantile_disc(v, 0.55) AS BIGINT) AS q55,
+                       CAST(quantile_disc(v, 0.75) AS BIGINT) AS q75,
+                       CAST(quantile_disc(v, 0.95) AS BIGINT) AS q95
+                FROM (SELECT (doc_id % 10) * 10000 AS v FROM documents)
+              )
+            ) x
         """,
     }
 

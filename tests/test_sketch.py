@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from xarray_spatial_spark.functions import sketch as sk
+from xarray_spatial_spark.functions import sketch as sk_mod
 
 
 def _zipf_df(spark, n=20_000, n_keys=400, seed=7):
@@ -237,3 +238,95 @@ class TestHLL:
             sk.hll_build(df, "u", p=3)
         with pytest.raises(ValueError, match="outside"):
             sk.hll_distinct(df, "u", "u", p=19)
+
+
+class TestKLL:
+    def test_small_n_is_exact(self, spark):
+        # below the compaction budget nothing is ever discarded
+        df = spark.range(100).select((F.col("id") * 3).cast("double").alias("v"))
+        sk = sk_kll = sk_mod.kll_build(df, "v", k=200)
+        assert sk.n == 100
+        got = sk.quantiles([0.0, 0.25, 0.5, 1.0])
+        assert list(got) == [0.0, 72.0, 147.0, 297.0]
+        assert sk.rank(147.0) == 50
+
+    def test_rank_error_bound_across_layouts(self, spark):
+        n = 60_000
+        df = spark.range(n).select(
+            (F.pow(F.col("id") % 1000, 2.0)).alias("v"))  # skewed
+        exact = np.sort(np.array([(i % 1000) ** 2 for i in range(n)], float))
+        for parts in (1, 7, 32):
+            sk = sk_mod.kll_build(df.repartition(parts), "v", k=200)
+            assert sk.n == n
+            qs = np.linspace(0.05, 0.95, 19)
+            est = sk.quantiles(qs)
+            err = max(abs(np.searchsorted(exact, e, side="right") / n - q)
+                      for e, q in zip(est, qs))
+            assert err < 0.03, (parts, err)
+
+    def test_fixed_layout_reproducible(self, spark):
+        df = spark.range(30_000).select(
+            ((F.col("id") * 2654435761) % 100_000).cast("double").alias("v")
+        ).repartition(8, "v")
+        a = sk_mod.kll_build(df, "v", k=128)
+        b = sk_mod.kll_build(df, "v", k=128)
+        assert a.n == b.n
+        assert all(np.array_equal(x, y) for x, y in zip(a.levels, b.levels))
+
+    def test_merge_preserves_bound_and_n(self, spark):
+        n = 40_000
+        df = spark.range(n).select((F.col("id") % 5000).cast("double").alias("v"))
+        lo = sk_mod.kll_build(df.filter(F.col("v") < 2500), "v", 200)
+        hi = sk_mod.kll_build(df.filter(F.col("v") >= 2500), "v", 200)
+        m = sk_mod.kll_merge(lo, hi)
+        assert m.n == n
+        qs = [0.1, 0.5, 0.9]
+        exact = np.sort(np.array([i % 5000 for i in range(n)], float))
+        for e, q in zip(m.quantiles(qs), qs):
+            assert abs(np.searchsorted(exact, e, side="right") / n - q) < 0.03
+
+    def test_merge_rejects_mismatched_k(self):
+        with pytest.raises(ValueError, match="mismatched k"):
+            sk_mod.kll_merge(sk_mod.KLL(64), sk_mod.KLL(128))
+
+    def test_save_load_roundtrip(self, spark, tmp_path):
+        df = spark.range(25_000).select(
+            (F.col("id") % 777).cast("double").alias("v"))
+        sk = sk_mod.kll_build(df, "v", 200)
+        path = str(tmp_path / "kll.parquet")
+        sk_mod.kll_save(sk, path)
+        back = sk_mod.kll_load(path)
+        assert back.n == sk.n and back.k == sk.k
+        assert np.array_equal(back.quantiles([0.1, 0.5, 0.9]),
+                              sk.quantiles([0.1, 0.5, 0.9]))
+
+    def test_load_rejects_foreign_artifact(self, tmp_path):
+        path = str(tmp_path / "hll.parquet")
+        sk_mod.hll_save(np.zeros(16, np.uint8), path)
+        with pytest.raises(ValueError, match="kll_save artifact"):
+            sk_mod.kll_load(path)
+
+    def test_rank_col_probe(self, spark):
+        n = 50_000
+        df = spark.range(n).select((F.col("id") % 10_000).cast("double").alias("v"))
+        sk = sk_mod.kll_build(df, "v", 256)
+        probe = df.limit(0).sparkSession.createDataFrame(
+            [(0.0,), (2500.0,), (5000.0,), (9999.0,), (None,)], "v double")
+        got = {r["v"]: r["p"] for r in probe.select(
+            "v", sk_mod.kll_rank_col(spark, sk, "v").alias("p")).collect()}
+        assert abs(got[2500.0] - 0.25) < 0.03
+        assert abs(got[5000.0] - 0.50) < 0.03
+        assert abs(got[9999.0] - 1.00) < 0.03
+        assert got[None] is None or np.isnan(got[None])
+
+    def test_bad_inputs(self, spark):
+        with pytest.raises(ValueError, match=">= 8"):
+            sk_mod.KLL(4)
+        sk = sk_mod.KLL(64)
+        with pytest.raises(ValueError, match="empty sketch"):
+            sk.quantiles([0.5])
+        sk.update(np.array([1.0, 2.0]))
+        with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+            sk.quantiles([1.5])
+        with pytest.raises(ValueError, match="at least one"):
+            sk_mod.kll_merge()

@@ -89,3 +89,30 @@ def test_hll_sink_equals_batch_build(spark, tmp_path):
     sink = sk_sinks.hll_sink("host", art, p=10)
     sink(spark.read.parquet(src), batch_id=0)
     assert np.array_equal(sk.hll_load(art), want)
+
+
+def test_kll_sink_equals_batch_build(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batches(spark, src)
+    art = str(tmp_path / "kll.parquet")
+
+    stream = (spark.readStream.schema("id long, host string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.selectExpr("CAST(id % 617 AS DOUBLE) AS v")
+         .writeStream.foreachBatch(sk_sinks.kll_sink("v", art, k=128))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sk.kll_load(art)
+    assert got.n == 1200
+    # replay is skipped via the batch ledger (merge adds weight)
+    sink = sk_sinks.kll_sink("v", art, k=128)
+    sink(spark.read.parquet(src).selectExpr("CAST(id AS DOUBLE) AS v"),
+         batch_id=0)
+    assert sk.kll_load(art).n == 1200
+    # quantiles within the rank-error band of the streamed multiset
+    vals = np.sort(np.array([(f * 400 + i) % 617
+                             for f in range(3) for i in range(400)], float))
+    for e, qq in zip(got.quantiles([0.25, 0.5, 0.75]), [0.25, 0.5, 0.75]):
+        assert abs(np.searchsorted(vals, e, side="right") / 1200 - qq) < 0.04

@@ -62,6 +62,12 @@ __all__ = [
     "hll_merge",
     "hll_save",
     "hll_load",
+    "KLL",
+    "kll_build",
+    "kll_merge",
+    "kll_save",
+    "kll_load",
+    "kll_rank_col",
 ]
 
 
@@ -475,3 +481,273 @@ def hll_distinct(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
     ).otherwise(raw)
     return g.select(*keys, est.alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# KLL: mergeable quantile/rank registers
+# ---------------------------------------------------------------------------
+#
+# The distribution sibling completing the sketch quartet (Bloom =
+# membership, Count-Min = frequency, HLL = cardinality, KLL = ranks):
+# "what is the p99 document length / token count / quality score across
+# ALL crawls so far" in ~3k floats, mergeable across snapshots.
+# Karnin, Lang & Liberty 2016: a ladder of compactors where level h
+# holds items of weight 2^h and capacity shrinks geometrically
+# (c = 2/3) below the top; a full level sorts, keeps alternate items,
+# and promotes them one level up.  Worst-case rank error is
+# O(1/k) * n with high probability (~0.8%/sqrt-ish at k = 200
+# empirically; tests pin 3% at k=200 with wide margin).
+#
+# Determinism: the alternate-item offset is drawn from a splitmix64
+# counter seeded at construction, so a sketch built over the same
+# partition layout is bit-reproducible run to run.  Unlike HLL's max
+# registers, the CONTENT (not the error bound) of any sampling-based
+# quantile sketch depends on merge order, so results vary under
+# repartitioning within the guarantee; tests pin the error bound under
+# several layouts and exact reproducibility under a fixed one.
+#
+# Scale: the build is one mapInPandas pass emitting each partition's
+# compactor rows — the exchange and driver collect are bounded by
+# partitions x sketch size (level, value) pairs, never by input rows;
+# levelwise concatenation of partials IS the KLL merge, so the driver
+# finish is a compact() over ~k*3 floats per partition.  The probe
+# (:func:`kll_rank_col`) broadcasts the weighted-sample CDF and answers
+# per-row percentiles with one vectorized searchsorted.
+
+
+class KLL:
+    """Single-process KLL compactor ladder over float64 values.
+
+    ``levels[h]`` holds UNSORTED values of weight ``2**h``; ``n`` is
+    the exact count of updates folded in.  Driver/executor-side only —
+    distributed entry points are :func:`kll_build` / :func:`kll_merge`.
+    """
+
+    __slots__ = ("k", "levels", "n", "_coin")
+
+    C = 2.0 / 3.0
+
+    def __init__(self, k: int = 200, seed: int = 0x9E3779B97F4A7C15):
+        if k < 8:
+            raise ValueError(f"kll k={k} must be >= 8")
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self._coin = int(seed) & 0xFFFFFFFFFFFFFFFF
+
+    # -- geometry ----------------------------------------------------------
+    def _capacity(self, h: int) -> int:
+        depth = len(self.levels) - 1 - h
+        return max(2, int(math.ceil(self.k * (self.C ** depth))))
+
+    def _budget(self) -> int:
+        return sum(self._capacity(h) for h in range(len(self.levels)))
+
+    def _flip(self) -> int:
+        # splitmix64 step -> one deterministic "random" bit
+        mask = 0xFFFFFFFFFFFFFFFF
+        self._coin = (self._coin + 0x9E3779B97F4A7C15) & mask
+        z = self._coin
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        return (z ^ (z >> 31)) >> 63
+
+    # -- updates -----------------------------------------------------------
+    def update(self, values: np.ndarray) -> None:
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if not v.size:
+            return
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self.n += int(v.size)
+        self._compress()
+
+    def _compress(self) -> None:
+        while sum(lv.size for lv in self.levels) > self._budget():
+            for h in range(len(self.levels)):
+                if self.levels[h].size > self._capacity(h):
+                    self._compact_level(h)
+                    break
+            else:  # every level within capacity but total over budget
+                self._compact_level(0)
+
+    def _compact_level(self, h: int) -> None:
+        lv = np.sort(self.levels[h])
+        if lv.size < 2:
+            return
+        keep_odd = self._flip()
+        promoted = lv[keep_odd::2]
+        # an odd straggler stays behind rather than changing weight
+        if lv.size % 2 == 1 and keep_odd == 0:
+            promoted, straggler = promoted[:-1], lv[-1:]
+        else:
+            straggler = np.empty(0, np.float64)
+        self.levels[h] = straggler
+        if h + 1 == len(self.levels):
+            self.levels.append(np.empty(0, np.float64))
+        self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
+
+    # -- queries -----------------------------------------------------------
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted values, cumulative weights) of the retained sample."""
+        vals = np.concatenate(self.levels) if self.n else np.empty(0)
+        wts = np.concatenate([
+            np.full(lv.size, 1 << h, np.int64)
+            for h, lv in enumerate(self.levels)
+        ]) if self.n else np.empty(0, np.int64)
+        order = np.argsort(vals, kind="stable")
+        return vals[order], np.cumsum(wts[order])
+
+    def rank(self, x: float) -> int:
+        """Estimated count of values <= x."""
+        vals, cum = self._weighted()
+        i = np.searchsorted(vals, x, side="right")
+        return int(cum[i - 1]) if i else 0
+
+    def quantiles(self, qs) -> np.ndarray:
+        """Lower-quantile convention: smallest retained value whose
+        estimated rank covers q*n (matches SQL quantile_disc inside
+        the rank-error band)."""
+        vals, cum = self._weighted()
+        if not vals.size:
+            raise ValueError("empty sketch")
+        qs = np.asarray(qs, np.float64)
+        if ((qs < 0) | (qs > 1)).any():
+            raise ValueError("quantiles must be in [0, 1]")
+        targets = np.ceil(qs * cum[-1]).astype(np.int64).clip(1)
+        idx = np.searchsorted(cum, targets, side="left")
+        return vals[idx.clip(0, vals.size - 1)]
+
+    # -- (de)serialization ---------------------------------------------------
+    def to_rows(self) -> tuple[np.ndarray, np.ndarray]:
+        """(level, value) arrays — levelwise concatenation of these
+        rows across sketches IS the KLL merge (see kll_merge)."""
+        if not self.n:
+            return np.empty(0, np.int32), np.empty(0, np.float64)
+        lvl = np.concatenate([
+            np.full(lv.size, h, np.int32) for h, lv in enumerate(self.levels)
+        ])
+        return lvl, np.concatenate(self.levels)
+
+    @classmethod
+    def from_rows(cls, k: int, n: int, level: np.ndarray,
+                  value: np.ndarray) -> "KLL":
+        sk = cls(k)
+        top = int(level.max()) if level.size else 0
+        sk.levels = [
+            np.asarray(value[level == h], np.float64)
+            for h in range(top + 1)
+        ]
+        sk.n = int(n)
+        sk._compress()
+        return sk
+
+
+def kll_build(df: DataFrame, col: str, k: int = 200) -> KLL:
+    """Distributed KLL build over a numeric column.
+
+    One mapInPandas pass folds each partition into a local ladder and
+    emits its compactor rows — the exchange and the driver collect are
+    bounded by partitions x ~3k values, never by input rows; the
+    driver finish levelwise-concatenates the partials (= KLL merge)
+    and compacts once."""
+    part = (
+        df.select(F.col(col).cast("double").alias("_v")).na.drop()
+    )
+
+    def _partial(batches):
+        sk = KLL(k)
+        for pdf in batches:
+            sk.update(pdf["_v"].to_numpy())
+        lvl, val = sk.to_rows()
+        if sk.n:
+            yield pd.DataFrame(
+                {"level": lvl, "value": val,
+                 "n": np.r_[np.int64(sk.n), np.zeros(lvl.size - 1, np.int64)]})
+
+    rows = part.mapInPandas(
+        _partial, schema="level int, value double, n long").collect()
+    if not rows:
+        return KLL(k)
+    lvl = np.array([r["level"] for r in rows], np.int32)
+    val = np.array([r["value"] for r in rows], np.float64)
+    n = sum(r["n"] for r in rows)
+    return KLL.from_rows(k, n, lvl, val)
+
+
+def kll_merge(*sketches: KLL) -> KLL:
+    """Levelwise concatenation + one compress — a sketch OF the
+    concatenated streams with the same rank-error guarantee.  NOT
+    idempotent (weights add), so the streaming sink keeps a batch-id
+    ledger like Count-Min's."""
+    if not sketches:
+        raise ValueError("kll_merge needs at least one sketch")
+    ks = {s.k for s in sketches}
+    if len(ks) != 1:
+        raise ValueError(f"mismatched k: {sorted(ks)}")
+    out = KLL(sketches[0].k)
+    top = max(len(s.levels) for s in sketches)
+    out.levels = [
+        np.concatenate([
+            s.levels[h] for s in sketches if h < len(s.levels)
+        ]) if any(h < len(s.levels) for s in sketches)
+        else np.empty(0, np.float64)
+        for h in range(top)
+    ]
+    out.n = sum(s.n for s in sketches)
+    out._compress()
+    return out
+
+
+def kll_save(sk: KLL, path: str) -> None:
+    """Persist as parquet (level, value) rows with k and n in the file
+    metadata — the bloom/cms/hll durable-artifact contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lvl, val = sk.to_rows()
+    table = pa.table({"level": pa.array(lvl, pa.int32()),
+                      "value": pa.array(val, pa.float64())})
+    table = table.replace_schema_metadata(
+        {b"kll_k": str(sk.k).encode(), b"kll_n": str(sk.n).encode()})
+    pq.write_table(table, path)
+
+
+def kll_load(path: str) -> KLL:
+    """Load a :func:`kll_save` artifact."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_schema(path).metadata or {}
+    if b"kll_k" not in meta:
+        raise ValueError(f"{path} is not a kll_save artifact")
+    table = pq.read_table(path, columns=["level", "value"])
+    return KLL.from_rows(
+        int(meta[b"kll_k"]), int(meta[b"kll_n"]),
+        table["level"].to_numpy().astype(np.int32),
+        table["value"].to_numpy().astype(np.float64))
+
+
+def kll_rank_col(spark, sk: KLL, col: Column | str) -> Column:
+    """Double Column: each row's estimated PERCENTILE (rank / n) in
+    the distribution the sketch summarizes — e.g. "where does this
+    page's length sit against every crawl so far".  One broadcast of
+    the weighted-sample CDF; the probe is a single vectorized
+    searchsorted per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    vals, cum = sk._weighted()
+    if not vals.size:
+        raise ValueError("empty sketch")
+    total = float(cum[-1])
+    bc = spark.sparkContext.broadcast((vals, cum.astype(np.float64)))
+
+    @pandas_udf("double")
+    def _probe(v: pd.Series) -> pd.Series:
+        vv, cc = bc.value
+        x = v.to_numpy(np.float64, na_value=np.nan)
+        i = np.searchsorted(vv, x, side="right")
+        out = np.where(i > 0, cc[np.maximum(i - 1, 0)], 0.0) / total
+        out[np.isnan(x)] = np.nan
+        return pd.Series(out)
+
+    return _probe(col if isinstance(col, Column) else F.col(col))

@@ -30,7 +30,7 @@ from xarray_spatial_spark.functions.dedup import (
     bloom_build, bloom_load, bloom_merge, bloom_save,
 )
 
-__all__ = ["bloom_sink", "cms_sink", "hll_sink"]
+__all__ = ["bloom_sink", "cms_sink", "hll_sink", "kll_sink"]
 
 
 def _last_batch(path: str) -> int:
@@ -113,6 +113,29 @@ def hll_sink(col: str, path: str, p: int = 14):
             delta = sk.hll_merge(prev, delta)
         tmp = path + ".tmp"
         sk.hll_save(delta, tmp)
+        os.replace(tmp, path)
+        _record_batch(path, batch_id)
+
+    return _sink
+
+
+def kll_sink(col: str, path: str, k: int = 200):
+    """foreachBatch callback maintaining a KLL quantile artifact at
+    ``path`` (length/score distribution across ALL micro-batches).
+    KLL merge ADDS weight — not idempotent — so like Count-Min the
+    sink records the last applied batch id and skips replays."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_batch(path):
+            return
+        delta = sk.kll_build(batch_df, col, k)
+        if os.path.exists(path):
+            prev = sk.kll_load(path)
+            if prev.k != k:
+                raise ValueError(f"kll artifact k={prev.k} != sink k={k}")
+            delta = sk.kll_merge(prev, delta)
+        tmp = path + ".tmp"
+        sk.kll_save(delta, tmp)
         os.replace(tmp, path)
         _record_batch(path, batch_id)
 
