@@ -1602,6 +1602,75 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle_sql(iters: int = 3) -> str:
+    """UNROLLED synchronous LPA twin for q_lpa: the same clique-and-
+    bridge edge list, then ``iters`` copies of one vote round —
+    ballots = neighbor labels + own label, winner = row_number over
+    (cnt DESC, label ASC), exactly label_propagation's
+    min(struct(-cnt, label)) argmax."""
+    step = """
+        l{next} AS (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM (
+              SELECT m.node, m.label, count(*) AS cnt FROM (
+                SELECT u.d AS node, l.label FROM und u
+                JOIN l{cur} l ON u.s = l.node
+                UNION ALL SELECT node, label FROM l{cur}
+              ) m GROUP BY 1, 2
+            )
+          ) WHERE rn = 1
+        )"""
+    steps = ",".join(
+        step.format(cur=i, next=i + 1) for i in range(iters))
+    return f"""
+        WITH nn AS (SELECT DISTINCT doc_id % 32 AS n FROM documents),
+        und AS (
+          SELECT format('h{{:02d}}', a.n) AS s, format('h{{:02d}}', b.n) AS d
+          FROM nn a JOIN nn b ON a.n // 8 = b.n // 8 AND a.n <> b.n
+          UNION
+          SELECT format('h{{:02d}}', n), format('h{{:02d}}', n + 1)
+          FROM nn WHERE n IN (7, 15, 23)
+          UNION
+          SELECT format('h{{:02d}}', n + 1), format('h{{:02d}}', n)
+          FROM nn WHERE n IN (7, 15, 23)
+        ),
+        l0 AS (SELECT DISTINCT s AS node, s AS label FROM und),{steps}
+        SELECT node, label FROM l{iters} ORDER BY node
+    """
+
+
+def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (functions/graph.py:label_propagation) on a deterministic
+    clique-and-bridge graph: 32 hosts in four 8-cliques with three
+    single bridge edges.  Fixed 3 rounds, self-inclusive mode vote,
+    min-label ties — a pure function of the edge list, so the DuckDB
+    twin UNROLLS the identical three rounds (row_number over
+    (cnt DESC, label ASC) = the min(struct(-cnt, label)) argmax) and
+    asserts every (node, label) row.  The bridges pin that the vote
+    is majority-based: h08's clique outvotes its smaller bridge
+    neighbor h07 by round 2."""
+    from xarray_spatial_spark.functions.graph import label_propagation
+
+    nn = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select((F.col("doc_id") % 32).alias("n")).distinct()
+    )
+    name = lambda c: F.format_string("h%02d", c.cast("int"))  # noqa: E731
+    clique = nn.alias("a").join(
+        nn.alias("b"),
+        (F.floor(F.col("a.n") / 8) == F.floor(F.col("b.n") / 8))
+        & (F.col("a.n") < F.col("b.n")),
+    ).select(name(F.col("a.n")).alias("src"), name(F.col("b.n")).alias("dst"))
+    bridge = nn.filter(F.col("n").isin(7, 15, 23)).select(
+        name(F.col("n")).alias("src"), name(F.col("n") + 1).alias("dst"))
+    labels = label_propagation(clique.union(bridge), iters=3)
+    return labels.orderBy("node")
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Render every document as a CC-style per-record-gzip WARC member
     and parse it back with the from-scratch reader (sources/warc.py)
@@ -2317,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup": q_video_neardup,
         "unigram": q_unigram,
         "pdf_extract": q_pdf_extract,
+        "lpa": q_lpa,
     }
 
 
@@ -4044,6 +4114,7 @@ def oracle_sql() -> dict[str, str]:
               )
             ) x
         """,
+        "lpa": _lpa_oracle_sql(),
     }
 
 

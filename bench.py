@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "ivfpq_topk",
     "pca_ann",
     "hits",
+    "lpa",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -105,3 +105,85 @@ def test_hits_matches_numpy_power_iteration(spark):
 
     with pytest.raises(ValueError):
         hits(df, iters=-1)
+
+
+def _python_lpa(edges, iters, include_self=True, directed=False):
+    """Reference synchronous LPA with (count desc, label asc) votes."""
+    und = set(edges) | (set() if directed else {(v, u) for u, v in edges})
+    nodes = sorted({u for u, _ in und} | {v for _, v in und})
+    out_of = {}
+    for u, v in und:
+        out_of.setdefault(v, []).append(u)
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            votes = [lab[u] for u in out_of.get(n, [])]
+            if include_self:
+                votes.append(lab[n])
+            if not votes:
+                new[n] = lab[n]
+                continue
+            cnt = {}
+            for x in votes:
+                cnt[x] = cnt.get(x, 0) + 1
+            new[n] = min(cnt, key=lambda x: (-cnt[x], x))
+        lab = new
+    return lab
+
+
+def _lpa_collect(spark, edges, **kw):
+    df = spark.createDataFrame(edges, schema="src string, dst string")
+    return {r["node"]: r["label"]
+            for r in graph.label_propagation(df, **kw).collect()}
+
+
+def test_lpa_cliques_converge_to_min_label(spark):
+    # two disjoint 5-cliques: every node ends on its clique's minimum
+    edges = [(f"a{i}", f"a{j}") for i in range(5) for j in range(i + 1, 5)]
+    edges += [(f"b{i}", f"b{j}") for i in range(5) for j in range(i + 1, 5)]
+    got = _lpa_collect(spark, edges, iters=3)
+    assert all(v == "a0" for k, v in got.items() if k.startswith("a"))
+    assert all(v == "b0" for k, v in got.items() if k.startswith("b"))
+
+
+def test_lpa_majority_beats_smaller_bridge_label(spark):
+    # clique b0..b4 bridged to the lexicographically SMALLER a0:
+    # the clique majority (5 ballots of b0) must outvote the bridge
+    # (1 ballot of a0) — proves the vote is mode-based, not min-based
+    edges = [(f"b{i}", f"b{j}") for i in range(5) for j in range(i + 1, 5)]
+    edges += [("a0", "b0")]
+    got = _lpa_collect(spark, edges, iters=4)
+    assert got["b4"] == "b0" and got["b1"] == "b0"
+
+
+def test_lpa_matches_python_reference(spark):
+    rng = np.random.default_rng(11)
+    edges = sorted({(f"n{int(rng.integers(0, 24)):02d}",
+                     f"n{int(rng.integers(0, 24)):02d}")
+                    for _ in range(80)})
+    edges = [(u, v) for u, v in edges if u != v]
+    for kw in ({"iters": 3}, {"iters": 4, "include_self": False},
+               {"iters": 3, "directed": True}):
+        got = _lpa_collect(spark, edges, **kw)
+        want = _python_lpa(edges, **kw)
+        assert got == want, kw
+
+
+def test_lpa_isolated_node_keeps_label_without_self_vote(spark):
+    # directed edge into a sink; the source has no in-neighbors
+    edges = [("s", "t")]
+    got = _lpa_collect(spark, edges, iters=3,
+                       include_self=False, directed=True)
+    assert got["s"] == "s"
+
+
+def test_lpa_parallelism_invariance(spark):
+    edges = [(f"c{i}", f"c{(i + 1) % 9}") for i in range(9)]
+    df1 = spark.createDataFrame(edges, "src string, dst string").repartition(1)
+    df2 = spark.createDataFrame(edges, "src string, dst string").repartition(13)
+    a = {r["node"]: r["label"]
+         for r in graph.label_propagation(df1, iters=4).collect()}
+    b = {r["node"]: r["label"]
+         for r in graph.label_propagation(df2, iters=4).collect()}
+    assert a == b

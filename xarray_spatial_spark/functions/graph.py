@@ -204,3 +204,76 @@ def hits(
         if i % 2 == 1 or i == iters - 1:
             scores = scores.localCheckpoint()
     return _l2_normalize(scores, ("hub", "authority"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    include_self: bool = True,
+    directed: bool = False,
+) -> DataFrame:
+    """(node, label) after ``iters`` SYNCHRONOUS label-propagation
+    rounds — community detection on the link graph (spam farms, site
+    networks, topic clusters) as the fourth graph primitive next to
+    pagerank / connected_components / hits.
+
+    Raghavan et al. 2007, made deterministic and cross-engine
+    replicable: every node starts labeled with itself; each round it
+    adopts the MOST FREQUENT label among its neighbors (its own vote
+    included by default), ties broken by smallest label.  Fixed-round
+    synchronous semantics — no random visit order, no asynchronous
+    updates — so the result is a pure function of the edge list and
+    an unrolled SQL twin can assert it row-for-row.  ``include_self``
+    keeps a node's current label in its own ballot, the standard
+    damping that prevents the two-coloring oscillation plain
+    synchronous LPA exhibits on bipartite-ish structures; with it a
+    clique converges in one round and holds its label under single
+    bridge edges (majority beats a smaller bridge label — pinned).
+
+    Scale design mirrors pagerank: per round ONE equi-join on the
+    (src-partitioned) edge list + one two-level hash aggregate
+    ((node, label) count with map-side combine, then a min(struct)
+    argmax — no window, no shuffle beyond the count's); hub fan-in is
+    an AQE-skew-handled groupBy key.  Labels ride as values, so the
+    exchanged rows are (node, label, cnt) triples bounded by observed
+    (node, neighbor-label) pairs, never text.  localCheckpoint every
+    second round truncates the iterative plan like pagerank's."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.union(edges.select(F.col(dst).alias("_s"),
+                                 F.col(src).alias("_d")))
+    e = e.distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for i in range(iters):
+        msgs = e.join(labels, e["_s"] == labels["node"]).select(
+            F.col("_d").alias("node"), "label")
+        if include_self:
+            msgs = msgs.unionByName(labels)
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("_cnt"))
+        voted = counts.groupBy("node").agg(
+            F.min(F.struct((-F.col("_cnt")).alias("_nc"),
+                           F.col("label").alias("_l"))).alias("_best")
+        ).select("node", F.col("_best._l").alias("label"))
+        if include_self:
+            labels = voted
+        else:
+            # a node with no in-neighbors receives no ballots this
+            # round — it keeps its previous label instead of vanishing
+            labels = labels.alias("p").join(
+                voted.alias("v"), "node", "left"
+            ).select("node", F.coalesce(F.col("v.label"),
+                                        F.col("p.label")).alias("label"))
+        if i % 2 == 1 or i == iters - 1:
+            labels = labels.localCheckpoint()
+    return labels
