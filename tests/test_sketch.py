@@ -330,3 +330,51 @@ class TestKLL:
             sk.quantiles([1.5])
         with pytest.raises(ValueError, match="at least one"):
             sk_mod.kll_merge()
+
+
+class TestKLLGrouped:
+    def test_group_quantiles_within_band(self, spark):
+        n = 30_000
+        df = spark.range(n).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            # per-group distinct shapes: g scales the value range
+            ((F.col("id") % 1000) * (F.col("id") % 3 + 1)).cast("double").alias("v"))
+        got = sk_mod.kll_group_quantiles(df, "g", "v", [0.25, 0.5, 0.9], k=256)
+        rows = got.collect()
+        assert len(rows) == 9
+        by = {}
+        for r in rows:
+            by.setdefault(r["g"], {})[r["q"]] = r["value"]
+        import numpy as np_
+        for g in ("0", "1", "2"):
+            vals = np.sort(np.array(
+                [(i % 1000) * (i % 3 + 1) for i in range(n) if i % 3 == int(g)],
+                float))
+            for q, est in by[g].items():
+                rank = np.searchsorted(vals, est, side="right") / len(vals)
+                assert abs(rank - q) < 0.03, (g, q, rank)
+
+    def test_group_quantiles_multi_key_and_empty_qs(self, spark):
+        df = spark.range(1000).select(
+            (F.col("id") % 2).alias("a"), (F.col("id") % 5).alias("b"),
+            F.col("id").cast("double").alias("v"))
+        got = sk_mod.kll_group_quantiles(df, ["a", "b"], "v", [0.5])
+        assert got.count() == 10
+        with pytest.raises(ValueError, match="non-empty"):
+            sk_mod.kll_group_quantiles(df, "a", "v", [])
+
+    def test_ks_distance(self, spark):
+        base = spark.range(20_000).select(
+            (F.col("id") % 4000).cast("double").alias("v"))
+        same = sk_mod.kll_build(base, "v", 256)
+        assert sk_mod.kll_ks_distance(same, same) == 0.0
+        shifted = sk_mod.kll_build(
+            base.select((F.col("v") + 10_000).alias("v")), "v", 256)
+        assert sk_mod.kll_ks_distance(same, shifted) > 0.99
+        # half the mass moved -> KS ~= 0.5 within the rank-error band
+        half = sk_mod.kll_build(
+            base.select(F.when(F.col("v") < 2000, F.col("v"))
+                        .otherwise(F.col("v") + 10_000).alias("v")), "v", 256)
+        assert abs(sk_mod.kll_ks_distance(same, half) - 0.5) < 0.03
+        with pytest.raises(ValueError, match="non-empty"):
+            sk_mod.kll_ks_distance(sk_mod.KLL(64), same)

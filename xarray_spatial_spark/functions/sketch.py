@@ -68,6 +68,8 @@ __all__ = [
     "kll_save",
     "kll_load",
     "kll_rank_col",
+    "kll_group_quantiles",
+    "kll_ks_distance",
 ]
 
 
@@ -751,3 +753,91 @@ def kll_rank_col(spark, sk: KLL, col: Column | str) -> Column:
         return pd.Series(out)
 
     return _probe(col if isinstance(col, Column) else F.col(col))
+
+
+def kll_group_quantiles(
+    df: DataFrame,
+    key: str | list[str],
+    col: str,
+    qs,
+    k: int = 200,
+) -> DataFrame:
+    """Per-key quantiles via grouped KLL — "p50/p99 page length PER
+    HOST / PER LANGUAGE across the whole crawl" without ever shuffling
+    raw values.
+
+    Two stages, both sketch-bounded: one mapInPandas pass folds each
+    partition's rows into one ladder PER KEY it sees and emits
+    compactor rows (plus one level=-1 sentinel carrying that
+    partial's exact n), so the single exchange moves
+    partitions x keys-per-partition x ~3k floats, never input rows;
+    then applyInPandas per key levelwise-concatenates the partials
+    (= KLL merge), compacts once, and answers ``qs``.  Returns
+    ``(*key, q, value)`` with the same lower-quantile convention as
+    :meth:`KLL.quantiles`."""
+    keys = [key] if isinstance(key, str) else list(key)
+    qs = [float(q) for q in qs]
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    src = df.select(*keys, F.col(col).cast("double").alias("_v")).na.drop()
+
+    def _partial(batches):
+        sks: dict = {}
+        for pdf in batches:
+            for kv, grp in pdf.groupby(keys, sort=False, dropna=True):
+                sk = sks.get(kv)
+                if sk is None:
+                    sk = sks[kv] = KLL(k)
+                sk.update(grp["_v"].to_numpy())
+        for kv, sk in sks.items():
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            lvl, val = sk.to_rows()
+            out = pd.DataFrame({
+                "level": np.r_[lvl, np.int32(-1)],
+                "value": np.r_[val, np.nan],
+                "n": np.r_[np.zeros(lvl.size, np.int64), np.int64(sk.n)],
+            })
+            for c, v in zip(keys, kv):
+                out[c] = v
+            yield out[keys + ["level", "value", "n"]]
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema if f.name in keys)
+    partials = src.mapInPandas(
+        _partial, schema=f"{key_schema}, level int, value double, n long")
+
+    def _finish(kv, pdf):
+        kv = kv if isinstance(kv, tuple) else (kv,)
+        n = int(pdf.loc[pdf["level"] == -1, "n"].sum())
+        body = pdf[pdf["level"] >= 0]
+        sk = KLL.from_rows(k, n,
+                           body["level"].to_numpy(np.int32),
+                           body["value"].to_numpy(np.float64))
+        vals = sk.quantiles(qs)
+        out = pd.DataFrame({"q": qs, "value": vals})
+        for c, v in zip(keys, kv):
+            out[c] = v
+        return out[keys + ["q", "value"]]
+
+    return partials.groupBy(*keys).applyInPandas(
+        _finish, schema=f"{key_schema}, q double, value double")
+
+
+def kll_ks_distance(a: KLL, b: KLL) -> float:
+    """Two-sample Kolmogorov-Smirnov distance between the
+    distributions two KLL sketches summarize: max |CDF_a - CDF_b|
+    over the union of retained values.  The crawl-drift monitor for
+    NUMERIC signals (length, quality score, fetch latency) — the
+    numeric sibling of corpus_drift's vocabulary JS divergence — with
+    error bounded by the two sketches' rank-error bands."""
+    if not (a.n and b.n):
+        raise ValueError("ks distance needs two non-empty sketches")
+    va, ca = a._weighted()
+    vb, cb = b._weighted()
+    xs = np.union1d(va, vb)
+    ia = np.searchsorted(va, xs, side="right")
+    ib = np.searchsorted(vb, xs, side="right")
+    fa = np.where(ia > 0, ca[np.maximum(ia - 1, 0)], 0) / ca[-1]
+    fb = np.where(ib > 0, cb[np.maximum(ib - 1, 0)], 0) / cb[-1]
+    return float(np.abs(fa - fb).max())
