@@ -1602,6 +1602,41 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL change-rate estimation from synthesized recrawl
+    history (functions/frontier.py:change_rate — Cho & Garcia-Molina
+    bias-reduced estimator, one window + one aggregate on the url
+    key).  Four captures per doc at a per-doc cadence (0.5 or 1 day);
+    fingerprints flip on three deterministic patterns (every capture /
+    never / once in the middle), so n_changes, the mean interval, and
+    the -ln((n-X+.5)/(n+.5)) rate are all exactly replicable in SQL.
+    The budget-allocation half (revisit_schedule's freshness
+    water-filling) is driver-side numerics — pinned in pytest, incl.
+    the classic abandon-the-frantic-changers result."""
+    from xarray_spatial_spark.functions.frontier import change_rate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    caps = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("cap"))
+    dt = (F.col("doc_id") % 2 + 1) * 43200
+    fp = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("cap").cast("string"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("0"))
+        .otherwise((F.col("cap") >= 2).cast("int").cast("string"))
+    )
+    hist = caps.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("cap") * dt)
+        .alias("warc_ts"),
+        fp.alias("fingerprint"),
+    )
+    cr = change_rate(hist)
+    return cr.select(
+        "url", "n_intervals", "n_changes", "mean_interval_s",
+        F.round("rate_per_day", 6).alias("rate_per_day"),
+    )
+
+
 def _lpa_oracle_sql(iters: int = 3) -> str:
     """UNROLLED synchronous LPA twin for q_lpa: the same clique-and-
     bridge edge list, then ``iters`` copies of one vote round —
@@ -2387,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram": q_unigram,
         "pdf_extract": q_pdf_extract,
         "lpa": q_lpa,
+        "revisit": q_revisit,
     }
 
 
@@ -4115,6 +4151,38 @@ def oracle_sql() -> dict[str, str]:
             ) x
         """,
         "lpa": _lpa_oracle_sql(),
+        "revisit": """
+            WITH caps AS (
+              SELECT doc_id, unnest(range(0, 4)) AS cap FROM documents
+            ),
+            hist AS (
+              SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                     1700000000 + cap * ((doc_id % 2 + 1) * 43200) AS t,
+                     CASE WHEN doc_id % 3 = 0 THEN CAST(cap AS VARCHAR)
+                          WHEN doc_id % 3 = 1 THEN '0'
+                          ELSE CAST(CASE WHEN cap >= 2 THEN 1 ELSE 0 END
+                               AS VARCHAR) END AS fp
+              FROM caps
+            ),
+            p AS (
+              SELECT url, t, fp,
+                     lag(t) OVER (PARTITION BY url ORDER BY t) AS pt,
+                     lag(fp) OVER (PARTITION BY url ORDER BY t) AS pfp
+              FROM hist
+            ),
+            a AS (
+              SELECT url, count(*) AS n_intervals,
+                     CAST(sum(CASE WHEN fp <> pfp THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_changes,
+                     avg(CAST(t - pt AS DOUBLE)) AS mean_interval_s
+              FROM p WHERE pt IS NOT NULL GROUP BY url
+            )
+            SELECT url, n_intervals, n_changes, mean_interval_s,
+                   round(-ln((n_intervals - n_changes + 0.5)
+                             / (n_intervals + 0.5))
+                         / mean_interval_s * 86400.0, 6) AS rate_per_day
+            FROM a
+        """,
     }
 
 

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "pca_ann",
     "hits",
     "lpa",
+    "revisit",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

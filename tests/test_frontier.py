@@ -1,5 +1,6 @@
 """Crawl-frontier scheduling (functions/frontier.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from xarray_spatial_spark.functions.frontier import frontier_schedule
@@ -67,3 +68,109 @@ def test_schedule_default_priority_deterministic(spark):
                  for r in frontier_schedule(links).collect())
     # no priority column: ties break on url lexically
     assert got == [("https://h.com/a", 0), ("https://h.com/b", 1)]
+
+
+class TestRevisit:
+    def _history(self, spark):
+        # 6 captures each, 1 day apart: urlA changes every capture,
+        # urlB never, urlC every second capture
+        rows = []
+        for i in range(6):
+            ts = f"2026-01-{i + 1:02d} 00:00:00"
+            rows.append(("a", ts, f"fp{i}"))
+            rows.append(("b", ts, "fp"))
+            rows.append(("c", ts, f"fp{i // 2}"))
+        return spark.createDataFrame(
+            rows, "url string, warc_ts string, fingerprint string"
+        ).select("url", F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+                 "fingerprint")
+
+    def test_change_rate_closed_form(self, spark):
+        import math
+
+        from xarray_spatial_spark.functions.frontier import change_rate
+
+        got = {r["url"]: r for r in change_rate(self._history(spark)).collect()}
+        assert set(got) == {"a", "b", "c"}
+        for u, x in (("a", 5), ("b", 0), ("c", 2)):
+            r = got[u]
+            assert r["n_intervals"] == 5 and r["n_changes"] == x
+            assert r["mean_interval_s"] == 86400.0
+            want = -math.log((5 - x + 0.5) / 5.5)
+            assert r["rate_per_day"] == pytest.approx(want, rel=1e-9)
+        assert got["a"]["rate_per_day"] > got["c"]["rate_per_day"] > 0
+        assert got["b"]["rate_per_day"] == 0.0
+
+    def test_single_capture_urls_excluded(self, spark):
+        from xarray_spatial_spark.functions.frontier import change_rate
+
+        h = spark.createDataFrame(
+            [("solo", "2026-01-01 00:00:00", "x")],
+            "url string, warc_ts string, fingerprint string"
+        ).select("url", F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+                 "fingerprint")
+        assert change_rate(h).count() == 0
+
+    def test_schedule_budget_and_abandonment(self, spark):
+        import numpy as np
+
+        from xarray_spatial_spark.functions.frontier import revisit_schedule
+
+        # 100 slow (0.1/day), 100 medium (1/day), 100 frantic (200/day)
+        rows = ([("s%d" % i, 0.1) for i in range(100)]
+                + [("m%d" % i, 1.0) for i in range(100)]
+                + [("f%d" % i, 200.0) for i in range(100)])
+        rates = spark.createDataFrame(rows, "url string, rate_per_day double")
+        got = revisit_schedule(rates, budget_per_day=150.0).collect()
+        by = {}
+        for r in got:
+            by.setdefault(r["rate_per_day"], []).append(r)
+        total = sum(r["revisit_per_day"] for r in got)
+        assert total == pytest.approx(150.0, rel=0.01)
+        f_slow = by[0.1][0]["revisit_per_day"]
+        f_med = by[1.0][0]["revisit_per_day"]
+        f_fast = by[200.0][0]["revisit_per_day"]
+        # the classic Cho result: under a tight budget the optimal
+        # policy ABANDONS the frantic changers
+        assert f_fast == 0.0
+        assert f_med > 0 and f_slow > 0
+        # and it beats proportional-to-rate allocation on total freshness
+        def fresh(lam, f):
+            if f <= 0:
+                return 0.0
+            r = lam / f
+            return (1 - np.exp(-r)) / r
+        opt = sum(fresh(r["rate_per_day"], r["revisit_per_day"]) for r in got)
+        lam_sum = 100 * (0.1 + 1.0 + 200.0)
+        prop = sum(100 * fresh(l, 150.0 * l / lam_sum)
+                   for l in (0.1, 1.0, 200.0))
+        assert opt > prop * 1.5
+
+    def test_schedule_zero_rate_rows_get_zero(self, spark):
+        from xarray_spatial_spark.functions.frontier import revisit_schedule
+
+        rates = spark.createDataFrame(
+            [("a", 0.0), ("b", 2.0)], "url string, rate_per_day double")
+        got = {r["url"]: r for r in
+               revisit_schedule(rates, budget_per_day=5.0).collect()}
+        assert got["a"]["revisit_per_day"] == 0.0
+        assert got["b"]["revisit_per_day"] == pytest.approx(5.0, rel=0.01)
+
+    def test_schedule_rejects_bad_budget(self, spark):
+        from xarray_spatial_spark.functions.frontier import revisit_schedule
+
+        rates = spark.createDataFrame([("a", 1.0)],
+                                      "url string, rate_per_day double")
+        with pytest.raises(ValueError, match="positive"):
+            revisit_schedule(rates, budget_per_day=0.0)
+
+    def test_never_changing_pages_are_fresh_at_zero_cost(self, spark):
+        from xarray_spatial_spark.functions.frontier import revisit_schedule
+
+        rates = spark.createDataFrame(
+            [("still", 0.0), ("busy", 4.0)], "url string, rate_per_day double")
+        got = {r["url"]: r for r in
+               revisit_schedule(rates, budget_per_day=8.0).collect()}
+        assert got["still"]["revisit_per_day"] == 0.0
+        assert got["still"]["freshness"] == 1.0
+        assert got["busy"]["freshness"] > 0.5
