@@ -138,3 +138,77 @@ def test_streaming_frontier_dedups_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     assert [r["url"] for r in rows] == ["https://ext.org/dup"]
+
+
+class TestChangeRateSink:
+    def _captures(self):
+        # url A changes every capture, B never, C at capture 3 only;
+        # captures split 2/2/2 across three files so every url's
+        # history BRIDGES batch boundaries
+        rows = []
+        for i in range(6):
+            ts = f"2026-02-{i + 1:02d} 00:00:00"
+            rows.append(("a", ts, f"v{i}", i // 2))
+            rows.append(("b", ts, "v", i // 2))
+            rows.append(("c", ts, "v" if i < 3 else "w", i // 2))
+        return rows
+
+    def test_streamed_state_equals_batch_change_rate(self, spark, tmp_path):
+        import pytest as pt
+
+        from xarray_spatial_spark.functions.frontier import change_rate
+        from xarray_spatial_spark.streaming.frontier import (
+            change_rate_from_state, change_rate_sink)
+
+        src = str(tmp_path / "src")
+        for f in range(3):
+            batch = [(u, ts, fp) for (u, ts, fp, b) in self._captures()
+                     if b == f]
+            (spark.createDataFrame(
+                batch, "url string, warc_ts string, fingerprint string")
+             .selectExpr("url", "CAST(warc_ts AS TIMESTAMP) AS warc_ts",
+                         "fingerprint")
+             .coalesce(1).write.mode("append").parquet(src))
+
+        state = str(tmp_path / "state")
+        stream = (spark.readStream
+                  .schema("url string, warc_ts timestamp, fingerprint string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream.writeStream.foreachBatch(change_rate_sink(state))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        full = spark.read.parquet(src)
+        want = {r["url"]: r for r in change_rate(full).collect()}
+        got = {r["url"]: r
+               for r in change_rate_from_state(spark, state).collect()}
+        assert set(got) == set(want) == {"a", "b", "c"}
+        for u in want:
+            for c in ("n_intervals", "n_changes"):
+                assert got[u][c] == want[u][c], (u, c)
+            assert got[u]["mean_interval_s"] == pt.approx(
+                want[u]["mean_interval_s"], rel=1e-12)
+            assert got[u]["rate_per_day"] == pt.approx(
+                want[u]["rate_per_day"], rel=1e-12)
+
+        # replayed batch id: ledgered no-op (increments are not
+        # idempotent)
+        sink = change_rate_sink(state)
+        sink(full, batch_id=0)
+        again = {r["url"]: r
+                 for r in change_rate_from_state(spark, state).collect()}
+        assert again == got
+
+        # a genuinely new batch extends the history incrementally
+        nxt = spark.createDataFrame(
+            [("b", "2026-02-07 00:00:00", "CHANGED")],
+            "url string, warc_ts string, fingerprint string"
+        ).selectExpr("url", "CAST(warc_ts AS TIMESTAMP) AS warc_ts",
+                     "fingerprint")
+        sink(nxt, batch_id=99)
+        after = {r["url"]: r
+                 for r in change_rate_from_state(spark, state).collect()}
+        assert after["b"]["n_intervals"] == 6
+        assert after["b"]["n_changes"] == 1
+        assert after["a"] == got["a"]

@@ -99,3 +99,127 @@ def streaming_frontier(
             .drop("host", "rules", "_h")
         )
     return cand.withColumn("host", url_host(F.col("url")))
+
+
+def change_rate_sink(
+    state_table: str,
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+    fp_col: str = "fingerprint",
+):
+    """foreachBatch callback folding capture micro-batches into a
+    per-URL change-observation STATE table — the continuous feeder for
+    :func:`~xarray_spatial_spark.functions.frontier.revisit_schedule`,
+    so the recrawl planner never replays history.
+
+    State row per url: ``(url, last_t, last_fp, n_intervals,
+    n_changes, sum_interval_s)`` — the sufficient statistics of
+    change_rate's estimator (its mean interval is sum/n).  Each batch:
+    intra-batch pairs come from one lag window over the batch's own
+    captures; ONE bridge pair joins each url's first batch capture to
+    the stored last capture; the updated rows MERGE INTO an Iceberg
+    state table (sources.iceberg_format.merge_into), so only files
+    holding touched urls rewrite and every planning round can time
+    travel to earlier freshness states.  Increments are not
+    idempotent, hence the recorded-batch-id ledger (the Count-Min
+    contract).  Captures are event-time ordered per url WITHIN a
+    batch by the window; a batch whose earliest capture predates the
+    stored last_t would double-count an interval — feed this sink
+    from an ordered source (the crawler's own fetch log is).
+
+    Use :func:`change_rate_from_state` to read rates back."""
+    import os
+
+    from xarray_spatial_spark.sources import iceberg_format as I
+    from xarray_spatial_spark.streaming.sketches import (
+        _last_batch, _record_batch)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_batch(state_table):
+            return
+        from pyspark.sql.window import Window
+
+        spark = batch_df.sparkSession
+        w = Window.partitionBy("url").orderBy("_t")
+        caps = batch_df.select(
+            F.col(id_col).alias("url"),
+            F.unix_timestamp(F.col(ts_col)).cast("double").alias("_t"),
+            F.col(fp_col).alias("_fp"),
+        ).select(
+            "url", "_t", "_fp",
+            F.lag("_t").over(w).alias("_pt"),
+            F.lag("_fp").over(w).alias("_pfp"),
+        )
+        delta = caps.groupBy("url").agg(
+            F.sum(F.when(F.col("_pt").isNotNull(), 1).otherwise(0)
+                  ).alias("_n_b"),
+            F.sum(F.when(F.col("_pt").isNotNull()
+                         & (F.col("_fp") != F.col("_pfp")), 1).otherwise(0)
+                  ).alias("_x_b"),
+            F.sum(F.when(F.col("_pt").isNotNull(),
+                         F.col("_t") - F.col("_pt")).otherwise(0.0)
+                  ).alias("_dt_b"),
+            F.min_by(F.col("_t"), F.col("_t")).alias("_first_t"),
+            F.min_by(F.col("_fp"), F.col("_t")).alias("_first_fp"),
+            F.max_by(F.col("_t"), F.col("_t")).alias("_last_t"),
+            F.max_by(F.col("_fp"), F.col("_t")).alias("_last_fp"),
+        )
+        exists = os.path.exists(os.path.join(state_table, "metadata"))
+        if exists:
+            prev = I.read_iceberg(spark, state_table).select(
+                "url", F.col("last_t").alias("_s_t"),
+                F.col("last_fp").alias("_s_fp"),
+                F.col("n_intervals").alias("_s_n"),
+                F.col("n_changes").alias("_s_x"),
+                F.col("sum_interval_s").alias("_s_dt"))
+            joined = delta.join(prev, "url", "left")
+        else:
+            joined = (delta
+                      .withColumn("_s_t", F.lit(None).cast("double"))
+                      .withColumn("_s_fp", F.lit(None).cast("string"))
+                      .withColumn("_s_n", F.lit(None).cast("long"))
+                      .withColumn("_s_x", F.lit(None).cast("long"))
+                      .withColumn("_s_dt", F.lit(None).cast("double")))
+        bridged = F.col("_s_t").isNotNull()
+        new = joined.select(
+            "url",
+            F.col("_last_t").alias("last_t"),
+            F.col("_last_fp").alias("last_fp"),
+            (F.coalesce("_s_n", F.lit(0)) + F.col("_n_b")
+             + bridged.cast("long")).alias("n_intervals"),
+            (F.coalesce("_s_x", F.lit(0)) + F.col("_x_b")
+             + (bridged & (F.col("_s_fp") != F.col("_first_fp")))
+             .cast("long")).alias("n_changes"),
+            (F.coalesce("_s_dt", F.lit(0.0)) + F.col("_dt_b")
+             + F.when(bridged, F.col("_first_t") - F.col("_s_t"))
+             .otherwise(0.0)).alias("sum_interval_s"),
+        )
+        if exists:
+            I.merge_into(new, state_table, on=["url"])
+        else:
+            I.write_iceberg(new, state_table)
+        _record_batch(state_table, batch_id)
+
+    return _sink
+
+
+def change_rate_from_state(spark, state_table: str) -> DataFrame:
+    """Per-URL change rates from a :func:`change_rate_sink` state
+    table — identical estimator to the batch
+    :func:`~xarray_spatial_spark.functions.frontier.change_rate`
+    (sum/n IS its mean interval), so streamed-state rates equal a
+    full-history batch pass (pinned).  URLs still on their first
+    capture carry no interval evidence and are excluded, same as the
+    batch path."""
+    from xarray_spatial_spark.sources import iceberg_format as I
+
+    st = I.read_iceberg(spark, state_table).filter(F.col("n_intervals") > 0)
+    r_hat = -F.log(
+        (F.col("n_intervals") - F.col("n_changes") + F.lit(0.5))
+        / (F.col("n_intervals") + F.lit(0.5)))
+    mean_dt = F.col("sum_interval_s") / F.col("n_intervals")
+    return st.select(
+        "url", "n_intervals", "n_changes",
+        mean_dt.alias("mean_interval_s"),
+        (r_hat / mean_dt * F.lit(86400.0)).alias("rate_per_day"),
+    )
