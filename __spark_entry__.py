@@ -1637,6 +1637,31 @@ def q_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain collapse (functions/url.py:resolve_redirects —
+    pointer doubling, ceil(log2(max_hops)) self-joins on the redirect
+    table, never the corpus) over a synthesized halving graph
+    r_k -> r_{k//2} (chains up to 6 hops into the r2/r3 terminals)
+    plus a planted 2-cycle c0 <-> c1.  The DuckDB twin unrolls the
+    identical three doubling rounds; cycle rows must come back
+    (NULL, -1, unresolved=true) on both engines."""
+    from xarray_spatial_spark.functions.url import resolve_redirects
+
+    nn = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select((F.col("doc_id") % 256).alias("k")).distinct()
+    )
+    rname = lambda c: F.concat(F.lit("r"), c.cast("long").cast("string"))  # noqa: E731
+    edges = nn.filter(F.col("k") >= 4).select(
+        rname(F.col("k")).alias("src"),
+        rname(F.floor(F.col("k") / 2)).alias("dst"))
+    cyc = nn.filter(F.col("k") < 2).select(
+        F.when(F.col("k") == 0, F.lit("c0")).otherwise(F.lit("c1")).alias("src"),
+        F.when(F.col("k") == 0, F.lit("c1")).otherwise(F.lit("c0")).alias("dst"))
+    out = resolve_redirects(edges.union(cyc), max_hops=8)
+    return out.orderBy("url")
+
+
 def _lpa_oracle_sql(iters: int = 3) -> str:
     """UNROLLED synchronous LPA twin for q_lpa: the same clique-and-
     bridge edge list, then ``iters`` copies of one vote round —
@@ -2423,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "lpa": q_lpa,
         "revisit": q_revisit,
+        "redirects": q_redirects,
     }
 
 
@@ -4182,6 +4208,36 @@ def oracle_sql() -> dict[str, str]:
                              / (n_intervals + 0.5))
                          / mean_interval_s * 86400.0, 6) AS rate_per_day
             FROM a
+        """,
+        "redirects": """
+            WITH nn AS (SELECT DISTINCT doc_id % 256 AS k FROM documents),
+            e AS (
+              SELECT 'r' || CAST(k AS VARCHAR) AS u,
+                     'r' || CAST(k // 2 AS VARCHAR) AS v
+              FROM nn WHERE k >= 4
+              UNION ALL SELECT 'c0', 'c1' FROM nn WHERE k = 0
+              UNION ALL SELECT 'c1', 'c0' FROM nn WHERE k = 1
+            ),
+            m0 AS (SELECT u, min(v) AS v, CAST(1 AS BIGINT) AS h
+                   FROM e GROUP BY u),
+            m1 AS (SELECT a.u, coalesce(b.v, a.v) AS v,
+                          a.h + coalesce(b.h, 0) AS h
+                   FROM m0 a LEFT JOIN m0 b ON a.v = b.u),
+            m2 AS (SELECT a.u, coalesce(b.v, a.v) AS v,
+                          a.h + coalesce(b.h, 0) AS h
+                   FROM m1 a LEFT JOIN m1 b ON a.v = b.u),
+            m3 AS (SELECT a.u, coalesce(b.v, a.v) AS v,
+                          a.h + coalesce(b.h, 0) AS h
+                   FROM m2 a LEFT JOIN m2 b ON a.v = b.u),
+            s AS (SELECT DISTINCT u AS v, TRUE AS is_src FROM e)
+            SELECT m3.u AS url,
+                   CASE WHEN coalesce(s.is_src, FALSE) OR m3.h > 8
+                        THEN NULL ELSE m3.v END AS final_url,
+                   CASE WHEN coalesce(s.is_src, FALSE) OR m3.h > 8
+                        THEN CAST(-1 AS BIGINT) ELSE m3.h END AS hops,
+                   coalesce(s.is_src, FALSE) OR m3.h > 8 AS unresolved
+            FROM m3 LEFT JOIN s ON m3.v = s.v
+            ORDER BY url
         """,
     }
 

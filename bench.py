@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "hits",
     "lpa",
     "revisit",
+    "redirects",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

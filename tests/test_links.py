@@ -174,3 +174,43 @@ def test_anchor_text_tie_and_empty(spark):
     # empty anchors never surface in top_anchors but count as inlinks
     b = out["https://t.org/b"]
     assert b["n_inlinks"] == 1 and b["top_anchors"] == []
+
+
+class TestResolveRedirects:
+    def _resolve(self, spark, edges, **kw):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        from xarray_spatial_spark.functions.url import resolve_redirects
+        return {r["url"]: (r["final_url"], r["hops"], r["unresolved"])
+                for r in resolve_redirects(df, **kw).collect()}
+
+    def test_chains_resolve_with_exact_hops(self, spark):
+        # a -> b -> c -> T ; d -> T2
+        got = self._resolve(spark, [("a", "b"), ("b", "c"), ("c", "T"),
+                                    ("d", "T2")])
+        assert got == {"a": ("T", 3, False), "b": ("T", 2, False),
+                       "c": ("T", 1, False), "d": ("T2", 1, False)}
+
+    def test_cycle_and_overlength_flagged(self, spark):
+        chain = [(f"n{i}", f"n{i+1}") for i in range(12)]  # 12 > 8 hops
+        got = self._resolve(spark, chain + [("x", "y"), ("y", "x")],
+                            max_hops=8)
+        assert got["x"] == (None, -1, True) and got["y"] == (None, -1, True)
+        assert got["n0"] == (None, -1, True)          # 12-hop chain
+        assert got["n5"] == ("n12", 7, False)         # tail fits in 8
+        assert got["n11"] == ("n12", 1, False)
+
+    def test_conflicting_targets_keep_smallest(self, spark):
+        got = self._resolve(spark, [("a", "z"), ("a", "b"), ("b", "T")])
+        assert got["a"] == ("T", 2, False)
+
+    def test_max_hops_one(self, spark):
+        got = self._resolve(spark, [("a", "b"), ("b", "T")], max_hops=1)
+        assert got["b"] == ("T", 1, False)
+        assert got["a"] == (None, -1, True)  # needs 2 hops
+
+    def test_bad_max_hops(self, spark):
+        import pytest as pt
+        from xarray_spatial_spark.functions.url import resolve_redirects
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pt.raises(ValueError, match=">= 1"):
+            resolve_redirects(df, max_hops=0)

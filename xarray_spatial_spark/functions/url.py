@@ -15,6 +15,8 @@ documented, which is what the dedup/stats pipelines need.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -326,4 +328,64 @@ def anchor_text(
             F.transform(F.col("_top"), lambda s: s["_anchor"])
             .alias("top_anchors"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution
+# ---------------------------------------------------------------------------
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Collapse redirect chains to their final targets — the mapping
+    that makes 301/302/canonical aliases share one dedup key.
+
+    Input: one (src, dst) edge per redirecting URL (exact duplicate
+    edges collapse; a src with CONFLICTING targets — crawl races —
+    deterministically keeps the smallest dst).  Output: one row per
+    redirecting url with ``final_url`` (first non-redirecting target
+    within ``max_hops``), ``hops``, and ``unresolved`` (True for
+    cycles and over-length chains, where final_url is NULL and hops
+    -1 — a crawler treats both the same: stop following).
+
+    POINTER DOUBLING, not per-hop walking: round k composes the
+    mapping with itself (m'(u) = m(m(u)) where m(u) still points at a
+    redirecting url), so ``ceil(log2(max_hops))`` self-joins resolve
+    every chain up to max_hops — 3 exchanges for 8 hops, 5 for 32 —
+    each join keyed on the (small) redirect table itself, never the
+    corpus.  After the rounds, anything still pointing at a source is
+    a cycle or an over-length chain.  An unrolled SQL twin replays
+    the identical rounds (oracle ``redirects``)."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    edges = (
+        redirects.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .groupBy("_u").agg(F.min("_v").alias("_v"))
+    )
+    m = edges.select("_u", "_v", F.lit(1).cast("long").alias("_h"))
+    rounds = max(1, math.ceil(math.log2(max_hops)))
+    for _ in range(rounds):
+        nxt = m.select(F.col("_u").alias("_ju"),
+                       F.col("_v").alias("_jv"),
+                       F.col("_h").alias("_jh"))
+        m = m.join(nxt, m["_v"] == nxt["_ju"], "left").select(
+            "_u",
+            F.coalesce("_jv", "_v").alias("_v"),
+            (F.col("_h") + F.coalesce("_jh", F.lit(0))).alias("_h"),
+        )
+    # still pointing at a redirecting url => cycle / over-length
+    srcs = edges.select(F.col("_u").alias("_v")).withColumn(
+        "_is_src", F.lit(True))
+    out = m.join(srcs, "_v", "left")
+    bad = F.col("_is_src").isNotNull() | (F.col("_h") > max_hops)
+    return out.select(
+        F.col("_u").alias("url"),
+        F.when(bad, F.lit(None)).otherwise(F.col("_v")).alias("final_url"),
+        F.when(bad, F.lit(-1)).otherwise(F.col("_h")).alias("hops"),
+        bad.alias("unresolved"),
     )
