@@ -202,3 +202,59 @@ def test_allowed_fold_matches_batch_filter(spark):
     assert "https://h.com/private/ok/y" in fold_kept
     assert "https://h.com/private/x" not in fold_kept
     assert "https://norules.org/x" in fold_kept
+
+
+class TestCrawlDelay:
+    BODY = """
+User-agent: *
+Crawl-delay: 2
+Disallow: /private
+
+User-agent: fastbot
+Crawl-delay: 0.5
+
+User-agent: rudebot
+Crawl-delay: banana
+"""
+
+    def test_parse_group_override_and_malformed(self):
+        from xarray_spatial_spark.functions.robots import parse_crawl_delay
+
+        assert parse_crawl_delay(self.BODY) == 2.0
+        assert parse_crawl_delay(self.BODY, "FastBot") == 0.5
+        # malformed value in the agent's own group -> falls back to *
+        assert parse_crawl_delay(self.BODY, "rudebot") == 2.0
+        assert parse_crawl_delay("User-agent: *\nCrawl-delay: -3") is None
+        assert parse_crawl_delay("") is None
+
+    def test_crawl_delays_frame_with_default(self, spark):
+        from xarray_spatial_spark.functions.robots import crawl_delays
+
+        robots = spark.createDataFrame(
+            [("slow.org", self.BODY), ("bare.org", "User-agent: *\nDisallow:")],
+            "host string, robots_txt string")
+        got = {r["host"]: r["delay_s"]
+               for r in crawl_delays(robots, default_s=1.0).collect()}
+        assert got == {"slow.org": 2.0, "bare.org": 1.0}
+
+    def test_schedule_fetch_times_honors_waves(self, spark):
+        from xarray_spatial_spark.functions.frontier import frontier_schedule
+        from xarray_spatial_spark.functions.robots import (
+            crawl_delays, schedule_fetch_times)
+
+        links = spark.createDataFrame(
+            [(f"https://slow.org/p{i}",) for i in range(4)]
+            + [(f"https://bare.org/p{i}",) for i in range(3)],
+            "url string")
+        plan = frontier_schedule(links)
+        robots = spark.createDataFrame(
+            [("slow.org", self.BODY), ("bare.org", "")],
+            "host string, robots_txt string")
+        t = schedule_fetch_times(plan, crawl_delays(robots))
+        rows = t.collect()
+        for r in rows:
+            want = r["wave"] * (2.0 if r["host"] == "slow.org" else 1.0)
+            assert r["fetch_at_s"] == want, r
+        # per host: consecutive waves exactly one delay apart
+        slow = sorted(r["fetch_at_s"] for r in rows if r["host"] == "slow.org")
+        assert slow == [0.0, 2.0, 4.0, 6.0]

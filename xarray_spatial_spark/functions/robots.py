@@ -233,3 +233,89 @@ def robots_allowed(path: Column, rules_col: Column) -> Column:
         ).otherwise(acc),
     )
     return F.when(rules_col.isNull(), F.lit(1)).otherwise(best["verdict"])
+
+
+# ---------------------------------------------------------------------------
+# crawl-delay (de-facto extension) -> politeness timeline
+# ---------------------------------------------------------------------------
+
+
+def parse_crawl_delay(body: str, user_agent: str = "*") -> float | None:
+    """One robots.txt body -> Crawl-delay seconds for the given agent,
+    or None.  Not in RFC 9309, but the de-facto field large crawlers
+    honor; group matching mirrors :func:`parse_robots_body` (the exact
+    agent's group overrides ``*``); a malformed or negative value
+    reads as absent."""
+    ua = user_agent.lower()
+    delays: dict[str, float] = {}
+    current: list[str] = []
+    last_was_ua = False
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not last_was_ua:
+                current = []
+            current.append(val.lower())
+            last_was_ua = True
+            continue
+        last_was_ua = False
+        if key == "crawl-delay" and current:
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d >= 0:
+                for a in current:
+                    delays.setdefault(a, d)
+    if ua in delays:
+        return delays[ua]
+    return delays.get("*")
+
+
+def crawl_delays(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    user_agent: str = "*",
+    default_s: float = 1.0,
+) -> DataFrame:
+    """(host, delay_s) per host for one crawler identity — hosts whose
+    robots.txt carries no (valid) Crawl-delay get ``default_s``.  Same
+    Arrow-batched parse shape as :func:`robots_rules`."""
+
+    def _delays(batches):
+        for pdf in batches:
+            hosts, ds = [], []
+            for h, b in zip(pdf[host_col], pdf[body_col]):
+                d = parse_crawl_delay(b or "", user_agent)
+                hosts.append(h)
+                ds.append(default_s if d is None else d)
+            yield pd.DataFrame({"host": hosts, "delay_s": ds})
+
+    return robots.select(host_col, body_col).mapInPandas(
+        _delays, schema="host string, delay_s double")
+
+
+def schedule_fetch_times(
+    plan: DataFrame,
+    delays: DataFrame,
+    default_s: float = 1.0,
+) -> DataFrame:
+    """Turn a :func:`frontier.frontier_schedule` wave plan into
+    per-URL fetch OFFSETS honoring each host's crawl delay:
+    ``fetch_at_s = wave * delay_s`` (wave w holds at most one URL per
+    host, so consecutive waves are exactly one delay apart on every
+    host — the politeness contract made into a timeline).  Hosts
+    absent from ``delays`` fall back to ``default_s``.  One broadcast
+    join; ordering within a wave is the fetcher's concern."""
+    d = delays.select(F.col("host").alias("_h"), "delay_s")
+    return (
+        plan.join(F.broadcast(d), plan["host"] == F.col("_h"), "left")
+        .drop("_h")
+        .withColumn("delay_s", F.coalesce("delay_s", F.lit(default_s)))
+        .withColumn("fetch_at_s", F.col("wave") * F.col("delay_s"))
+    )
