@@ -174,3 +174,50 @@ class TestRevisit:
         assert got["still"]["revisit_per_day"] == 0.0
         assert got["still"]["freshness"] == 1.0
         assert got["busy"]["freshness"] > 0.5
+
+
+class TestPlanNextRound:
+    def test_composed_plan(self, spark, tmp_path):
+        from xarray_spatial_spark.functions.frontier import plan_next_round
+        from xarray_spatial_spark.streaming.frontier import change_rate_sink
+
+        # standing revisit state: d0 drifts every capture, d1 never
+        caps = []
+        for i in range(4):
+            ts = f"2026-03-{i + 1:02d} 00:00:00"
+            caps.append(("https://old.org/d0", ts, f"v{i}"))
+            caps.append(("https://old.org/d1", ts, "v"))
+        hist = spark.createDataFrame(
+            caps, "url string, warc_ts string, fingerprint string"
+        ).selectExpr("url", "CAST(warc_ts AS TIMESTAMP) AS warc_ts",
+                     "fingerprint")
+        state = str(tmp_path / "state")
+        change_rate_sink(state)(hist, batch_id=0)
+
+        links = spark.createDataFrame(
+            [("https://new.org/a",), ("https://new.org/b",),
+             ("https://new.org/blocked",), ("https://seen.org/x",)],
+            "url string")
+        seen = spark.createDataFrame([("https://seen.org/x",)], "url string")
+        robots = spark.createDataFrame(
+            [("new.org", "User-agent: *\nDisallow: /blocked\nCrawl-delay: 3"),
+             ("old.org", "User-agent: *\nDisallow:")],
+            "host string, robots_txt string")
+
+        plan = plan_next_round(
+            spark, links, revisit_state=state, robots=robots, seen=seen,
+            revisit_budget_per_day=10.0)
+        rows = {r["url"]: r for r in plan.collect()}
+        # discovery minus seen minus robots-blocked
+        assert "https://seen.org/x" not in rows
+        assert "https://new.org/blocked" not in rows
+        assert rows["https://new.org/a"]["kind"] == "discover"
+        # the drifting url is due; the static one needs no revisit
+        assert rows["https://old.org/d0"]["kind"] == "revisit"
+        assert rows["https://old.org/d0"]["priority"] > 0
+        assert "https://old.org/d1" not in rows
+        # timeline: new.org waves 3 s apart, default 1 s elsewhere
+        a, b = (rows["https://new.org/a"], rows["https://new.org/b"])
+        assert {a["wave"], b["wave"]} == {0, 1}
+        assert abs(max(a["fetch_at_s"], b["fetch_at_s"]) - 3.0) < 1e-9
+        assert rows["https://old.org/d0"]["fetch_at_s"] == 0.0

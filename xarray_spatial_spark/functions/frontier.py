@@ -230,3 +230,75 @@ def revisit_schedule(
             "freshness",
             F.when(F.col(rate_col) <= 0, F.lit(1.0)).otherwise(F.lit(0.0))),
     )
+
+
+def plan_next_round(
+    spark,
+    links: DataFrame,
+    revisit_state: str | None = None,
+    robots: DataFrame | None = None,
+    seen: DataFrame | None = None,
+    revisit_budget_per_day: float = 1000.0,
+    max_per_host: int = 64,
+    user_agent: str = "*",
+    default_delay_s: float = 1.0,
+) -> DataFrame:
+    """ONE call from crawl state to the next round's fetch timeline —
+    the composition the individual pieces exist for:
+
+    - the DISCOVERY half: candidate ``links`` (url [, priority]),
+      normalized, minus ``seen``;
+    - the REVISIT half: urls due under the freshness budget —
+      :func:`~xarray_spatial_spark.streaming.frontier.change_rate_from_state`
+      over the standing state table -> :func:`revisit_schedule`; their
+      priority is the allocated revisit frequency (urgency), and they
+      BYPASS the seen-filter (being seen is their defining feature);
+    - both gate through robots rules, rank into politeness waves
+      (:func:`frontier_schedule`), and stretch onto a per-host
+      timeline via Crawl-delay
+      (:func:`~xarray_spatial_spark.functions.robots.schedule_fetch_times`).
+
+    Returns ``(url, host, priority, wave, delay_s, fetch_at_s,
+    kind)`` with kind in {'discover', 'revisit'} (a url in both
+    halves counts as revisit).  Scale: the halves union BEFORE the
+    single frontier dedup/rank pass, so the exchange story is exactly
+    frontier_schedule's; the revisit half adds one scan of the state
+    table and the broadcast-joined delay map is host-scale."""
+    from xarray_spatial_spark.functions.robots import (
+        crawl_delays, robots_rules, schedule_fetch_times)
+    from xarray_spatial_spark.functions.url import url_normalize
+    from xarray_spatial_spark.streaming.frontier import change_rate_from_state
+
+    pri = (F.col("priority").cast("double") if "priority" in links.columns
+           else F.lit(0.0))
+    disc = links.select(url_normalize(F.col("url")).alias("url"),
+                        pri.alias("priority"))
+    if seen is not None:
+        s = seen.select(url_normalize(F.col("url")).alias("url")).distinct()
+        disc = disc.join(s, "url", "left_anti")
+    cand = disc
+    rev = None
+    if revisit_state is not None:
+        rates = change_rate_from_state(spark, revisit_state)
+        due = revisit_schedule(rates, revisit_budget_per_day).filter(
+            F.col("revisit_per_day") > 0)
+        rev = due.select(url_normalize(F.col("url")).alias("url"),
+                         F.col("revisit_per_day").alias("priority"))
+        cand = disc.unionByName(rev)
+    rules = (robots_rules(robots, user_agent=user_agent)
+             if robots is not None else None)
+    plan = frontier_schedule(cand, priority_col="priority",
+                             rules=rules, max_per_host=max_per_host)
+    delays = (crawl_delays(robots, user_agent=user_agent,
+                           default_s=default_delay_s)
+              if robots is not None
+              else spark.createDataFrame([], "host string, delay_s double"))
+    timed = schedule_fetch_times(plan, delays, default_s=default_delay_s)
+    if rev is not None:
+        tag = rev.select("url").distinct().withColumn("_rev", F.lit(True))
+        timed = timed.join(F.broadcast(tag), "url", "left").withColumn(
+            "kind", F.when(F.col("_rev").isNotNull(), F.lit("revisit"))
+            .otherwise(F.lit("discover"))).drop("_rev")
+    else:
+        timed = timed.withColumn("kind", F.lit("discover"))
+    return timed
