@@ -1637,6 +1637,92 @@ def q_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exif_geotag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotagged-image roundtrip (operators/exif.py): synthesize one
+    EXIF-bearing JPEG per doc (lat/lon in integer centi-arcseconds
+    derived from doc_id; every 7th doc gets a GPS-less file), decode
+    with the from-scratch parser, assign S2 cells.  The oracle
+    recomputes lat/lon as the IDENTICAL d + m/60 + s/3600 float
+    expression from the same integers, so decoded degrees hash-match
+    exactly; the S2 leg is oracle-covered by tile_assign's 's2'
+    variant, so here the cell rides as a NULL/non-NULL flag."""
+    from xarray_spatial_spark.operators.exif import geotag_images
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def _blobs(batches):
+        # encoder nested IN the closure (ships by value to executors;
+        # the entry module itself is not on worker sys.path) — an
+        # encoder LOCAL TO THE ENTRY, so the roundtrip checks
+        # operators/exif.py against independently-written bytes
+        import struct
+
+        import pandas as pd
+
+        def enc(lat_cs, lon_cs):
+            def dms(cs):
+                cs = abs(cs)
+                d, rem = divmod(cs, 360000)
+                m, s100 = divmod(rem, 6000)
+                return [(d, 1), (m, 1), (s100, 100)]
+
+            def rat(pairs):
+                return b"".join(struct.pack("<II", a, b) for a, b in pairs)
+
+            def ifd(entries, off):
+                n = len(entries)
+                base = off + 2 + 12 * n + 4
+                body, heap = b"", b""
+                for tag, typ, cnt, payload in entries:
+                    unit = {2: 1, 4: 4, 5: 8}[typ]
+                    if unit * cnt <= 4:
+                        body += (struct.pack("<HHI", tag, typ, cnt)
+                                 + payload + b"\x00" * (4 - len(payload)))
+                    else:
+                        body += (struct.pack("<HHI", tag, typ, cnt)
+                                 + struct.pack("<I", base + len(heap)))
+                        heap += payload
+                return (struct.pack("<H", n) + body
+                        + struct.pack("<I", 0) + heap)
+
+            ifd0 = ifd([(0x8825, 4, 1, struct.pack("<I", 0))], 8)
+            gps_off = 8 + len(ifd0)
+            ifd0 = ifd([(0x8825, 4, 1, struct.pack("<I", gps_off))], 8)
+            gps = ifd([
+                (1, 2, 2, (b"N" if lat_cs >= 0 else b"S") + b"\x00"),
+                (2, 5, 3, rat(dms(lat_cs))),
+                (3, 2, 2, (b"E" if lon_cs >= 0 else b"W") + b"\x00"),
+                (4, 5, 3, rat(dms(lon_cs))),
+            ], gps_off)
+            tiff = b"II" + struct.pack("<HI", 42, 8) + ifd0 + gps
+            payload = b"Exif\x00\x00" + tiff
+            return (b"\xff\xd8" + b"\xff\xe1"
+                    + struct.pack(">H", len(payload) + 2) + payload
+                    + b"\xff\xd9")
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                ids.append(i)
+                if i % 7 == 3:
+                    blobs.append(b"\xff\xd8\xff\xd9")  # no EXIF
+                else:
+                    lat_cs = (i % 5000) * 119 - 290000
+                    lon_cs = (i % 9000) * 139 - 620000
+                    blobs.append(enc(lat_cs, lon_cs))
+            yield pd.DataFrame({"doc_id": ids, "image": blobs})
+
+    blobs = d.mapInPandas(_blobs, schema="doc_id long, image binary")
+    out = geotag_images(blobs, "image", level=12, tile_level=6)
+    return out.select(
+        "doc_id",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        F.col("cell_id").isNotNull().alias("geotagged"),
+    )
+
+
 def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain collapse (functions/url.py:resolve_redirects —
     pointer doubling, ceil(log2(max_hops)) self-joins on the redirect
@@ -2449,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa": q_lpa,
         "revisit": q_revisit,
         "redirects": q_redirects,
+        "exif_geotag": q_exif_geotag,
     }
 
 
@@ -4238,6 +4325,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.is_src, FALSE) OR m3.h > 8 AS unresolved
             FROM m3 LEFT JOIN s ON m3.v = s.v
             ORDER BY url
+        """,
+        "exif_geotag": """
+            WITH b AS (
+              SELECT doc_id,
+                     (doc_id % 5000) * 119 - 290000 AS lat_cs,
+                     (doc_id % 9000) * 139 - 620000 AS lon_cs,
+                     doc_id % 7 = 3 AS bare
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN bare THEN NULL ELSE round(
+                     (CASE WHEN lat_cs >= 0 THEN 1 ELSE -1 END) * (
+                       (abs(lat_cs) // 360000)
+                       + ((abs(lat_cs) % 360000) // 6000) / 60.0
+                       + ((abs(lat_cs) % 6000) / 100.0) / 3600.0), 6)
+                   END AS lat,
+                   CASE WHEN bare THEN NULL ELSE round(
+                     (CASE WHEN lon_cs >= 0 THEN 1 ELSE -1 END) * (
+                       (abs(lon_cs) // 360000)
+                       + ((abs(lon_cs) % 360000) // 6000) / 60.0
+                       + ((abs(lon_cs) % 6000) / 100.0) / 3600.0), 6)
+                   END AS lon,
+                   NOT bare AS geotagged
+            FROM b
         """,
     }
 

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "lpa",
     "revisit",
     "redirects",
+    "exif_geotag",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
