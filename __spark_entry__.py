@@ -1745,7 +1745,12 @@ def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("k") == 0, F.lit("c0")).otherwise(F.lit("c1")).alias("src"),
         F.when(F.col("k") == 0, F.lit("c1")).otherwise(F.lit("c0")).alias("dst"))
     out = resolve_redirects(edges.union(cyc), max_hops=8)
-    return out.orderBy("url")
+    # sentinel '' for unresolved targets (house rule: sentinel fills
+    # keep the cross-engine row sort total — NULLs don't sort)
+    return out.select(
+        "url", F.coalesce("final_url", F.lit("")).alias("final_url"),
+        "hops", "unresolved",
+    ).orderBy("url")
 
 
 def _lpa_oracle_sql(iters: int = 3) -> str:
@@ -4319,7 +4324,7 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT DISTINCT u AS v, TRUE AS is_src FROM e)
             SELECT m3.u AS url,
                    CASE WHEN coalesce(s.is_src, FALSE) OR m3.h > 8
-                        THEN NULL ELSE m3.v END AS final_url,
+                        THEN '' ELSE m3.v END AS final_url,
                    CASE WHEN coalesce(s.is_src, FALSE) OR m3.h > 8
                         THEN CAST(-1 AS BIGINT) ELSE m3.h END AS hops,
                    coalesce(s.is_src, FALSE) OR m3.h > 8 AS unresolved

@@ -205,9 +205,13 @@ def geotag_images(
     out = out.withColumn("lat", F.col("exif.lat")).withColumn(
         "lon", F.col("exif.lon"))
     has = F.col("lat").isNotNull() & F.col("lon").isNotNull()
+    # coalesce the masked rows to (0, 0) so the vectorized encoder
+    # never casts NaN (the when() discards those outputs anyway)
     out = out.withColumn(
         "cell_id",
-        F.when(has, s2.cell_col(F.col("lon"), F.col("lat"), level)))
+        F.when(has, s2.cell_col(F.coalesce(F.col("lon"), F.lit(0.0)),
+                                F.coalesce(F.col("lat"), F.lit(0.0)),
+                                level)))
     if tile_level is not None:
         out = out.withColumn(
             "tile_id",
