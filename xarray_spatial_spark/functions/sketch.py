@@ -774,7 +774,8 @@ def kll_group_quantiles(
     then applyInPandas per key levelwise-concatenates the partials
     (= KLL merge), compacts once, and answers ``qs``.  Returns
     ``(*key, q, value)`` with the same lower-quantile convention as
-    :meth:`KLL.quantiles`."""
+    :meth:`KLL.quantiles`.  Rows with a NULL key or value are
+    excluded (same rule as hll_distinct's null values)."""
     keys = [key] if isinstance(key, str) else list(key)
     qs = [float(q) for q in qs]
     if not qs:

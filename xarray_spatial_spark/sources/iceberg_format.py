@@ -1677,11 +1677,14 @@ def collect_table_stats(
     stats files play: per-column NDV sketches recorded against a
     snapshot) for ``columns`` of the given snapshot.
 
-    One Spark job: every column's HyperLogLog registers come from the
-    SAME scan via a single stacked aggregate (per column: max rho per
-    register, exchanged as <= columns x 2^p sparse cells — the
-    bounded-collect contract of sketch.hll_build, shared scan instead
-    of one job per column), plus the exact row count.  The artifact
+    One Spark job: every column's HyperLogLog registers stack into a
+    single aggregate (per column: max rho per register, exchanged as
+    <= columns x 2^p sparse cells — the bounded-collect contract of
+    sketch.hll_build).  Physically the union holds one column-pruned
+    scan branch PER column, so total I/O equals a single scan reading
+    all requested columns (columnar format: each branch reads only
+    its own column's bytes) — one job, not one job per column.  The
+    exact row count rides a second count job.  The artifact
     is one parquet of (column, register, rho) rows with the snapshot
     id, row count and p in the file metadata, stored under
     ``<table>/stats/`` so `remove_orphan_files`' marker exemption
