@@ -169,3 +169,50 @@ def test_tiled_stencil_single_exchange_no_python_emit(spark):
     # one shuffle between the emit project and the group assemble
     downstream = plan.split("Generate explode")[0]
     assert downstream.count("Exchange hashpartitioning") == 1
+
+
+def test_hll_distinct_stays_codegen(spark):
+    """Grouped HLL is PURE Catalyst: hash + bit ops + two hash
+    aggregates — no Python anywhere, and exactly two exchanges (the
+    (key, register) partial and the per-key final)."""
+    from xarray_spatial_spark.functions.sketch import hll_distinct
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).cast("string").alias("k"),
+        F.concat(F.lit("u"), F.col("id")).alias("u"))
+    plan = _plan(hll_distinct(df, "k", "u", p=10))
+    for node in ("BatchEvalPython", "ArrowEvalPython",
+                 "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in plan, node
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_resolve_redirects_join_count_is_logarithmic(spark):
+    """Pointer doubling with per-generation localCheckpoint: the
+    FINAL round's plan holds exactly one doubling self-join (both
+    sides the materialized previous generation) plus the source-flag
+    join — the lazy-self-join 2^rounds tree blowup (which also
+    recomputes each generation twice) is pinned away."""
+    from xarray_spatial_spark.functions.url import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [(f"a{i}", f"a{i+1}") for i in range(6)], "src string, dst string")
+    for hops in (8, 32):
+        opt = _optimized(resolve_redirects(edges, max_hops=hops))
+        assert opt.count("Join ") == 2, (hops, opt.count("Join "))
+        # both join inputs are materialized generations, not plans
+        assert opt.count("LogicalRDD") >= 2
+
+
+def test_change_rate_single_exchange(spark):
+    """The lag window and the url aggregate share one hash
+    partitioning — change_rate costs ONE exchange."""
+    from xarray_spatial_spark.functions.frontier import change_rate
+
+    h = spark.createDataFrame(
+        [("u", "2026-01-01 00:00:00", "a"), ("u", "2026-01-02 00:00:00", "b")],
+        "url string, warc_ts string, fingerprint string"
+    ).selectExpr("url", "CAST(warc_ts AS TIMESTAMP) AS warc_ts",
+                 "fingerprint")
+    plan = _plan(change_rate(h))
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -366,10 +366,17 @@ def resolve_redirects(
     edges = (
         redirects.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
         .groupBy("_u").agg(F.min("_v").alias("_v"))
+        .localCheckpoint()
     )
     m = edges.select("_u", "_v", F.lit(1).cast("long").alias("_h"))
     rounds = max(1, math.ceil(math.log2(max_hops)))
     for _ in range(rounds):
+        # materialize each generation (pagerank's localCheckpoint
+        # pattern): the self-join must reference ONE computed copy of
+        # the mapping — joining a lazy plan with itself doubles the
+        # logical tree every round (2^rounds joins and the previous
+        # generation computed twice per round; plan-pinned linear)
+        m = m.localCheckpoint()
         nxt = m.select(F.col("_u").alias("_ju"),
                        F.col("_v").alias("_jv"),
                        F.col("_h").alias("_jh"))
