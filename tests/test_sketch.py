@@ -378,3 +378,66 @@ class TestKLLGrouped:
         assert abs(sk_mod.kll_ks_distance(same, half) - 0.5) < 0.03
         with pytest.raises(ValueError, match="non-empty"):
             sk_mod.kll_ks_distance(sk_mod.KLL(64), same)
+
+
+class TestKMV:
+    def test_cardinality_accuracy_and_small_exact(self, spark):
+        df = spark.range(50_000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("u"))
+        sk = sk_mod.kmv_build(df, "u", k=1024)
+        est = sk_mod.kmv_cardinality(sk, k=1024)
+        assert abs(est / 50_000 - 1) < 3 / np.sqrt(1022)
+        tiny = sk_mod.kmv_build(df.limit(100), "u", k=1024)
+        assert sk_mod.kmv_cardinality(tiny, k=1024) == 100.0
+
+    def test_union_equals_build_over_union(self, spark):
+        a = spark.range(0, 30_000).select(F.concat(F.lit("u"), F.col("id")).alias("u"))
+        b = spark.range(20_000, 45_000).select(F.concat(F.lit("u"), F.col("id")).alias("u"))
+        u = sk_mod.kmv_union(sk_mod.kmv_build(a, "u", 512),
+                             sk_mod.kmv_build(b, "u", 512), k=512)
+        both = sk_mod.kmv_build(a.unionAll(b), "u", 512)
+        assert np.array_equal(u, both)
+
+    def test_intersection_of_snapshots(self, spark):
+        # crawl A: urls 0..40k; crawl B: urls 30k..70k -> overlap 10k
+        a = spark.range(0, 40_000).select(F.concat(F.lit("u"), F.col("id")).alias("u"))
+        b = spark.range(30_000, 70_000).select(F.concat(F.lit("u"), F.col("id")).alias("u"))
+        ska = sk_mod.kmv_build(a, "u", 2048)
+        skb = sk_mod.kmv_build(b, "u", 2048)
+        est = sk_mod.kmv_intersection(ska, skb, k=2048)
+        # intersection error scales with the UNION size over theta;
+        # generous 20% band for a 1/7 overlap at k=2048
+        assert abs(est / 10_000 - 1) < 0.20, est
+        # disjoint sets -> (near) zero
+        c = spark.range(100_000, 140_000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("u"))
+        skc = sk_mod.kmv_build(c, "u", 2048)
+        assert sk_mod.kmv_intersection(ska, skc, k=2048) < 500
+
+    def test_exact_small_sets_intersect_exactly(self, spark):
+        a = spark.range(0, 300).select(F.concat(F.lit("u"), F.col("id")).alias("u"))
+        b = spark.range(200, 500).select(F.concat(F.lit("u"), F.col("id")).alias("u"))
+        est = sk_mod.kmv_intersection(
+            sk_mod.kmv_build(a, "u", 1024), sk_mod.kmv_build(b, "u", 1024),
+            k=1024)
+        assert est == 100.0  # both sketches below k: EXACT
+
+    def test_parallelism_invariance_and_dedup(self, spark):
+        df = spark.range(9000).select((F.col("id") % 3000).alias("v"))
+        s1 = sk_mod.kmv_build(df.repartition(1), "v", 256)
+        s2 = sk_mod.kmv_build(df.repartition(17), "v", 256)
+        assert np.array_equal(s1, s2)  # k global minima: layout-free
+        assert abs(sk_mod.kmv_cardinality(s1, 256) / 3000 - 1) < 3 / np.sqrt(254)
+
+    def test_save_load_and_bad_inputs(self, spark, tmp_path):
+        df = spark.range(5000).select(F.concat(F.lit("u"), F.col("id")).alias("u"))
+        sk = sk_mod.kmv_build(df, "u", 256)
+        path = str(tmp_path / "kmv.parquet")
+        sk_mod.kmv_save(sk, 256, path)
+        back, k = sk_mod.kmv_load(path)
+        assert k == 256 and np.array_equal(back, sk)
+        sk_mod.hll_save(np.zeros(16, np.uint8), str(tmp_path / "hll.parquet"))
+        with pytest.raises(ValueError, match="kmv_save artifact"):
+            sk_mod.kmv_load(str(tmp_path / "hll.parquet"))
+        with pytest.raises(ValueError, match=">= 16"):
+            sk_mod.kmv_build(df, "u", k=4)

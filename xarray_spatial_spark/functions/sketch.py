@@ -70,6 +70,12 @@ __all__ = [
     "kll_rank_col",
     "kll_group_quantiles",
     "kll_ks_distance",
+    "kmv_build",
+    "kmv_cardinality",
+    "kmv_union",
+    "kmv_intersection",
+    "kmv_save",
+    "kmv_load",
 ]
 
 
@@ -842,3 +848,118 @@ def kll_ks_distance(a: KLL, b: KLL) -> float:
     fa = np.where(ia > 0, ca[np.maximum(ia - 1, 0)], 0) / ca[-1]
     fb = np.where(ib > 0, cb[np.maximum(ib - 1, 0)], 0) / cb[-1]
     return float(np.abs(fa - fb).max())
+
+
+# ---------------------------------------------------------------------------
+# KMV (theta) sketch: distinct-count SET ALGEBRA
+# ---------------------------------------------------------------------------
+#
+# HLL answers |A|; it cannot answer |A ∩ B|.  The KMV/theta sketch
+# (Bar-Yossef et al. 2002; Beyer et al. 2007 unbiased estimator; the
+# DataSketches "theta" family generalizes it) keeps the k SMALLEST
+# 64-bit hash values of a set.  Because the retained sample is a
+# deterministic function of the VALUES (the k global minima — not of
+# order, partitioning, or duplicates), two sketches are directly
+# comparable: union = merge the samples and keep the k smallest;
+# intersection = count common retained values below the shared theta.
+# That answers "how many urls do crawl A and crawl B share" from two
+# KB-scale artifacts, no join over either corpus.
+#
+#   theta   = (k-th smallest hash) / 2^64    (the sampled fraction)
+#   |A|     ~= (k - 1) / theta               (unbiased, Beyer 2007)
+#   err     ~= 1 / sqrt(k - 2)               (~3.2% at k = 1024)
+#
+# Distributed build stays JVM-side until the tiny finish: one
+# codegen'd hash projection into TakeOrderedAndProject (Spark's
+# distributed top-k: per-partition k-minima then a k-sized driver
+# merge — the collect is k rows, never input rows).
+
+
+def _kmv_hash_col(col: Column) -> Column:
+    # xxhash64 as an UNSIGNED order: flipping the sign bit makes
+    # signed int64 ordering equal unsigned uint64 ordering (the
+    # literal must be a LONG — an int literal would shift in 32 bits)
+    return F.shiftleft(F.lit(1).cast("long"), 63).bitwiseXOR(F.xxhash64(col))
+
+
+def kmv_build(df: DataFrame, col: str, k: int = 1024) -> np.ndarray:
+    """KMV sketch of a column -> sorted (<= k,) uint64 array of the k
+    smallest value hashes (sign-flipped to unsigned order).  One job:
+    hash projection + distributed top-k (TakeOrderedAndProject);
+    driver collect bounded by k."""
+    if k < 16:
+        raise ValueError(f"kmv k={k} must be >= 16")
+    rows = (
+        df.select(F.col(col)).na.drop().distinct()
+        .select(_kmv_hash_col(F.col(col)).alias("_h"))
+        .orderBy("_h").limit(k).collect()
+    )
+    # flip the sign bit BACK: the ordering column is u XOR 2^63 (so
+    # signed order == unsigned order); the sketch stores u itself
+    flipped = np.array([r["_h"] for r in rows], np.int64).view(np.uint64)
+    return np.sort(flipped ^ np.uint64(0x8000000000000000))
+
+
+def kmv_cardinality(sk: np.ndarray, k: int = 1024) -> float:
+    """Distinct-count estimate.  A sketch with fewer than k retained
+    values saw fewer than k distincts — the count is EXACT there."""
+    if sk.size < k:
+        return float(sk.size)
+    # (k-1) / theta with theta = (kth hash + 1) / 2^64; the float
+    # division happens once at the end (the 1e-16 rounding is noise
+    # against the 1/sqrt(k-2) sketch error)
+    return (k - 1) * 2.0 ** 64 / (float(sk[k - 1]) + 1.0)
+
+
+def kmv_union(a: np.ndarray, b: np.ndarray, k: int = 1024) -> np.ndarray:
+    """Sketch of A ∪ B: merged minima, k smallest kept — EXACTLY the
+    sketch that kmv_build would produce over the concatenated inputs
+    (the k global minima of a union are a subset of the two sets'
+    k-minima), so unions chain losslessly across any number of
+    snapshots."""
+    return np.unique(np.concatenate([a, b]))[:k]
+
+
+def kmv_intersection(a: np.ndarray, b: np.ndarray, k: int = 1024) -> float:
+    """|A ∩ B| estimate: both sketches are uniform samples of the
+    hash space below their thetas; below theta = min(theta_a,
+    theta_b) BOTH retain every common value they sampled, so the
+    common count over that prefix, scaled by 1/theta, is the
+    intersection estimate (error grows as the overlap shrinks —
+    standard for the family; tests pin the planted-overlap band)."""
+    if not (a.size and b.size):
+        return 0.0
+    # the threshold is the EXACT uint64 k-th hash (a float round-trip
+    # through 2^64 would move it); the scale factor goes float only
+    # in the final division
+    full = np.uint64(0xFFFFFFFFFFFFFFFF)
+    ta = a[k - 1] if a.size >= k else full
+    tb = b[k - 1] if b.size >= k else full
+    bound = min(int(ta), int(tb))
+    common = np.intersect1d(a[a <= np.uint64(bound)],
+                            b[b <= np.uint64(bound)]).size
+    if bound == int(full):
+        return float(common)  # both sketches exact
+    return common * 2.0 ** 64 / (bound + 1.0)
+
+
+def kmv_save(sk: np.ndarray, k: int, path: str) -> None:
+    """Durable-artifact contract (bloom/cms/hll/kll): parquet of the
+    retained hashes with k in the metadata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({"h": pa.array(sk.view(np.int64), pa.int64())})
+    table = table.replace_schema_metadata({b"kmv_k": str(int(k)).encode()})
+    pq.write_table(table, path)
+
+
+def kmv_load(path: str) -> tuple[np.ndarray, int]:
+    import pyarrow.parquet as pq
+
+    meta = pq.read_schema(path).metadata or {}
+    if b"kmv_k" not in meta:
+        raise ValueError(f"{path} is not a kmv_save artifact")
+    table = pq.read_table(path, columns=["h"])
+    return (np.sort(table["h"].to_numpy().astype(np.int64).view(np.uint64)),
+            int(meta[b"kmv_k"]))
