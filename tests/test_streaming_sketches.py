@@ -116,3 +116,26 @@ def test_kll_sink_equals_batch_build(spark, tmp_path):
                              for f in range(3) for i in range(400)], float))
     for e, qq in zip(got.quantiles([0.25, 0.5, 0.75]), [0.25, 0.5, 0.75]):
         assert abs(np.searchsorted(vals, e, side="right") / 1200 - qq) < 0.04
+
+
+def test_kmv_sink_equals_batch_build(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batches(spark, src)
+    art = str(tmp_path / "kmv.parquet")
+
+    stream = (spark.readStream.schema("id long, host string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(sk_sinks.kmv_sink("host", art, k=64))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got, k = sk.kmv_load(art)
+    want = sk.kmv_build(spark.read.parquet(src), "host", k=64)
+    assert k == 64 and np.array_equal(got, want)
+    assert sk.kmv_cardinality(got, 64) == 23.0  # sub-k: exact
+    # replay: min-k merge is idempotent, no ledger needed
+    sink = sk_sinks.kmv_sink("host", art, k=64)
+    sink(spark.read.parquet(src), batch_id=0)
+    assert np.array_equal(sk.kmv_load(art)[0], want)

@@ -30,7 +30,7 @@ from xarray_spatial_spark.functions.dedup import (
     bloom_build, bloom_load, bloom_merge, bloom_save,
 )
 
-__all__ = ["bloom_sink", "cms_sink", "hll_sink", "kll_sink"]
+__all__ = ["bloom_sink", "cms_sink", "hll_sink", "kll_sink", "kmv_sink"]
 
 
 def _last_batch(path: str) -> int:
@@ -136,6 +136,29 @@ def kll_sink(col: str, path: str, k: int = 200):
             delta = sk.kll_merge(prev, delta)
         tmp = path + ".tmp"
         sk.kll_save(delta, tmp)
+        os.replace(tmp, path)
+        _record_batch(path, batch_id)
+
+    return _sink
+
+
+def kmv_sink(col: str, path: str, k: int = 1024):
+    """foreachBatch callback maintaining a KMV (theta) artifact at
+    ``path`` — the distinct-url sample whose set algebra
+    (sketch.kmv_union / kmv_intersection) compares crawls WITHOUT
+    joins.  Min-k merge is idempotent and commutative (re-merging a
+    replayed batch's minima is a no-op), so like Bloom and HLL no
+    batch ledger is needed; the id is recorded for observability."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = sk.kmv_build(batch_df, col, k)
+        if os.path.exists(path):
+            prev, k_prev = sk.kmv_load(path)
+            if k_prev != k:
+                raise ValueError(f"kmv artifact k={k_prev} != sink k={k}")
+            delta = sk.kmv_union(prev, delta, k)
+        tmp = path + ".tmp"
+        sk.kmv_save(delta, k, tmp)
         os.replace(tmp, path)
         _record_batch(path, batch_id)
 
