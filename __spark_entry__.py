@@ -1723,6 +1723,37 @@ def q_exif_geotag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-overlap analytics from KMV (theta) sketches
+    (functions/sketch.py:kmv_*): two synthesized snapshot url sets
+    (B shifts A's id space so ~40%% of B overlaps A), one
+    TakeOrderedAndProject job per sketch, then |A|, |B|, |A u B| and
+    |A n B| read from the two k-minima artifacts — no join over
+    either corpus.  Rows-only (the estimates are deterministic given
+    xxhash64 but not SQL-replicable); accuracy bands and union ==
+    build-over-union are pytest-pinned."""
+    from xarray_spatial_spark.functions import sketch as sk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n_urls = F.lit(2000)
+    a = d.select(F.concat(F.lit("https://s/"),
+                          (F.col("doc_id") % n_urls).cast("string"))
+                 .alias("url"))
+    b = d.select(F.concat(F.lit("https://s/"),
+                          ((F.col("doc_id") % n_urls) + 1200).cast("string"))
+                 .alias("url"))
+    ska = sk.kmv_build(a, "url", k=1024)
+    skb = sk.kmv_build(b, "url", k=1024)
+    rows = [
+        ("card_a", float(sk.kmv_cardinality(ska, 1024))),
+        ("card_b", float(sk.kmv_cardinality(skb, 1024))),
+        ("union", float(sk.kmv_cardinality(sk.kmv_union(ska, skb, 1024),
+                                           1024))),
+        ("intersection", float(sk.kmv_intersection(ska, skb, 1024))),
+    ]
+    return spark.createDataFrame(rows, "metric string, estimate double")
+
+
 def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain collapse (functions/url.py:resolve_redirects —
     pointer doubling, ceil(log2(max_hops)) self-joins on the redirect
@@ -2541,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit": q_revisit,
         "redirects": q_redirects,
         "exif_geotag": q_exif_geotag,
+        "kmv_overlap": q_kmv_overlap,
     }
 
 

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "revisit",
     "redirects",
     "exif_geotag",
+    "kmv_overlap",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
