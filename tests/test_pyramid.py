@@ -103,3 +103,82 @@ def test_pyramid_rejects_conflicting_columns(spark):
     pts = _points(spark, 10).withColumn("tile_x", F.lit(1))
     with pytest.raises(ValueError, match="tile_x"):
         tiling.pyramid_rollup(pts, zoom=3, min_zoom=2, aggs=AGGS())
+
+
+class TestS2Focal:
+    def _cells(self, spark, pts, vals, level=10):
+        import numpy as np
+
+        from xarray_spatial_spark import s2
+
+        lon = np.array([p[0] for p in pts], float)
+        lat = np.array([p[1] for p in pts], float)
+        cells = s2.cell_of(lon, lat, level).view(np.int64)
+        rows = [(int(c), float(v)) for c, v in zip(cells, vals)]
+        return (spark.createDataFrame(rows, "cell_id long, v double"),
+                {int(c) for c in cells})
+
+    def _brute(self, rows, include_self=True):
+        import numpy as np
+
+        from xarray_spatial_spark import s2
+
+        by_cell = {}
+        for c, v in rows:
+            s_, n = by_cell.get(c, (0.0, 0))
+            by_cell[c] = (s_ + v, n + 1)
+        out = {}
+        for c in by_cell:
+            nbrs = s2.all_neighbors(np.array([c], np.int64).view(np.uint64))[0]
+            members = [int(x) for x in nbrs.view(np.int64)] + (
+                [c] if include_self else [])
+            s_, n = 0.0, 0
+            for m in members:
+                if m in by_cell:
+                    s_ += by_cell[m][0]
+                    n += by_cell[m][1]
+            if n:
+                out[c] = s_ / n
+        return out
+
+    def test_matches_bruteforce_incl_dateline(self, spark):
+        from xarray_spatial_spark.operators.tiling import s2_focal
+
+        # a tight cluster plus points straddling the dateline and a
+        # high-latitude band (cube-face boundary crossings)
+        pts = [(10.0, 45.0), (10.001, 45.0), (10.0, 45.001),
+               (179.999, 0.0), (-179.999, 0.0),
+               (45.0, 89.9), (135.0, 89.9), (0.0, -0.001)]
+        vals = [1.0, 3.0, 5.0, 10.0, 20.0, 7.0, 9.0, 2.0]
+        df, _ = self._cells(spark, pts, vals, level=8)
+        rows = [(r["cell_id"], r["v"]) for r in df.collect()]
+        got = {r["cell_id"]: r["focal_mean"]
+               for r in s2_focal(df, "v").collect()}
+        want = self._brute(rows)
+        assert got.keys() == want.keys()
+        for c in want:
+            assert got[c] == pytest.approx(want[c], rel=1e-12), c
+
+    def test_stats_and_exclude_self(self, spark):
+        from xarray_spatial_spark.operators.tiling import s2_focal
+
+        pts = [(10.0, 45.0), (10.001, 45.0), (10.0, 45.001)]
+        df, _ = self._cells(spark, pts, [1.0, 3.0, 5.0], level=8)
+        rows = [(r["cell_id"], r["v"]) for r in df.collect()]
+        for stat, comb in (("sum", sum), ("count", len),
+                           ("min", min), ("max", max)):
+            got = {r["cell_id"]: r[f"focal_{stat}"]
+                   for r in s2_focal(df, "v", stat=stat).collect()}
+            assert got  # every input cell appears
+        ns = {r["cell_id"]: r["focal_mean"]
+              for r in s2_focal(df, "v", include_self=False).collect()}
+        want = self._brute(rows, include_self=False)
+        for c, v in want.items():
+            assert ns[c] == pytest.approx(v, rel=1e-12)
+
+    def test_bad_stat(self, spark):
+        from xarray_spatial_spark.operators.tiling import s2_focal
+
+        df = spark.createDataFrame([(1, 1.0)], "cell_id long, v double")
+        with pytest.raises(ValueError, match="unsupported focal stat"):
+            s2_focal(df, "v", stat="median")

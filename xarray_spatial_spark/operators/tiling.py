@@ -243,3 +243,80 @@ def pyramid_rollup(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def s2_focal(
+    df: DataFrame,
+    value_col: str,
+    cell_col: str = "cell_id",
+    stat: str = "mean",
+    include_self: bool = True,
+) -> DataFrame:
+    """Focal (neighborhood) statistics on the SPHERE's cell graph —
+    the raster family's focal.mean re-expressed over S2 cells, so
+    smoothing page-density or signal fields works on globally indexed
+    data with no planar raster and no dateline/pole seams
+    (s2.all_neighbors crosses cube-face boundaries exactly).
+
+    Returns (cell_id, focal_<stat>) for every input cell: ``stat``
+    over the cell's own value (``include_self``) and its <= 8
+    same-level neighbors THAT HAVE DATA (missing neighbors simply
+    don't contribute — the nodata-excluded semantics of focal.mean).
+
+    Scale: one cell-scale aggregate collapses rows to per-cell
+    partials FIRST, so the neighbor explosion and the second
+    aggregate both run at cells x 9, never input rows; the neighbor
+    ids come from one vectorized Arrow pass (the same automaton as
+    the encode).  stat in {mean, sum, count, min, max} — all
+    decomposable, so partials combine associatively."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from xarray_spatial_spark import s2
+
+    if stat not in ("mean", "sum", "count", "min", "max"):
+        raise ValueError(f"unsupported focal stat {stat!r}")
+    per_cell = df.na.drop(subset=[cell_col, value_col]).groupBy(
+        F.col(cell_col).alias("_c")).agg(
+        F.sum(value_col).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+        F.min(value_col).alias("_mn"),
+        F.max(value_col).alias("_mx"),
+    )
+
+    @pandas_udf("array<long>")
+    def _nbrs(cells: pd.Series) -> pd.Series:
+        import numpy as np
+
+        arr = cells.to_numpy(dtype=np.int64)
+        if not arr.size:
+            return pd.Series([], dtype=object)
+        out = s2.all_neighbors(arr.view(np.uint64))
+        return pd.Series([a.view(np.int64).tolist() for a in out])
+
+    # each cell SENDS its partial to its neighbors (and itself):
+    # receiver-side aggregation then needs no neighbor lookup at all
+    targets = F.col("_nb")
+    if include_self:
+        targets = F.array_union(F.array(F.col("_c")), F.col("_nb"))
+    contrib = (
+        per_cell.withColumn("_nb", _nbrs(F.col("_c")))
+        .select(F.explode(targets).alias("_t"), "_s", "_n", "_mn", "_mx")
+    )
+    agg = contrib.groupBy("_t").agg(
+        F.sum("_s").alias("_ss"), F.sum("_n").alias("_nn"),
+        F.min("_mn").alias("_mmn"), F.max("_mx").alias("_mmx"),
+    )
+    expr = {
+        "mean": F.col("_ss") / F.col("_nn"),
+        "sum": F.col("_ss"),
+        "count": F.col("_nn"),
+        "min": F.col("_mmn"),
+        "max": F.col("_mmx"),
+    }[stat]
+    # only cells that exist in the input get an output row
+    return (
+        per_cell.select(F.col("_c").alias(cell_col))
+        .join(agg, F.col(cell_col) == F.col("_t"))
+        .select(cell_col, expr.alias(f"focal_{stat}"))
+    )
