@@ -1723,6 +1723,31 @@ def q_exif_geotag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling, exact half (functions/profile.py:
+    profile_exact — deequ/whylogs role, ONE stacked aggregate for any
+    number of columns): count / nulls / min / max / mean / std over
+    doc_id, n_chars, and a planted-null twin.  All three columns are
+    integer-valued, so double sums are exact and the derived
+    mean/std match DuckDB bit-for-bit under round(6).  The sketched
+    half (KLL quantiles, HLL ndv) is pytest-pinned inside its error
+    bands (tests/test_profile.py)."""
+    from xarray_spatial_spark.functions.profile import profile_exact
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars",
+        F.when(F.col("doc_id") % 9 != 4, F.col("n_chars"))
+        .alias("n_chars_gap"),
+    )
+    out = profile_exact(d, ["doc_id", "n_chars", "n_chars_gap"])
+    return out.select(
+        "column", "n_rows", "n_nulls",
+        "min", "max",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+    )
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-overlap analytics from KMV (theta) sketches
     (functions/sketch.py:kmv_*): two synthesized snapshot url sets
@@ -2573,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects": q_redirects,
         "exif_geotag": q_exif_geotag,
         "kmv_overlap": q_kmv_overlap,
+        "profile": q_profile,
     }
 
 
@@ -4386,6 +4412,61 @@ def oracle_sql() -> dict[str, str]:
                    END AS lon,
                    NOT bare AS geotagged
             FROM b
+        """,
+        "profile": """
+            WITH src AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN doc_id % 9 <> 4 THEN n_chars END AS n_chars_gap
+              FROM documents
+            ),
+            agg AS (
+              SELECT
+                count(*) AS rows_all,
+                CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n0,
+                min(CAST(doc_id AS DOUBLE)) AS mn0,
+                max(CAST(doc_id AS DOUBLE)) AS mx0,
+                sum(CAST(doc_id AS DOUBLE)) AS s0,
+                sum(CAST(doc_id AS DOUBLE) * CAST(doc_id AS DOUBLE)) AS ss0,
+                CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n1,
+                min(CAST(n_chars AS DOUBLE)) AS mn1,
+                max(CAST(n_chars AS DOUBLE)) AS mx1,
+                sum(CAST(n_chars AS DOUBLE)) AS s1,
+                sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS ss1,
+                CAST(sum(CASE WHEN n_chars_gap IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n2,
+                min(CAST(n_chars_gap AS DOUBLE)) AS mn2,
+                max(CAST(n_chars_gap AS DOUBLE)) AS mx2,
+                sum(CAST(n_chars_gap AS DOUBLE)) AS s2,
+                sum(CAST(n_chars_gap AS DOUBLE)
+                    * CAST(n_chars_gap AS DOUBLE)) AS ss2
+              FROM src
+            )
+            SELECT 'doc_id' AS column, rows_all AS n_rows, n0 AS n_nulls,
+                   mn0 AS min, mx0 AS max,
+                   round(s0 / (rows_all - n0), 6) AS mean,
+                   round(sqrt(greatest(
+                     ss0 / (rows_all - n0)
+                     - (s0 / (rows_all - n0)) * (s0 / (rows_all - n0)),
+                     0.0)), 6) AS std
+            FROM agg
+            UNION ALL
+            SELECT 'n_chars', rows_all, n1, mn1, mx1,
+                   round(s1 / (rows_all - n1), 6),
+                   round(sqrt(greatest(
+                     ss1 / (rows_all - n1)
+                     - (s1 / (rows_all - n1)) * (s1 / (rows_all - n1)),
+                     0.0)), 6)
+            FROM agg
+            UNION ALL
+            SELECT 'n_chars_gap', rows_all, n2, mn2, mx2,
+                   round(s2 / (rows_all - n2), 6),
+                   round(sqrt(greatest(
+                     ss2 / (rows_all - n2)
+                     - (s2 / (rows_all - n2)) * (s2 / (rows_all - n2)),
+                     0.0)), 6)
+            FROM agg
         """,
     }
 

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "redirects",
     "exif_geotag",
     "kmv_overlap",
+    "profile",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
