@@ -50,3 +50,40 @@ def test_full_profile_sketched_bands(spark, frame):
 def test_unknown_column_raises(spark, frame):
     with pytest.raises(ValueError, match="not in frame"):
         profile_exact(frame, ["nope"])
+
+
+def test_correlations_match_numpy(spark, frame):
+    from xarray_spatial_spark.functions.profile import profile_correlations
+
+    got = {(r["col_a"], r["col_b"]): r for r in
+           profile_correlations(frame, ["a", "b", "c"]).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ids = np.arange(20_000)
+    a = (ids % 1000).astype(float)
+    b = np.where(ids % 10 != 7, ids.astype(float), np.nan)
+    m = ~np.isnan(b)
+    want_ab = np.corrcoef(a[m], b[m])[0, 1]
+    assert got[("a", "b")]["n"] == m.sum()
+    assert got[("a", "b")]["corr"] == pytest.approx(want_ab, rel=1e-9)
+    c = (ids % 7).astype(float)
+    assert got[("a", "c")]["corr"] == pytest.approx(
+        np.corrcoef(a, c)[0, 1], rel=1e-9)
+
+
+def test_correlation_zero_variance_is_null(spark):
+    from xarray_spatial_spark.functions.profile import profile_correlations
+
+    df = spark.range(100).select(
+        F.lit(5.0).alias("k"), F.col("id").cast("double").alias("x"))
+    r = profile_correlations(df, ["k", "x"]).collect()[0]
+    assert r["corr"] is None
+
+
+def test_correlation_perfect_line(spark):
+    from xarray_spatial_spark.functions.profile import profile_correlations
+
+    df = spark.range(500).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * -3 + 7).cast("double").alias("y"))
+    r = profile_correlations(df, ["x", "y"]).collect()[0]
+    assert r["corr"] == pytest.approx(-1.0, abs=1e-12)

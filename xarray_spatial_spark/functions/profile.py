@@ -27,12 +27,10 @@ Reference: no reference analog — training-data-pipeline extension
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "profile_exact"]
+__all__ = ["profile_columns", "profile_exact", "profile_correlations"]
 
 
 def profile_exact(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -126,3 +124,48 @@ def profile_columns(
     for r in qrows.collect():
         exact[r["_col"]][f"q{int(round(r['q'] * 100))}"] = r["value"]
     return exact
+
+
+def profile_correlations(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Exact Pearson correlation for every column pair, ONE stacked
+    aggregate over one scan (d*(d+1)/2 + 2d running sums — the same
+    sufficient-statistics trick as similarity.pca_train, kept
+    driver-free).  Rows with a NULL in EITHER column of a pair are
+    excluded from that pair (pairwise deletion).  Returns
+    (col_a, col_b, n, corr) for a < b; a zero-variance side yields
+    NULL corr."""
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile columns not in frame: {missing}")
+    pairs = [(a, b) for i, a in enumerate(columns)
+             for b in columns[i + 1:]]
+    aggs = []
+    for a, b in pairs:
+        x = F.col(a).cast("double")
+        y = F.col(b).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        xm = F.when(both, x)
+        ym = F.when(both, y)
+        tag = f"{a}__{b}"
+        aggs += [
+            F.count(xm).alias(f"{tag}__n"),
+            F.sum(xm).alias(f"{tag}__sx"),
+            F.sum(ym).alias(f"{tag}__sy"),
+            F.sum(xm * xm).alias(f"{tag}__sxx"),
+            F.sum(ym * ym).alias(f"{tag}__syy"),
+            F.sum(xm * ym).alias(f"{tag}__sxy"),
+        ]
+    row = df.agg(*aggs)
+    parts = None
+    for a, b in pairs:
+        t = f"{a}__{b}"
+        n = F.col(f"{t}__n").cast("double")
+        cov = F.col(f"{t}__sxy") / n - (F.col(f"{t}__sx") / n) * (F.col(f"{t}__sy") / n)
+        vx = F.col(f"{t}__sxx") / n - (F.col(f"{t}__sx") / n) * (F.col(f"{t}__sx") / n)
+        vy = F.col(f"{t}__syy") / n - (F.col(f"{t}__sy") / n) * (F.col(f"{t}__sy") / n)
+        corr = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+        one = row.select(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            F.col(f"{t}__n").alias("n"), corr.alias("corr"))
+        parts = one if parts is None else parts.unionByName(one)
+    return parts
