@@ -1752,7 +1752,7 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-overlap analytics from KMV (theta) sketches
     (functions/sketch.py:kmv_*): two synthesized snapshot url sets
     (B shifts A's id space so ~40%% of B overlaps A), one
-    TakeOrderedAndProject job per sketch, then |A|, |B|, |A u B| and
+    unique-k-minima fold job per sketch, then |A|, |B|, |A u B| and
     |A n B| read from the two k-minima artifacts — no join over
     either corpus.  Rows-only (the estimates are deterministic given
     xxhash64 but not SQL-replicable); accuracy bands and union ==

@@ -441,3 +441,14 @@ class TestKMV:
             sk_mod.kmv_load(str(tmp_path / "hll.parquet"))
         with pytest.raises(ValueError, match=">= 16"):
             sk_mod.kmv_build(df, "u", k=4)
+
+    def test_duplicate_skew_does_not_collapse_theta(self, spark):
+        # one url repeated 50k times next to 3k distinct others: the
+        # megaurl's hash must occupy ONE slot, not flood the k minima
+        mega = spark.range(50_000).select(F.lit("https://mega").alias("u"))
+        rest = spark.range(3000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("u"))
+        sk = sk_mod.kmv_build(mega.unionAll(rest).repartition(16), "u", 256)
+        assert np.unique(sk).size == sk.size == 256
+        est = sk_mod.kmv_cardinality(sk, 256)
+        assert abs(est / 3001 - 1) < 3 / np.sqrt(254)

@@ -869,35 +869,43 @@ def kll_ks_distance(a: KLL, b: KLL) -> float:
 #   |A|     ~= (k - 1) / theta               (unbiased, Beyer 2007)
 #   err     ~= 1 / sqrt(k - 2)               (~3.2% at k = 1024)
 #
-# Distributed build stays JVM-side until the tiny finish: one
-# codegen'd hash projection into TakeOrderedAndProject (Spark's
-# distributed top-k: per-partition k-minima then a k-sized driver
-# merge — the collect is k rows, never input rows).
-
-
-def _kmv_hash_col(col: Column) -> Column:
-    # xxhash64 as an UNSIGNED order: flipping the sign bit makes
-    # signed int64 ordering equal unsigned uint64 ordering (the
-    # literal must be a LONG — an int literal would shift in 32 bits)
-    return F.shiftleft(F.lit(1).cast("long"), 63).bitwiseXOR(F.xxhash64(col))
+# Distributed build: one codegen'd hash projection, then each task
+# folds its batches into <= k UNIQUE minima (numpy) — unique matters:
+# Spark's own top-k (TakeOrderedAndProject) keeps duplicates, so a
+# billion-fold repeated url would flood the k slots with one hash and
+# collapse theta.  The driver merge is <= partitions x k longs.
 
 
 def kmv_build(df: DataFrame, col: str, k: int = 1024) -> np.ndarray:
     """KMV sketch of a column -> sorted (<= k,) uint64 array of the k
-    smallest value hashes (sign-flipped to unsigned order).  One job:
-    hash projection + distributed top-k (TakeOrderedAndProject);
-    driver collect bounded by k."""
+    smallest DISTINCT value hashes.
+
+    One job, duplicate-skew-proof at the partition: each task folds
+    its Arrow batches into a running set of <= k unique minima in
+    numpy (a url repeated a billion times contributes its hash ONCE —
+    a naive distributed top-k would return k copies of one hash and
+    the estimator would see theta collapse), emits them, and the
+    driver merges <= partitions x k longs.  The raw values never
+    shuffle — the exchange is the k-minima rows, the same bounded
+    contract as cms_build/hll_build."""
     if k < 16:
         raise ValueError(f"kmv k={k} must be >= 16")
-    rows = (
-        df.select(F.col(col)).na.drop().distinct()
-        .select(_kmv_hash_col(F.col(col)).alias("_h"))
-        .orderBy("_h").limit(k).collect()
-    )
-    # flip the sign bit BACK: the ordering column is u XOR 2^63 (so
-    # signed order == unsigned order); the sketch stores u itself
-    flipped = np.array([r["_h"] for r in rows], np.int64).view(np.uint64)
-    return np.sort(flipped ^ np.uint64(0x8000000000000000))
+    hashed = df.select(F.col(col)).na.drop().select(
+        F.xxhash64(F.col(col)).alias("_h"))
+
+    def _partial(batches):
+        best = np.empty(0, np.uint64)
+        for pdf in batches:
+            h = pdf["_h"].to_numpy().astype(np.int64).view(np.uint64)
+            if not h.size:
+                continue
+            best = np.unique(np.concatenate([best, h]))[:k]
+        if best.size:
+            yield pd.DataFrame({"_h": best.view(np.int64)})
+
+    rows = hashed.mapInPandas(_partial, schema="_h long").collect()
+    merged = np.array([r["_h"] for r in rows], np.int64).view(np.uint64)
+    return np.unique(merged)[:k]
 
 
 def kmv_cardinality(sk: np.ndarray, k: int = 1024) -> float:
