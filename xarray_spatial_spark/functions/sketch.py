@@ -800,16 +800,44 @@ def kll_group_quantiles(
     qs = [float(q) for q in qs]
     if not qs:
         raise ValueError("qs must be non-empty")
-    src = df.select(*keys, F.col(col).cast("double").alias("_v")).na.drop()
+    # null-filter ONLY the value column: an all-column na.drop lets
+    # predicate pushdown inline a computed KEY expression into the
+    # Filter operator, where it re-evaluates outside the project's
+    # subexpression elimination (measured ~20x on a Morton-key group:
+    # 48 s vs 2.5 s over 20M rows).  Null keys are dropped by the
+    # partial's groupby(dropna=True), matching the documented rule.
+    src = df.select(*keys, F.col(col).cast("double").alias("_v")).na.drop(
+        subset=["_v"])
 
     def _partial(batches):
         sks: dict = {}
+        # chunked fold, grouped flavor: buffer WHOLE batches and run
+        # ONE groupby per ~4M buffered rows — both the per-batch
+        # groupby (25M+ tiny group iterations at 10^9 rows) and the
+        # per-batch compaction cascade are python-loop bound; the
+        # flush amortizes each over sort-bound numpy chunks
+        bufs: list = []
+        held = 0
+
+        def _flush():
+            nonlocal held
+            if not bufs:
+                return
+            big = pd.concat(bufs, ignore_index=True)
+            for kv2, grp in big.groupby(keys, sort=False, dropna=True):
+                sk2 = sks.get(kv2)
+                if sk2 is None:
+                    sk2 = sks[kv2] = KLL(k)
+                sk2.update(grp["_v"].to_numpy())
+            bufs.clear()
+            held = 0
+
         for pdf in batches:
-            for kv, grp in pdf.groupby(keys, sort=False, dropna=True):
-                sk = sks.get(kv)
-                if sk is None:
-                    sk = sks[kv] = KLL(k)
-                sk.update(grp["_v"].to_numpy())
+            bufs.append(pdf)
+            held += len(pdf)
+            if held >= 4_000_000:
+                _flush()
+        _flush()
         for kv, sk in sks.items():
             kv = kv if isinstance(kv, tuple) else (kv,)
             lvl, val = sk.to_rows()
