@@ -698,8 +698,14 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/html.py main_content over a boilerplate-wrapped page
     (nav + article + footer) whose expected output is the
     whitespace-collapsed text — nav/footer are short and
-    link-saturated, so the block gates must remove exactly them."""
-    from xarray_spatial_spark.functions.html import main_content
+    link-saturated, so the block gates must remove exactly them;
+    'markdown' = functions/html.py html_to_markdown over a structured
+    page (h1 + paragraph + list + link) whose expected markdown both
+    engines construct from text with the identical concatenation —
+    hash-green iff the stack renderer emits exactly the right
+    heading/list/link/paragraph layout for every doc."""
+    from xarray_spatial_spark.functions.html import (html_to_markdown,
+                                                    main_content)
     from xarray_spatial_spark.sources.documents import extract_text
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -734,7 +740,27 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(got).cast("long").alias("n_extracted"),
         (got == expected).alias("byte_identical"),
     )
-    return strip.unionByName(content)
+    id_s = F.col("doc_id").cast("string")
+    md_page = F.concat(
+        F.lit("<h1>Doc "), id_s, F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><ul><li>alpha</li><li>beta</li></ul>"
+              '<p>See <a href="https://ex.com/'), id_s,
+        F.lit('">link '), id_s, F.lit("</a>.</p>"),
+    )
+    got_md = html_to_markdown(md_page)
+    exp_md = F.concat(
+        F.lit("# Doc "), id_s, F.lit("\n\n"),
+        F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")),
+        F.lit("\n\n- alpha\n- beta\n\nSee [link "), id_s,
+        F.lit("](https://ex.com/"), id_s, F.lit(")."),
+    )
+    markdown = d.select(
+        F.lit("markdown").alias("variant"),
+        "doc_id",
+        F.length(got_md).cast("long").alias("n_extracted"),
+        (got_md == exp_md).alias("byte_identical"),
+    )
+    return strip.unionByName(content).unionByName(markdown)
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3116,6 +3142,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(expected) AS BIGINT) AS n_extracted,
                    TRUE AS byte_identical
             FROM c
+            UNION ALL
+            SELECT 'markdown' AS variant, doc_id,
+                   CAST(length(
+                     '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+                     || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                     || chr(10) || chr(10) || '- alpha' || chr(10) || '- beta'
+                     || chr(10) || chr(10) || 'See [link '
+                     || CAST(doc_id AS VARCHAR) || '](https://ex.com/'
+                     || CAST(doc_id AS VARCHAR) || ').'
+                   ) AS BIGINT) AS n_extracted,
+                   TRUE AS byte_identical
+            FROM documents
         """,
         "multispectral": """
             WITH b AS (

@@ -268,3 +268,351 @@ def decode_html(html: Column, charset: Column | None = None) -> Column:
         return pd.Series(out)
 
     return _dec(html, charset)
+
+
+# ---------------------------------------------------------------------------
+# structure-preserving HTML -> Markdown (training-corpus text format)
+# ---------------------------------------------------------------------------
+
+# Modern LLM corpora increasingly keep document STRUCTURE (headings,
+# lists, links, tables, code fences) instead of flat text — markdown
+# is the interchange format.  Unlike main_content's per-block gates,
+# a faithful converter is a stack machine: nested list indentation,
+# <ol> item numbering, and table assembly all depend on unbounded
+# context, which Catalyst expressions cannot carry (and the s2
+# experiment showed recursive accumulation DOESN'T codegen — see
+# s2.cell_col_jvm's docstring).  So this is a from-scratch tokenizer
+# + renderer that runs vectorized over Arrow batches: one regex pass
+# tokenizes, a small explicit stack renders, no DOM library.
+
+import re as _re
+
+_MD_TOKEN = _re.compile(
+    r"<!--.*?-->"
+    r"|<script\b[^>]*>.*?</script\s*>"
+    r"|<style\b[^>]*>.*?</style\s*>"
+    r"|<[^>]*>"
+    r"|[^<]+",
+    _re.I | _re.S,
+)
+_MD_TAG = _re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+_MD_ATTR = _re.compile(
+    r"([a-zA-Z-]+)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)")
+_MD_WS = _re.compile(r"[ \t\r\f\v]+")
+
+_MD_BLOCK_OPEN = {
+    "p", "div", "section", "article", "header", "footer", "aside",
+    "main", "nav", "figure", "figcaption", "address", "fieldset",
+    "form", "dl", "dt", "dd",
+}
+_MD_SKIP = {"script", "style", "head", "template", "noscript",
+            "iframe", "svg", "button", "select", "option", "textarea"}
+
+
+def _md_attrs(tag_src):
+    return {k.lower(): v.strip("\"'") for k, v in _MD_ATTR.findall(tag_src)}
+
+
+class _MdRenderer:
+    """Stack renderer for one document.  Never raises on malformed
+    markup: unmatched closes pop-guard, unclosed opens flush at EOF."""
+
+    def __init__(self):
+        self.blocks = []      # (kind, text) — kind drives join rule
+        self.cur = []         # inline fragments of the current block
+        self.lists = []       # stack of {"ordered": bool, "n": int}
+        self.quote = 0        # blockquote depth
+        self.heading = 0      # pending heading level for current block
+        self.item = None      # current list-item bullet prefix
+        self.pre = 0          # literal-text depth
+        self.pre_buf = []
+        self.skip = 0         # inside script/style/head/...
+        self.href = []        # <a> stack
+        self.table = None     # {"rows": [...], "cell": [...], "header": bool}
+        self.list_seq = 0     # distinct-list counter: adjacent separate
+        #                       lists must NOT merge into one md list
+
+    # -- block assembly ---------------------------------------------------
+    def _flush(self):
+        text = "".join(self.cur)
+        self.cur = []
+        text = _MD_WS.sub(" ", text)
+        text = _re.sub(r" ?\n ?", "\n", text).strip()
+        heading, item = self.heading, self.item
+        self.heading, self.item = 0, None
+        if not text:
+            return
+        if heading:
+            self.blocks.append(("h", "#" * heading + " " + text))
+        elif item is not None:
+            self.blocks.append((f"li{self.list_seq}", item + text))
+        elif self.quote:
+            self.blocks.append(("q", "> " * self.quote + text))
+        else:
+            self.blocks.append(("p", text))
+
+    def _end_table(self):
+        t, self.table = self.table, None
+        if t is None:
+            return
+        if t["cell"] is not None:
+            t["rows"].append(t["cell"])
+        rows = [r for r in t["rows"] if r]
+        if not rows:
+            return
+        width = max(len(r) for r in rows)
+        lines = []
+        for i, r in enumerate(rows):
+            r = [c.strip() for c in r] + [""] * (width - len(r))
+            lines.append("| " + " | ".join(r) + " |")
+            if i == 0:
+                lines.append("|" + " --- |" * width)
+        self.blocks.append(("table", "\n".join(lines)))
+
+    # -- token stream ------------------------------------------------------
+    def text(self, s):
+        if self.skip:
+            return
+        if self.pre:
+            self.pre_buf.append(s)
+            return
+        # raw newlines in html text are ordinary whitespace — only
+        # <br> (which appends "\n" directly to cur) makes a break
+        s = _unescape_str(s).replace("\n", " ")
+        if self.table is not None and self.table["cell"] is not None:
+            if not self.table["cell"]:
+                if not s.strip():  # inter-tag whitespace before first <td>
+                    return
+                self.table["cell"].append("")
+            self.table["cell"][-1] += _MD_WS.sub(" ", s.replace("|", "\\|"))
+        else:
+            self.cur.append(s)
+
+    def tag(self, src):
+        m = _MD_TAG.match(src)
+        if not m:
+            return
+        name = m.group(1).lower()
+        closing = src.startswith("</")
+        if name in _MD_SKIP:
+            if closing:
+                self.skip = max(0, self.skip - 1)
+            elif not src.rstrip(">").endswith("/"):
+                self.skip += 1
+            return
+        if self.skip:
+            return
+        if self.pre:
+            if closing and name == "pre":
+                self.pre = 0
+                code = _unescape_str("".join(self.pre_buf)).strip("\n")
+                self.pre_buf = []
+                if code:
+                    self.blocks.append(("pre", "```\n" + code + "\n```"))
+            elif name not in ("code", "span"):
+                self.pre_buf.append("")
+            return
+        getattr(self, ("_c_" if closing else "_o_") + name, self._nop)(src)
+
+    def _nop(self, src):
+        pass
+
+    # block-level -----------------------------------------------------------
+    def _block(self, src):
+        self._flush()
+    for _n in _MD_BLOCK_OPEN:
+        locals()[f"_o_{_n}"] = _block
+        locals()[f"_c_{_n}"] = _block
+    del _n
+
+    def _o_br(self, src):
+        self.cur.append("\n")
+
+    def _o_hr(self, src):
+        self._flush()
+        self.blocks.append(("p", "---"))
+
+    for _n in range(1, 7):
+        def _o_h(self, src, _lvl=_n):
+            self._flush()
+            self.heading = _lvl
+        locals()[f"_o_h{_n}"] = _o_h
+        locals()[f"_c_h{_n}"] = _block
+        del _o_h
+    del _n
+
+    def _o_blockquote(self, src):
+        self._flush()
+        self.quote += 1
+
+    def _c_blockquote(self, src):
+        self._flush()
+        self.quote = max(0, self.quote - 1)
+
+    def _o_pre(self, src):
+        self._flush()
+        self.pre = 1
+
+    # lists ------------------------------------------------------------------
+    def _o_ul(self, src, ordered=False):
+        self._flush()
+        self.lists.append({"ordered": ordered, "n": 0})
+
+    def _o_ol(self, src):
+        self._o_ul(src, ordered=True)
+
+    def _c_ul(self, src):
+        self._flush()
+        if self.lists:
+            self.lists.pop()
+        if not self.lists:
+            self.list_seq += 1
+
+    _c_ol = _c_ul
+
+    def _o_li(self, src):
+        self._flush()
+        top = self.lists[-1] if self.lists else {"ordered": False, "n": 0}
+        top["n"] += 1
+        indent = "  " * max(0, len(self.lists) - 1)
+        self.item = indent + (f"{top['n']}. " if top["ordered"] else "- ")
+
+    _c_li = _block
+
+    # tables -----------------------------------------------------------------
+    def _o_table(self, src):
+        self._flush()
+        self.table = {"rows": [], "cell": None, "header": False}
+
+    def _c_table(self, src):
+        self._end_table()
+
+    def _o_tr(self, src):
+        if self.table is None:
+            self._o_table(src)
+        if self.table["cell"] is not None:
+            self.table["rows"].append(self.table["cell"])
+        self.table["cell"] = []
+
+    def _c_tr(self, src):
+        if self.table is not None and self.table["cell"] is not None:
+            self.table["rows"].append(self.table["cell"])
+            self.table["cell"] = None
+
+    def _o_td(self, src):
+        if self.table is None:
+            self._o_tr(src)
+        if self.table["cell"] is None:
+            self.table["cell"] = []
+        self.table["cell"].append("")
+
+    _o_th = _o_td
+
+    # inline -----------------------------------------------------------------
+    def _emit(self, s):
+        if self.table is not None and self.table["cell"] is not None:
+            if not self.table["cell"]:
+                self.table["cell"].append("")
+            self.table["cell"][-1] += s
+        else:
+            self.cur.append(s)
+
+    def _o_a(self, src):
+        href = _md_attrs(src).get("href", "")
+        if href.lower().startswith(("javascript:", "data:")):
+            href = ""
+        self.href.append(href)
+        self._emit("[")
+
+    def _c_a(self, src):
+        href = self.href.pop() if self.href else ""
+        self._emit(f"]({href})")
+
+    def _o_img(self, src):
+        a = _md_attrs(src)
+        src_url = a.get("src", "")
+        if src_url.lower().startswith(("javascript:", "data:")):
+            src_url = ""
+        self._emit(f"![{a.get('alt', '')}]({src_url})")
+
+    def _o_b(self, src):
+        self._emit("**")
+    _c_b = _o_strong = _c_strong = _o_b
+
+    def _o_i(self, src):
+        self._emit("*")
+    _c_i = _o_em = _c_em = _o_i
+
+    def _o_code(self, src):
+        self._emit("`")
+    _c_code = _o_code
+
+    # -- result ---------------------------------------------------------------
+    def render(self):
+        self._flush()
+        self._end_table()
+        out = []
+        prev = None
+        for kind, text in self.blocks:
+            if prev is None:
+                pass
+            elif kind == prev and (kind.startswith("li") or kind == "q"):
+                out.append("\n")
+            else:
+                out.append("\n\n")
+            out.append(text)
+            prev = kind
+        return "".join(out)
+
+
+def _unescape_str(s):
+    import html as _htmlmod
+    return _htmlmod.unescape(s)
+
+
+def markdown_of(page: str) -> str:
+    """One document's html string -> markdown (driver-side helper and
+    the unit under golden tests; the column API batches this)."""
+    r = _MdRenderer()
+    for tok in _MD_TOKEN.finditer(page or ""):
+        t = tok.group(0)
+        if t.startswith("<!--") or t[:7].lower() in ("<script", "<style>") \
+                or t[:6].lower() == "<style":
+            continue
+        if t.startswith("<"):
+            r.tag(t)
+        else:
+            r.text(t)
+    return r.render()
+
+
+def html_to_markdown(html: Column) -> Column:
+    """html (string or binary) -> structure-preserving markdown.
+
+    Headings (# .. ######), paragraphs, nested ul/ol with real <ol>
+    numbering and 2-space nesting indents, [text](href) links,
+    ![alt](src) images, **bold**/*em*/`code`, fenced <pre> blocks,
+    > blockquotes (nested), --- rules, and GFM tables with a header
+    separator row.  script/style/head/comment content is dropped;
+    entities decode via the full HTML5 table (stdlib html.unescape);
+    javascript:/data: URLs are scrubbed.  Malformed markup never
+    raises — unmatched closes are ignored, unclosed elements flush at
+    end of document.
+
+    Scale shape: scan-stage vectorized Arrow batches, no shuffle, no
+    driver participation — the same dispatch argument as the codec
+    tier (operators/multimodal.py): per-payload stack-machine work
+    Catalyst cannot express (and interpreted recursion re-evaluates
+    its prefix per step — see s2.cell_col_jvm's negative result)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _md(pages):
+        return pd.Series(
+            [None if p is None else markdown_of(
+                p if isinstance(p, str) else
+                bytes(p).decode("utf-8", "replace"))
+             for p in pages])
+
+    return _md(html)
