@@ -2084,7 +2084,21 @@ def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("metric"),
         F.lit(-1).cast("int").alias("rank"),
     )
-    return strat.unionByName(ds).unionByName(sp)
+    # 'shuffle' = deterministic pre-training shuffle + sharding
+    # (functions/corpus.py:shuffle_corpus — two independent Knuth
+    # hashes: shard assignment + within-shard order; no global sort).
+    # The oracle replays the identical permutation, so the hash pins
+    # shard AND position for every doc.
+    from xarray_spatial_spark.functions.corpus import shuffle_corpus
+
+    sh = shuffle_corpus(d.select("doc_id"), n_shards=8, seed=5).select(
+        F.lit("shuffle").alias("variant"),
+        "doc_id",
+        F.col("shard_id").cast("string").alias("strata"),
+        F.lit(-1.0).alias("metric"),
+        F.col("shard_pos").cast("int").alias("rank"),
+    )
+    return strat.unionByName(ds).unionByName(sp).unionByName(sh)
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2271,6 +2285,30 @@ def q_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab_size=400, seed_size=1200, max_piece_len=6, em_iters=1,
     )
     enc = unigram.unigram_encode(d, logp, max_piece_len=6)
+    return enc.select(
+        "doc_id",
+        F.size("pieces").alias("n_pieces"),
+        F.array_join(F.slice("pieces", 1, 5), "|").alias("head_pieces"),
+    )
+
+
+def q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer end to end (functions/wordpiece.py): the
+    SAME single distributed word-histogram pass the other two
+    tokenizers use -> driver merge loop with the likelihood objective
+    score(a,b)=n_ab/(n_a*n_b) compared as exact rationals -> BERT
+    greedy longest-match apply (vectorized, per-batch word cache).
+    Rows-only: the sequential merge loop has no SQL twin; training is
+    pinned step-for-step against a recount-from-scratch reference and
+    the PMI-beats-frequency objective is pytest-asserted in
+    tests/test_wordpiece.py."""
+    from xarray_spatial_spark.functions import bpe, wordpiece
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    vocab = wordpiece.train_wordpiece(
+        bpe.word_histogram(d, max_words=20_000), vocab_size=600)
+    enc = wordpiece.wordpiece_encode(d, vocab)
     return enc.select(
         "doc_id",
         F.size("pieces").alias("n_pieces"),
@@ -2618,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "video_neardup": q_video_neardup,
         "unigram": q_unigram,
+        "wordpiece": q_wordpiece,
         "pdf_extract": q_pdf_extract,
         "lpa": q_lpa,
         "revisit": q_revisit,
@@ -3097,6 +3136,24 @@ def oracle_sql() -> dict[str, str]:
                   )
                 )
               )
+            )
+            UNION ALL
+            -- 'shuffle': deterministic training shuffle — shard by
+            -- Knuth-hash(id, seed=5), order within shard by the
+            -- independent seed-6 hash (same any-int64-safe form)
+            SELECT 'shuffle' AS variant, doc_id,
+                   CAST(shard AS VARCHAR) AS strata,
+                   CAST(-1.0 AS DOUBLE) AS metric,
+                   CAST(row_number() OVER (
+                     PARTITION BY shard ORDER BY h2 ASC, doc_id ASC)
+                   AS INT) AS rank
+            FROM (
+              SELECT doc_id,
+                (((doc_id + 5) % 1000000007 + 1000000007) % 1000000007
+                  * 2654435761) % 1000000007 % 8 AS shard,
+                (((doc_id + 6) % 1000000007 + 1000000007) % 1000000007
+                  * 2654435761) % 1000000007 AS h2
+              FROM documents
             )
         """,
         "weighted_sample": """

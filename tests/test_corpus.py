@@ -754,3 +754,59 @@ def test_host_cap_incremental_salted_equals_plain(spark):
     # mega had 7 prior -> exactly 3 kept
     mega = [r for r in plain if "mega" in r["url"]]
     assert len(mega) == 3
+
+
+def test_shuffle_corpus_deterministic_balanced(spark):
+    from xarray_spatial_spark.functions.corpus import shuffle_corpus
+
+    d = spark.range(0, 997).withColumnRenamed("id", "doc_id")
+    a = shuffle_corpus(d, n_shards=8, seed=3).collect()
+    b = shuffle_corpus(d, n_shards=8, seed=3).collect()
+    key = lambda r: (r["doc_id"], r["shard_id"], r["shard_pos"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    # every row exactly once; positions dense 1..n per shard
+    assert len(a) == 997
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in a:
+        per[r["shard_id"]].append(r["shard_pos"])
+    assert set(per) == set(range(8))
+    for pos in per.values():
+        assert sorted(pos) == list(range(1, len(pos) + 1))
+    # hash sharding is near-balanced (997/8 ~ 125; allow wide slack)
+    sizes = sorted(len(v) for v in per.values())
+    assert sizes[0] > 80 and sizes[-1] < 180
+    # a different seed is a different permutation
+    c = shuffle_corpus(d, n_shards=8, seed=4).collect()
+    assert sorted(map(key, c)) != sorted(map(key, a))
+
+
+def test_shuffle_corpus_order_decorrelated_from_id(spark):
+    """Within a shard, consecutive positions must not be consecutive
+    ids (the whole point: destroy the crawl's input order)."""
+    from xarray_spatial_spark.functions.corpus import shuffle_corpus
+
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    rows = shuffle_corpus(d, n_shards=4, seed=0).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(
+            (r["shard_pos"], r["doc_id"]))
+    adjacent = total = 0
+    for pairs in by_shard.values():
+        pairs.sort()
+        ids = [i for _, i in pairs]
+        adjacent += sum(1 for x, y in zip(ids, ids[1:]) if abs(x - y) == 1)
+        total += len(ids) - 1
+    assert adjacent / total < 0.02  # random order: ~2/shard_size
+
+
+def test_shuffle_corpus_no_global_sort(spark):
+    """Scale pin: one hash exchange on the shard key, and no
+    range-partitioned (global) sort anywhere in the plan."""
+    from xarray_spatial_spark.functions.corpus import shuffle_corpus
+
+    d = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = shuffle_corpus(d, n_shards=8)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan

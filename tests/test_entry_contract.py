@@ -103,6 +103,9 @@ def test_oracle_keys_subset_of_queries():
         # EM training has no SQL twin; pinned step-for-step against an
         # independent reference trainer + brute-force Viterbi in pytest
         "unigram",
+        # sequential likelihood-merge training has no SQL twin; pinned
+        # against a recount-from-scratch reference trainer in pytest
+        "wordpiece",
         # binary PDF format path has no SQL twin; rows self-check
         # (match column) and spec + real-pdfTeX fixtures are pytest-pinned
         "pdf_extract",

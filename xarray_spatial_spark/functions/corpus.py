@@ -712,6 +712,51 @@ def weighted_sample(
     )
 
 
+def shuffle_corpus(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic pre-training shuffle: assign every row a shard
+    and a position inside it, both pure functions of (id, seed), so
+    the training order is reproducible across reruns, resumes, and
+    engines — the step between corpus curation and
+    :func:`write_packed_shards` (a crawl is ordered by host/fetch
+    time, which a trainer must never see as its batch order).
+
+    shard = Knuth-hash(id, seed) mod n_shards; shard_pos = rank of a
+    SECOND independent hash within the shard (re-using the shard key
+    would sort each shard by its own bucket residue — correlated, not
+    shuffled).  Both hashes are the any-int64-safe
+    ``((x % P) * 2654435761) % P`` form (P = 1e9+7, product < 2^63 —
+    see :func:`stratified_sample`), so a SQL oracle replays the
+    identical permutation.
+
+    Scale shape: NO global sort — one hash exchange on ``shard`` and
+    a per-shard in-partition sort (window per shard), parallel across
+    all ``n_shards``; a global row_number would serialize the corpus
+    through one task.  Downstream, a trainer reads shards
+    independently in shard_pos order."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from pyspark.sql import Window
+
+    P = 1_000_000_007
+    h1 = F.pmod(
+        F.pmod(F.col(id_col) + F.lit(seed), F.lit(P)) * F.lit(2654435761),
+        F.lit(P))
+    h2 = F.pmod(
+        F.pmod(F.col(id_col) + F.lit(seed + 1), F.lit(P))
+        * F.lit(2654435761), F.lit(P))
+    shard = F.pmod(h1, F.lit(n_shards))
+    w = Window.partitionBy(shard).orderBy(h2.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("shard_id", shard.cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w))
+    )
+
+
 def crawl_to_corpus(
     records: DataFrame,
     min_words: int = 50,
