@@ -939,6 +939,27 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup(planted, min_df=2)
 
 
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (functions/substring.py, Lee et al. 2022
+    ExactSubstr): maximal spans >= 40 chars occurring >= 2 times
+    anywhere in the corpus, under BOTH physical strategies — 'exact'
+    (every L-gram hashed and counted) and 'anchored' (the 100-TB
+    winnowing prefilter).  The oracle computes the definition once in
+    SQL and emits it under both tags, so the driver hash pins the
+    strategies' equality on real data, not just in pytest."""
+    from xarray_spatial_spark.functions import substring as subs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    out = []
+    for tag, anch in (("exact", False), ("anchored", True)):
+        out.append(
+            subs.duplicated_spans(d, min_len=40, anchored=anch).select(
+                F.lit(tag).alias("variant"), "doc_id",
+                "span_start", "span_end"))
+    return out[0].unionByName(out[1])
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-doc repetition signals with planted repeated
     lines on the even docs (functions/text.py)."""
@@ -2610,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "line_dedup": q_line_dedup,
+        "exact_substr": q_exact_substr,
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
         "redact": q_redact,
@@ -3631,6 +3653,54 @@ def oracle_sql() -> dict[str, str]:
                       AS text FROM kept GROUP BY doc_id)
             SELECT d.doc_id, coalesce(a.text, '') AS text
             FROM d LEFT JOIN agg a USING (doc_id)
+        """,
+        "exact_substr": """
+            -- duplicated-position definition replayed literally: a
+            -- 40-gram (exact text) occurring >= 2 times anywhere
+            -- marks its 40-char coverage; covered positions merge
+            -- into maximal islands.  Both engine strategies must
+            -- produce THIS result, so it is emitted under both tags.
+            WITH pidx AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 39)) AS pos
+              FROM documents WHERE length(text) >= 40
+            ),
+            pos AS (
+              SELECT doc_id, pos, substr(text, pos, 40) AS gram FROM pidx
+            ),
+            dup AS (SELECT gram FROM pos GROUP BY gram
+                    HAVING count(*) >= 2),
+            dpos AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram)),
+            ord AS (
+              SELECT doc_id, pos,
+                     max(pos + 39) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_end
+              FROM dpos
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                          THEN 1 ELSE 0 END AS brk
+              FROM ord
+            ),
+            grp AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM isl
+            ),
+            spans AS (
+              SELECT doc_id,
+                     CAST(min(pos) - 1 AS INT) AS span_start,
+                     CAST(max(pos) + 39 AS INT) AS span_end
+              FROM grp GROUP BY doc_id, g
+            )
+            SELECT 'exact' AS variant, doc_id, span_start, span_end
+            FROM spans
+            UNION ALL
+            SELECT 'anchored' AS variant, doc_id, span_start, span_end
+            FROM spans
         """,
         "decontaminate": """
             WITH tok AS (SELECT doc_id,
