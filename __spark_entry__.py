@@ -1189,6 +1189,46 @@ def _url_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(_synth_url_expr().alias("url"), "n_chars")
 
 
+def q_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture-index rows (sources/cdx.py + functions/url.py:surt)
+    over synthesized capture urls exercising every canonicalization
+    the SURT subset defines: userinfo, WWW/www2 strip, case, default
+    vs explicit ports, query-param sorting, fragment (with a planted
+    '?' INSIDE the fragment), empty path.  The oracle rebuilds the
+    identical key with DuckDB string functions, so the hash pins the
+    canonicalization rule itself, plus digest/length/mime/status
+    derivation.  The sorted-shard write + manifest-pruned prefix scan
+    are pytest-pinned (tests/test_cdx.py)."""
+    from xarray_spatial_spark.sources.cdx import cdx_records
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("user@")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("WWW."))
+        .when(F.col("doc_id") % 7 == 1, F.lit("www2.")).otherwise(F.lit("")),
+        F.lit("Site"), (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".example.com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".Example.co.uk"))
+        .otherwise(F.lit(".org")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(":8080"))
+        .when(F.col("doc_id") % 13 == 1, F.lit(":443")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("/A/b/"), F.col("doc_id").cast("string"))),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?B=2&a=1&")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#Frag?x=1")).otherwise(F.lit("")),
+    )
+    caps = d.select(
+        url.alias("url"),
+        (F.lit(20240100000000) + F.col("doc_id")).cast("string").alias("ts"),
+        "text",
+    )
+    return cdx_records(caps, ts_col="ts").select(
+        "surt_key", "ts", "url", "digest", "length", "mime",
+        F.col("status").cast("int").alias("status"))
+
+
 def q_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged-union slot (hash breaks if EITHER variant drifts):
     'hosts' = registered-domain rollup over synthesized urls — host
@@ -2646,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "similarity_topk": q_similarity_topk,
         "ivf_topk": q_ivf_topk,
+        "cdx": q_cdx,
         "host_agg": q_host_agg,
         "host_cap": q_host_cap,
         "chunk_docs": q_chunk_docs,
@@ -4293,6 +4334,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'iceberg', doc_id, CAST(n_chars AS BIGINT),
                    CAST(-1.0 AS DOUBLE), '', lang
             FROM documents WHERE doc_id % 18 = 4
+        """,
+        "cdx": """
+            -- SURT canonicalization replayed with DuckDB string
+            -- functions: scheme/userinfo dropped, host lowered +
+            -- www\\d* stripped + labels reversed, default ports
+            -- dropped, path lowered ('' -> '/'), fragment dropped
+            -- BEFORE query extraction, params lowered and sorted
+            WITH caps AS (
+              SELECT
+                'https://'
+                || CASE WHEN doc_id % 11 = 0 THEN 'user@' ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN 'WWW.'
+                        WHEN doc_id % 7 = 1 THEN 'www2.' ELSE '' END
+                || 'Site' || CAST(doc_id % 50 AS VARCHAR)
+                || CASE WHEN doc_id % 3 = 0 THEN '.example.com'
+                        WHEN doc_id % 3 = 1 THEN '.Example.co.uk'
+                        ELSE '.org' END
+                || CASE WHEN doc_id % 13 = 0 THEN ':8080'
+                        WHEN doc_id % 13 = 1 THEN ':443' ELSE '' END
+                || CASE WHEN doc_id % 17 = 0 THEN ''
+                        ELSE '/A/b/' || CAST(doc_id AS VARCHAR) END
+                || CASE WHEN doc_id % 5 = 0 THEN '?B=2&a=1&' ELSE '' END
+                || CASE WHEN doc_id % 4 = 0 THEN '#Frag?x=1' ELSE '' END
+                  AS url,
+                CAST(20240100000000 + doc_id AS VARCHAR) AS ts,
+                text
+              FROM documents
+            ),
+            parts AS (
+              SELECT url, ts, text,
+                lower(regexp_extract(url,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                  '^.*@', '') AS nouser,
+                lower(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1))
+                  AS rawpath,
+                lower(regexp_extract(regexp_replace(url, '#.*', ''),
+                  '\\?(.*)', 1)) AS rawq
+              FROM caps
+            ),
+            keyed AS (
+              SELECT url, ts, text,
+                array_to_string(list_reverse(string_split(
+                  regexp_replace(
+                    lower(regexp_replace(nouser, ':[0-9]+$', '')),
+                    '^www[0-9]*\\.', ''), '.')), ',') AS rev,
+                regexp_extract(nouser, ':([0-9]+)$', 1) AS port,
+                scheme,
+                CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+                array_to_string(list_sort(list_filter(
+                  string_split(rawq, '&'), x -> x <> '')), '&') AS sq
+              FROM parts
+            )
+            SELECT
+              rev
+              || CASE WHEN port <> ''
+                       AND NOT (scheme = 'http' AND port = '80')
+                       AND NOT (scheme = 'https' AND port = '443')
+                      THEN ':' || port ELSE '' END
+              || ')' || path
+              || CASE WHEN sq <> '' THEN '?' || sq ELSE '' END
+                AS surt_key,
+              ts, url, sha256(text) AS digest,
+              CAST(length(text) AS BIGINT) AS length,
+              'text/html' AS mime, CAST(200 AS INT) AS status
+            FROM keyed
         """,
         "host_agg": """
             WITH u AS (

@@ -157,9 +157,13 @@ def duplicated_positions(
     if min_len < 4:
         raise ValueError("min_len must be >= 4")
     if anchored is None:
-        # exact emits ~16 B/char; past ~4 GiB of input the anchored
-        # prefilter's w-fold emission cut pays for its extra jobs
-        anchored = _plan_bytes(df) > (4 << 30)
+        # measured (BENCH/substr_scale.json): on a 665M-char
+        # mostly-unique corpus anchored is 8.8x faster (60.7 s vs
+        # 534.1 s at local[32]) with bit-identical spans — its extra
+        # fixed jobs only win below ~tens of MB, so dispatch exact
+        # only for small inputs (or corpora known to be mostly
+        # duplicated, where callers should pass anchored=False)
+        anchored = _plan_bytes(df) > (64 << 20)
     L = min_len
     powers = _powers(L)
     base = df.select(F.col(id_col).alias("_id"),

@@ -112,6 +112,50 @@ def url_normalize(url: Column) -> Column:
     )
 
 
+def surt(url: Column) -> Column:
+    """Sort-friendly URI Reordering Transform — the key form of every
+    web-archive index (Internet Archive SURT; Common Crawl's CDX files
+    are sorted by it): reversing the host labels makes one domain's
+    captures LEXICALLY CONTIGUOUS, so a sorted index answers
+    "everything under example.com/blog/" as a single key-range scan.
+
+    ``https://User@WWW.Example.co.uk:8443/A/B?b=2&a=1#frag`` ->
+    ``uk,co,example:8443)/a/b?a=1&b=2``
+
+    Subset implemented (documented canonicalization, pure Catalyst):
+    scheme and userinfo dropped; host lower-cased, leading ``www\\d*.``
+    stripped, labels reversed and comma-joined; default ports (80
+    http / 443 https) dropped, others kept before the ``)``; path
+    lower-cased, empty path -> ``/``; fragment dropped; query params
+    lower-cased and SORTED (order-insensitive equality), an emptied
+    query drops its ``?``."""
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.regexp_replace(url_host(url), "^www[0-9]*\\.", "")
+    rev = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    port = F.regexp_extract(
+        F.regexp_replace(F.regexp_extract(url, _AUTHORITY_RE, 1), "^.*@", ""),
+        ":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.lower(url_path(url))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    nofrag = F.regexp_replace(url, "#.*", "")
+    query = F.lower(F.regexp_extract(nofrag, r"\?(.*)", 1))
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        rev,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"), path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q))
+        .otherwise(F.lit("")),
+    )
+
+
 def host_stats(
     df: DataFrame, url_col: str = "url", n_chars_col: str | None = None
 ) -> DataFrame:
