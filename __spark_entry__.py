@@ -1448,10 +1448,14 @@ def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data pass (functions/corpus.py):
-    Gopher-filter -> exact dedup (planted copies) -> PII redaction
-    (planted emails/IPs), as ONE pipeline with the production stage
-    order."""
+    """Tagged-union slot (hash breaks if EITHER variant drifts):
+    'docs' = the composed training-data pass (functions/corpus.py:
+    prepare_corpus): Gopher-filter -> exact dedup (planted copies) ->
+    PII redaction (planted emails/IPs), as ONE pipeline with the
+    production stage order; 'funnel' = the per-stage attrition report
+    over the same corpus (corpus.corpus_funnel: window-free, ONE
+    aggregate with count(DISTINCT xxhash64(text)) for the dedup
+    stage)."""
     from xarray_spatial_spark.functions import corpus
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -1472,8 +1476,21 @@ def q_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = base.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    out = corpus.prepare_corpus(base.unionByName(dup), min_words=30)
-    return out.select("doc_id", "text")
+    full = base.unionByName(dup)
+    out = corpus.prepare_corpus(full, min_words=30)
+    docs = out.select(
+        F.lit("docs").alias("variant"), "doc_id", "text",
+        F.lit(-1).cast("long").alias("n_kept"),
+    )
+    # 'funnel' variant: the per-stage attrition report over the SAME
+    # pipeline (corpus.corpus_funnel) — stage counts ride doc_id/text
+    fun = corpus.corpus_funnel(full, min_words=30).select(
+        F.lit("funnel").alias("variant"),
+        F.col("stage_idx").cast("long").alias("doc_id"),
+        F.col("stage").alias("text"),
+        "n_kept",
+    )
+    return docs.unionByName(fun)
 
 
 def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4885,7 +4902,14 @@ def _corpus_oracle() -> str:
                         ORDER BY doc_id ASC) AS rn
             FROM keepers) WHERE rn = 1
         )
-        SELECT doc_id, {red} AS text FROM uniq
+        SELECT 'docs' AS variant, doc_id, {red} AS text,
+               CAST(-1 AS BIGINT) AS n_kept FROM uniq
+        UNION ALL
+        SELECT 'funnel', CAST(0 AS BIGINT), 'input', COUNT(*) FROM dupped
+        UNION ALL
+        SELECT 'funnel', CAST(1 AS BIGINT), 'gopher', COUNT(*) FROM keepers
+        UNION ALL
+        SELECT 'funnel', CAST(2 AS BIGINT), 'dedup', COUNT(*) FROM uniq
     """
 
 

@@ -1043,3 +1043,100 @@ def incremental_crawl_round(
     n_rows = out.count()
     return {"snapshot_id": snap_id, "rows": n_rows,
             "hosts": int((delta[0] > 0).sum())}
+
+
+def corpus_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100000,
+    lang: str | None = None,
+    c4: bool = False,
+    host_cap_k: int | None = None,
+    url_col: str | None = None,
+) -> DataFrame:
+    """Per-stage attrition report for the :func:`prepare_corpus`
+    pipeline — the observability table every curation run publishes
+    ("started with N pages, the quality gate kept X%, dedup kept
+    Y%...").  Returns ``(stage_idx, stage, n_kept)`` with one row per
+    stage in pipeline order, ``n_kept`` = documents that survive all
+    stages up to and including that one, computed with EXACTLY the
+    predicates :func:`prepare_corpus` applies (same helpers, same
+    order), so the funnel is the pipeline's own arithmetic, not a
+    re-implementation that can drift.
+
+    Scale design: every gate stage is a boolean column on the single
+    scan, so the whole gate funnel is ONE aggregate job with map-side
+    partial combine — no per-stage count() jobs (k stages as separate
+    counts would scan the corpus k times).  The dedup stage rides the
+    same aggregate as ``count(DISTINCT xxhash64(text))`` over gate
+    survivors: only 8-byte hashes shuffle, matching
+    :func:`dedup.distinct_by_text`'s key.  The optional host-cap
+    stage needs the survivor->host assignment (the dedup winner is
+    the smallest-id copy, and THAT row's host owns the doc), which is
+    one more hash aggregate keyed by text hash, then
+    ``sum(least(k, survivors_per_host))`` — still no windows and no
+    text bytes in any exchange.
+    """
+    if host_cap_k is not None and url_col is None:
+        raise ValueError("host_cap_k needs url_col")
+    t = F.col(text_col)
+    if c4:
+        cleaned = tx.c4_clean(t)
+        k_cur = tx.c4_page_keep(t, cleaned)
+        t = cleaned
+    else:
+        k_cur = F.lit(True)
+    stages: list[tuple[str, Column]] = [("c4", k_cur)] if c4 else []
+    k_cur = k_cur & tx.gopher_keep(t, min_words=min_words,
+                                   max_words=max_words)
+    stages.append(("gopher", k_cur))
+    if lang is not None:
+        k_cur = k_cur & (tx.langid(t) == lang)
+        stages.append(("lang", k_cur))
+
+    flagged = df.select(
+        F.col(id_col).alias("_id"),
+        *([F.col(url_col).alias("_url")] if host_cap_k is not None else []),
+        F.xxhash64(t).alias("_h"),
+        *[k.alias(f"_k{i}") for i, (_, k) in enumerate(stages)],
+    )
+    final_k = F.col(f"_k{len(stages) - 1}")
+    aggs = [F.count(F.lit(1)).alias("n_input")] + [
+        F.sum(F.col(f"_k{i}").cast("long")).alias(f"n_{name}")
+        for i, (name, _) in enumerate(stages)
+    ] + [
+        F.count_distinct(F.when(final_k, F.col("_h"))).alias("n_dedup")
+    ]
+    names = ["input"] + [name for name, _ in stages] + ["dedup"]
+    one = flagged.agg(*aggs)
+    stacked = one.selectExpr(
+        "stack({n}, {args}) as (stage_idx, stage, n_kept)".format(
+            n=len(names),
+            args=", ".join(
+                f"{i}, '{nm}', cast(n_{nm} as long)"
+                for i, nm in enumerate(names)
+            ),
+        )
+    )
+    if host_cap_k is None:
+        return stacked
+    from xarray_spatial_spark.functions.url import url_host
+
+    survivors = (
+        flagged.filter(final_k)
+        .groupBy("_h")
+        .agg(F.min_by("_url", F.col("_id")).alias("_url"))
+        .select(url_host(F.col("_url")).alias("_host"))
+    )
+    capped = survivors.groupBy("_host").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).agg(
+        F.sum(F.least(F.col("_n"), F.lit(host_cap_k))).alias("n_kept")
+    ).select(
+        F.lit(len(names)).cast("int").alias("stage_idx"),
+        F.lit("host_cap").alias("stage"),
+        F.col("n_kept").cast("long"),
+    )
+    return stacked.unionByName(capped)
