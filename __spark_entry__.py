@@ -1524,9 +1524,11 @@ def q_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Damped PageRank (5 iterations) over a deterministic host link
-    graph derived from the documents table
-    (functions/graph.py:pagerank; oracle = unrolled CTE chain)."""
+    """Tagged-union slot: 'plain' = damped PageRank (5 iterations)
+    over a deterministic host link graph derived from the documents
+    table; 'seeded' = the personalized/TrustRank formulation with
+    every 5th node as the trusted set (functions/graph.py:pagerank;
+    oracle = unrolled CTE chains for BOTH recurrences)."""
     from xarray_spatial_spark.functions import graph
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
@@ -1538,8 +1540,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in (1, 2, 3)
     ]
     edges = parts[0].union(parts[1]).union(parts[2]).distinct()
-    pr = graph.pagerank(edges, iters=5)
-    return pr.select("node", F.round("rank", 6).alias("rank"))
+    pr = graph.pagerank(edges, iters=5).select(
+        F.lit("plain").alias("variant"),
+        "node", F.round("rank", 6).alias("rank"),
+    )
+    # 'seeded' variant: personalized/TrustRank teleport onto every
+    # 5th node (graph.pagerank(seeds=...)); the oracle unrolls the
+    # identical recurrence with the seed indicator in the teleport
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 5 == 0)
+    )
+    sr = graph.pagerank(edges, iters=5, seeds=seeds).select(
+        F.lit("seeded").alias("variant"),
+        "node", F.round("rank", 6).alias("rank"),
+    )
+    return pr.unionByName(sr)
 
 
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4944,8 +4962,26 @@ def _pagerank_oracle(iters: int = 5) -> str:
             GROUP BY e.dst
           ) c ON c.node = n.node
         )""")
+    ctes.append("""sr0 AS (
+      SELECT node, CASE WHEN node % 5 = 0 THEN 1.0 ELSE 0.0 END AS rank
+      FROM nodes)""")
+    for i in range(iters):
+        ctes.append(f"""sr{i + 1} AS (
+          SELECT n.node,
+                 0.15 * (CASE WHEN n.node % 5 = 0 THEN 1.0 ELSE 0.0 END)
+                 + 0.85 * COALESCE(c.s, 0.0) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.rank / d.d) AS s
+            FROM sr{i} p JOIN edges e ON e.src = p.node
+                         JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) c ON c.node = n.node
+        )""")
     return ("WITH " + ", ".join(ctes)
-            + f" SELECT node, round(rank, 6) AS rank FROM pr{iters}")
+            + f" SELECT 'plain' AS variant, node,"
+              f" round(rank, 6) AS rank FROM pr{iters}"
+              f" UNION ALL SELECT 'seeded', node,"
+              f" round(rank, 6) AS rank FROM sr{iters}")
 
 
 def _pyramid_oracle(zoom: int = 6, min_zoom: int = 3) -> str:

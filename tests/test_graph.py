@@ -35,6 +35,51 @@ def test_pagerank_matches_numpy(spark):
         assert abs(got[n] - want[n]) < 1e-9, n
 
 
+def _numpy_ppr(edges, seeds, iters, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out = np.zeros(len(nodes))
+    for u, _ in edges:
+        out[idx[u]] += 1
+    tp = np.array([1.0 if n in seeds else 0.0 for n in nodes])
+    r = tp.copy()
+    for _ in range(iters):
+        s = np.zeros(len(nodes))
+        for u, v in edges:
+            s[idx[v]] += r[idx[u]] / out[idx[u]]
+        r = (1 - d) * tp + d * s
+    return {n: r[idx[n]] for n in nodes}
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    edges = sorted({(int(rng.integers(0, 30)), int(rng.integers(0, 30)))
+                    for _ in range(150)})
+    seeds = {0, 7, 13}
+    df = spark.createDataFrame(edges, schema="src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in sorted(seeds)], "node long")
+    got = {r["node"]: r["rank"]
+           for r in graph.pagerank(df, iters=8, seeds=sdf).collect()}
+    want = _numpy_ppr(edges, seeds, 8)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, n
+
+
+def test_trustrank_unreachable_scores_zero(spark):
+    # seed 0 reaches {0,1,2}; the disjoint component {10,11} and the
+    # upstream-only node 5 (5->0) must score exactly 0
+    edges = [(0, 1), (1, 2), (5, 0), (10, 11), (11, 10)]
+    df = spark.createDataFrame(edges, schema="src long, dst long")
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["rank"]
+           for r in graph.pagerank(df, iters=12, seeds=sdf).collect()}
+    assert got[10] == 0.0 and got[11] == 0.0 and got[5] == 0.0
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+    # seed holds the teleport mass; downstream decays by damping/deg
+    assert got[0] > got[1] > got[2]
+
+
 def test_pagerank_sink_and_hub(spark):
     # star: every spoke links to the hub; hub ranks highest
     edges = [(i, 0) for i in range(1, 9)] + [(0, 1)]

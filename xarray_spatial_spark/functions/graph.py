@@ -89,25 +89,43 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` damped iterations over the edge
     list.  Nodes = every distinct endpoint; duplicate edges contribute
     multiply (dedupe upstream if unwanted); dangling nodes (no
     out-links) simply leak their mass, as in the classic
-    non-normalized formulation."""
+    non-normalized formulation.
+
+    ``seeds`` (a 1-column DataFrame of node ids) switches to the
+    PERSONALIZED / TrustRank formulation (Gyongyi et al. 2004): the
+    teleport term lands only on seed nodes —
+    ``rank_0(v) = [v in S]``, ``rank_t+1(v) = (1-d)*[v in S] + d*sum``
+    — so rank measures proximity to the trusted set; pages no seed
+    reaches (directly or transitively) score exactly 0.  Scale: the
+    seed set is a curated whitelist (KBs), so the indicator attaches
+    by one BROADCAST left-semi-style join before the loop; the
+    per-iteration shape is unchanged."""
     if iters < 0:
         raise ValueError("iters must be >= 0")
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
     )
+    if seeds is not None:
+        s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        nodes = nodes.join(
+            F.broadcast(s.withColumn("_t", F.lit(1.0))), "node", "left"
+        ).select("node", F.coalesce("_t", F.lit(0.0)).alias("_tp"))
+    else:
+        nodes = nodes.withColumn("_tp", F.lit(1.0))
+    nodes = nodes.localCheckpoint()
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     e = edges.join(deg, src).select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), "_deg"
     ).localCheckpoint()
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    ranks = nodes.select("node", F.col("_tp").alias("rank"))
     for i in range(iters):
         contrib = (
             e.join(ranks, e["_src"] == ranks["node"])
@@ -118,7 +136,7 @@ def pagerank(
         )
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
-            (F.lit(1.0 - damping)
+            (F.lit(1.0 - damping) * F.col("_tp")
              + F.lit(damping) * F.coalesce("_s", F.lit(0.0))).alias("rank"),
         )
         # eager localCheckpoint truncates the per-iteration plan, but
