@@ -2667,6 +2667,41 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL trap mining (functions/url.py:url_template/trap_candidates):
+    a synthesized mixed URL population — an infinite-calendar host, a
+    faceted-search host (query keys sorted, values dropped), and
+    ordinary per-post blog URLs — flagged by DISTINCT-url template
+    cardinality; only the two trap templates cross the threshold.
+    The oracle replays the template expression (digit runs -> N,
+    >=8-hex runs -> H, sorted query key set) in SQL."""
+    from xarray_spatial_spark.functions import url as uf
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    u = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("http://trap.example.com/cal/"),
+                     (F.col("doc_id") % 12).cast("string"),
+                     F.lit("/"), F.col("doc_id").cast("string")))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://shop.example.com/search?page="),
+                     F.col("doc_id").cast("string"),
+                     F.lit("&sort=price&q=q"),
+                     (F.col("doc_id") % 7).cast("string")))
+        .otherwise(
+            F.concat(F.lit("http://blog"),
+                     (F.col("doc_id") % 50).cast("string"),
+                     F.lit(".example.com/post/"),
+                     F.col("doc_id").cast("string")))
+    )
+    urls = d.select(u.alias("url"))
+    out = uf.trap_candidates(urls, max_urls_per_template=40)
+    return out.select("host", "template",
+                      F.col("n_urls").cast("long").alias("n_urls"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness run evaluates the first
     50 entries.  Every oracle-backed query (an ``oracle_sql()`` key)
@@ -2762,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_geotag": q_exif_geotag,
         "kmv_overlap": q_kmv_overlap,
         "profile": q_profile,
+        "traps": q_traps,
     }
 
 
@@ -4777,6 +4813,7 @@ def oracle_sql() -> dict[str, str]:
                      0.0)), 6)
             FROM agg
         """,
+        "traps": _traps_oracle(),
     }
 
 
@@ -4880,6 +4917,60 @@ def _gopher_oracle() -> str:
             AS c4_kept_lines,
           CAST(length(k.c4t) AS BIGINT) AS c4_len
         FROM r JOIN c4k k ON k.doc_id = r.doc_id
+    """
+
+
+def _traps_oracle(threshold: int = 40) -> str:
+    """url_template twin: identical host/path regexes, lower -> hex
+    -> digit substitution order, sorted query key set; flagging by
+    count(DISTINCT url) (the engine counts distinct xxhash64(url) —
+    equal absent 64-bit collisions)."""
+    host_expr = ("lower(regexp_replace(regexp_replace(regexp_extract(url,"
+                 " '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),"
+                 " '^.*@', ''), ':[0-9]+$', ''))")
+    path_expr = ("regexp_extract(url,"
+                 " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1)")
+    return f"""
+        WITH urls AS (
+          SELECT CASE
+            WHEN doc_id % 4 = 0 THEN 'http://trap.example.com/cal/'
+                 || CAST(doc_id % 12 AS VARCHAR) || '/'
+                 || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 4 = 1 THEN 'http://shop.example.com/search?page='
+                 || CAST(doc_id AS VARCHAR) || '&sort=price&q=q'
+                 || CAST(doc_id % 7 AS VARCHAR)
+            ELSE 'http://blog' || CAST(doc_id % 50 AS VARCHAR)
+                 || '.example.com/post/' || CAST(doc_id AS VARCHAR)
+          END AS url
+          FROM documents
+        ),
+        parts AS (
+          SELECT url,
+                 {host_expr} AS host,
+                 CASE WHEN {path_expr} = '' THEN '/'
+                      ELSE lower({path_expr}) END AS path,
+                 COALESCE(array_to_string(list_sort(list_filter(
+                   list_transform(
+                     string_split(regexp_extract(
+                       regexp_replace(url, '#.*$', ''),
+                       '\\?([^#]*)$', 1), '&'),
+                     x -> lower(regexp_extract(x, '^([^=]*)', 1))),
+                   x -> x <> '')), '&'), '') AS qkeys
+          FROM urls
+        ),
+        tpl AS (
+          SELECT host,
+                 host || regexp_replace(regexp_replace(path,
+                     '[0-9a-f]{{8,}}', 'H', 'g'), '[0-9]+', 'N', 'g')
+                 || CASE WHEN qkeys = '' THEN ''
+                         ELSE '?' || qkeys END AS template,
+                 url
+          FROM parts
+        )
+        SELECT host, template,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+        FROM tpl GROUP BY host, template
+        HAVING count(DISTINCT url) > {threshold}
     """
 
 

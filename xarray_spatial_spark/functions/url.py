@@ -249,13 +249,18 @@ def link_edges(
     html_col: str = "html",
     normalize: bool = True,
     distinct: bool = True,
+    followed_only: bool = False,
 ) -> DataFrame:
     """(src, dst) edge table of the page graph — the input of
     pagerank / connected_components.  ``normalize`` canonicalizes
     both endpoints (url_normalize) so re-fetch aliases collapse to
-    one node; self-loops are dropped."""
+    one node; self-loops are dropped.  ``followed_only`` drops
+    anchors whose rel carries nofollow/ugc/sponsored
+    (:func:`extract_followed_links`) — the edge set link-based
+    ranking should see."""
     src = F.col(url_col)
-    dst = F.explode(extract_links(F.col(html_col), F.col(url_col)))
+    extractor = extract_followed_links if followed_only else extract_links
+    dst = F.explode(extractor(F.col(html_col), F.col(url_col)))
     edges = df.select(src.alias("_src"), dst.alias("_dst"))
     if normalize:
         edges = edges.select(
@@ -439,4 +444,90 @@ def resolve_redirects(
         F.when(bad, F.lit(None)).otherwise(F.col("_v")).alias("final_url"),
         F.when(bad, F.lit(-1)).otherwise(F.col("_h")).alias("hops"),
         bad.alias("unresolved"),
+    )
+
+
+_A_TAG_RE = "(?is)<a\\s[^>]*>"
+_NOFOLLOW_REL_RE = (
+    "(?i)rel\\s*=\\s*[\"']?[^\"'>]*\\b(nofollow|ugc|sponsored)\\b")
+
+
+def extract_followed_links(html: Column, base_url: Column) -> Column:
+    """array<string> of absolute link targets EXCLUDING anchors whose
+    rel carries nofollow/ugc/sponsored — the link set a ranking
+    crawler feeds into PageRank (rel=nofollow exists precisely to
+    keep comment/paid links out of link-based ranking).  Same RFC
+    3986 resolution and scheme skip-list as :func:`extract_links`."""
+    page = F.when(
+        html.cast("string").isNotNull(), html.cast("string")
+    ).otherwise(F.lit(""))
+    tags = F.regexp_extract_all(page, F.lit(_A_TAG_RE), F.lit(0))
+    followed = F.filter(tags, lambda t: ~t.rlike(_NOFOLLOW_REL_RE))
+    hrefs = F.transform(
+        followed,
+        lambda t: F.regexp_extract(t, _HREF_RE, 1))
+    hrefs = F.filter(hrefs, lambda h: h != "")
+    scheme = F.lower(
+        F.regexp_extract(base_url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = url_host(base_url)
+    path = url_path(base_url)
+    base_dir = F.when(
+        path.rlike("/"), F.regexp_replace(path, "/[^/]*$", "")
+    ).otherwise(F.lit(""))
+    out = F.transform(
+        hrefs, lambda h: _resolve_link(h, scheme, host, base_dir))
+    return F.filter(out, lambda u: u.isNotNull() & (u != ""))
+
+
+def url_template(url: Column) -> Column:
+    """Generalized URL shape for trap mining: lowercase host + path
+    with digit runs -> 'N', long hex runs (>= 8, the session-id /
+    content-hash signature) -> 'H', and the query reduced to its
+    sorted key set (values dropped — ?page=1/?page=2 share a
+    template).  Pure Catalyst."""
+    host = F.lower(url_host(url))
+    raw_path = F.lower(F.coalesce(url_path(url), F.lit("")))
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    path = F.regexp_replace(path, "[0-9a-f]{8,}", "H")
+    path = F.regexp_replace(path, "[0-9]+", "N")
+    q = F.regexp_extract(F.regexp_replace(url, "#.*$", ""),
+                         "\\?([^#]*)$", 1)
+    keys = F.array_sort(F.filter(
+        F.transform(
+            F.split(q, "&"),
+            lambda kv: F.lower(F.regexp_extract(kv, "^([^=]*)", 1))),
+        lambda k: k != ""))
+    qpart = F.when(F.size(keys) > 0,
+                   F.concat(F.lit("?"), F.array_join(keys, "&"))
+                   ).otherwise(F.lit(""))
+    return F.concat(host, path, qpart)
+
+
+def trap_candidates(
+    df: DataFrame,
+    url_col: str = "url",
+    max_urls_per_template: int = 1000,
+) -> DataFrame:
+    """(host, template, n_urls) for URL templates whose DISTINCT-url
+    cardinality exceeds ``max_urls_per_template`` — the crawler-trap
+    signal (infinite calendars, faceted search, session ids): a
+    template that generates unbounded URLs on one host is something a
+    frontier caps or skips, long before per-page quality signals can
+    help.
+
+    Scale: one hash aggregate keyed by (host, template, url-hash
+    distinct) — count(DISTINCT xxhash64(url)) keeps raw URLs out of
+    the final exchange; templates are bounded per host (site code,
+    not site content), so the output is broadcastable back into the
+    frontier as a skip-list."""
+    u = F.col(url_col)
+    t = df.select(
+        F.lower(url_host(u)).alias("host"),
+        url_template(u).alias("template"),
+        F.xxhash64(u).alias("_uh"),
+    )
+    return (
+        t.groupBy("host", "template")
+        .agg(F.count_distinct(F.col("_uh")).alias("n_urls"))
+        .filter(F.col("n_urls") > max_urls_per_template)
     )
