@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "audio_neardup",
     "video_neardup",
     "unigram",
+    "wordpiece",
     "pdf_extract",
     "pq_topk",
     "ivfpq_topk",
@@ -107,6 +108,7 @@ BENCH_QUERIES = [
     "exif_geotag",
     "kmv_overlap",
     "profile",
+    "traps",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
