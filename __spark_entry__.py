@@ -703,7 +703,10 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     page (h1 + paragraph + list + link) whose expected markdown both
     engines construct from text with the identical concatenation —
     hash-green iff the stack renderer emits exactly the right
-    heading/list/link/paragraph layout for every doc."""
+    heading/list/link/paragraph layout for every doc; 'imgpairs' =
+    functions/html.py extract_images + the caption/tracking-pixel
+    gates over a planted tag mix, pinned by a canonical survivor
+    string both engines construct."""
     from xarray_spatial_spark.functions.html import (html_to_markdown,
                                                     main_content)
     from xarray_spatial_spark.sources.documents import extract_text
@@ -760,7 +763,49 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(got_md).cast("long").alias("n_extracted"),
         (got_md == exp_md).alias("byte_identical"),
     )
-    return strip.unionByName(content).unionByName(markdown)
+    # 'imgpairs' = functions/html.py extract_images + the pair gates
+    # (alt >= 5 chars, declared tracking pixels out) over a planted
+    # tag mix: absolute + root-relative srcs resolve, entities decode,
+    # data:/no-src/short-alt/1x1 drop — the canonical survivor string
+    # must equal the SQL-constructed truth byte-for-byte
+    from xarray_spatial_spark.functions.html import extract_images
+
+    img_page = F.concat(
+        F.lit('<img src="http://cdn.ex.com/a'), id_s,
+        F.lit('.jpg" alt="Fox &amp; hound '), id_s,
+        F.lit('"><img src=\'/i/b.png\' alt=\'pic of doc '), id_s,
+        F.lit('\' width="640">'),
+        F.lit('<img src="t.gif" alt="tiny">'
+              '<img src="data:image/gif;base64,RR" alt="inline dropped">'
+              '<img src="http://cdn.ex.com/px.gif" alt="spacer beacon"'
+              ' width="1" height="1"><img alt="srcless tag here">'),
+    )
+    base = F.concat(F.lit("http://site"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".ex.com/p/q.html"))
+    imgs = extract_images(img_page, base)
+    kept = F.filter(
+        imgs,
+        lambda st: (F.length(F.trim(st["alt"])) >= 5)
+        & ~(F.coalesce(st["width"], F.lit(3)) <= 2)
+        & ~(F.coalesce(st["height"], F.lit(3)) <= 2),
+    )
+    canon = F.array_join(
+        F.transform(kept, lambda st: F.concat(st["src"], F.lit("|"),
+                                              F.trim(st["alt"]))), ";")
+    exp_pairs = F.concat(
+        F.lit("http://cdn.ex.com/a"), id_s, F.lit(".jpg|Fox & hound "),
+        id_s, F.lit(";http://site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".ex.com/i/b.png|pic of doc "), id_s,
+    )
+    imgpairs = d.select(
+        F.lit("imgpairs").alias("variant"),
+        "doc_id",
+        F.length(canon).cast("long").alias("n_extracted"),
+        (canon == exp_pairs).alias("byte_identical"),
+    )
+    return (strip.unionByName(content).unionByName(markdown)
+            .unionByName(imgpairs))
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3342,6 +3387,18 @@ def oracle_sql() -> dict[str, str]:
                      || chr(10) || chr(10) || 'See [link '
                      || CAST(doc_id AS VARCHAR) || '](https://ex.com/'
                      || CAST(doc_id AS VARCHAR) || ').'
+                   ) AS BIGINT) AS n_extracted,
+                   TRUE AS byte_identical
+            FROM documents
+        
+            UNION ALL
+            SELECT 'imgpairs' AS variant, doc_id,
+                   CAST(length(
+                     'http://cdn.ex.com/a' || CAST(doc_id AS VARCHAR)
+                     || '.jpg|Fox & hound ' || CAST(doc_id AS VARCHAR)
+                     || ';http://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.ex.com/i/b.png|pic of doc '
+                     || CAST(doc_id AS VARCHAR)
                    ) AS BIGINT) AS n_extracted,
                    TRUE AS byte_identical
             FROM documents

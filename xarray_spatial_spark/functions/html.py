@@ -616,3 +616,52 @@ def html_to_markdown(html: Column) -> Column:
              for p in pages])
 
     return _md(html)
+
+
+_IMG_TAG_RE = "(?is)<img\\s[^>]*>"
+_SRC_ATTR_RE = "(?i)\\bsrc\\s*=\\s*[\"']([^\"']+)[\"']"
+_ALT_ATTR_RE = "(?i)\\balt\\s*=\\s*[\"']([^\"']*)[\"']"
+_W_ATTR_RE = "(?i)\\bwidth\\s*=\\s*[\"']?([0-9]+)"
+_H_ATTR_RE = "(?i)\\bheight\\s*=\\s*[\"']?([0-9]+)"
+
+
+def extract_images(html: Column, base_url: Column) -> Column:
+    """array<struct<src, alt, width, height>> of a page's ``<img>``
+    tags — the raw material of image-caption pair mining.  ``src`` is
+    resolved to an absolute URL with the same RFC 3986 resolver the
+    hyperlink extractor uses (``data:`` inline URIs fall under its
+    scheme skip-list and drop); ``alt`` decodes HTML entities; width/
+    height are the DECLARED attribute values (often absent -> NULL),
+    a prefilter only — the authoritative dims come from the payload
+    (operators/multimodal.image_quality_signals).  Pure Catalyst."""
+    from xarray_spatial_spark.functions.url import (
+        _resolve_link,
+        url_host,
+        url_path,
+    )
+
+    page = _page(html)
+    tags = F.regexp_extract_all(page, F.lit(_IMG_TAG_RE), F.lit(0))
+    scheme = F.lower(
+        F.regexp_extract(base_url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = url_host(base_url)
+    path = url_path(base_url)
+    base_dir = F.when(
+        path.rlike("/"), F.regexp_replace(path, "/[^/]*$", "")
+    ).otherwise(F.lit(""))
+    structs = F.transform(
+        tags,
+        lambda t: F.struct(
+            _resolve_link(
+                F.nullif(F.regexp_extract(t, _SRC_ATTR_RE, 1), F.lit("")),
+                scheme, host, base_dir).alias("src"),
+            _unescape_entities(
+                F.regexp_extract(t, _ALT_ATTR_RE, 1)).alias("alt"),
+            F.nullif(F.regexp_extract(t, _W_ATTR_RE, 1), F.lit(""))
+            .cast("int").alias("width"),
+            F.nullif(F.regexp_extract(t, _H_ATTR_RE, 1), F.lit(""))
+            .cast("int").alias("height"),
+        ),
+    )
+    return F.filter(
+        structs, lambda s: s["src"].isNotNull() & (s["src"] != ""))

@@ -1242,3 +1242,67 @@ def image_quality_signals(
                 aspect=asp, px_std=std, px_entropy=ent, keep=keep, err=errs)
 
     return df.mapInPandas(_op, schema=schema)
+
+
+def image_text_pairs(
+    pages: DataFrame,
+    media: DataFrame | None = None,
+    url_col: str = "url",
+    html_col: str = "html",
+    media_url_col: str = "url",
+    payload_col: str = "payload",
+    min_alt_chars: int = 5,
+    quality_gate: bool = True,
+) -> DataFrame:
+    """LAION-shape image-caption pair mining: pages' ``<img>`` tags ->
+    (page_url, img_url, caption, declared dims), deduplicated on
+    (img_url, caption) — the same image embedded with the same alt on
+    a thousand template pages is ONE training pair.
+
+    Declared-dimension tracking pixels (either side <= 2) and too-
+    short captions drop at the scan stage, BEFORE the dedup exchange.
+    The exchange itself carries only (url, caption) strings — never
+    page or image payloads.
+
+    With ``media`` (a fetched-bytes table ``(url, payload)``), pairs
+    join to their image bytes on the normalized URL and — under
+    ``quality_gate`` — pass :func:`image_quality_signals` (real
+    decoded dims/entropy, not the declared hints).  The join is a
+    plain equi-join on the 2-sided key Spark can broadcast or
+    shuffle as sizes dictate; payload bytes ride only the media side.
+    """
+    from xarray_spatial_spark.functions.html import extract_images
+    from xarray_spatial_spark.functions.url import url_normalize
+
+    imgs = pages.select(
+        F.col(url_col).alias("page_url"),
+        F.explode(
+            extract_images(F.col(html_col), F.col(url_col))).alias("_i"),
+    ).select(
+        "page_url",
+        url_normalize(F.col("_i.src")).alias("img_url"),
+        F.trim(F.col("_i.alt")).alias("caption"),
+        F.col("_i.width").alias("decl_width"),
+        F.col("_i.height").alias("decl_height"),
+    ).filter(
+        (F.length("caption") >= min_alt_chars)
+        & ~(F.coalesce(F.col("decl_width"), F.lit(3)) <= 2)
+        & ~(F.coalesce(F.col("decl_height"), F.lit(3)) <= 2)
+    )
+    pairs = imgs.groupBy("img_url", "caption").agg(
+        F.min("page_url").alias("page_url"),
+        F.count(F.lit(1)).alias("n_embeds"),
+        F.min("decl_width").alias("decl_width"),
+        F.min("decl_height").alias("decl_height"),
+    )
+    if media is None:
+        return pairs
+    m = media.select(
+        url_normalize(F.col(media_url_col)).alias("img_url"),
+        F.col(payload_col).alias("payload"),
+    )
+    joined = pairs.join(m, "img_url")
+    if not quality_gate:
+        return joined
+    sig = image_quality_signals(joined, payload_col="payload")
+    return sig.filter(F.col("keep")).drop("keep")
