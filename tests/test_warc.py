@@ -243,3 +243,49 @@ def test_crawl_to_corpus_end_to_end(spark, tmp_path):
         assert rows[f"http://c.ex/{i}"]["text"].startswith(want)
         assert rows[f"http://c.ex/{i}"]["warc_ts"].month == (
             2 if i < 5 else 1)
+
+
+def test_wat_records(spark, tmp_path):
+    """WAT metadata envelope: header/html-metadata/container fields
+    round-trip through real gzip WARC files, links resolve, payload
+    bytes never appear."""
+    import gzip
+    import json as _json
+
+    from xarray_spatial_spark.sources import warc as w
+
+    html = (b'<html><head><title>T1 &amp; T2</title>'
+            b'<meta name="description" content="d1">'
+            b'<meta name="robots" content="noindex">'
+            b'<link rel="canonical" href="http://a.com/canon"></head>'
+            b'<body><a href="/x">x</a><a href="http://b.com/y">y</a>'
+            b'<img src="/i.png" alt="im"></body></html>')
+    rec = w.response_record("http://a.com/p", html,
+                            "2024-05-01T00:00:00Z")
+    f = tmp_path / "t.warc.gz"
+    f.write_bytes(w.gzip_member(w.warcinfo_record()) + w.gzip_member(rec))
+    records = w.read_warc(spark, str(f))
+    wat = w.wat_records(records).collect()
+    assert len(wat) == 1
+    row = wat[0]
+    assert row.url == "http://a.com/p"
+    env = _json.loads(row.wat)["Envelope"]
+    hdr = env["WARC-Header-Metadata"]
+    assert hdr["WARC-Target-URI"] == "http://a.com/p"
+    assert hdr["WARC-Type"] == "response"
+    assert hdr["Content-Length"] == len(html)
+    hm = env["Payload-Metadata"]["HTML-Metadata"]
+    assert hm["Title"] == "T1 & T2"
+    assert hm["Description"] == "d1"
+    assert hm["Canonical"] == "http://a.com/canon"
+    assert hm["Robots-Noindex"] is True and hm["Robots-Nofollow"] is False
+    assert hm["Links"] == ["http://a.com/x", "http://b.com/y"]
+    assert hm["Image-Count"] == 1
+    cont = _json.loads(row.wat)["Container"]
+    assert cont["Filename"] == "t.warc.gz" and cont["Offset"] > 0
+    # metadata sweep never ships the page body
+    assert "x</a>" not in row.wat
+
+    plan = w.wat_records(records)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan

@@ -457,3 +457,64 @@ def fetch_cdx_record(cdx_row, warc_dir: str) -> dict:
         f.seek(cdx_row["offset"])
         data = f.read()
     return next(iter(parse_warc_bytes(data)))
+
+
+def wat_records(records: DataFrame) -> DataFrame:
+    """WARC records -> WAT-style metadata rows: everything a link/
+    metadata consumer needs WITHOUT shipping page payloads — the
+    fourth member of the Common-Crawl format family here (WARC/WET
+    read+write, CDX index, WAT metadata).
+
+    One row per ``response`` record: ``(url, warc_ts, wat)`` where
+    ``wat`` is a JSON envelope in the WAT spirit —
+    ``Envelope.WARC-Header-Metadata`` (URI/date/type),
+    ``Envelope.Payload-Metadata.HTML-Metadata`` (title, description,
+    canonical, charset, robots flags, outlinks, image count) and
+    ``Container`` (filename/offset, the CDX-convention lineage).
+    Pure Catalyst: page_metadata + extract_links feed one ``to_json``
+    over a nested struct, so the metadata sweep is a single scan
+    stage with NO Python and no exchange; payload bytes never leave
+    the scan."""
+    from xarray_spatial_spark.functions.html import (
+        _unescape_entities,
+        extract_images,
+        page_metadata,
+    )
+    from xarray_spatial_spark.functions.url import extract_links
+
+    html = F.col("payload")
+    meta = page_metadata(html)
+    links = extract_links(html, F.col("url"))
+    envelope = F.struct(
+        F.struct(
+            F.col("url").alias("WARC-Target-URI"),
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .alias("WARC-Date"),
+            F.col("record_type").alias("WARC-Type"),
+            F.col("content_type").alias("Content-Type"),
+            F.length(html).cast("long").alias("Content-Length"),
+        ).alias("WARC-Header-Metadata"),
+        F.struct(
+            F.struct(
+                _unescape_entities(meta["title"]).alias("Title"),
+                _unescape_entities(meta["description"])
+                .alias("Description"),
+                meta["canonical"].alias("Canonical"),
+                meta["charset"].alias("Charset"),
+                meta["robots"]["noindex"].alias("Robots-Noindex"),
+                meta["robots"]["nofollow"].alias("Robots-Nofollow"),
+                links.alias("Links"),
+                F.size(extract_images(html, F.col("url")))
+                .cast("int").alias("Image-Count"),
+            ).alias("HTML-Metadata"),
+        ).alias("Payload-Metadata"),
+    )
+    container = F.struct(
+        F.col("warc_file").alias("Filename"),
+        F.col("warc_offset").alias("Offset"),
+    )
+    wat = F.to_json(F.struct(envelope.alias("Envelope"),
+                             container.alias("Container")))
+    return records.filter(
+        (F.col("record_type") == "response") & F.col("url").isNotNull()
+    ).select("url", "warc_ts", wat.alias("wat"))
