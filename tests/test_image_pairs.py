@@ -84,3 +84,55 @@ def test_pairs_scan_stage_prefilter(spark):
     plan = image_text_pairs(pages)._jdf.queryExecution(
     ).optimizedPlan().toString()
     assert "length" in plan and "Aggregate" in plan
+
+
+OG_PAGE = (
+    '<meta property="og:title" content="A scenic mountain lake">'
+    '<meta content="Long curated description of the lake" property="og:description">'
+    '<meta property="og:image" content="/hero.jpg">'
+    '<meta property="og:type" content="article">'
+    '<img src="/hero.jpg" alt="lake photograph here">'
+)
+
+
+def test_og_metadata(spark):
+    from xarray_spatial_spark.functions.html import og_metadata
+
+    df = spark.createDataFrame(
+        [("http://m.com/p", OG_PAGE), ("http://m.com/q", "<html></html>")],
+        "url string, html string")
+    got = df.select(og_metadata(F.col("html")).alias("og")).collect()
+    og = got[0].og
+    assert og.title == "A scenic mountain lake"
+    assert og.description == "Long curated description of the lake"
+    assert og.image == "/hero.jpg" and og.type == "article"
+    assert got[1].og.title is None and got[1].og.image is None
+
+
+def test_og_pairs_channel(spark):
+    pages = spark.createDataFrame([("http://m.com/p", OG_PAGE)],
+                                  "url string, html string")
+    plain = image_text_pairs(pages)
+    assert plain.count() == 1  # alt channel only
+    both = image_text_pairs(pages, include_og=True).collect()
+    by = {(r.img_url, r.caption) for r in both}
+    assert ("http://m.com/hero.jpg",
+            "Long curated description of the lake") in by
+    assert ("http://m.com/hero.jpg", "lake photograph here") in by
+    assert len(both) == 2
+
+
+def test_jsonld_blocks(spark):
+    from xarray_spatial_spark.functions.html import jsonld_blocks
+
+    page = ('<script type="application/ld+json">{"@type":"Article"}'
+            '</script><script>var x=1;</script>'
+            "<script type='application/ld+json'>{\"@type\":\"Recipe\"}</script>")
+    df = spark.createDataFrame([(page,)], "html string")
+    got = df.select(jsonld_blocks(F.col("html")).alias("b")).collect()[0].b
+    assert got == ['{"@type":"Article"}', '{"@type":"Recipe"}']
+    # composes with from_json declaratively
+    typed = df.select(F.explode(jsonld_blocks(F.col("html"))).alias("j")) \
+        .select(F.from_json("j", "`@type` string").alias("s")) \
+        .select(F.col("s.`@type`").alias("t")).collect()
+    assert [r.t for r in typed] == ["Article", "Recipe"]

@@ -665,3 +665,57 @@ def extract_images(html: Column, base_url: Column) -> Column:
     )
     return F.filter(
         structs, lambda s: s["src"].isNotNull() & (s["src"] != ""))
+
+
+def _og_content(page: Column, prop: str) -> Column:
+    """<meta property="og:X" content=Y> with either attribute order
+    ('' when absent)."""
+    a = F.regexp_extract(
+        page,
+        f"(?is)<meta\\s[^>]*property\\s*=\\s*{_Q}og:{prop}{_Q}[^>]*"
+        f"content\\s*=\\s*{_Q}([^\"']*){_Q}",
+        1,
+    )
+    b = F.regexp_extract(
+        page,
+        f"(?is)<meta\\s[^>]*content\\s*=\\s*{_Q}([^\"']*){_Q}[^>]*"
+        f"property\\s*=\\s*{_Q}og:{prop}{_Q}",
+        1,
+    )
+    return F.when(a != "", a).otherwise(b)
+
+
+def og_metadata(html: Column) -> Column:
+    """OpenGraph card as one struct: og:title / og:description /
+    og:image / og:type / og:url / og:site_name (NULL when absent,
+    entities decoded).  Publisher-curated og fields are the highest-
+    precision page summary a crawl sees — og:image + og:title is a
+    cleaner caption channel than img alt text.  Pure Catalyst; select
+    the struct once and Catalyst prunes unread fields."""
+    page = _page(html)
+
+    def g(prop):
+        return F.nullif(
+            F.trim(_unescape_entities(_og_content(page, prop))), F.lit(""))
+
+    return F.struct(
+        g("title").alias("title"),
+        g("description").alias("description"),
+        g("image").alias("image"),
+        g("type").alias("type"),
+        g("url").alias("url"),
+        g("site_name").alias("site_name"),
+    )
+
+
+_JSONLD_RE = ("(?is)<script[^>]*type\\s*=\\s*[\"']application/ld\\+json"
+              "[\"'][^>]*>(.*?)</script>")
+
+
+def jsonld_blocks(html: Column) -> Column:
+    """array<string> of raw <script type="application/ld+json">
+    payloads — schema.org structured data, surfaced verbatim for a
+    downstream ``from_json`` with whatever schema the consumer cares
+    about (Product/Article/Recipe...).  Extraction is scan-stage
+    Catalyst; parsing stays declarative and schema-driven."""
+    return F.regexp_extract_all(_page(html), F.lit(_JSONLD_RE), F.lit(1))

@@ -1253,6 +1253,7 @@ def image_text_pairs(
     payload_col: str = "payload",
     min_alt_chars: int = 5,
     quality_gate: bool = True,
+    include_og: bool = False,
 ) -> DataFrame:
     """LAION-shape image-caption pair mining: pages' ``<img>`` tags ->
     (page_url, img_url, caption, declared dims), deduplicated on
@@ -1289,6 +1290,37 @@ def image_text_pairs(
         & ~(F.coalesce(F.col("decl_width"), F.lit(3)) <= 2)
         & ~(F.coalesce(F.col("decl_height"), F.lit(3)) <= 2)
     )
+    if include_og:
+        # og:image + og:description/title — the publisher-curated
+        # caption channel; dims undeclared, same downstream gates
+        from xarray_spatial_spark.functions.html import og_metadata
+        from xarray_spatial_spark.functions.url import (
+            _resolve_link,
+            url_host,
+            url_path,
+        )
+
+        og = og_metadata(F.col(html_col))
+        base = F.col(url_col)
+        scheme = F.lower(F.regexp_extract(
+            base, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+        bdir = F.when(
+            url_path(base).rlike("/"),
+            F.regexp_replace(url_path(base), "/[^/]*$", ""),
+        ).otherwise(F.lit(""))
+        og_rows = pages.select(
+            F.col(url_col).alias("page_url"),
+            url_normalize(_resolve_link(
+                og["image"], scheme, url_host(base), bdir)).alias("img_url"),
+            F.coalesce(og["description"], og["title"]).alias("caption"),
+            F.lit(None).cast("int").alias("decl_width"),
+            F.lit(None).cast("int").alias("decl_height"),
+        ).filter(
+            F.col("img_url").isNotNull() & (F.col("img_url") != "")
+            & (F.length(F.coalesce(F.col("caption"), F.lit("")))
+               >= min_alt_chars)
+        )
+        imgs = imgs.unionByName(og_rows)
     pairs = imgs.groupBy("img_url", "caption").agg(
         F.min("page_url").alias("page_url"),
         F.count(F.lit(1)).alias("n_embeds"),
