@@ -71,3 +71,39 @@ def test_trap_plan_no_raw_urls_in_final_exchange(spark):
     df = spark.createDataFrame([("http://a.com/1",)], "url string")
     plan = uf.trap_candidates(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "pythonUDF" not in plan
+
+
+def test_canonical_aliases_full_chain(spark):
+    """page -> rel=canonical -> redirect -> normalized form collapse
+    into one cluster with a deterministic canonical representative."""
+    pages = spark.createDataFrame(
+        [("http://a.com/post?utm_source=x",
+          '<link rel="canonical" href="http://a.com/post-canon">'),
+         ("http://a.com/post-canon", "<html>n</html>"),
+         ("http://b.com/solo", "<html>n</html>"),
+         ("http://evil.com/steal",
+          '<link rel="canonical" href="http://victim.com/page">')],
+        "url string, html string")
+    redirects = spark.createDataFrame(
+        [("http://a.com/post-canon", "http://a.com/final")],
+        "src string, dst string")
+    got = {r.url: r.canonical_url
+           for r in uf.canonical_aliases(pages, redirects=redirects).collect()}
+    # the whole a.com chain resolves to one representative
+    chain = ["http://a.com/post?utm_source=x", "http://a.com/post-canon",
+             "http://a.com/final", "http://a.com/post"]
+    reps = {got[u] for u in chain if u in got}
+    assert len(reps) == 1
+    rep = reps.pop()
+    assert rep in ("http://a.com/final", "http://a.com/post",
+                   "http://a.com/post-canon")
+    # representative is an edge TARGET, and stable across runs
+    assert rep == min("http://a.com/final http://a.com/post "
+                      "http://a.com/post-canon".split())
+    # cross-host canonical ignored by default: evil.com stays its own
+    assert got["http://evil.com/steal"] == "http://evil.com/steal"
+    assert got["http://b.com/solo"] == "http://b.com/solo"
+    # cross-host canonical honored when asked
+    loose = {r.url: r.canonical_url for r in uf.canonical_aliases(
+        pages, redirects=redirects, same_host_only=False).collect()}
+    assert loose["http://evil.com/steal"] == "http://victim.com/page"

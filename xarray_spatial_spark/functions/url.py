@@ -531,3 +531,91 @@ def trap_candidates(
         .agg(F.count_distinct(F.col("_uh")).alias("n_urls"))
         .filter(F.col("n_urls") > max_urls_per_template)
     )
+
+
+def canonical_aliases(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    redirects: DataFrame | None = None,
+    same_host_only: bool = True,
+) -> DataFrame:
+    """(url, canonical_url) resolving every alias channel a crawl
+    sees at once: ``url_normalize`` re-fetch aliases (tracking params,
+    default ports, fragment forms), ``<link rel=canonical>``
+    declarations, and HTTP redirect chains — connected components
+    over the union alias graph, so transitive chains (page ->
+    canonical -> redirect -> normalized form) collapse to ONE
+    canonical per cluster.
+
+    The representative is deterministic: the lexicographically
+    smallest cluster member that some edge points TO (a declared
+    canonical / redirect target / normalized form), falling back to
+    the smallest member.  ``same_host_only`` ignores cross-host
+    rel=canonical declarations (the spam vector canonical abuse
+    exploits); redirects are trusted cross-host (the server really
+    did send the client there).
+
+    Scale: edges are url-pair strings (no payloads);
+    graph.connected_components is the verified min-label fixed point;
+    the representative pass is two hash aggregates over (label, url).
+    """
+    from xarray_spatial_spark.functions.graph import connected_components
+    from xarray_spatial_spark.functions.html import canonical_url
+
+    u = F.col(url_col)
+    norm = url_normalize(u)
+    e_norm = pages.select(u.alias("src"), norm.alias("dst"))
+    canon = F.nullif(F.trim(canonical_url(F.col(html_col))), F.lit(""))
+    # relative rel=canonical is rare and ambiguous mid-pipeline — only
+    # absolute declarations form edges
+    canon = F.when(canon.rlike("^[hH][tT][tT][pP][sS]?://"),
+                   url_normalize(canon))
+    e_canon = pages.select(u.alias("src"), canon.alias("dst")).filter(
+        F.col("dst").isNotNull())
+    if same_host_only:
+        e_canon = e_canon.filter(
+            url_host(F.col("src")) == url_host(F.col("dst")))
+    edges = e_norm.unionByName(e_canon)
+    if redirects is not None:
+        e_re = redirects.select(
+            url_normalize(F.col("src")).alias("src"),
+            url_normalize(F.col("dst")).alias("dst"),
+        )
+        edges = edges.unionByName(e_re)
+    edges = edges.filter(F.col("src") != F.col("dst")).distinct()
+
+    members = pages.select(u.alias("url")).union(
+        edges.select(F.col("src").alias("url"))
+    ).union(edges.select(F.col("dst").alias("url"))).distinct()
+    # connected_components works on numeric node ids: urls ride as
+    # xxhash64 (collision odds negligible against cluster counts),
+    # labels join back through the members frame
+    h_edges = (
+        members.select(F.xxhash64("url").alias("src"),
+                       F.xxhash64("url").alias("dst"))
+        .unionByName(edges.select(F.xxhash64("src").alias("src"),
+                                  F.xxhash64("dst").alias("dst")))
+    )
+    labels = connected_components(h_edges)
+    cc = members.join(
+        labels, members["url"].isNotNull()
+        & (F.xxhash64(members["url"]) == labels["node"]),
+    ).select("url", "label")
+
+    targets = edges.select(F.col("dst").alias("url")).distinct() \
+        .withColumn("_is_target", F.lit(1))
+    rep = (
+        cc.join(targets, "url", "left")
+        .groupBy("label")
+        .agg(
+            F.min(F.when(F.col("_is_target") == 1, F.col("url")))
+            .alias("_t"),
+            F.min("url").alias("_any"),
+        )
+        .select("label", F.coalesce("_t", "_any").alias("canonical_url"))
+    )
+    return (
+        cc.join(rep, "label")
+        .select("url", "canonical_url")
+    )
