@@ -14,6 +14,7 @@ formula (grid.tile_*_col vs the SQL fragment below).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -2747,6 +2748,29 @@ def q_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_urls").cast("long").alias("n_urls"))
 
 
+def q_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-7 served FROM THE INDEX ARTIFACT (functions/index.py):
+    build varbyte-compressed term-sharded postings, then answer the
+    fixed queries via manifest shard pruning + pushed term filter +
+    numpy varbyte decode.  Same scoring semantics as `bm25` — the
+    oracle pins the whole build->encode->prune->decode->score chain
+    against DuckDB computing BM25 directly from the corpus."""
+    import tempfile
+
+    from xarray_spatial_spark.functions import index as ix
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    path = os.path.join(
+        tempfile.gettempdir(), "xss_search_index", os.path.basename(sf_dir.rstrip("/"))
+    )
+    ix.write_index(d, path, n_shards=4)
+    out = ix.search_index(spark, path, BM25_QUERIES, k=7)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"),
+        "n_terms_hit", "rank",
+    )
+
+
 def q_geoindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash-7 + Bing quadkey-9 per document, plus a geohash-3
     prefix rollup — pins both spatial-index encoders bit-for-bit
@@ -2837,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "substring_dedup": q_substring_dedup,
         "geoindex": q_geoindex,
+        "search_index": q_search_index,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -2964,6 +2989,55 @@ _KN_SQL = """
             ),
             kagg AS (SELECT doc_id, count(*) AS n_grams, avg(nll) AS h
                      FROM kj3 GROUP BY doc_id)"""
+
+
+def _bm25_sql(k: int) -> str:
+    """Okapi BM25 top-k oracle over documents for BM25_QUERIES —
+    shared by `bm25` (corpus-side Spark path, k=5) and `search_index`
+    (postings-artifact Spark path, k=7)."""
+    return f"""
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE string_split_regex(trim(text), '\\s+') END AS toks
+              FROM documents
+            ),
+            terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+            tf AS (SELECT doc_id, term, count(*) AS tfc
+                   FROM terms GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, count(*) AS dln
+                   FROM terms GROUP BY doc_id),
+            st AS (SELECT CAST(count(*) AS DOUBLE) AS N,
+                          avg(dln) AS avgdl FROM dl),
+            dfq AS (SELECT term, count(DISTINCT doc_id) AS dfc
+                    FROM terms GROUP BY term),
+            qs(query_id, query) AS (VALUES
+              {", ".join(f"({i}, '{q}')" for i, q in BM25_QUERIES)}),
+            qt AS (SELECT DISTINCT query_id,
+                          unnest(string_split_regex(trim(query), '\\s+'))
+                            AS term
+                   FROM qs),
+            sc AS (
+              SELECT qt.query_id, tf.doc_id,
+                sum(ln(1.0 + (st.N - dfq.dfc + 0.5) / (dfq.dfc + 0.5))
+                    * tf.tfc * 2.2
+                    / (tf.tfc + 1.2 * (1.0 - 0.75
+                         + 0.75 * dl.dln / st.avgdl))) AS score,
+                count(*) AS n_terms_hit
+              FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+                   JOIN dl USING (doc_id), st
+              GROUP BY qt.query_id, tf.doc_id
+            ),
+            r AS (
+              SELECT query_id, doc_id, score, n_terms_hit,
+                CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+              FROM sc
+            )
+            SELECT query_id, doc_id, round(score, 6) AS score, n_terms_hit,
+                   rank
+            FROM r WHERE rank <= {k}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4312,49 +4386,10 @@ def oracle_sql() -> dict[str, str]:
               text
             FROM documents
         """,
-        "bm25": f"""
-            WITH t AS (
-              SELECT doc_id,
-                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                     ELSE string_split_regex(trim(text), '\\s+') END AS toks
-              FROM documents
-            ),
-            terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
-            tf AS (SELECT doc_id, term, count(*) AS tfc
-                   FROM terms GROUP BY doc_id, term),
-            dl AS (SELECT doc_id, count(*) AS dln
-                   FROM terms GROUP BY doc_id),
-            st AS (SELECT CAST(count(*) AS DOUBLE) AS N,
-                          avg(dln) AS avgdl FROM dl),
-            dfq AS (SELECT term, count(DISTINCT doc_id) AS dfc
-                    FROM terms GROUP BY term),
-            qs(query_id, query) AS (VALUES
-              {", ".join(f"({i}, '{q}')" for i, q in BM25_QUERIES)}),
-            qt AS (SELECT DISTINCT query_id,
-                          unnest(string_split_regex(trim(query), '\\s+'))
-                            AS term
-                   FROM qs),
-            sc AS (
-              SELECT qt.query_id, tf.doc_id,
-                sum(ln(1.0 + (st.N - dfq.dfc + 0.5) / (dfq.dfc + 0.5))
-                    * tf.tfc * 2.2
-                    / (tf.tfc + 1.2 * (1.0 - 0.75
-                         + 0.75 * dl.dln / st.avgdl))) AS score,
-                count(*) AS n_terms_hit
-              FROM tf JOIN qt USING (term) JOIN dfq USING (term)
-                   JOIN dl USING (doc_id), st
-              GROUP BY qt.query_id, tf.doc_id
-            ),
-            r AS (
-              SELECT query_id, doc_id, score, n_terms_hit,
-                CAST(row_number() OVER (PARTITION BY query_id
-                     ORDER BY score DESC, doc_id ASC) AS INT) AS rank
-              FROM sc
-            )
-            SELECT query_id, doc_id, round(score, 6) AS score, n_terms_hit,
-                   rank
-            FROM r WHERE rank <= 5
-        """,
+        "bm25": _bm25_sql(5),
+        # same corpus-side BM25 math at k=7 — the Spark side answers it
+        # from the postings ARTIFACT (build->encode->prune->decode)
+        "search_index": _bm25_sql(7),
         "lm_score": f"""
             WITH t AS (
               SELECT doc_id,
