@@ -2771,6 +2771,31 @@ def q_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-BFS crawl depth (graph.py:seed_distance) over a
+    deterministic two-out-links-per-page graph on a 1000-node page
+    space; DuckDB replays it as a recursive CTE with min-depth
+    aggregation — a hard oracle for an iterative frontier algorithm."""
+    from xarray_spatial_spark.functions.graph import seed_distance
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    edges = d.select(
+        (F.col("doc_id") % 1000).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 1000).alias("dst"),
+    ).union(
+        d.select(
+            (F.col("doc_id") % 1000).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % 97).alias("dst"),
+        )
+    )
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    out = seed_distance(edges, seeds, max_hops=6)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("depth").cast("int").alias("depth"),
+    )
+
+
 def q_geoindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash-7 + Bing quadkey-9 per document, plus a geohash-3
     prefix rollup — pins both spatial-index encoders bit-for-bit
@@ -2862,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "geoindex": q_geoindex,
         "search_index": q_search_index,
+        "crawl_depth": q_crawl_depth,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -4390,6 +4416,26 @@ def oracle_sql() -> dict[str, str]:
         # same corpus-side BM25 math at k=7 — the Spark side answers it
         # from the postings ARTIFACT (build->encode->prune->decode)
         "search_index": _bm25_sql(7),
+        "crawl_depth": """
+            WITH RECURSIVE e AS (
+              SELECT doc_id % 1000 AS src, (doc_id * 31 + 7) % 1000 AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id % 1000, (doc_id * 17 + 3) % 97
+              FROM documents
+            ),
+            s(node) AS (VALUES (0), (1), (2)),
+            bfs(node, depth) AS (
+              SELECT node, 0 FROM s
+              UNION
+              SELECT e.dst, bfs.depth + 1
+              FROM bfs JOIN e ON e.src = bfs.node
+              WHERE bfs.depth < 6
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(depth) AS INT) AS depth
+            FROM bfs GROUP BY node
+        """,
         "lm_score": f"""
             WITH t AS (
               SELECT doc_id,
