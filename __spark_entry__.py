@@ -2822,6 +2822,81 @@ def q_geoindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.unionByName(rollup)
 
 
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of + interval joins (plans/asof.py) against DuckDB's NATIVE
+    ASOF JOIN and range-join engines — an independent third-party
+    implementation of both semantics.  Three variants in one tagged
+    union: 'asof' = each event matched to the newest click snapshot
+    at-or-before it per user (timestamp ordering, union-window plan —
+    ONE exchange, no join); 'fwd' = forward direction on epoch-micros
+    with a 6h tolerance voiding far matches; 'ival' = points-in-
+    intervals via the bucketed equi-join (never BroadcastNestedLoop),
+    aggregated per point so multi-match rows stay deterministic."""
+    from xarray_spatial_spark.plans.asof import asof_join, interval_join
+
+    def _us(c):
+        # events.ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so
+        # the LTZ reinterpretation is epoch-faithful (== DuckDB
+        # epoch_us on the naive value)
+        return F.unix_micros(F.col(c).cast("timestamp_ltz"))
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("snap"))
+    )
+    # unmatched lefts keep the row (how="left") but the harness's row
+    # sort can't order NULLs — sentinel-fill with -1 on both engines
+    back = asof_join(left, clicks, on="ts", by="user_id").select(
+        F.lit("asof").alias("variant"),
+        F.col("event_id").cast("long").alias("k"),
+        F.coalesce(_us("ts_r"), F.lit(-1)).alias("a"),
+        F.coalesce(F.col("snap"), F.lit(-1.0)).alias("b"),
+    )
+
+    lu = left.select("event_id", "user_id", _us("ts").alias("us"))
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", _us("ts").alias("us"))
+        .agg(F.max("value").alias("snap"))
+    )
+    fwd = asof_join(
+        lu, purch, on="us", by="user_id",
+        direction="forward", tolerance=6 * 3600 * 1_000_000,
+    ).select(
+        F.lit("fwd").alias("variant"),
+        F.col("event_id").cast("long").alias("k"),
+        F.coalesce(F.col("us_r"), F.lit(-1)).alias("a"),
+        F.coalesce(F.col("snap"), F.lit(-1.0)).alias("b"),
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        "doc_id", "lang", ((F.col("doc_id") * 7919) % 100000).alias("p")
+    )
+    ivals = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("iv_id"),
+        "lang",
+        ((F.col("doc_id") * 13) % 100000).alias("lo"),
+        ((F.col("doc_id") * 13) % 100000 + F.col("n_chars") % 2000).alias("hi"),
+    )
+    ij = interval_join(
+        pts, ivals, point_col="p", lo_col="lo", hi_col="hi",
+        by="lang", bin_width=512, how="left",
+    )
+    ival = ij.groupBy("doc_id").agg(
+        F.count("iv_id").alias("a"),
+        F.coalesce(F.sum("iv_id"), F.lit(0)).cast("double").alias("b"),
+    ).select(
+        F.lit("ival").alias("variant"),
+        F.col("doc_id").cast("long").alias("k"),
+        "a", "b",
+    )
+    return back.unionByName(fwd).unionByName(ival)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness run evaluates the first
     50 entries.  Every oracle-backed query (an ``oracle_sql()`` key)
@@ -2888,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoindex": q_geoindex,
         "search_index": q_search_index,
         "crawl_depth": q_crawl_depth,
+        "asof": q_asof,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -4416,6 +4492,56 @@ def oracle_sql() -> dict[str, str]:
         # same corpus-side BM25 math at k=7 — the Spark side answers it
         # from the postings ARTIFACT (build->encode->prune->decode)
         "search_index": _bm25_sql(7),
+        # asof oracle: DuckDB's NATIVE ASOF JOIN operator (an
+        # independent engine implementation of the semantics, not a
+        # replay of our union-window plan) + its IEJoin range join.
+        # 'fwd' tolerance is a post-match CASE: the nearest candidate
+        # is by definition the closest, so match-then-void equals
+        # match-within-tolerance exactly (pandas merge_asof rule).
+        "asof": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events),
+            clk AS (
+              SELECT user_id, ts, max(value) AS snap
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts
+            ),
+            pur AS (
+              SELECT user_id, epoch_us(ts) AS us, max(value) AS snap
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts)
+            ),
+            lu AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM l),
+            p AS (SELECT doc_id, lang, (doc_id * 7919) % 100000 AS p
+                  FROM documents),
+            iv AS (
+              SELECT doc_id AS iv_id, lang,
+                     (doc_id * 13) % 100000 AS lo,
+                     (doc_id * 13) % 100000 + (n_chars % 2000) AS hi
+              FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT 'asof' AS variant, CAST(l.event_id AS BIGINT) AS k,
+                   coalesce(epoch_us(clk.ts), -1) AS a,
+                   coalesce(clk.snap, -1.0) AS b
+            FROM l ASOF LEFT JOIN clk
+              ON l.user_id = clk.user_id AND l.ts >= clk.ts
+            UNION ALL
+            SELECT 'fwd', CAST(lu.event_id AS BIGINT),
+                   coalesce(CASE WHEN pur.us - lu.us
+                                      <= CAST(21600000000 AS BIGINT)
+                                 THEN pur.us END, -1),
+                   coalesce(CASE WHEN pur.us - lu.us
+                                      <= CAST(21600000000 AS BIGINT)
+                                 THEN pur.snap END, -1.0)
+            FROM lu ASOF LEFT JOIN pur
+              ON lu.user_id = pur.user_id AND lu.us <= pur.us
+            UNION ALL
+            SELECT 'ival', CAST(p.doc_id AS BIGINT),
+                   count(iv.iv_id),
+                   CAST(coalesce(sum(iv.iv_id), 0) AS DOUBLE)
+            FROM p LEFT JOIN iv
+              ON p.lang = iv.lang AND p.p BETWEEN iv.lo AND iv.hi
+            GROUP BY p.doc_id
+        """,
         "crawl_depth": """
             WITH RECURSIVE e AS (
               SELECT doc_id % 1000 AS src, (doc_id * 31 + 7) % 1000 AS dst

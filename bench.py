@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "kmv_overlap",
     "profile",
     "traps",
+    "geoindex",
+    "search_index",
+    "crawl_depth",
+    "asof",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
