@@ -2897,6 +2897,127 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.unionByName(fwd).unionByName(ival)
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trec_eval metrics (functions/retrieval.py) — per-query P@10 /
+    R@10 / RR / AP / nDCG@10 plus the macro means, over deterministic
+    arithmetic runs (heavy score ties broken by doc_id, the operator's
+    tiebreak rule) and graded qrels with unretrieved-relevant docs so
+    recall < 1.  The DuckDB twin replays the metric formulas through
+    its own window engine."""
+    from xarray_spatial_spark.functions.retrieval import (
+        macro_metrics,
+        retrieval_metrics,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id", (F.col("doc_id") % 20).alias("query_id")
+    )
+    runs = base.filter(F.col("doc_id") % 5 != 0).select(
+        "query_id",
+        "doc_id",
+        ((F.col("doc_id") * 37) % 100).cast("double").alias("score"),
+    )
+    qrels = base.filter(F.col("doc_id") % 2 == 0).select(
+        "query_id",
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, 2)
+        .when(F.col("doc_id") % 7 == 1, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("rel"),
+    )
+    pq = retrieval_metrics(runs, qrels, k=10)
+    per_query = pq.select(
+        F.lit("q").alias("variant"),
+        F.col("query_id").cast("long").alias("k"),
+        F.col("n_ret").cast("long").alias("n_ret"),
+        F.col("n_rel").cast("long").alias("n_rel"),
+        "p_at_k", "r_at_k", "rr", "ap", "ndcg",
+    )
+    macro = macro_metrics(pq).select(
+        F.lit("macro").alias("variant"),
+        F.lit(-1).cast("long").alias("k"),
+        F.col("n_queries").cast("long").alias("n_ret"),
+        F.lit(-1).cast("long").alias("n_rel"),
+        F.col("mean_p_at_k").alias("p_at_k"),
+        F.col("mean_r_at_k").alias("r_at_k"),
+        F.col("mrr").alias("rr"),
+        F.col("map").alias("ap"),
+        F.col("mean_ndcg").alias("ndcg"),
+    )
+    return per_query.unionByName(macro)
+
+
+def q_ip_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 parse/format + interval-join geolocation (functions/ip.py
+    over plans/asof.interval_join).  Deterministic IPs render to
+    dotted quads with long_to_ipv4, RE-PARSE through the strict
+    ipv4_to_long regex inside geolocate_ipv4, and bucket-join against
+    an arithmetic range table (overlaps allowed — matches aggregate
+    per doc so fan-out stays deterministic).  The projected ip string
+    pins BOTH conversion directions cross-engine."""
+    from xarray_spatial_spark.functions.ip import geolocate_ipv4, long_to_ipv4
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ips = docs.select(
+        "doc_id",
+        long_to_ipv4(
+            (F.col("doc_id") * 2654435761) % 4294967296
+        ).alias("ip"),
+    )
+    lo = (F.col("doc_id") * 1103515245) % 4294967296
+    ranges = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("range_id"),
+        lo.alias("ip_lo"),
+        F.least(
+            lo + ((F.col("doc_id") * 97) % 65536) * 16,
+            F.lit(4294967295),
+        ).alias("ip_hi"),
+    )
+    hit = geolocate_ipv4(ips, ranges, ip_col="ip")
+    return hit.groupBy("doc_id", "ip").agg(
+        F.count("range_id").alias("n"),
+        F.coalesce(F.sum("range_id"), F.lit(-1)).alias("s"),
+    ).select(F.col("doc_id").alias("k"), "ip", "n", "s")
+
+
+def q_spatial_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive KD spatial partitioner (plans/partitioner.py): fit
+    median splits on a deterministic bounded sample of the geocoded
+    docs, Arrow-assign leaf ids, report per-leaf loads plus a
+    'summary' row with the max/mean balance ratio — the number a
+    fixed grid can't hold under population skew.  Rows-only: the fit
+    is a recursive median tree, not SQL-expressible."""
+    from xarray_spatial_spark.plans.partitioner import fit_kdtree
+
+    d = _docs(spark, sf_dir)
+    tree = fit_kdtree(
+        d, x_col="lon", y_col="lat", num_partitions=32, sample_rows=50000
+    )
+    per = (
+        tree.assign(d, "lon", "lat")
+        .groupBy("spatial_pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("double").alias("v"),
+        )
+    )
+    leaves = per.select(
+        F.lit("leaf").alias("variant"),
+        F.col("spatial_pid").cast("long").alias("k"),
+        "n",
+        "v",
+    )
+    summary = per.agg(
+        F.lit("summary").alias("variant"),
+        F.lit(-1).cast("long").alias("k"),
+        F.sum("n").alias("n"),
+        (F.max("n") / F.avg("n")).alias("v"),
+    )
+    return leaves.unionByName(summary)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness run evaluates the first
     50 entries.  Every oracle-backed query (an ``oracle_sql()`` key)
@@ -2964,6 +3085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_index": q_search_index,
         "crawl_depth": q_crawl_depth,
         "asof": q_asof,
+        "retrieval_eval": q_retrieval_eval,
+        "ip_geo": q_ip_geo,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -2997,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "profile": q_profile,
         "traps": q_traps,
+        "spatial_part": q_spatial_part,
     }
 
 
@@ -4541,6 +4665,111 @@ def oracle_sql() -> dict[str, str]:
             FROM p LEFT JOIN iv
               ON p.lang = iv.lang AND p.p BETWEEN iv.lo AND iv.hi
             GROUP BY p.doc_id
+        """,
+        # retrieval_eval oracle: the trec_eval formulas replayed
+        # through DuckDB's own window engine (row_number + running
+        # sum), same (score DESC, doc_id ASC) tiebreak; queries with
+        # no relevant judgment drop via the truth inner join.
+        "retrieval_eval": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 20 AS query_id FROM documents
+            ),
+            runs AS (
+              SELECT query_id, doc_id,
+                     CAST((doc_id * 37) % 100 AS DOUBLE) AS score
+              FROM d WHERE doc_id % 5 <> 0
+            ),
+            qrels AS (
+              SELECT query_id, doc_id,
+                     CASE doc_id % 7 WHEN 0 THEN 2 WHEN 1 THEN 1
+                          ELSE 0 END AS rel
+              FROM d WHERE doc_id % 2 = 0
+            ),
+            ranked AS (
+              SELECT r.query_id, r.doc_id, coalesce(s.rel, 0) AS rel,
+                     row_number() OVER (
+                       PARTITION BY r.query_id
+                       ORDER BY r.score DESC, r.doc_id ASC) AS rnk,
+                     sum(CASE WHEN coalesce(s.rel, 0) > 0
+                              THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY r.query_id
+                       ORDER BY r.score DESC, r.doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS cumhits
+              FROM runs r
+              LEFT JOIN qrels s USING (query_id, doc_id)
+            ),
+            truth AS (
+              SELECT query_id, count(*) AS n_rel,
+                     sum(CASE WHEN irank <= 10 THEN
+                           (pow(2.0, rel) - 1) / log2(irank + 1)
+                         ELSE 0 END) AS idcg
+              FROM (SELECT query_id, rel,
+                           row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY rel DESC, doc_id ASC) AS irank
+                    FROM qrels WHERE rel > 0)
+              GROUP BY query_id
+            ),
+            pq AS (
+              SELECT g.query_id, g.n_ret, t.n_rel, g.p_at_k,
+                     g.hits_k / CAST(t.n_rel AS DOUBLE) AS r_at_k,
+                     g.rr, g.ap_num / t.n_rel AS ap,
+                     g.dcg / t.idcg AS ndcg
+              FROM (
+                SELECT query_id, count(*) AS n_ret,
+                       sum(CASE WHEN rnk <= 10 AND rel > 0
+                                THEN 1 ELSE 0 END) / 10.0 AS p_at_k,
+                       sum(CASE WHEN rnk <= 10 AND rel > 0
+                                THEN 1 ELSE 0 END) AS hits_k,
+                       coalesce(max(CASE WHEN rel > 0
+                                         THEN 1.0 / rnk END), 0.0) AS rr,
+                       sum(CASE WHEN rel > 0
+                                THEN CAST(cumhits AS DOUBLE) / rnk
+                                ELSE 0 END) AS ap_num,
+                       sum(CASE WHEN rnk <= 10 AND rel > 0 THEN
+                             (pow(2.0, rel) - 1) / log2(rnk + 1)
+                           ELSE 0 END) AS dcg
+                FROM ranked GROUP BY query_id
+              ) g JOIN truth t USING (query_id)
+            )
+            SELECT 'q' AS variant, CAST(query_id AS BIGINT) AS k,
+                   CAST(n_ret AS BIGINT) AS n_ret,
+                   CAST(n_rel AS BIGINT) AS n_rel,
+                   p_at_k, r_at_k, rr, ap, ndcg
+            FROM pq
+            UNION ALL
+            SELECT 'macro', -1, count(*), -1, avg(p_at_k),
+                   avg(r_at_k), avg(rr), avg(ap), avg(ndcg)
+            FROM pq
+        """,
+        # ip_geo oracle: plain BETWEEN range join on the numeric value
+        # + the integer-division dotted-quad render, so it pins both
+        # string directions AND the interval-join containment.
+        "ip_geo": """
+            WITH ips AS (
+              SELECT doc_id,
+                     (doc_id * 2654435761) % 4294967296 AS ipn
+              FROM documents
+            ),
+            fmt AS (
+              SELECT doc_id, ipn,
+                     concat_ws('.', (ipn // 16777216) % 256,
+                               (ipn // 65536) % 256,
+                               (ipn // 256) % 256, ipn % 256) AS ip
+              FROM ips
+            ),
+            rg AS (
+              SELECT doc_id AS range_id,
+                     (doc_id * 1103515245) % 4294967296 AS lo,
+                     least((doc_id * 1103515245) % 4294967296
+                           + ((doc_id * 97) % 65536) * 16,
+                           4294967295) AS hi
+              FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT f.doc_id AS k, f.ip, count(r.range_id) AS n,
+                   coalesce(sum(r.range_id), -1) AS s
+            FROM fmt f LEFT JOIN rg r ON f.ipn BETWEEN r.lo AND r.hi
+            GROUP BY f.doc_id, f.ip
         """,
         "crawl_depth": """
             WITH RECURSIVE e AS (

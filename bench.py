@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "search_index",
     "crawl_depth",
     "asof",
+    "retrieval_eval",
+    "ip_geo",
+    "spatial_part",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
