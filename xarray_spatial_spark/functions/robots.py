@@ -319,3 +319,119 @@ def schedule_fetch_times(
         .withColumn("delay_s", F.coalesce("delay_s", F.lit(default_s)))
         .withColumn("fetch_at_s", F.col("wave") * F.col("delay_s"))
     )
+
+
+# ---------------------------------------------------------------------------
+# time-aware gating: the capture in force at fetch time
+# ---------------------------------------------------------------------------
+
+
+def robots_rules_snapshots(
+    captures: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "captured_ts",
+    body_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """(host, captured_ts, rules array) per robots.txt SNAPSHOT — the
+    history-aware sibling of :func:`robots_rules` +
+    :func:`robots_rules_per_host`.  Each capture's body parses to its
+    own rule array inside ONE Arrow pass (the array is built row-local
+    in pandas, so no groupBy/collect_list shuffle is needed — the
+    per-host form needs one only because it merges rows)."""
+
+    def _parse(batches):
+        for pdf in batches:
+            out_rules = []
+            for b in pdf[body_col]:
+                out_rules.append(
+                    [
+                        {
+                            "rule": rule,
+                            "pattern_len": len(pat),
+                            "pattern_re": _pattern_regex(pat),
+                        }
+                        for rule, pat in parse_robots_body(b or "", user_agent)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "host": pdf[host_col],
+                    "captured_ts": pdf[ts_col],
+                    "rules": out_rules,
+                }
+            )
+
+    cap_ts_type = captures.schema[ts_col].dataType.simpleString()
+    return captures.select(host_col, ts_col, body_col).mapInPandas(
+        _parse,
+        schema=(
+            f"host string, captured_ts {cap_ts_type}, rules "
+            "array<struct<rule string, pattern_len int, pattern_re string>>"
+        ),
+    )
+
+
+def robots_filter_at(
+    pages: DataFrame,
+    captures: DataFrame,
+    url_col: str = "url",
+    fetch_ts_col: str = "warc_ts",
+    capture_ts_col: str = "captured_ts",
+    body_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Keep the pages the robots.txt capture IN FORCE AT FETCH TIME
+    allows — the historically correct gate for replayed/archived
+    crawls, where a host's policy changes between snapshots and
+    gating every fetch with today's rules mislabels the past.
+
+    Semantics: for each page, the newest capture with
+    ``captured_ts <= fetch_ts`` on the same host governs; a fetch
+    BEFORE the host's first capture (or on a host with no captures)
+    passes, consistent with :func:`robots_filter`'s ruleless-host
+    rule.  Within the governing capture, RFC 9309 longest-match /
+    allow-on-tie / no-rule-pass via :func:`robots_allowed`.
+
+    Plan shape: snapshots parse in one Arrow pass
+    (:func:`robots_rules_snapshots`); the as-of match is the
+    union-window plan (plans/asof.py — ONE exchange of keys+captures
+    per host, no join node); page PAYLOADS never enter that sort —
+    the decision computes on the distinct (host, path, ts) key set
+    and joins back, the same keys-only discipline as
+    :func:`robots_filter`."""
+    from xarray_spatial_spark.plans.asof import asof_join
+
+    path = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    keyed = pages.withColumn("_host", url_host(F.col(url_col))).withColumn(
+        "_path", path
+    )
+    keys = keyed.select(
+        "_host", "_path", F.col(fetch_ts_col).alias("_ts")
+    ).distinct()
+
+    snaps = robots_rules_snapshots(
+        captures,
+        ts_col=capture_ts_col,
+        body_col=body_col,
+        user_agent=user_agent,
+    ).select(F.col("host").alias("_host"), F.col("captured_ts").alias("_ts"),
+             "rules")
+
+    governed = asof_join(keys, snaps, on="_ts", by="_host")
+    verdict = governed.select(
+        "_host",
+        "_path",
+        "_ts",
+        (robots_allowed(F.col("_path"), F.col("rules")) == 1).alias("_keep"),
+    )
+    out = (
+        keyed.withColumn("_ts", F.col(fetch_ts_col))
+        .join(verdict, ["_host", "_path", "_ts"], "left")
+        .filter(F.coalesce(F.col("_keep"), F.lit(True)))
+        .drop("_host", "_path", "_ts", "_keep")
+    )
+    return out
