@@ -3018,6 +3018,79 @@ def q_spatial_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leaves.unionByName(summary)
 
 
+def q_spatial_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I + Geary's C (+ normality z-score) over the
+    z4 occupied-cell grid of geocoded docs, value = per-cell total
+    chars — queen AND rook contiguity unioned under one tagged slot
+    (operators/spatialstats.py).  The corpus-level "is anything
+    spatially clustered?" statistic the reference's per-cell hotspots
+    (xrspatial/focal.py:hotspots) can't answer."""
+    from xarray_spatial_spark.operators import spatialstats as sps
+
+    z = 4
+    cells = (
+        _doc_tiles(spark, sf_dir, z)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.sum("n_chars").cast("double").alias("value"))
+    )
+    outs = []
+    for cont in ("queen", "rook"):
+        outs.append(
+            sps.global_autocorrelation(cells, contiguity=cont).select(
+                F.lit(cont).alias("variant"),
+                "n",
+                "s0",
+                # float32: the raw double differs between engines at the
+                # 16th digit (var_pop merge order); the statistics are
+                # scale-free and agree to ~1e-12
+                F.col("mean").cast("float").alias("mean"),
+                "morans_i",
+                "expected_i",
+                "z_i",
+                "gearys_c",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+DBSCAN_EPS = 8.0  # degrees, planar on the geocode plane
+DBSCAN_MIN_PTS = 3
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed DBSCAN (operators/dbscan.py: eps-grid 3x3
+    equi-join + CCL) over the geocoded docs on the planar degree
+    plane — every float in the distance predicate is integer-derived
+    arithmetic both engines compute bit-identically, so the oracle's
+    brute-force self-join + recursive closure must agree exactly."""
+    from xarray_spatial_spark.operators.dbscan import dbscan
+
+    pts = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("lon").alias("x"), F.col("lat").alias("y")
+    )
+    out = dbscan(pts, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("is_core").cast("int").alias("is_core"),
+        F.col("cluster").alias("cluster"),
+    )
+
+
+def q_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian KDE heatmap over z5 doc-count cells
+    (operators/spatialstats.kde_smooth): sparse-raster convolution,
+    kernel weights precomputed driver-side as shared literals."""
+    from xarray_spatial_spark.operators import spatialstats as sps
+
+    z = 5
+    cells = (
+        _doc_tiles(spark, sf_dir, z)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return sps.kde_smooth(cells, radius=2, sigma=1.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness run evaluates the first
     50 entries.  Every oracle-backed query (an ``oracle_sql()`` key)
@@ -3087,6 +3160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof": q_asof,
         "retrieval_eval": q_retrieval_eval,
         "ip_geo": q_ip_geo,
+        "spatial_autocorr": q_spatial_autocorr,
+        "dbscan": q_dbscan,
+        "kde": q_kde,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -3267,10 +3343,70 @@ def _bm25_sql(k: int) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from xarray_spatial_spark.operators.spatialstats import _offsets, kde_weights
+
     z8x, z8y = _sql_tile_x(8), _sql_tile_y(8)
+    z5x, z5y = _sql_tile_x(5), _sql_tile_y(5)
     z4x, z4y = _sql_tile_x(4), _sql_tile_y(4)
     z3x, z3y = _sql_tile_x(3), _sql_tile_y(3)
     z2x, z2y = _sql_tile_x(2), _sql_tile_y(2)
+
+    # spatial_autocorr: one CTE block per contiguity variant (only the
+    # literal offset table differs), identical mean-free partials to
+    # operators/spatialstats.global_autocorrelation
+    def _autocorr_variant(sfx: str, variant: str) -> str:
+        offs = ", ".join(f"({dx},{dy})" for dx, dy in _offsets(variant))
+        return f"""
+        ofs{sfx}(dx, dy) AS (VALUES {offs}),
+        pc{sfx} AS (
+          SELECT a.x, a.y, a.v, CAST(count(*) AS DOUBLE) AS deg,
+                 sum(b.v) AS sum_vn,
+                 sum((a.v - b.v) * (a.v - b.v)) AS sum_d2
+          FROM c a CROSS JOIN ofs{sfx} JOIN c b
+            ON b.x = a.x + ofs{sfx}.dx AND b.y = a.y + ofs{sfx}.dy
+          GROUP BY 1, 2, 3
+        ),
+        pg{sfx} AS (
+          SELECT coalesce(sum(deg), 0) AS s0,
+                 coalesce(sum(v * sum_vn), 0) AS pa,
+                 coalesce(sum(v * deg), 0) AS pb,
+                 coalesce(sum(sum_vn), 0) AS pcv,
+                 coalesce(sum(sum_d2), 0) AS num_c,
+                 coalesce(sum(deg * deg), 0) AS sum_deg2
+          FROM pc{sfx}
+        ),
+        g{sfx} AS (
+          SELECT st.n, st.mean, st.m2, pg{sfx}.*,
+                 pa - st.mean * (pb + pcv) + st.mean * st.mean * s0 AS num_i,
+                 CASE WHEN st.n > 1 THEN -1.0 / (st.n - 1) END AS e_i
+          FROM pg{sfx}, st
+        ),
+        h{sfx} AS (
+          SELECT *,
+                 CASE WHEN m2 > 0 AND s0 > 0 AND n > 1
+                      THEN n / s0 * num_i / m2 END AS i_stat,
+                 CASE WHEN m2 > 0 AND s0 > 0 AND n > 2
+                      THEN (n * n * (2 * s0) - n * (4 * sum_deg2)
+                            + 3 * s0 * s0)
+                           / (s0 * s0 * (n * n - 1)) - e_i * e_i
+                 END AS var_i
+          FROM g{sfx}
+        )"""
+
+    def _autocorr_select(sfx: str, variant: str) -> str:
+        return f"""
+          SELECT '{variant}' AS variant, CAST(n AS BIGINT) AS n,
+                 CAST(s0 AS BIGINT) AS s0, CAST(mean AS FLOAT) AS mean,
+                 i_stat AS morans_i, e_i AS expected_i,
+                 CASE WHEN m2 > 0 AND s0 > 0 AND n > 1 AND var_i > 0
+                      THEN (i_stat - e_i) / sqrt(var_i) END AS z_i,
+                 CASE WHEN m2 > 0 AND s0 > 0 AND n > 1
+                      THEN (n - 1) * num_c / (2 * s0 * m2) END AS gearys_c
+          FROM h{sfx}"""
+
+    kde_lits = ", ".join(
+        f"({dx}, {dy}, {w!r})" for dx, dy, w in kde_weights(2, 1.5)
+    )
 
     docs_geo = f"SELECT doc_id, n_chars, lang, text, {SQL_LAT} AS lat, {SQL_LON} AS lon FROM documents"
 
@@ -4770,6 +4906,73 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(r.range_id), -1) AS s
             FROM fmt f LEFT JOIN rg r ON f.ipn BETWEEN r.lo AND r.hi
             GROUP BY f.doc_id, f.ip
+        """,
+        "spatial_autocorr": f"""
+            WITH c AS (
+              SELECT {z4x} AS x, {z4y} AS y,
+                     CAST(sum(n_chars) AS DOUBLE) AS v
+              FROM documents GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n, avg(v) AS mean,
+                     var_pop(v) * count(*) AS m2
+              FROM c
+            ),{_autocorr_variant('q', 'queen')},{_autocorr_variant('r', 'rook')}
+            {_autocorr_select('q', 'queen')}
+            UNION ALL
+            {_autocorr_select('r', 'rook')}
+        """,
+        "dbscan": f"""
+            WITH RECURSIVE pts AS (
+              SELECT doc_id AS id, {SQL_LON} AS x, {SQL_LAT} AS y
+              FROM documents
+            ),
+            pairs AS (
+              SELECT a.id AS ai, b.id AS bi
+              FROM pts a JOIN pts b ON a.id <> b.id
+               AND (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) <= {DBSCAN_EPS * DBSCAN_EPS!r}
+            ),
+            core AS (
+              SELECT ai AS id FROM pairs
+              GROUP BY 1 HAVING count(*) + 1 >= {DBSCAN_MIN_PTS}
+            ),
+            ce AS (
+              SELECT p.ai, p.bi FROM pairs p
+              JOIN core c1 ON p.ai = c1.id JOIN core c2 ON p.bi = c2.id
+            ),
+            reach(ai, bi) AS (
+              SELECT id, id FROM core
+              UNION
+              SELECT r.ai, e.bi FROM reach r JOIN ce e ON r.bi = e.ai
+            ),
+            lbl AS (SELECT ai AS id, min(bi) AS cluster FROM reach GROUP BY 1),
+            border AS (
+              SELECT p.ai AS id, min(l.cluster) AS cluster
+              FROM pairs p
+              JOIN core c ON p.bi = c.id
+              JOIN lbl l ON l.id = p.bi
+              WHERE p.ai NOT IN (SELECT id FROM core)
+              GROUP BY 1
+            )
+            SELECT p.id AS doc_id,
+                   CASE WHEN p.id IN (SELECT id FROM core)
+                        THEN 1 ELSE 0 END AS is_core,
+                   CAST(coalesce(l.cluster, b.cluster) AS BIGINT) AS cluster
+            FROM pts p
+            LEFT JOIN lbl l ON l.id = p.id
+            LEFT JOIN border b ON b.id = p.id
+        """,
+        "kde": f"""
+            WITH c AS (
+              SELECT {z5x} AS x, {z5y} AS y,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM documents GROUP BY 1, 2
+            ),
+            k(dx, dy, w) AS (VALUES {kde_lits})
+            SELECT x + dx AS tile_x, y + dy AS tile_y,
+                   sum(v * w) AS density
+            FROM c CROSS JOIN k GROUP BY 1, 2
         """,
         "crawl_depth": """
             WITH RECURSIVE e AS (

@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "retrieval_eval",
     "ip_geo",
     "spatial_part",
+    "spatial_autocorr",
+    "dbscan",
+    "kde",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
