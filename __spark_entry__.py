@@ -3091,6 +3091,98 @@ def q_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sps.kde_smooth(cells, radius=2, sigma=1.5)
 
 
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I / LISA (operators/spatialstats.local_moran) over
+    the z4 char-sum grid — the per-cell WHERE answer to
+    spatial_autocorr's global IS question, Anselin randomization
+    z-scores included.  Statistics ship as float32: the engines'
+    mean/var/kurtosis merge orders differ at the 16th digit while the
+    values agree to ~1e-12 (the spatial_autocorr convention)."""
+    from xarray_spatial_spark.operators import spatialstats as sps
+
+    z = 4
+    cells = (
+        _doc_tiles(spark, sf_dir, z)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.sum("n_chars").cast("double").alias("value"))
+    )
+    out = sps.local_moran(cells, contiguity="queen")
+    return out.select(
+        "tile_x",
+        "tile_y",
+        "deg",
+        F.col("lag").cast("float").alias("lag"),
+        F.col("local_i").cast("float").alias("local_i"),
+        F.col("z_i").cast("float").alias("z_i"),
+        "quadrant",
+    )
+
+
+VARIOGRAM_BIN_W = 5.0
+VARIOGRAM_BINS = 4
+RIPLEY_RADII = [5.0, 10.0, 20.0]
+
+
+def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram of per-doc n_chars on the planar degree
+    plane (operators/spatialstats.empirical_variogram).  Values are
+    integers, so the (v_i - v_j)^2 sums are exact in float64 and gamma
+    is bit-identical to the oracle's brute-force pair join."""
+    from xarray_spatial_spark.operators import spatialstats as sps
+
+    pts = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.col("lon").alias("x"),
+        F.col("lat").alias("y"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    return sps.empirical_variogram(
+        pts, bin_width=VARIOGRAM_BIN_W, n_bins=VARIOGRAM_BINS
+    )
+
+
+def q_ripley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K/L at three radii over the geocoded docs
+    (operators/spatialstats.ripley_k) — pair counts are integers and
+    the K/L arithmetic is one literal flop sequence, so the oracle's
+    brute-force count replays it bit-for-bit."""
+    from xarray_spatial_spark.operators import spatialstats as sps
+
+    pts = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("lon").alias("x"), F.col("lat").alias("y")
+    )
+    return sps.ripley_k(pts, RIPLEY_RADII, area=360.0 * 170.0)
+
+
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW interpolation of n_chars onto the z3 occupied-tile centers
+    (operators/spatialstats.idw_interpolate): the vector -> raster
+    bridge.  predicted ships float32 (neighbor sum order differs
+    across engines at the 16th digit)."""
+    from xarray_spatial_spark.operators import spatialstats as sps
+
+    z = 3
+    n = 1 << z
+    targets = (
+        _doc_tiles(spark, sf_dir, z)
+        .select("tile_x", "tile_y")
+        .distinct()
+        .select(
+            ((F.col("tile_x") + 0.5) / n * 360.0 - 180.0).alias("x"),
+            (90.0 - (F.col("tile_y") + 0.5) / n * 180.0).alias("y"),
+        )
+    )
+    known = _docs(spark, sf_dir).select(
+        F.col("lon").alias("x"),
+        F.col("lat").alias("y"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    out = sps.idw_interpolate(known, targets, power=2.0, radius=15.0)
+    return out.select(
+        "x", "y", "n_neighbors", F.col("predicted").cast("float").alias("predicted")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness run evaluates the first
     50 entries.  Every oracle-backed query (an ``oracle_sql()`` key)
@@ -3163,6 +3255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_autocorr": q_spatial_autocorr,
         "dbscan": q_dbscan,
         "kde": q_kde,
+        "local_moran": q_local_moran,
+        "variogram": q_variogram,
+        "ripley": q_ripley,
+        "idw": q_idw,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -4973,6 +5069,158 @@ def oracle_sql() -> dict[str, str]:
             SELECT x + dx AS tile_x, y + dy AS tile_y,
                    sum(v * w) AS density
             FROM c CROSS JOIN k GROUP BY 1, 2
+        """,
+        # local_moran: identical Anselin formulas; b2 computed directly
+        # from central sums (Spark rides kurtosis()+3 — same value to
+        # ~1e-12, absorbed by the float32 casts)
+        "local_moran": f"""
+            WITH c AS (
+              SELECT {z4x} AS x, {z4y} AS y,
+                     CAST(sum(n_chars) AS DOUBLE) AS v
+              FROM documents GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n, avg(v) AS mean,
+                     var_pop(v) * count(*) AS m2s
+              FROM c
+            ),
+            b2t AS (
+              SELECT (sum(power(c.v - st.mean, 4)) / st.n)
+                     / power(st.m2s / st.n, 2) AS b2
+              FROM c, st GROUP BY st.n, st.m2s
+            ),
+            ofs(dx, dy) AS (VALUES {', '.join(f'({dx},{dy})' for dx, dy in _offsets('queen'))}),
+            pc AS (
+              SELECT a.x, a.y, CAST(count(*) AS DOUBLE) AS deg,
+                     sum(b.v) AS sum_vn
+              FROM c a CROSS JOIN ofs JOIN c b
+                ON b.x = a.x + ofs.dx AND b.y = a.y + ofs.dy
+              GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT c.x, c.y, c.v,
+                     coalesce(pc.deg, 0) AS deg,
+                     coalesce(pc.sum_vn, 0) AS sum_vn,
+                     st.n, st.mean, st.m2s, b2t.b2
+              FROM c LEFT JOIN pc ON pc.x = c.x AND pc.y = c.y, st, b2t
+            ),
+            e AS (
+              SELECT *,
+                     m2s / n AS m2,
+                     v - mean AS z,
+                     sum_vn - deg * mean AS lag,
+                     CASE WHEN deg > 0 THEN -deg / (n - 1.0) END AS e_i,
+                     deg * (n - b2) / (n - 1.0)
+                       + (deg * deg - deg) * (2.0 * b2 - n)
+                         / ((n - 1.0) * (n - 2.0))
+                       - (deg * deg) / ((n - 1.0) * (n - 1.0)) AS var_i
+              FROM j
+            )
+            SELECT x AS tile_x, y AS tile_y, CAST(deg AS INT) AS deg,
+                   CAST(lag AS FLOAT) AS lag,
+                   CAST(CASE WHEN m2s > 0 THEN z / m2 * lag END AS FLOAT)
+                     AS local_i,
+                   CAST(CASE WHEN m2s > 0 AND deg > 0 AND n > 2 AND var_i > 0
+                        THEN (z / m2 * lag - e_i) / sqrt(var_i) END AS FLOAT)
+                     AS z_i,
+                   CASE WHEN deg = 0 THEN NULL
+                        WHEN z >= 0 AND lag >= 0 THEN 'HH'
+                        WHEN z < 0 AND lag < 0 THEN 'LL'
+                        WHEN z >= 0 THEN 'HL'
+                        ELSE 'LH' END AS quadrant
+            FROM e
+        """,
+        # variogram / ripley: brute-force pair joins — integer values
+        # make gamma exact; pair counts make K/L one literal flop chain
+        "variogram": f"""
+            WITH pts AS (
+              SELECT doc_id AS id, {SQL_LON} AS x, {SQL_LAT} AS y,
+                     CAST(n_chars AS DOUBLE) AS v
+              FROM documents
+            ),
+            p AS (
+              SELECT (a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y) AS d2,
+                     a.v - b.v AS dv
+              FROM pts a JOIN pts b ON a.id < b.id
+              WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                    > 0
+                AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                    <= {VARIOGRAM_BIN_W * VARIOGRAM_BINS!r}
+                        * {VARIOGRAM_BIN_W * VARIOGRAM_BINS!r}
+            ),
+            b AS (
+              SELECT CAST(least(floor(sqrt(d2) / {VARIOGRAM_BIN_W!r}),
+                                {VARIOGRAM_BINS - 1}) AS INT) AS bin,
+                     count(*) AS n_pairs,
+                     sum(dv * dv) / (2.0 * count(*)) AS gamma
+              FROM p GROUP BY 1
+            )
+            SELECT bin, bin * {VARIOGRAM_BIN_W!r} AS h_lo,
+                   (bin + 1) * {VARIOGRAM_BIN_W!r} AS h_hi, n_pairs, gamma
+            FROM b
+        """,
+        "ripley": f"""
+            WITH pts AS (
+              SELECT doc_id AS id, {SQL_LON} AS x, {SQL_LAT} AS y
+              FROM documents
+            ),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pts),
+            p AS (
+              SELECT (a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y) AS d2
+              FROM pts a JOIN pts b ON a.id < b.id
+            ),
+            c AS (
+              SELECT {', '.join(
+                  f"coalesce(sum(CASE WHEN d2 > 0 AND d2 <= {r * r!r} "
+                  f"THEN 1 END), 0) AS c{i}"
+                  for i, r in enumerate(RIPLEY_RADII))}
+              FROM p
+            )
+            {' UNION ALL '.join(
+                f"SELECT {r!r} AS r, CAST(c{i} AS BIGINT) AS n_pairs, "
+                f"{360.0 * 170.0!r} * 2.0 * c{i} / (n.n * (n.n - 1.0)) AS k, "
+                f"sqrt({360.0 * 170.0!r} * 2.0 * c{i} / (n.n * (n.n - 1.0))"
+                f" / pi()) AS l FROM c, n"
+                for i, r in enumerate(RIPLEY_RADII))}
+        """,
+        "idw": f"""
+            WITH tiles AS (
+              SELECT DISTINCT {z3x} AS tx, {z3y} AS ty FROM documents
+            ),
+            tgt AS (
+              SELECT (tx + 0.5) / 8 * 360.0 - 180.0 AS x,
+                     90.0 - (ty + 0.5) / 8 * 180.0 AS y
+              FROM tiles
+            ),
+            known AS (
+              SELECT {SQL_LON} AS kx, {SQL_LAT} AS ky,
+                     CAST(n_chars AS DOUBLE) AS kv
+              FROM documents
+            ),
+            cand AS (
+              SELECT t.x, t.y, k.kv,
+                     (t.x - k.kx) * (t.x - k.kx)
+                     + (t.y - k.ky) * (t.y - k.ky) AS d2
+              FROM tgt t JOIN known k
+                ON (t.x - k.kx) * (t.x - k.kx)
+                   + (t.y - k.ky) * (t.y - k.ky) <= {15.0 * 15.0!r}
+            ),
+            agg AS (
+              SELECT x, y, count(*) AS n_neighbors,
+                     sum(CASE WHEN d2 = 0 THEN 1 END) AS nhit,
+                     avg(CASE WHEN d2 = 0 THEN kv END) AS vhit,
+                     sum(CASE WHEN d2 > 0 THEN power(d2, -1.0) * kv END)
+                       AS wv,
+                     sum(CASE WHEN d2 > 0 THEN power(d2, -1.0) END) AS w
+              FROM cand GROUP BY 1, 2
+            )
+            SELECT t.x, t.y,
+                   CAST(coalesce(a.n_neighbors, 0) AS INT) AS n_neighbors,
+                   CAST(CASE WHEN a.nhit > 0 THEN a.vhit
+                             ELSE a.wv / a.w END AS FLOAT) AS predicted
+            FROM tgt t LEFT JOIN agg a ON a.x = t.x AND a.y = t.y
         """,
         "crawl_depth": """
             WITH RECURSIVE e AS (

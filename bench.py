@@ -119,6 +119,10 @@ BENCH_QUERIES = [
     "spatial_autocorr",
     "dbscan",
     "kde",
+    "local_moran",
+    "variogram",
+    "ripley",
+    "idw",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

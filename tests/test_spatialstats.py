@@ -131,6 +131,206 @@ def test_kde_matches_brute(spark):
         assert got[k] == pytest.approx(ref[k], rel=1e-12)
 
 
+def _brute_local_moran(cells, contiguity="queen"):
+    """Anselin 1995 randomization moments, full-matrix reference."""
+    pts = {(x, y): float(v) for x, y, v in cells}
+    keys = sorted(pts)
+    n = len(keys)
+    v = np.array([pts[k] for k in keys])
+    z = v - v.mean()
+    m2 = float((z**2).mean())
+    b2 = float((z**4).mean()) / m2**2 if m2 > 0 else None
+    offs = sps._offsets(contiguity)
+    idx = {k: i for i, k in enumerate(keys)}
+    out = {}
+    for k, i in idx.items():
+        nbs = [idx[(k[0] + dx, k[1] + dy)] for dx, dy in offs
+               if (k[0] + dx, k[1] + dy) in idx]
+        deg = len(nbs)
+        lag = float(z[nbs].sum()) if nbs else 0.0
+        li = z[i] / m2 * lag if m2 > 0 else None
+        ei = -deg / (n - 1) if deg else None
+        zi = None
+        if deg and n > 2 and m2 > 0:
+            var = (deg * (n - b2) / (n - 1)
+                   + (deg * deg - deg) * (2 * b2 - n) / ((n - 1) * (n - 2))
+                   - deg * deg / (n - 1) ** 2)
+            if var > 0:
+                zi = (li - ei) / math.sqrt(var)
+        if deg == 0:
+            quad = None
+        elif z[i] >= 0:
+            quad = "HH" if lag >= 0 else "HL"
+        else:
+            quad = "LL" if lag < 0 else "LH"
+        out[k] = dict(deg=deg, lag=lag, local_i=li, z_i=zi, quadrant=quad)
+    return out
+
+
+def test_local_moran_matches_brute(spark):
+    rng = np.random.default_rng(11)
+    seen, cells = set(), []
+    while len(cells) < 50:
+        x, y = int(rng.integers(0, 12)), int(rng.integers(0, 12))
+        if (x, y) in seen:
+            continue
+        seen.add((x, y))
+        cells.append((x, y, float(rng.normal())))
+    cells.append((30, 30, 1.0))  # island cell
+    for cont in ("queen", "rook"):
+        df = spark.createDataFrame(
+            cells, "tile_x: long, tile_y: long, value: double")
+        got = {(r["tile_x"], r["tile_y"]): r
+               for r in sps.local_moran(df, contiguity=cont).collect()}
+        ref = _brute_local_moran(cells, cont)
+        assert set(got) == set(ref)
+        for k, rr in ref.items():
+            g = got[k]
+            assert g["deg"] == rr["deg"]
+            assert g["lag"] == pytest.approx(rr["lag"], abs=1e-9)
+            assert g["local_i"] == pytest.approx(rr["local_i"], abs=1e-9)
+            if rr["z_i"] is None:
+                assert g["z_i"] is None
+            else:
+                assert g["z_i"] == pytest.approx(rr["z_i"], abs=1e-9)
+            assert g["quadrant"] == rr["quadrant"]
+
+
+def test_local_moran_hotspot_quadrants(spark):
+    # a high plateau in a low field: interior plateau cells are HH,
+    # surrounding low cells neighboring the plateau are LH
+    cells = []
+    for x in range(9):
+        for y in range(9):
+            v = 10.0 if 3 <= x <= 5 and 3 <= y <= 5 else 1.0
+            cells.append((x, y, v))
+    df = spark.createDataFrame(cells, "tile_x: long, tile_y: long, value: double")
+    got = {(r["tile_x"], r["tile_y"]): r for r in sps.local_moran(df).collect()}
+    assert got[(4, 4)]["quadrant"] == "HH"
+    assert got[(4, 4)]["z_i"] > 2  # significant hotspot core
+    assert got[(2, 4)]["quadrant"] == "LH"  # low cell touching the plateau
+    assert got[(0, 0)]["quadrant"] == "LL"  # far-field low cell
+
+
+def _brute_pairs(pts, max_dist):
+    out = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            d2 = (pts[i][1] - pts[j][1]) ** 2 + (pts[i][2] - pts[j][2]) ** 2
+            if 0 < d2 <= max_dist**2:
+                out.append((min(pts[i][0], pts[j][0]),
+                            max(pts[i][0], pts[j][0]), d2))
+    return out
+
+
+def test_point_pairs_exact(spark):
+    rng = np.random.default_rng(5)
+    pts = [(i, float(rng.uniform(0, 20)), float(rng.uniform(0, 20)))
+           for i in range(120)]
+    df = spark.createDataFrame(pts, "id: long, x: double, y: double")
+    got = sorted((r["id_a"], r["id_b"], r["d2"])
+                 for r in sps.point_pairs(df, max_dist=3.0).collect())
+    ref = sorted(_brute_pairs(pts, 3.0))
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in ref]
+    for g, r in zip(got, ref):
+        assert g[2] == pytest.approx(r[2], rel=1e-12)
+
+
+def test_variogram_matches_brute(spark):
+    rng = np.random.default_rng(9)
+    pts = [(i, float(rng.uniform(0, 30)), float(rng.uniform(0, 30)),
+            float(rng.integers(0, 100)))
+           for i in range(150)]
+    df = spark.createDataFrame(pts, "id: long, x: double, y: double, value: double")
+    bw, nb = 2.0, 5
+    got = {r["bin"]: r for r in
+           sps.empirical_variogram(df, bin_width=bw, n_bins=nb).collect()}
+    # brute reference
+    bins = {}
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            d = math.hypot(pts[i][1] - pts[j][1], pts[i][2] - pts[j][2])
+            if 0 < d <= bw * nb:
+                b = min(int(d // bw), nb - 1)
+                s, c = bins.get(b, (0.0, 0))
+                bins[b] = (s + (pts[i][3] - pts[j][3]) ** 2, c + 1)
+    assert set(got) == set(bins)
+    for b, (s, c) in bins.items():
+        assert got[b]["n_pairs"] == c
+        assert got[b]["gamma"] == pytest.approx(s / (2 * c), rel=1e-12)
+        assert got[b]["h_lo"] == pytest.approx(b * bw)
+        assert got[b]["h_hi"] == pytest.approx((b + 1) * bw)
+
+
+def test_variogram_spatial_structure(spark):
+    # value = x  =>  gamma grows with h (monotone spatial dependence)
+    pts = [(i, float(i % 40), float(i // 40), float(i % 40))
+           for i in range(400)]
+    df = spark.createDataFrame(pts, "id: long, x: double, y: double, value: double")
+    rows = sorted(sps.empirical_variogram(df, bin_width=2.0, n_bins=5).collect(),
+                  key=lambda r: r["bin"])
+    gammas = [r["gamma"] for r in rows]
+    assert all(a < b for a, b in zip(gammas, gammas[1:]))
+
+
+def test_ripley_k_csr_and_clustered(spark):
+    rng = np.random.default_rng(4)
+    # CSR pattern in a unit square: K(r) ~= pi r^2 (within noise)
+    n = 400
+    pts = [(i, float(rng.uniform()), float(rng.uniform())) for i in range(n)]
+    df = spark.createDataFrame(pts, "id: long, x: double, y: double")
+    radii = [0.05, 0.1]
+    got = {r["r"]: r for r in sps.ripley_k(df, radii, area=1.0).collect()}
+    # brute parity
+    for rr in radii:
+        cnt = sum(1 for i in range(n) for j in range(i + 1, n)
+                  if 0 < (pts[i][1] - pts[j][1]) ** 2
+                  + (pts[i][2] - pts[j][2]) ** 2 <= rr * rr)
+        assert got[rr]["n_pairs"] == cnt
+        k_ref = 1.0 * 2 * cnt / (n * (n - 1))
+        assert got[rr]["k"] == pytest.approx(k_ref, rel=1e-12)
+        assert got[rr]["l"] == pytest.approx(math.sqrt(k_ref / math.pi), rel=1e-12)
+    # uncorrected CSR K is biased low near edges; just sanity-band it
+    assert got[0.05]["k"] == pytest.approx(math.pi * 0.05**2, rel=0.35)
+    # clustered pattern: same n, tight blobs => K far above CSR
+    blob = [(i, float(0.2 + 0.01 * rng.normal()), float(0.2 + 0.01 * rng.normal()))
+            for i in range(n)]
+    dfb = spark.createDataFrame(blob, "id: long, x: double, y: double")
+    kb = {r["r"]: r["k"] for r in sps.ripley_k(dfb, radii, area=1.0).collect()}
+    assert kb[0.05] > 10 * got[0.05]["k"]
+
+
+def test_idw_matches_brute(spark):
+    rng = np.random.default_rng(6)
+    known = [(float(rng.uniform(0, 10)), float(rng.uniform(0, 10)),
+              float(rng.integers(0, 50))) for _ in range(80)]
+    targets = [(float(rng.uniform(0, 10)), float(rng.uniform(0, 10)))
+               for _ in range(40)]
+    targets.append((known[0][0], known[0][1]))        # exact hit
+    targets.append((200.0, 200.0))                    # out of range of all
+    kdf = spark.createDataFrame(known, "x: double, y: double, value: double")
+    tdf = spark.createDataFrame(targets, "x: double, y: double")
+    radius, power = 2.5, 2.0
+    got = {(r["x"], r["y"]): r for r in
+           sps.idw_interpolate(kdf, tdf, power=power, radius=radius).collect()}
+    assert len(got) == len(set(targets))
+    for tx, ty in set(targets):
+        hits = [(v, (tx - kx) ** 2 + (ty - ky) ** 2) for kx, ky, v in known
+                if (tx - kx) ** 2 + (ty - ky) ** 2 <= radius**2]
+        g = got[(tx, ty)]
+        assert g["n_neighbors"] == len(hits)
+        if not hits:
+            assert g["predicted"] is None
+            continue
+        exact = [v for v, d2 in hits if d2 == 0]
+        if exact:
+            ref = sum(exact) / len(exact)
+        else:
+            wsum = sum(d2 ** (-power / 2) for _, d2 in hits)
+            ref = sum(v * d2 ** (-power / 2) for v, d2 in hits) / wsum
+        assert g["predicted"] == pytest.approx(ref, rel=1e-12)
+
+
 def test_kde_mass_conserved(spark):
     # total output mass == total input mass * kernel sum (scatter form)
     rows = [(0, 0, 2.0), (5, 5, 3.0), (5, 6, 1.0)]

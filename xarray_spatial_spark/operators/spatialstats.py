@@ -1,12 +1,20 @@
-"""Global spatial autocorrelation + sparse-raster KDE smoothing.
+"""Spatial statistics over the occupied cell grid and point sets.
 
 The reference ends at per-cell statistics (zonal, focal, hotspots —
 xrspatial/zonal.py, xrspatial/focal.py); this module adds the CORPUS-
-level spatial questions a web-scale table invites: "are page
-properties spatially clustered at all?" (Moran's I / Geary's C over
-the occupied cell grid) and "what does the density surface look
-like?" (Gaussian KDE over cell counts — the sparse-raster twin of
-``convolve_2d``, which needs a dense tile).
+level spatial questions a web-scale table invites:
+
+- "is anything spatially clustered at all?" — global Moran's I /
+  Geary's C (``global_autocorrelation``);
+- "WHERE is it clustered?" — local Moran's I / LISA (``local_moran``),
+  the inferential sibling of the reference's hotspots;
+- "AT WHAT SCALE does spatial dependence act?" — the empirical
+  semivariogram (``empirical_variogram``) and Ripley's K/L
+  (``ripley_k``);
+- "what does the density surface look like?" — Gaussian KDE over cell
+  counts (``kde_smooth``, the sparse-raster twin of ``convolve_2d``);
+- "fill a raster from scattered measurements" — IDW interpolation
+  (``idw_interpolate``), the vector -> raster bridge.
 
 Design for 10^12 docs:
 
@@ -176,6 +184,361 @@ def global_autocorrelation(
         e_i.alias("expected_i"),
         F.when(ok & (var_i > 0), (i_stat - e_i) / F.sqrt(var_i)).alias("z_i"),
         F.when(ok, (n - 1) * F.col("_num_c") / (2.0 * s0 * m2)).alias("gearys_c"),
+    )
+
+
+def local_moran(
+    cells: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    value_col: str = "value",
+    contiguity: str = "queen",
+) -> DataFrame:
+    """Local Moran's I (LISA, Anselin 1995) per occupied cell:
+
+    ``(x, y, value, deg, lag, local_i, expected_i, z_i, quadrant)``
+
+    - ``local_i``   = (z_i / m2) * sum_j w_ij z_j  with z_i = x_i - xbar
+      and m2 = sum_k z_k^2 / n (population second moment);
+    - ``expected_i``= -deg_i / (n - 1) and ``z_i`` uses the Anselin
+      randomization moments with binary weights (sum_j w_ij^2 = deg_i,
+      sum_{k!=h} w_ik w_ih = deg_i^2 - deg_i, b2 = m4 / m2^2);
+    - ``quadrant``  = 'HH'/'LL'/'HL'/'LH' from the signs of z_i and the
+      spatial lag — NULL for island cells (deg = 0), whose local_i is 0
+      and z-score undefined.
+
+    The global statistic (``global_autocorrelation``) answers "is the
+    field clustered at all"; this answers WHERE — the per-cell hotspot/
+    coldspot map (reference analog: xrspatial/focal.py:hotspots, which
+    z-scores a focal mean; LISA is the inferential version).
+
+    Plan: the same shifted-key equi-join as the global statistic, one
+    per-cell aggregate, and ONE broadcast scalar attach carrying
+    (n, mean, m2, b2).  Exchanges are cell-scale only."""
+    base = cells.select(
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    # one scalar pass carries everything, b2 included: Spark's
+    # kurtosis() is the population excess g2 = m4/m2^2 - 3, so
+    # b2 = kurtosis + 3 rides the same aggregate as mean/m2
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_v").alias("_mean"),
+        (F.var_pop("_v") * F.count(F.lit(1))).alias("_m2s"),
+        (F.kurtosis("_v") + F.lit(3.0)).alias("_b2"),
+    )
+    pairs = neighbor_values(base, "_x", "_y", "_v", contiguity)
+    per_cell = pairs.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).cast("double").alias("_deg"),
+        F.sum("_vn").alias("_sum_vn"),
+    )
+    joined = (
+        base.join(per_cell, ["_x", "_y"], "left")
+        .select(
+            "_x", "_y", "_v",
+            F.coalesce(F.col("_deg"), F.lit(0.0)).alias("_deg"),
+            F.coalesce(F.col("_sum_vn"), F.lit(0.0)).alias("_sum_vn"),
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    n = F.col("_n")
+    m2 = F.col("_m2s") / n
+    z = F.col("_v") - F.col("_mean")
+    lag_z = F.col("_sum_vn") - F.col("_deg") * F.col("_mean")
+    deg = F.col("_deg")
+    ok = (F.col("_m2s") > 0) & (deg > 0) & (n > 2)
+    local_i = F.when(F.col("_m2s") > 0, z / m2 * lag_z).otherwise(F.lit(None))
+    e_i = F.when(deg > 0, -deg / (n - 1.0))
+    b2c = F.col("_b2")
+    var_i = (
+        deg * (n - b2c) / (n - 1.0)
+        + (deg * deg - deg) * (2.0 * b2c - n) / ((n - 1.0) * (n - 2.0))
+        - (deg * deg) / ((n - 1.0) * (n - 1.0))
+    )
+    quadrant = F.when(
+        deg > 0,
+        F.when((z >= 0) & (lag_z >= 0), F.lit("HH"))
+        .when((z < 0) & (lag_z < 0), F.lit("LL"))
+        .when(z >= 0, F.lit("HL"))
+        .otherwise(F.lit("LH")),
+    )
+    return joined.select(
+        F.col("_x").alias(x_col),
+        F.col("_y").alias(y_col),
+        F.col("_v").alias(value_col),
+        deg.cast("int").alias("deg"),
+        lag_z.alias("lag"),
+        local_i.alias("local_i"),
+        e_i.alias("expected_i"),
+        F.when(ok & (var_i > 0), (local_i - e_i) / F.sqrt(var_i)).alias("z_i"),
+        quadrant.alias("quadrant"),
+    )
+
+
+def point_pairs(
+    points: DataFrame,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str | None = None,
+    max_dist: float = 1.0,
+) -> DataFrame:
+    """Unordered point pairs within ``max_dist``: one row per pair with
+    ``(id_a, id_b, d2)`` (+ ``v_a, v_b`` when ``value_col`` given),
+    ``id_a < id_b``, ``0 < sqrt(d2) <= max_dist``.
+
+    Same 3x3 eps-grid equi-join as operators/dbscan.neighbor_pairs —
+    grid cell size = max_dist, so any qualifying pair is at most one
+    cell apart and each unordered pair is produced exactly once (the
+    id_a < id_b gate).  The exchange is pairs-shaped,
+    O(n * avg density within max_dist); exact pair statistics ARE that
+    big.  For corpus-scale variograms sample points first (the
+    standard geostatistics practice) — the estimator is unbiased under
+    uniform sampling."""
+    if max_dist <= 0:
+        raise ValueError("max_dist must be > 0")
+    cols = [
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ]
+    if value_col is not None:
+        cols.append(F.col(value_col).cast("double").alias("_v"))
+    pts = points.select(*cols)
+    keyed = pts.withColumn(
+        "_cx", F.floor(F.col("_x") / F.lit(float(max_dist)))
+    ).withColumn("_cy", F.floor(F.col("_y") / F.lit(float(max_dist))))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    lsel = [
+        F.col("_id").alias("_aid"),
+        F.col("_x").alias("_ax"),
+        F.col("_y").alias("_ay"),
+        (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
+        (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
+    ]
+    rsel = [
+        F.col("_id").alias("_bid"),
+        F.col("_x").alias("_bx"),
+        F.col("_y").alias("_by"),
+        "_cx", "_cy",
+    ]
+    if value_col is not None:
+        lsel.insert(3, F.col("_v").alias("_av"))
+        rsel.insert(3, F.col("_v").alias("_bv"))
+    left = keyed.withColumn("_o", F.explode(offs)).select(*lsel)
+    right = keyed.select(*rsel)
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    d2 = dx * dx + dy * dy
+    out = [
+        F.col("_aid").alias("id_a"),
+        F.col("_bid").alias("id_b"),
+        d2.alias("d2"),
+    ]
+    if value_col is not None:
+        out += [F.col("_av").alias("v_a"), F.col("_bv").alias("v_b")]
+    return (
+        left.join(right, ["_cx", "_cy"])
+        .where(
+            (F.col("_aid") < F.col("_bid"))
+            & (d2 > 0)
+            & (d2 <= F.lit(float(max_dist) * float(max_dist)))
+        )
+        .select(*out)
+    )
+
+
+def empirical_variogram(
+    points: DataFrame,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str = "value",
+    bin_width: float = 1.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Empirical (Matheron) semivariogram over planar points:
+
+    ``(bin, h_lo, h_hi, n_pairs, gamma)`` with
+    gamma(h) = sum_{pairs in bin} (v_i - v_j)^2 / (2 * n_pairs),
+    bin = floor(dist / bin_width) over 0 < dist <= bin_width * n_bins.
+
+    The foundation of kriging / spatial-scale analysis: the range
+    where gamma plateaus is the distance beyond which page properties
+    stop being spatially related — the principled way to pick zoom
+    levels and KDE bandwidths for the rest of this module.
+
+    Plan: ``point_pairs`` at max_dist = bin_width * n_bins (one
+    grid equi-join), then ONE hash aggregate of pairs -> n_bins rows.
+    When the value column is integer-derived, (v_i - v_j)^2 sums are
+    exact in float64, so gamma is bit-identical across engines."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    max_dist = float(bin_width) * n_bins
+    pairs = point_pairs(points, id_col, x_col, y_col, value_col, max_dist)
+    dv = F.col("v_a") - F.col("v_b")
+    bin_col = F.least(
+        F.floor(F.sqrt(F.col("d2")) / F.lit(float(bin_width))),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        pairs.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.sum(dv * dv) / (2.0 * F.count(F.lit(1)))).alias("gamma"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * float(bin_width)).alias("h_lo"),
+            ((F.col("bin") + 1) * float(bin_width)).alias("h_hi"),
+            "n_pairs",
+            "gamma",
+        )
+    )
+
+
+def ripley_k(
+    points: DataFrame,
+    radii: list[float],
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    area: float = 1.0,
+) -> DataFrame:
+    """Ripley's K and L functions (no edge correction) at the given
+    radii: ``(r, n_pairs, k, l)`` with
+
+    K(r) = area * 2 * #{unordered pairs with dist <= r} / (n * (n-1))
+    L(r) = sqrt(K(r) / pi)       (L(r) - r > 0  <=>  clustered at r)
+
+    The point-pattern scale diagnostic: where DBSCAN answers "which
+    points cluster", K answers "AT WHAT SCALES does the whole pattern
+    cluster vs disperse".  No edge correction is applied (at web scale
+    the window is the whole world and boundary effects vanish); for
+    small windows compare against the uncorrected CSR expectation
+    K(r) = pi r^2 of a simulated uniform pattern rather than the
+    closed form.
+
+    Plan: ``point_pairs`` once at max(radii), then ONE aggregate with
+    a conditional count per radius (radii are literals) and a
+    broadcast n attach.  Pair counts are integers, so K/L replay
+    bit-identically in any engine."""
+    if not radii or any(r <= 0 for r in radii):
+        raise ValueError("radii must be non-empty and positive")
+    rs = sorted(float(r) for r in radii)
+    pairs = point_pairs(points, id_col, x_col, y_col, None, rs[-1])
+    counts = pairs.agg(*[
+        F.coalesce(
+            F.sum(F.when(F.col("d2") <= F.lit(r * r), 1)), F.lit(0)
+        ).alias(f"_c{i}")
+        for i, r in enumerate(rs)
+    ])
+    n_row = points.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    wide = counts.crossJoin(F.broadcast(n_row))
+    per_r = [
+        wide.select(
+            F.lit(r).alias("r"),
+            F.col(f"_c{i}").cast("long").alias("n_pairs"),
+            (
+                F.lit(float(area)) * 2.0 * F.col(f"_c{i}")
+                / (F.col("_n") * (F.col("_n") - 1.0))
+            ).alias("k"),
+        )
+        for i, r in enumerate(rs)
+    ]
+    out = per_r[0]
+    for df in per_r[1:]:
+        out = out.unionByName(df)
+    return out.select("r", "n_pairs", "k", F.sqrt(F.col("k") / math.pi).alias("l"))
+
+
+def idw_interpolate(
+    known: DataFrame,
+    targets: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str = "value",
+    power: float = 2.0,
+    radius: float = 1.0,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation: predict ``value`` at
+    each target from known points within ``radius``:
+
+    ``(x, y, n_neighbors, predicted)`` — predicted = NULL when no
+    known point is in range; an exact-coordinate hit (d = 0) takes
+    the known value directly (the classical IDW convention; averaged
+    when several known points share the coordinate).
+
+    The vector -> raster bridge the reference lacks: scattered point
+    measurements become a dense surface that the raster operators
+    (slope, focal, classify) can then consume.
+
+    Plan: bucket BOTH frames into a radius-sized grid, one 3x3
+    shifted-key equi-join (targets explode the offsets), then one
+    groupBy(target).  Exchange is candidate-pair-shaped; the grid IS
+    the spatial index, no nested-loop join."""
+    if radius <= 0:
+        raise ValueError("radius must be > 0")
+    r = float(radius)
+    tgt = targets.select(
+        F.col(x_col).cast("double").alias("_tx"),
+        F.col(y_col).cast("double").alias("_ty"),
+    ).withColumn("_cx", F.floor(F.col("_tx") / F.lit(r))).withColumn(
+        "_cy", F.floor(F.col("_ty") / F.lit(r))
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    tgt_x = tgt.withColumn("_o", F.explode(offs)).select(
+        "_tx", "_ty",
+        (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
+        (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
+    )
+    src = known.select(
+        F.col(x_col).cast("double").alias("_kx"),
+        F.col(y_col).cast("double").alias("_ky"),
+        F.col(value_col).cast("double").alias("_kv"),
+    ).withColumn("_cx", F.floor(F.col("_kx") / F.lit(r))).withColumn(
+        "_cy", F.floor(F.col("_ky") / F.lit(r))
+    )
+    dx = F.col("_tx") - F.col("_kx")
+    dy = F.col("_ty") - F.col("_ky")
+    d2 = dx * dx + dy * dy
+    cand = (
+        tgt_x.join(src, ["_cx", "_cy"])
+        .where(d2 <= F.lit(r * r))
+        .select("_tx", "_ty", "_kv", d2.alias("_d2"))
+    )
+    w = F.pow(F.col("_d2"), F.lit(-float(power) / 2.0))
+    agg = cand.groupBy("_tx", "_ty").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.sum(F.when(F.col("_d2") == 0, 1)).alias("_nhit"),
+        F.avg(F.when(F.col("_d2") == 0, F.col("_kv"))).alias("_vhit"),
+        F.sum(F.when(F.col("_d2") > 0, w * F.col("_kv"))).alias("_wv"),
+        F.sum(F.when(F.col("_d2") > 0, w)).alias("_w"),
+    )
+    pred = F.when(F.col("_nhit") > 0, F.col("_vhit")).otherwise(
+        F.col("_wv") / F.col("_w")
+    )
+    return (
+        tgt.select("_tx", "_ty")
+        .join(agg, ["_tx", "_ty"], "left")
+        .select(
+            F.col("_tx").alias(x_col),
+            F.col("_ty").alias(y_col),
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).cast("int").alias(
+                "n_neighbors"
+            ),
+            pred.alias("predicted"),
+        )
     )
 
 
