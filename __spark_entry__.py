@@ -3183,6 +3183,43 @@ def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spacetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot trend core (operators/spatialstats.
+    mann_kendall_trend): per-z3-cell Mann-Kendall S + tie-corrected z
+    + Theil-Sen slope over daily event counts, events geocoded on the
+    deterministic lattice.  S and the tie groups are exact integers,
+    so the oracle replays the statistic bit-for-bit; z/slope ship
+    float32 (sqrt/median on identical doubles — belt and braces)."""
+    from xarray_spatial_spark.operators import spatialstats as sps
+
+    z = 3
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("lat", geocode_lat(F.col("event_id")))
+        .withColumn("lon", geocode_lon(F.col("event_id")))
+    )
+    cube = (
+        ev.withColumn("tile_x", grid.tile_x_col(F.col("lon"), z))
+        .withColumn("tile_y", grid.tile_y_col(F.col("lat"), z))
+        .groupBy(
+            "tile_x",
+            "tile_y",
+            F.floor(F.unix_timestamp("ts") / 86400).alias("t"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    out = sps.mann_kendall_trend(cube)
+    return out.select(
+        "tile_x",
+        "tile_y",
+        "n_periods",
+        "s",
+        F.col("z").cast("float").alias("z"),
+        F.col("slope").cast("float").alias("slope"),
+        "trend",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness run evaluates the first
     50 entries.  Every oracle-backed query (an ``oracle_sql()`` key)
@@ -3259,6 +3296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram": q_variogram,
         "ripley": q_ripley,
         "idw": q_idw,
+        "spacetime": q_spacetime,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -5128,6 +5166,58 @@ def oracle_sql() -> dict[str, str]:
                         WHEN z < 0 AND lag < 0 THEN 'LL'
                         WHEN z >= 0 THEN 'HL'
                         ELSE 'LH' END AS quadrant
+            FROM e
+        """,
+        # spacetime: Mann-Kendall per z3 cell over daily event counts —
+        # S / tie groups are exact integers, slope median interpolates
+        # identical doubles; z/slope float32 belt-and-braces
+        "spacetime": f"""
+            WITH cube AS (
+              SELECT {_sql_tile_x(3, SQL_LON.replace('doc_id', 'event_id'))} AS x,
+                     {_sql_tile_y(3, SQL_LAT.replace('doc_id', 'event_id'))} AS y,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events GROUP BY 1, 2, 3
+            ),
+            p AS (
+              SELECT a.x, a.y,
+                     sum(sign(b.v - a.v)) AS s,
+                     median((b.v - a.v) / CAST(b.t - a.t AS DOUBLE)) AS slope
+              FROM cube a JOIN cube b
+                ON a.x = b.x AND a.y = b.y AND a.t < b.t
+              GROUP BY 1, 2
+            ),
+            tg AS (
+              SELECT x, y, v, CAST(count(*) AS DOUBLE) AS tgc
+              FROM cube GROUP BY 1, 2, 3
+            ),
+            ties AS (
+              SELECT x, y, sum(tgc) AS n,
+                     sum(tgc * (tgc - 1) * (2 * tgc + 5)) AS tie_sum
+              FROM tg GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT t.x, t.y, t.n, coalesce(p.s, 0) AS s, p.slope,
+                     (t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_sum) / 18.0
+                       AS var_s
+              FROM ties t LEFT JOIN p ON p.x = t.x AND p.y = t.y
+            ),
+            e AS (
+              SELECT *,
+                     CASE WHEN n >= 3 AND var_s > 0 THEN
+                       CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                            WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                            ELSE 0.0 END
+                     END AS z
+              FROM j
+            )
+            SELECT x AS tile_x, y AS tile_y, CAST(n AS INT) AS n_periods,
+                   CAST(s AS BIGINT) AS s, CAST(z AS FLOAT) AS z,
+                   CAST(slope AS FLOAT) AS slope,
+                   CASE WHEN z IS NULL THEN NULL
+                        WHEN z > 1.959963984540054 THEN 'increasing'
+                        WHEN z < -1.959963984540054 THEN 'decreasing'
+                        ELSE 'none' END AS trend
             FROM e
         """,
         # variogram / ripley: brute-force pair joins — integer values

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "variogram",
     "ripley",
     "idw",
+    "spacetime",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -331,6 +331,90 @@ def test_idw_matches_brute(spark):
         assert g["predicted"] == pytest.approx(ref, rel=1e-12)
 
 
+def _brute_mk(series, alpha_z=1.959963984540054):
+    """series: list of (t, v) for one cell."""
+    series = sorted(series)
+    n = len(series)
+    s = 0
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            dv = series[j][1] - series[i][1]
+            s += (dv > 0) - (dv < 0)
+            slopes.append(dv / (series[j][0] - series[i][0]))
+    from collections import Counter
+
+    ties = Counter(v for _, v in series)
+    tie_sum = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var = (n * (n - 1) * (2 * n + 5) - tie_sum) / 18.0
+    z = None
+    if n >= 3 and var > 0:
+        z = (s - 1) / math.sqrt(var) if s > 0 else (
+            (s + 1) / math.sqrt(var) if s < 0 else 0.0)
+    slope = float(np.median(slopes)) if slopes else None
+    if z is None:
+        trend = None
+    elif z > alpha_z:
+        trend = "increasing"
+    elif z < -alpha_z:
+        trend = "decreasing"
+    else:
+        trend = "none"
+    return dict(n=n, s=s, z=z, slope=slope, trend=trend)
+
+
+def test_mann_kendall_matches_brute(spark):
+    rng = np.random.default_rng(13)
+    rows = []
+    cells = {}
+    for cx in range(4):
+        for cy in range(3):
+            T = int(rng.integers(1, 15))
+            ser = [(t, float(rng.integers(0, 8))) for t in range(T)]
+            cells[(cx, cy)] = ser
+            rows += [(cx, cy, t, v) for t, v in ser]
+    df = spark.createDataFrame(rows, "tile_x: long, tile_y: long, t: long, value: double")
+    got = {(r["tile_x"], r["tile_y"]): r
+           for r in sps.mann_kendall_trend(df).collect()}
+    assert set(got) == set(cells)
+    for k, ser in cells.items():
+        ref = _brute_mk(ser)
+        g = got[k]
+        assert g["n_periods"] == ref["n"]
+        assert g["s"] == ref["s"]
+        if ref["z"] is None:
+            assert g["z"] is None
+        else:
+            assert g["z"] == pytest.approx(ref["z"], abs=1e-12)
+        if ref["slope"] is None:
+            assert g["slope"] is None
+        else:
+            assert g["slope"] == pytest.approx(ref["slope"], abs=1e-12)
+        assert g["trend"] == ref["trend"]
+
+
+def test_mann_kendall_known_trends(spark):
+    rows = (
+        # strictly increasing: z > 1.96, slope 2
+        [(0, 0, t, 2.0 * t) for t in range(10)]
+        # strictly decreasing
+        + [(1, 0, t, -1.0 * t) for t in range(10)]
+        # constant (all ties): var = 0 -> NULL z / trend
+        + [(2, 0, t, 5.0) for t in range(10)]
+        # single period
+        + [(3, 0, 0, 1.0)]
+    )
+    df = spark.createDataFrame(rows, "tile_x: long, tile_y: long, t: long, value: double")
+    got = {(r["tile_x"], r["tile_y"]): r
+           for r in sps.mann_kendall_trend(df).collect()}
+    assert got[(0, 0)]["trend"] == "increasing"
+    assert got[(0, 0)]["s"] == 45 and got[(0, 0)]["slope"] == pytest.approx(2.0)
+    assert got[(1, 0)]["trend"] == "decreasing"
+    assert got[(2, 0)]["z"] is None and got[(2, 0)]["trend"] is None
+    assert got[(3, 0)]["n_periods"] == 1 and got[(3, 0)]["s"] == 0
+    assert got[(3, 0)]["slope"] is None
+
+
 def test_kde_mass_conserved(spark):
     # total output mass == total input mass * kernel sum (scatter form)
     rows = [(0, 0, 2.0), (5, 5, 3.0), (5, 6, 1.0)]

@@ -542,6 +542,93 @@ def idw_interpolate(
     )
 
 
+def mann_kendall_trend(
+    cube: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    t_col: str = "t",
+    value_col: str = "value",
+    alpha_z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-cell Mann-Kendall monotonic-trend test + Theil-Sen slope
+    over a space-time cube (the ESRI "emerging hot spot" trend core):
+
+    ``(x, y, n_periods, s, z, slope, trend)``
+
+    - ``s``     = sum_{i<j} sign(v_j - v_i) over the cell's time
+      series (exact integer);
+    - ``z``     = the tie-corrected normal approximation
+      (Var[S] = [T(T-1)(2T+5) - sum_g t_g(t_g-1)(2t_g+5)] / 18, with
+      the +-1 continuity correction; NULL when T < 3 or Var = 0);
+    - ``slope`` = Theil-Sen median of pairwise slopes
+      (v_j - v_i)/(t_j - t_i) — the robust trend magnitude;
+    - ``trend`` = 'increasing' / 'decreasing' / 'none' at ``alpha_z``
+      (default two-sided 5%).
+
+    Distributed shape: the time dimension is BOUNDED (callers bucket
+    to days/weeks — T is tens, never corpus-scale), so the per-cell
+    pair explosion is T^2/2 rows per cell via one (cell)-keyed
+    self-join; everything else is two hash aggregates.  The exchange
+    is cells x T^2 — independent of document count.
+
+    Nondeterminism note: S and the tie groups are exact integers, so
+    the statistic replays bit-identically in any engine; the median
+    interpolates (a+b)/2 on identical doubles."""
+    base = cube.select(
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    a = base.select("_x", "_y", F.col("_t").alias("_ti"), F.col("_v").alias("_vi"))
+    b = base.select("_x", "_y", F.col("_t").alias("_tj"), F.col("_v").alias("_vj"))
+    pairs = a.join(b, ["_x", "_y"]).where(F.col("_ti") < F.col("_tj"))
+    pair_agg = pairs.groupBy("_x", "_y").agg(
+        F.sum(F.signum(F.col("_vj") - F.col("_vi"))).alias("_s"),
+        F.expr(
+            "percentile((_vj - _vi) / CAST(_tj - _ti AS DOUBLE), 0.5)"
+        ).alias("_slope"),
+    )
+    # tie correction: group sizes of equal VALUES within the cell
+    ties = (
+        base.groupBy("_x", "_y", "_v")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tg"))
+        .groupBy("_x", "_y")
+        .agg(
+            F.sum("_tg").alias("_n"),
+            F.sum(
+                F.col("_tg") * (F.col("_tg") - 1) * (2 * F.col("_tg") + 5)
+            ).alias("_tie_sum"),
+        )
+    )
+    n = F.col("_n")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("_tie_sum")) / 18.0
+    s = F.col("_s")
+    z = F.when(
+        (n >= 3) & (var_s > 0),
+        F.when(s > 0, (s - 1) / F.sqrt(var_s))
+        .when(s < 0, (s + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    trend = F.when(z.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(z > alpha_z, F.lit("increasing"))
+        .when(z < -alpha_z, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+    )
+    return (
+        ties.join(pair_agg, ["_x", "_y"], "left")
+        .select(
+            F.col("_x").alias(x_col),
+            F.col("_y").alias(y_col),
+            n.cast("int").alias("n_periods"),
+            F.coalesce(s, F.lit(0.0)).cast("long").alias("s"),
+            z.alias("z"),
+            F.col("_slope").alias("slope"),
+            trend.alias("trend"),
+        )
+    )
+
+
 def kde_weights(radius: int, sigma: float) -> list[tuple[int, int, float]]:
     """The literal (dx, dy, weight) table for a truncated Gaussian
     kernel — computed driver-side once, shipped as constants, and
