@@ -3183,6 +3183,49 @@ def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary kriging of per-doc n_chars onto the z3 occupied-tile
+    centers under a variogram fitted from the data itself
+    (empirical_variogram -> variogram_fit -> ordinary_krige) — the
+    full geostatistics path in one query.  Rows-only: the per-target
+    k x k solves are not SQL-expressible; semantics are pinned by
+    tests/test_spatialstats.py's brute-force OK reference (exactness
+    at known coordinates, constant-field reproduction)."""
+    from xarray_spatial_spark.operators import spatialstats as sps
+
+    pts = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.col("lon").alias("x"),
+        F.col("lat").alias("y"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    vg = sps.empirical_variogram(
+        pts, bin_width=VARIOGRAM_BIN_W, n_bins=VARIOGRAM_BINS
+    )
+    params = sps.variogram_fit(vg, model="spherical")
+    z = 3
+    n = 1 << z
+    targets = (
+        _doc_tiles(spark, sf_dir, z)
+        .select("tile_x", "tile_y")
+        .distinct()
+        .select(
+            ((F.col("tile_x") + 0.5) / n * 360.0 - 180.0).alias("x"),
+            (90.0 - (F.col("tile_y") + 0.5) / n * 180.0).alias("y"),
+        )
+    )
+    out = sps.ordinary_krige(
+        pts.drop("id"), targets, params, radius=15.0, k=12
+    )
+    return out.select(
+        "x",
+        "y",
+        "n_neighbors",
+        F.round("predicted", 4).alias("predicted"),
+        F.round("variance", 4).alias("variance"),
+    )
+
+
 def q_spacetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Emerging-hotspot trend core (operators/spatialstats.
     mann_kendall_trend): per-z3-cell Mann-Kendall S + tie-corrected z
@@ -3331,6 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "traps": q_traps,
         "spatial_part": q_spatial_part,
+        "krige": q_krige,
     }
 
 

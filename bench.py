@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "ripley",
     "idw",
     "spacetime",
+    "krige",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -115,6 +115,10 @@ def test_oracle_keys_subset_of_queries():
         # recursive KD median fit has no SQL twin; balance, salting,
         # driver==distributed parity and plan pins are pytest-asserted
         "spatial_part",
+        # per-target k x k kriging solves have no SQL twin; brute-force
+        # OK parity, exactness-at-known and constant-field reproduction
+        # are pytest-asserted (test_spatialstats.py)
+        "krige",
     }
 
 

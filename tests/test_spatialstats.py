@@ -415,6 +415,105 @@ def test_mann_kendall_known_trends(spark):
     assert got[(3, 0)]["slope"] is None
 
 
+def _brute_krige(known, tx, ty, params, radius, k):
+    """Reference OK solve with the same neighbor rule."""
+    model, nug, sill, rng_ = (params["model"], params["nugget"],
+                              params["sill"], params["range"])
+
+    def gam(h):
+        h = np.asarray(h, dtype=float)
+        if model == "spherical":
+            u = np.minimum(h / rng_, 1.0)
+            g = nug + (sill - nug) * (1.5 * u - 0.5 * u**3)
+        else:
+            g = nug + (sill - nug) * (1.0 - np.exp(-3.0 * h / rng_))
+        return np.where(h == 0.0, 0.0, g)
+
+    cand = [(kx, ky, kv, (tx - kx) ** 2 + (ty - ky) ** 2)
+            for kx, ky, kv in known
+            if (tx - kx) ** 2 + (ty - ky) ** 2 <= radius**2]
+    cand.sort(key=lambda s: (s[3], s[0], s[1]))
+    nb = cand[:k]
+    if not nb:
+        return 0, None, None
+    xs = np.array([s[0] for s in nb])
+    ys = np.array([s[1] for s in nb])
+    vs = np.array([s[2] for s in nb])
+    m = len(nb)
+    dd = np.sqrt((xs[:, None] - xs[None, :]) ** 2
+                 + (ys[:, None] - ys[None, :]) ** 2)
+    A = np.empty((m + 1, m + 1))
+    A[:m, :m] = gam(dd)
+    A[m, :m] = 1.0
+    A[:m, m] = 1.0
+    A[m, m] = 0.0
+    g0 = gam(np.sqrt((xs - tx) ** 2 + (ys - ty) ** 2))
+    b = np.append(g0, 1.0)
+    sol = np.linalg.solve(A, b)
+    return m, float(sol[:m] @ vs), float(max(sol[:m] @ g0 + sol[m], 0.0))
+
+
+def test_variogram_fit_recovers_model(spark):
+    # build a synthetic empirical variogram straight from a spherical
+    # model and check the WLS fit recovers its parameters
+    nug, sill, rng_ = 2.0, 10.0, 12.0
+    rows = []
+    for b in range(8):
+        h = (b + 0.5) * 2.0
+        u = min(h / rng_, 1.0)
+        rows.append((b, b * 2.0, (b + 1) * 2.0, 1000,
+                     nug + (sill - nug) * (1.5 * u - 0.5 * u**3)))
+    df = spark.createDataFrame(
+        rows, "bin: int, h_lo: double, h_hi: double, n_pairs: long, gamma: double")
+    fit = sps.variogram_fit(df, model="spherical")
+    assert fit["nugget"] == pytest.approx(nug, abs=0.3)
+    assert fit["sill"] == pytest.approx(sill, abs=0.3)
+    assert fit["range"] == pytest.approx(rng_, rel=0.15)
+
+
+def test_krige_matches_brute_and_is_exact(spark):
+    rng = np.random.default_rng(17)
+    known = [(float(rng.uniform(0, 10)), float(rng.uniform(0, 10)),
+              float(rng.normal(50, 10))) for _ in range(60)]
+    targets = [(float(rng.uniform(0, 10)), float(rng.uniform(0, 10)))
+               for _ in range(15)]
+    targets.append((known[3][0], known[3][1]))   # exact known coordinate
+    targets.append((500.0, 500.0))               # no neighbors
+    params = {"model": "spherical", "nugget": 1.0, "sill": 8.0, "range": 4.0}
+    kdf = spark.createDataFrame(known, "x: double, y: double, value: double")
+    tdf = spark.createDataFrame(targets, "x: double, y: double")
+    radius, kk = 3.0, 8
+    got = {(r["x"], r["y"]): r for r in
+           sps.ordinary_krige(kdf, tdf, params, radius=radius, k=kk).collect()}
+    assert len(got) == len(set(targets))
+    for tx, ty in set(targets):
+        m, pred, var = _brute_krige(known, tx, ty, params, radius, kk)
+        g = got[(tx, ty)]
+        assert g["n_neighbors"] == m
+        if m == 0:
+            assert g["predicted"] is None
+            continue
+        assert g["predicted"] == pytest.approx(pred, rel=1e-9)
+        assert g["variance"] == pytest.approx(var, rel=1e-9, abs=1e-9)
+    # exactness: target on a known coordinate reproduces the value
+    # with zero variance, nugget notwithstanding
+    g = got[(known[3][0], known[3][1])]
+    assert g["predicted"] == pytest.approx(known[3][2], rel=1e-9)
+    assert g["variance"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_krige_constant_field(spark):
+    known = [(float(x), float(y), 7.0) for x in range(5) for y in range(5)]
+    kdf = spark.createDataFrame(known, "x: double, y: double, value: double")
+    tdf = spark.createDataFrame([(2.3, 2.7), (0.1, 3.9)], "x: double, y: double")
+    params = {"model": "exponential", "nugget": 0.5, "sill": 3.0, "range": 2.0}
+    out = sps.ordinary_krige(kdf, tdf, params, radius=2.0, k=6).collect()
+    for r in out:
+        # weights sum to 1, so a constant field predicts the constant
+        assert r["predicted"] == pytest.approx(7.0, rel=1e-9)
+        assert r["variance"] >= 0
+
+
 def test_kde_mass_conserved(spark):
     # total output mass == total input mass * kernel sum (scatter form)
     rows = [(0, 0, 2.0), (5, 5, 3.0), (5, 6, 1.0)]

@@ -542,6 +542,221 @@ def idw_interpolate(
     )
 
 
+def variogram_fit(
+    variogram: DataFrame,
+    model: str = "spherical",
+) -> dict:
+    """Weighted-least-squares fit of a ``spherical`` or ``exponential``
+    model to an ``empirical_variogram`` output, returning
+    ``{"model", "nugget", "sill", "range"}``.
+
+    gamma_sph(h) = nugget + psill * (1.5 h/a - 0.5 (h/a)^3), h < a
+                   nugget + psill,                           h >= a
+    gamma_exp(h) = nugget + psill * (1 - exp(-3 h / a))
+
+    The empirical variogram is BINS-scale (tens of rows), so the fit
+    is driver-side by construction: collect the bins, grid-search the
+    range over the bin midpoints x a refinement grid, and solve the
+    (nugget, psill) linear WLS (weights = n_pairs) in closed form per
+    candidate range — the standard gstat-style profile fit, no
+    iterative optimizer, fully deterministic."""
+    if model not in ("spherical", "exponential"):
+        raise ValueError("model must be 'spherical' or 'exponential'")
+    import numpy as np
+
+    rows = variogram.select("h_lo", "h_hi", "n_pairs", "gamma").collect()
+    if not rows:
+        raise ValueError("empty variogram")
+    h = np.array([(r["h_lo"] + r["h_hi"]) / 2.0 for r in rows])
+    g = np.array([float(r["gamma"]) for r in rows])
+    w = np.array([float(r["n_pairs"]) for r in rows])
+    hmax = float(h.max())
+
+    def basis(a: float) -> np.ndarray:
+        if model == "spherical":
+            u = np.minimum(h / a, 1.0)
+            return 1.5 * u - 0.5 * u**3
+        return 1.0 - np.exp(-3.0 * h / a)
+
+    best = None
+    for a in np.linspace(hmax / 20.0, 2.0 * hmax, 80):
+        b = basis(float(a))
+        # WLS for gamma ~ c0 + c1 * b  (2x2 normal equations)
+        sw, swb = w.sum(), (w * b).sum()
+        swbb, swg, swbg = (w * b * b).sum(), (w * g).sum(), (w * b * g).sum()
+        det = sw * swbb - swb * swb
+        if det <= 0:
+            continue
+        c0 = (swbb * swg - swb * swbg) / det
+        c1 = (sw * swbg - swb * swg) / det
+        c0, c1 = max(c0, 0.0), max(c1, 0.0)
+        sse = float((w * (g - c0 - c1 * b) ** 2).sum())
+        if best is None or sse < best[0]:
+            best = (sse, c0, c1, float(a))
+    _, nugget, psill, rng = best
+    return {
+        "model": model,
+        "nugget": nugget,
+        "sill": nugget + psill,
+        "range": rng,
+    }
+
+
+def ordinary_krige(
+    known: DataFrame,
+    targets: DataFrame,
+    params: dict,
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str = "value",
+    radius: float = 1.0,
+    k: int = 12,
+) -> DataFrame:
+    """Local ordinary kriging: predict ``value`` (+ kriging variance)
+    at each target from its ``k`` nearest known points within
+    ``radius``, under a fitted variogram model (``variogram_fit``
+    output or a hand-built dict):
+
+    ``(x, y, n_neighbors, predicted, variance)``
+
+    Solves the standard OK system per target —
+    ``[[Gamma, 1], [1^T, 0]] [w, mu] = [gamma0, 1]`` — which makes the
+    predictor EXACT at known points (a target on a known coordinate
+    gets that value back with zero variance).
+
+    Distributed shape: candidates come from the same radius-grid 3x3
+    equi-join as ``idw_interpolate``; per-target top-k is one window
+    over candidates (deterministic d2-then-coordinate tie-break); the
+    k x k solves batch through ONE applyInPandas stage (k is a small
+    constant, so each solve is O(k^3) driver-free numpy).  Exchange =
+    candidates + one (target)-keyed shuffle; nothing is corpus-scale.
+    """
+    import numpy as np  # noqa: F401  (executor-side import below)
+
+    from pyspark.sql import Window
+
+    if radius <= 0 or k < 1:
+        raise ValueError("radius must be > 0 and k >= 1")
+    r = float(radius)
+    model = params["model"]
+    nugget = float(params["nugget"])
+    sill = float(params["sill"])
+    rng = float(params["range"])
+    tgt = targets.select(
+        F.col(x_col).cast("double").alias("_tx"),
+        F.col(y_col).cast("double").alias("_ty"),
+    ).withColumn("_cx", F.floor(F.col("_tx") / F.lit(r))).withColumn(
+        "_cy", F.floor(F.col("_ty") / F.lit(r))
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    tgt_x = tgt.withColumn("_o", F.explode(offs)).select(
+        "_tx", "_ty",
+        (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
+        (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
+    )
+    src = known.select(
+        F.col(x_col).cast("double").alias("_kx"),
+        F.col(y_col).cast("double").alias("_ky"),
+        F.col(value_col).cast("double").alias("_kv"),
+    ).withColumn("_cx", F.floor(F.col("_kx") / F.lit(r))).withColumn(
+        "_cy", F.floor(F.col("_ky") / F.lit(r))
+    )
+    dxc = F.col("_tx") - F.col("_kx")
+    dyc = F.col("_ty") - F.col("_ky")
+    d2 = dxc * dxc + dyc * dyc
+    cand = (
+        tgt_x.join(src, ["_cx", "_cy"])
+        .where(d2 <= F.lit(r * r))
+        .select("_tx", "_ty", "_kx", "_ky", "_kv", d2.alias("_d2"))
+    )
+    wnd = Window.partitionBy("_tx", "_ty").orderBy("_d2", "_kx", "_ky")
+    top = cand.withColumn("_rn", F.row_number().over(wnd)).where(
+        F.col("_rn") <= k
+    )
+    gathered = top.groupBy("_tx", "_ty").agg(
+        F.collect_list(F.struct("_kx", "_ky", "_kv", "_d2")).alias("_nb")
+    )
+
+    out_schema = (
+        "_tx double, _ty double, n_neighbors int, "
+        "predicted double, variance double"
+    )
+
+    def _solve(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        def gamma_of(h):
+            # gamma(0) = 0 BY DEFINITION (the nugget is the h->0+
+            # limit) — this is what makes the predictor exact at
+            # known coordinates
+            if model == "spherical":
+                u = np.minimum(h / rng, 1.0)
+                g = nugget + (sill - nugget) * (1.5 * u - 0.5 * u**3)
+            else:
+                g = nugget + (sill - nugget) * (1.0 - np.exp(-3.0 * h / rng))
+            return np.where(h == 0.0, 0.0, g)
+
+        for pdf in pdf_iter:
+            rows = []
+            for _, row in pdf.iterrows():
+                nb = sorted(row["_nb"], key=lambda s: (s["_d2"], s["_kx"], s["_ky"]))
+                m = len(nb)
+                xs = np.array([s["_kx"] for s in nb])
+                ys = np.array([s["_ky"] for s in nb])
+                vs = np.array([s["_kv"] for s in nb])
+                dd = np.sqrt(
+                    (xs[:, None] - xs[None, :]) ** 2
+                    + (ys[:, None] - ys[None, :]) ** 2
+                )
+                A = np.empty((m + 1, m + 1))
+                A[:m, :m] = gamma_of(dd)
+                np.fill_diagonal(A[:m, :m], 0.0)
+                A[m, :m] = 1.0
+                A[:m, m] = 1.0
+                A[m, m] = 0.0
+                g0 = gamma_of(
+                    np.sqrt((xs - row["_tx"]) ** 2 + (ys - row["_ty"]) ** 2)
+                )
+                b = np.append(g0, 1.0)
+                try:
+                    sol = np.linalg.solve(A, b)
+                except np.linalg.LinAlgError:
+                    # duplicate known coordinates make A singular —
+                    # fall back to the pseudo-inverse (same predictor
+                    # on the consistent system)
+                    sol = np.linalg.lstsq(A, b, rcond=None)[0]
+                wgt, mu = sol[:m], sol[m]
+                pred = float(wgt @ vs)
+                var = float(max(wgt @ g0 + mu, 0.0))
+                rows.append(
+                    (row["_tx"], row["_ty"], m, pred, var)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["_tx", "_ty", "n_neighbors", "predicted", "variance"],
+            )
+
+    solved = gathered.mapInPandas(_solve, out_schema)
+    return (
+        tgt.select("_tx", "_ty")
+        .join(solved, ["_tx", "_ty"], "left")
+        .select(
+            F.col("_tx").alias(x_col),
+            F.col("_ty").alias(y_col),
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).cast("int").alias(
+                "n_neighbors"
+            ),
+            F.col("predicted"),
+            F.col("variance"),
+        )
+    )
+
+
 def mann_kendall_trend(
     cube: DataFrame,
     x_col: str = "tile_x",
