@@ -3183,6 +3183,23 @@ def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Ripley's K between English and Chinese pages
+    (operators/spatialstats.cross_ripley_k): do two languages'
+    geotagged documents co-locate or avoid each other at scale r?
+    Integer cross-pair counts -> bit-exact oracle."""
+    from xarray_spatial_spark.operators import spatialstats as sps
+
+    d = _docs(spark, sf_dir)
+    a = d.where(F.col("lang") == "en").select(
+        F.col("lon").alias("x"), F.col("lat").alias("y")
+    )
+    b = d.where(F.col("lang") == "zh").select(
+        F.col("lon").alias("x"), F.col("lat").alias("y")
+    )
+    return sps.cross_ripley_k(a, b, RIPLEY_RADII, area=360.0 * 170.0)
+
+
 def q_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordinary kriging of per-doc n_chars onto the z3 occupied-tile
     centers under a variogram fitted from the data itself
@@ -3340,6 +3357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley": q_ripley,
         "idw": q_idw,
         "spacetime": q_spacetime,
+        "cross_k": q_cross_k,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -5293,6 +5311,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, bin * {VARIOGRAM_BIN_W!r} AS h_lo,
                    (bin + 1) * {VARIOGRAM_BIN_W!r} AS h_hi, n_pairs, gamma
             FROM b
+        """,
+        "cross_k": f"""
+            WITH a AS (
+              SELECT {SQL_LON} AS x, {SQL_LAT} AS y FROM documents
+              WHERE lang = 'en'
+            ),
+            b AS (
+              SELECT {SQL_LON} AS x, {SQL_LAT} AS y FROM documents
+              WHERE lang = 'zh'
+            ),
+            na AS (SELECT CAST(count(*) AS DOUBLE) AS na FROM a),
+            nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM b),
+            p AS (
+              SELECT (a.x - b.x) * (a.x - b.x)
+                     + (a.y - b.y) * (a.y - b.y) AS d2
+              FROM a CROSS JOIN b
+            ),
+            c AS (
+              SELECT {', '.join(
+                  f"coalesce(sum(CASE WHEN d2 <= {r * r!r} THEN 1 END), 0)"
+                  f" AS c{i}"
+                  for i, r in enumerate(RIPLEY_RADII))}
+              FROM p
+            )
+            {' UNION ALL '.join(
+                f"SELECT {r!r} AS r, CAST(c{i} AS BIGINT) AS n_pairs, "
+                f"{360.0 * 170.0!r} * c{i} / (na.na * nb.nb) AS k "
+                f"FROM c, na, nb"
+                for i, r in enumerate(RIPLEY_RADII))}
         """,
         "ripley": f"""
             WITH pts AS (

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "idw",
     "spacetime",
     "krige",
+    "cross_k",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -300,6 +300,45 @@ def test_ripley_k_csr_and_clustered(spark):
     assert kb[0.05] > 10 * got[0.05]["k"]
 
 
+def test_cross_ripley_matches_brute(spark):
+    rng = np.random.default_rng(21)
+    n_a, n_b = 80, 60
+    pa = [(float(rng.uniform(0, 10)), float(rng.uniform(0, 10)))
+          for _ in range(n_a)]
+    pb = [(float(rng.uniform(0, 10)), float(rng.uniform(0, 10)))
+          for _ in range(n_b)]
+    pb.append(pa[0])  # coincident coordinate must count
+    da = spark.createDataFrame(pa, "x: double, y: double")
+    db = spark.createDataFrame(pb, "x: double, y: double")
+    radii = [0.8, 2.0]
+    got = {r["r"]: r
+           for r in sps.cross_ripley_k(da, db, radii, area=100.0).collect()}
+    for rr in radii:
+        cnt = sum(1 for ax, ay in pa for bx, by in pb
+                  if (ax - bx) ** 2 + (ay - by) ** 2 <= rr * rr)
+        assert got[rr]["n_pairs"] == cnt
+        assert got[rr]["k"] == pytest.approx(
+            100.0 * cnt / (n_a * (n_b + 1)), rel=1e-12)
+
+
+def test_cross_ripley_colocation_signal(spark):
+    rng = np.random.default_rng(22)
+    # B sits on top of A (colocated) vs C far away (avoidance)
+    pa = [(float(rng.uniform(0, 1)), float(rng.uniform(0, 1)))
+          for _ in range(100)]
+    pb = [(x + float(rng.normal(0, 0.01)), y + float(rng.normal(0, 0.01)))
+          for x, y in pa]
+    pc = [(x + 5.0, y) for x, y in pa]
+    da = spark.createDataFrame(pa, "x: double, y: double")
+    db = spark.createDataFrame(pb, "x: double, y: double")
+    dc = spark.createDataFrame(pc, "x: double, y: double")
+    k_ab = sps.cross_ripley_k(da, db, [0.02], area=1.0).collect()[0]["k"]
+    k_ac = sps.cross_ripley_k(da, dc, [0.02], area=1.0).collect()[0]["k"]
+    csr = math.pi * 0.02**2
+    assert k_ab > 3 * csr   # strong colocation
+    assert k_ac == 0.0      # complete avoidance at this scale
+
+
 def test_idw_matches_brute(spark):
     rng = np.random.default_rng(6)
     known = [(float(rng.uniform(0, 10)), float(rng.uniform(0, 10)),

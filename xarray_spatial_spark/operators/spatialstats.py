@@ -458,6 +458,88 @@ def ripley_k(
     return out.select("r", "n_pairs", "k", F.sqrt(F.col("k") / math.pi).alias("l"))
 
 
+def cross_ripley_k(
+    points_a: DataFrame,
+    points_b: DataFrame,
+    radii: list[float],
+    x_col: str = "x",
+    y_col: str = "y",
+    area: float = 1.0,
+) -> DataFrame:
+    """Bivariate (cross) Ripley's K — the spatial-COLOCATION
+    diagnostic between two point populations (e.g. two languages'
+    pages): ``(r, n_pairs, k)`` with
+
+    K_ab(r) = area * #{(a, b): dist(a, b) <= r} / (n_a * n_b)
+
+    K_ab above the CSR-independence expectation pi r^2 means the two
+    populations co-locate at scale r; below means they avoid each
+    other.  Coincident coordinates (d = 0) COUNT — distinct
+    populations legitimately share locations.
+
+    Plan: one 3x3 grid equi-join between A (offset-exploded) and B
+    (keyed) at cell size max(radii) — every qualifying cross pair
+    exactly once — then one conditional-count aggregate per literal
+    radius and a broadcast (n_a, n_b) attach.  Counts are integers:
+    any engine replays K bit-for-bit."""
+    if not radii or any(r <= 0 for r in radii):
+        raise ValueError("radii must be non-empty and positive")
+    rs = sorted(float(r) for r in radii)
+    md = rs[-1]
+    a = points_a.select(
+        F.col(x_col).cast("double").alias("_ax"),
+        F.col(y_col).cast("double").alias("_ay"),
+    ).withColumn("_cx", F.floor(F.col("_ax") / F.lit(md))).withColumn(
+        "_cy", F.floor(F.col("_ay") / F.lit(md))
+    )
+    b = points_b.select(
+        F.col(x_col).cast("double").alias("_bx"),
+        F.col(y_col).cast("double").alias("_by"),
+    ).withColumn("_cx", F.floor(F.col("_bx") / F.lit(md))).withColumn(
+        "_cy", F.floor(F.col("_by") / F.lit(md))
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    a_x = a.withColumn("_o", F.explode(offs)).select(
+        "_ax", "_ay",
+        (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
+        (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
+    )
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    d2 = dx * dx + dy * dy
+    pairs = a_x.join(b, ["_cx", "_cy"]).where(d2 <= F.lit(md * md)).select(
+        d2.alias("_d2")
+    )
+    counts = pairs.agg(*[
+        F.coalesce(
+            F.sum(F.when(F.col("_d2") <= F.lit(r * r), 1)), F.lit(0)
+        ).alias(f"_c{i}")
+        for i, r in enumerate(rs)
+    ])
+    na = points_a.agg(F.count(F.lit(1)).cast("double").alias("_na"))
+    nb = points_b.agg(F.count(F.lit(1)).cast("double").alias("_nb"))
+    wide = counts.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+    per_r = [
+        wide.select(
+            F.lit(r).alias("r"),
+            F.col(f"_c{i}").cast("long").alias("n_pairs"),
+            (
+                F.lit(float(area)) * F.col(f"_c{i}")
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("k"),
+        )
+        for i, r in enumerate(rs)
+    ]
+    out = per_r[0]
+    for df in per_r[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def idw_interpolate(
     known: DataFrame,
     targets: DataFrame,
