@@ -3200,6 +3200,97 @@ def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sps.cross_ripley_k(a, b, RIPLEY_RADII, area=360.0 * 170.0)
 
 
+def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores over the z4 char-sum grid
+    (operators/spatialstats.getis_ord), queen AND rook unioned under
+    one tagged slot — the inferential version of the reference's
+    hotspots (xrspatial/focal.py), per-cell variance included.
+    gi_star ships float32 (mean/var merge-order noise); deg/wi exact."""
+    from xarray_spatial_spark.operators import spatialstats as sps
+
+    z = 4
+    cells = (
+        _doc_tiles(spark, sf_dir, z)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.sum("n_chars").cast("double").alias("value"))
+    )
+    outs = []
+    for cont in ("queen", "rook"):
+        outs.append(
+            sps.getis_ord(cells, contiguity=cont).select(
+                F.lit(cont).alias("variant"),
+                "tile_x",
+                "tile_y",
+                "deg",
+                "wi",
+                F.col("gi_star").cast("float").alias("gi_star"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-count statistics (operators/spatialstats.join_counts) on
+    the binary z4 grid b = (doc count odd) — the categorical Moran.
+    Counts are exact integers; the free-sampling moments are rational
+    functions of those integers (float32 belt-and-braces on z)."""
+    from xarray_spatial_spark.operators import spatialstats as sps
+
+    z = 4
+    cells = (
+        _doc_tiles(spark, sf_dir, z)
+        .groupBy("tile_x", "tile_y")
+        .agg((F.count(F.lit(1)) % 2).cast("double").alias("value"))
+    )
+    outs = []
+    for cont in ("queen", "rook"):
+        outs.append(
+            sps.join_counts(cells, contiguity=cont).select(
+                F.lit(cont).alias("variant"),
+                "n",
+                "n1",
+                "joins",
+                "bb",
+                "bw",
+                "ww",
+                F.col("e_bw").cast("float").alias("e_bw"),
+                F.col("var_bw").cast("float").alias("var_bw"),
+                F.col("z_bw").cast("float").alias("z_bw"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def q_centrography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrographic summary (operators/spatialstats.centrography) of
+    the geocoded corpus: mean center, standard distance, standard
+    deviational ellipse — uniform AND n_chars-weighted variants.  ONE
+    scalar aggregate each; float32 (sum merge-order noise)."""
+    from xarray_spatial_spark.operators import spatialstats as sps
+
+    pts = _docs(spark, sf_dir).select(
+        F.col("lon").alias("x"),
+        F.col("lat").alias("y"),
+        F.col("n_chars").cast("double").alias("w"),
+    )
+    outs = []
+    for name, wcol in (("uniform", None), ("weighted", "w")):
+        outs.append(
+            sps.centrography(pts, weight_col=wcol).select(
+                F.lit(name).alias("variant"),
+                "n",
+                F.col("w_sum").cast("float").alias("w_sum"),
+                F.col("mean_x").cast("float").alias("mean_x"),
+                F.col("mean_y").cast("float").alias("mean_y"),
+                F.col("std_distance").cast("float").alias("std_distance"),
+                F.col("sigma_x").cast("float").alias("sigma_x"),
+                F.col("sigma_y").cast("float").alias("sigma_y"),
+                F.col("theta").cast("float").alias("theta"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 def q_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordinary kriging of per-doc n_chars onto the z3 occupied-tile
     centers under a variogram fitted from the data itself
@@ -3358,6 +3449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw": q_idw,
         "spacetime": q_spacetime,
         "cross_k": q_cross_k,
+        "getis_ord": q_getis_ord,
+        "join_counts": q_join_counts,
+        "centrography": q_centrography,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -3599,6 +3693,130 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN m2 > 0 AND s0 > 0 AND n > 1
                       THEN (n - 1) * num_c / (2 * s0 * m2) END AS gearys_c
           FROM h{sfx}"""
+
+    # getis_ord: neighbor join + left-join-back, Gi* closed form —
+    # mirrors operators/spatialstats.getis_ord expression-for-expression
+    def _gi_variant(sfx: str, variant: str) -> str:
+        offs = ", ".join(f"({dx},{dy})" for dx, dy in _offsets(variant))
+        return f"""
+        gofs{sfx}(dx, dy) AS (VALUES {offs}),
+        gpc{sfx} AS (
+          SELECT a.x, a.y, CAST(count(*) AS DOUBLE) AS deg,
+                 sum(b.v) AS sum_vn
+          FROM c a CROSS JOIN gofs{sfx} JOIN c b
+            ON b.x = a.x + gofs{sfx}.dx AND b.y = a.y + gofs{sfx}.dy
+          GROUP BY 1, 2
+        ),
+        gj{sfx} AS (
+          SELECT c.x, c.y, c.v,
+                 coalesce(p.deg, 0) AS deg,
+                 coalesce(p.sum_vn, 0) AS sum_vn,
+                 st.n, st.mean, st.varp,
+                 (st.n * (coalesce(p.deg, 0) + 1.0)
+                  - (coalesce(p.deg, 0) + 1.0) * (coalesce(p.deg, 0) + 1.0))
+                 / (st.n - 1.0) AS den2
+          FROM c LEFT JOIN gpc{sfx} p ON p.x = c.x AND p.y = c.y, st
+        )"""
+
+    def _gi_select(sfx: str, variant: str) -> str:
+        return f"""
+          SELECT '{variant}' AS variant, x AS tile_x, y AS tile_y,
+                 CAST(deg AS INT) AS deg, CAST(deg + 1 AS INT) AS wi,
+                 CAST(CASE WHEN varp > 0 AND n > 1 AND den2 > 0
+                      THEN (sum_vn + v - mean * (deg + 1.0))
+                           / (sqrt(varp) * sqrt(den2)) END AS FLOAT)
+                   AS gi_star
+          FROM gj{sfx}"""
+
+    # join_counts: exact pair counts + the derived free-sampling moments
+    def _jc_variant(sfx: str, variant: str) -> str:
+        offs = ", ".join(f"({dx},{dy})" for dx, dy in _offsets(variant))
+        return f"""
+        jofs{sfx}(dx, dy) AS (VALUES {offs}),
+        jpr{sfx} AS (
+          SELECT a.x, a.y, a.v AS va, b.v AS vb
+          FROM c a CROSS JOIN jofs{sfx} JOIN c b
+            ON b.x = a.x + jofs{sfx}.dx AND b.y = a.y + jofs{sfx}.dy
+        ),
+        jpg{sfx} AS (
+          SELECT CAST(count(*) AS DOUBLE) AS s0,
+                 coalesce(sum(va * vb), 0) AS bb2,
+                 coalesce(sum(va + vb - 2.0 * va * vb), 0) AS bw2
+          FROM jpr{sfx}
+        ),
+        jdg{sfx} AS (
+          SELECT coalesce(sum(deg * (deg - 1.0)) / 2.0, 0) AS t
+          FROM (SELECT CAST(count(*) AS DOUBLE) AS deg
+                FROM jpr{sfx} GROUP BY x, y)
+        ),
+        jg{sfx} AS (
+          SELECT st.n, st.n1, s0, bb2, bw2, t,
+                 s0 / 2.0 AS m, st.n1 / st.n AS pp,
+                 1.0 - st.n1 / st.n AS qq
+          FROM jpg{sfx}, jdg{sfx}, st
+        ),
+        jh{sfx} AS (
+          SELECT *,
+                 2.0 * m * pp * qq AS e_bw,
+                 (2.0 * m * pp * qq
+                  + 2.0 * (t * pp * qq
+                           + (m * (m - 1.0) / 2.0 - t)
+                             * 4.0 * pp * pp * qq * qq))
+                 - (2.0 * m * pp * qq) * (2.0 * m * pp * qq) AS var_bw
+          FROM jg{sfx}
+        )"""
+
+    def _jc_select(sfx: str, variant: str) -> str:
+        return f"""
+          SELECT '{variant}' AS variant, CAST(n AS BIGINT) AS n,
+                 CAST(n1 AS BIGINT) AS n1, CAST(m AS BIGINT) AS joins,
+                 CAST(bb2 / 2.0 AS BIGINT) AS bb,
+                 CAST(bw2 / 2.0 AS BIGINT) AS bw,
+                 CAST(m - bb2 / 2.0 - bw2 / 2.0 AS BIGINT) AS ww,
+                 CAST(CASE WHEN m > 0 THEN e_bw END AS FLOAT) AS e_bw,
+                 CAST(CASE WHEN m > 0 AND var_bw > 0
+                      THEN var_bw END AS FLOAT) AS var_bw,
+                 CAST(CASE WHEN m > 0 AND var_bw > 0
+                      THEN (bw2 / 2.0 - e_bw) / sqrt(var_bw) END AS FLOAT)
+                   AS z_bw
+          FROM jh{sfx}"""
+
+    # centrography: closed forms over one scalar aggregate
+    def _centro_select(variant: str, src: str) -> str:
+        return f"""
+          SELECT '{variant}' AS variant, n,
+                 CAST(ws AS FLOAT) AS w_sum,
+                 CAST(wx / ws AS FLOAT) AS mean_x,
+                 CAST(wy / ws AS FLOAT) AS mean_y,
+                 CAST(sqrt(greatest(
+                      (wxx / ws - (wx / ws) * (wx / ws))
+                      + (wyy / ws - (wy / ws) * (wy / ws)), 0.0))
+                   AS FLOAT) AS std_distance,
+                 CAST(sqrt(2.0 * greatest(
+                      ((wxx / ws - (wx / ws) * (wx / ws))
+                       + (wyy / ws - (wy / ws) * (wy / ws))) / 2.0
+                      + sqrt(((wxx / ws - (wx / ws) * (wx / ws))
+                              - (wyy / ws - (wy / ws) * (wy / ws)))
+                             * ((wxx / ws - (wx / ws) * (wx / ws))
+                                - (wyy / ws - (wy / ws) * (wy / ws))) / 4.0
+                             + (wxy / ws - (wx / ws) * (wy / ws))
+                               * (wxy / ws - (wx / ws) * (wy / ws))), 0.0))
+                   AS FLOAT) AS sigma_x,
+                 CAST(sqrt(2.0 * greatest(
+                      ((wxx / ws - (wx / ws) * (wx / ws))
+                       + (wyy / ws - (wy / ws) * (wy / ws))) / 2.0
+                      - sqrt(((wxx / ws - (wx / ws) * (wx / ws))
+                              - (wyy / ws - (wy / ws) * (wy / ws)))
+                             * ((wxx / ws - (wx / ws) * (wx / ws))
+                                - (wyy / ws - (wy / ws) * (wy / ws))) / 4.0
+                             + (wxy / ws - (wx / ws) * (wy / ws))
+                               * (wxy / ws - (wx / ws) * (wy / ws))), 0.0))
+                   AS FLOAT) AS sigma_y,
+                 CAST(atan2(2.0 * (wxy / ws - (wx / ws) * (wy / ws)),
+                            (wxx / ws - (wx / ws) * (wx / ws))
+                            - (wyy / ws - (wy / ws) * (wy / ws))) / 2.0
+                   AS FLOAT) AS theta
+          FROM {src}"""
 
     kde_lits = ", ".join(
         f"({dx}, {dy}, {w!r})" for dx, dy, w in kde_weights(2, 1.5)
@@ -5229,6 +5447,65 @@ def oracle_sql() -> dict[str, str]:
                         WHEN z >= 0 THEN 'HL'
                         ELSE 'LH' END AS quadrant
             FROM e
+        """,
+        # getis_ord: identical Ord & Getis 1995 Gi* formula per
+        # contiguity variant; gi_star float32 (mean/var merge order)
+        "getis_ord": f"""
+            WITH c AS (
+              SELECT {z4x} AS x, {z4y} AS y,
+                     CAST(sum(n_chars) AS DOUBLE) AS v
+              FROM documents GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n, avg(v) AS mean,
+                     var_pop(v) AS varp
+              FROM c
+            ),{_gi_variant('q', 'queen')},{_gi_variant('r', 'rook')}
+            {_gi_select('q', 'queen')}
+            UNION ALL
+            {_gi_select('r', 'rook')}
+        """,
+        # join_counts: exact integer BB/BW/WW counts + the first-
+        # principles free-sampling moments (same rational expressions
+        # of the same integers; float32 belt-and-braces)
+        "join_counts": f"""
+            WITH c AS (
+              SELECT {z4x} AS x, {z4y} AS y,
+                     CAST(count(*) % 2 AS DOUBLE) AS v
+              FROM documents GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n, sum(v) AS n1 FROM c
+            ),{_jc_variant('q', 'queen')},{_jc_variant('r', 'rook')}
+            {_jc_select('q', 'queen')}
+            UNION ALL
+            {_jc_select('r', 'rook')}
+        """,
+        # centrography: one scalar aggregate per variant, identical
+        # closed forms; float32 everywhere (sum merge-order noise)
+        "centrography": f"""
+            WITH p AS (
+              SELECT {SQL_LON} AS x, {SQL_LAT} AS y,
+                     CAST(n_chars AS DOUBLE) AS w
+              FROM documents
+            ),
+            au AS (
+              SELECT CAST(count(*) AS BIGINT) AS n, sum(1.0) AS ws,
+                     sum(1.0 * x) AS wx, sum(1.0 * y) AS wy,
+                     sum(1.0 * x * x) AS wxx, sum(1.0 * y * y) AS wyy,
+                     sum(1.0 * x * y) AS wxy
+              FROM p
+            ),
+            aw AS (
+              SELECT CAST(count(*) AS BIGINT) AS n, sum(w) AS ws,
+                     sum(w * x) AS wx, sum(w * y) AS wy,
+                     sum(w * x * x) AS wxx, sum(w * y * y) AS wyy,
+                     sum(w * x * y) AS wxy
+              FROM p
+            )
+            {_centro_select('uniform', 'au')}
+            UNION ALL
+            {_centro_select('weighted', 'aw')}
         """,
         # spacetime: Mann-Kendall per z3 cell over daily event counts —
         # S / tie groups are exact integers, slope median interpolates

@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     "spacetime",
     "krige",
     "cross_k",
+    "getis_ord",
+    "join_counts",
+    "centrography",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

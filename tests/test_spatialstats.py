@@ -561,3 +561,217 @@ def test_kde_mass_conserved(spark):
     ksum = sum(w for _, _, w in sps.kde_weights(radius, sigma))
     out = sps.kde_smooth(df, radius=radius, sigma=sigma).agg({"density": "sum"})
     assert out.collect()[0][0] == pytest.approx(6.0 * ksum, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord Gi*
+# ---------------------------------------------------------------------------
+
+
+def _brute_gi_star(cells, contiguity="queen"):
+    pts = {(x, y): float(v) for x, y, v in cells}
+    keys = sorted(pts)
+    n = len(keys)
+    v = np.array([pts[k] for k in keys])
+    mean = v.mean()
+    s = math.sqrt(float((v * v).mean() - mean * mean))
+    offs = sps._offsets(contiguity)
+    idx = {k: i for i, k in enumerate(keys)}
+    out = {}
+    for (x, y), i in idx.items():
+        nbrs = [idx[(x + dx, y + dy)] for dx, dy in offs
+                if (x + dx, y + dy) in idx]
+        wi = len(nbrs) + 1
+        gsum = v[i] + sum(v[j] for j in nbrs)
+        den2 = (n * wi - wi * wi) / (n - 1)
+        if s == 0 or n <= 1 or den2 <= 0:
+            out[(x, y)] = None
+        else:
+            out[(x, y)] = (gsum - mean * wi) / (s * math.sqrt(den2))
+    return out
+
+
+def test_getis_ord_matches_brute(spark):
+    rng = np.random.default_rng(7)
+    cells = []
+    for x in range(8):
+        for y in range(8):
+            if rng.random() < 0.6:
+                cells.append((x, y, float(rng.integers(0, 50))))
+    df = spark.createDataFrame(cells, "tile_x: long, tile_y: long, value: double")
+    for cont in ("queen", "rook"):
+        got = {
+            (r["tile_x"], r["tile_y"]): r["gi_star"]
+            for r in sps.getis_ord(df, contiguity=cont).collect()
+        }
+        ref = _brute_gi_star(cells, cont)
+        assert set(got) == set(ref)
+        for k in ref:
+            if ref[k] is None:
+                assert got[k] is None
+            else:
+                assert got[k] == pytest.approx(ref[k], abs=1e-9), k
+
+
+def test_getis_ord_hotspot_golden(spark):
+    # 10x10 zeros with a 3x3 plateau of 100s: the plateau core must be a
+    # significant hot spot, far-field flat cells significant cold spots
+    cells = [(x, y, 100.0 if 3 <= x <= 5 and 3 <= y <= 5 else 0.0)
+             for x in range(10) for y in range(10)]
+    df = spark.createDataFrame(cells, "tile_x: long, tile_y: long, value: double")
+    got = {(r["tile_x"], r["tile_y"]): r["gi_star"]
+           for r in sps.getis_ord(df).collect()}
+    assert got[(4, 4)] > 2.5          # plateau core: hot
+    assert got[(0, 0)] < 0            # far field: below the mean
+    # Gi* vs LISA disagreement case: the plateau core is HH for LISA and
+    # hot for Gi* — but a zero cell bordering the plateau has a HIGH
+    # local sum (hot-ish Gi*) while LISA calls it LH
+    assert got[(2, 4)] > got[(0, 0)]
+
+
+def test_getis_ord_constant_null(spark):
+    cells = [(x, y, 5.0) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(cells, "tile_x: long, tile_y: long, value: double")
+    assert all(r["gi_star"] is None for r in sps.getis_ord(df).collect())
+
+
+# ---------------------------------------------------------------------------
+# join counts
+# ---------------------------------------------------------------------------
+
+
+def _brute_join_counts(cells, contiguity="queen"):
+    pts = {(x, y): int(v) for x, y, v in cells}
+    offs = sps._offsets(contiguity)
+    bb = bw = ww = m = 0
+    for (x, y), v in pts.items():
+        for dx, dy in offs:
+            nb = pts.get((x + dx, y + dy))
+            if nb is None:
+                continue
+            m += 1
+            if v and nb:
+                bb += 1
+            elif not v and not nb:
+                ww += 1
+            else:
+                bw += 1
+    return m // 2, bb // 2, bw // 2, ww // 2
+
+
+def test_join_counts_exact(spark):
+    rng = np.random.default_rng(11)
+    cells = []
+    for x in range(7):
+        for y in range(7):
+            if rng.random() < 0.7:
+                cells.append((x, y, float(rng.integers(0, 2))))
+    df = spark.createDataFrame(cells, "tile_x: long, tile_y: long, value: double")
+    for cont in ("queen", "rook"):
+        r = sps.join_counts(df, contiguity=cont).collect()[0]
+        m, bb, bw, ww = _brute_join_counts(cells, cont)
+        assert (r["joins"], r["bb"], r["bw"], r["ww"]) == (m, bb, bw, ww)
+        assert r["n1"] == sum(1 for _, _, v in cells if v)
+
+
+def test_join_counts_moments_exact_enumeration(spark):
+    """The derived E[BW] / Var[BW] formulas pinned EXACTLY against full
+    2^n enumeration of every coloring of a 3x3 rook grid at known p."""
+    p = 0.3
+    coords = [(x, y) for x in range(3) for y in range(3)]
+    offs = sps._offsets("rook")
+    joins = []
+    cset = set(coords)
+    for i, (x, y) in enumerate(coords):
+        for dx, dy in offs:
+            nb = (x + dx, y + dy)
+            if nb in cset and coords.index(nb) > i:
+                joins.append((i, coords.index(nb)))
+    e_bw = var_acc = 0.0
+    probs = []
+    bws = []
+    for mask in range(1 << len(coords)):
+        bits = [(mask >> i) & 1 for i in range(len(coords))]
+        prob = 1.0
+        for b in bits:
+            prob *= p if b else (1 - p)
+        bw = sum(1 for i, j in joins if bits[i] != bits[j])
+        probs.append(prob)
+        bws.append(bw)
+    e_bw = sum(pr * b for pr, b in zip(probs, bws))
+    e_bw2 = sum(pr * b * b for pr, b in zip(probs, bws))
+    var_bw = e_bw2 - e_bw * e_bw
+    cells = [(x, y, float((x + y) % 2)) for x, y in coords]  # any coloring
+    df = spark.createDataFrame(cells, "tile_x: long, tile_y: long, value: double")
+    r = sps.join_counts(df, contiguity="rook", p=p).collect()[0]
+    assert r["e_bw"] == pytest.approx(e_bw, abs=1e-12)
+    assert r["var_bw"] == pytest.approx(var_bw, abs=1e-12)
+
+
+def test_join_counts_signal(spark):
+    # two solid halves: far fewer BW joins than chance -> z strongly neg
+    half = [(x, y, 1.0 if x < 5 else 0.0) for x in range(10) for y in range(10)]
+    df = spark.createDataFrame(half, "tile_x: long, tile_y: long, value: double")
+    r = sps.join_counts(df, contiguity="rook").collect()[0]
+    assert r["z_bw"] < -3
+    # checkerboard: every rook join is discordant -> z strongly positive
+    cb = [(x, y, float((x + y) % 2)) for x in range(10) for y in range(10)]
+    df2 = spark.createDataFrame(cb, "tile_x: long, tile_y: long, value: double")
+    r2 = sps.join_counts(df2, contiguity="rook").collect()[0]
+    assert r2["bw"] == r2["joins"]
+    assert r2["z_bw"] > 3
+
+
+# ---------------------------------------------------------------------------
+# centrography
+# ---------------------------------------------------------------------------
+
+
+def _brute_centrography(pts, w=None):
+    a = np.asarray(pts, dtype=float)
+    wv = np.ones(len(a)) if w is None else np.asarray(w, dtype=float)
+    ws = wv.sum()
+    mx, my = (wv * a[:, 0]).sum() / ws, (wv * a[:, 1]).sum() / ws
+    sxx = (wv * a[:, 0] ** 2).sum() / ws - mx * mx
+    syy = (wv * a[:, 1] ** 2).sum() / ws - my * my
+    sxy = (wv * a[:, 0] * a[:, 1]).sum() / ws - mx * my
+    tr = sxx + syy
+    d = math.sqrt((sxx - syy) ** 2 / 4 + sxy * sxy)
+    return dict(
+        mean_x=mx, mean_y=my, std_distance=math.sqrt(tr),
+        sigma_x=math.sqrt(2 * (tr / 2 + d)),
+        sigma_y=math.sqrt(2 * max(tr / 2 - d, 0.0)),
+        theta=math.atan2(2 * sxy, sxx - syy) / 2,
+    )
+
+
+def test_centrography_matches_brute(spark):
+    rng = np.random.default_rng(3)
+    pts = [(float(x), float(y)) for x, y in rng.normal(0, 10, (200, 2))]
+    wts = [float(w) for w in rng.integers(1, 9, 200)]
+    df = spark.createDataFrame(
+        [(x, y, w) for (x, y), w in zip(pts, wts)], "x: double, y: double, w: double"
+    )
+    got = sps.centrography(df).collect()[0]
+    ref = _brute_centrography(pts)
+    for k in ("mean_x", "mean_y", "std_distance", "sigma_x", "sigma_y", "theta"):
+        assert got[k] == pytest.approx(ref[k], abs=1e-9), k
+    gotw = sps.centrography(df, weight_col="w").collect()[0]
+    refw = _brute_centrography(pts, wts)
+    for k in ("mean_x", "mean_y", "std_distance", "sigma_x", "sigma_y", "theta"):
+        assert gotw[k] == pytest.approx(refw[k], abs=1e-9), k
+    assert gotw["w_sum"] == pytest.approx(sum(wts))
+
+
+def test_centrography_ellipse_golden(spark):
+    # points on the y = x line: major axis at 45 degrees, minor ~ 0
+    pts = [(float(t), float(t)) for t in range(-10, 11)]
+    df = spark.createDataFrame(pts, "x: double, y: double")
+    r = sps.centrography(df).collect()[0]
+    assert r["theta"] == pytest.approx(math.pi / 4, abs=1e-9)
+    assert r["sigma_y"] == pytest.approx(0.0, abs=1e-6)
+    assert r["mean_x"] == pytest.approx(0.0)
+    # rotate to y = -x: theta flips to -45 degrees
+    df2 = spark.createDataFrame([(x, -y) for x, y in pts], "x: double, y: double")
+    r2 = sps.centrography(df2).collect()[0]
+    assert r2["theta"] == pytest.approx(-math.pi / 4, abs=1e-9)

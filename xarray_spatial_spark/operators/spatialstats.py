@@ -979,3 +979,240 @@ def kde_smooth(
         )
         .agg(F.sum(F.col("_v") * F.col("_o.w")).alias(out_col))
     )
+
+def getis_ord(
+    cells: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    value_col: str = "value",
+    contiguity: str = "queen",
+) -> DataFrame:
+    """Getis-Ord Gi* hot-spot statistic per occupied cell (Ord & Getis
+    1995), the classic "Hot Spot Analysis" z-score:
+
+    ``(x, y, value, deg, wi, gi_star)``
+
+    - ``wi``       = deg_i + 1 (binary contiguity weights WITH self —
+      the * variant; the plain Gi excludes self);
+    - ``gi_star``  = (sum_{j in N(i) u {i}} x_j - xbar * W_i)
+      / (S * sqrt((n * W_i - W_i^2) / (n - 1)))
+      with S^2 = sum x^2 / n - xbar^2 (population variance).
+
+    NULL when the field is constant (S = 0), n <= 1, or W_i = n (the
+    denominator degenerates when a cell neighbors every other cell).
+
+    ``local_moran`` answers "is this cell like its neighbors"; Gi*
+    answers "is the local SUM high or low" — the two standard local
+    statistics disagree exactly on cold cells inside hot neighborhoods,
+    which is why both exist.  Reference analog: xrspatial/focal.py's
+    hotspots z-scores a focal mean against the GLOBAL std; Gi* is the
+    inferential version with per-cell variance under randomization.
+
+    Plan: identical shape to ``local_moran`` — one scalar aggregate
+    (broadcast 1-row attach), one shifted-key equi-join, one per-cell
+    aggregate.  Exchanges are cell-scale only."""
+    base = cells.select(
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_v").alias("_mean"),
+        F.var_pop("_v").alias("_varp"),
+    )
+    pairs = neighbor_values(base, "_x", "_y", "_v", contiguity)
+    per_cell = pairs.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).cast("double").alias("_deg"),
+        F.sum("_vn").alias("_sum_vn"),
+    )
+    joined = (
+        base.join(per_cell, ["_x", "_y"], "left")
+        .select(
+            "_x", "_y", "_v",
+            F.coalesce(F.col("_deg"), F.lit(0.0)).alias("_deg"),
+            F.coalesce(F.col("_sum_vn"), F.lit(0.0)).alias("_sum_vn"),
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    n = F.col("_n")
+    wi = F.col("_deg") + 1.0
+    gsum = F.col("_sum_vn") + F.col("_v")
+    s = F.sqrt(F.col("_varp"))
+    denom2 = (n * wi - wi * wi) / (n - 1.0)
+    ok = (F.col("_varp") > 0) & (n > 1) & (denom2 > 0)
+    gi = F.when(ok, (gsum - F.col("_mean") * wi) / (s * F.sqrt(denom2)))
+    return joined.select(
+        F.col("_x").alias(x_col),
+        F.col("_y").alias(y_col),
+        F.col("_v").alias(value_col),
+        F.col("_deg").cast("int").alias("deg"),
+        wi.cast("int").alias("wi"),
+        gi.alias("gi_star"),
+    )
+
+
+def join_counts(
+    cells: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    value_col: str = "value",
+    contiguity: str = "queen",
+    p: float | None = None,
+) -> DataFrame:
+    """Join-count statistics for a BINARY cell grid (Cliff & Ord 1981
+    ch. 1): the categorical sibling of Moran's I.  One row:
+
+    ``(n, n1, joins, bb, bw, ww, p, e_bb, e_bw, e_ww, var_bw, z_bw)``
+
+    - ``joins``  = unordered adjacent pairs; ``bb``/``bw``/``ww`` the
+      exact black-black / discordant / white-white counts among them;
+    - expectations under FREE (binomial) sampling with success
+      probability ``p`` (estimated as n1/n when not given — the
+      standard caveat: the test is exact for known p, approximate for
+      estimated p): E[BB] = J p^2, E[WW] = J q^2, E[BW] = 2 J p q;
+    - ``var_bw`` from first principles rather than a looked-up recipe:
+      BW = sum_e Z_e over joins e, E[Z_e Z_f] is 2pq on the diagonal,
+      pq for joins sharing a vertex (condition on the shared cell:
+      p q^2 + q p^2 = pq), and 4 p^2 q^2 for disjoint joins, so with
+      t = sum_i C(deg_i, 2) shared-vertex pairs:
+      Var[BW] = 2Jpq + 2 (t pq + (C(J,2) - t) 4 p^2 q^2) - (2Jpq)^2.
+      (Pinned EXACTLY against full 2^n enumeration in tests.)
+    - ``z_bw`` < 0 means fewer discordant joins than chance — spatial
+      clustering of the binary attribute.
+
+    The counts are exact integers, so a SQL oracle replays them
+    bit-for-bit; the moments are rational functions of integers.
+
+    Plan: one shifted-key equi-join, one per-cell degree aggregate,
+    two global 1-row reductions.  Cell-scale exchanges only."""
+    base = cells.select(
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+        (F.col(value_col).cast("double") != 0).cast("double").alias("_v"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_v").alias("_n1"),
+    )
+    pairs = neighbor_values(base, "_x", "_y", "_v", contiguity)
+    per_cell = pairs.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).cast("double").alias("_deg")
+    )
+    z = F.lit(0.0)
+    pair_glob = pairs.agg(
+        F.coalesce(F.count(F.lit(1)).cast("double"), z).alias("_s0"),
+        F.coalesce(F.sum(F.col("_v") * F.col("_vn")), z).alias("_bb2"),
+        F.coalesce(
+            F.sum(F.col("_v") + F.col("_vn") - 2.0 * F.col("_v") * F.col("_vn")), z
+        ).alias("_bw2"),
+    )
+    deg_glob = per_cell.agg(
+        F.coalesce(F.sum(F.col("_deg") * (F.col("_deg") - 1.0)) / 2.0, z).alias("_t")
+    )
+    glob = (
+        pair_glob.crossJoin(F.broadcast(deg_glob)).crossJoin(F.broadcast(stats))
+    )
+    n = F.col("_n")
+    m = F.col("_s0") / 2.0
+    bb = F.col("_bb2") / 2.0
+    bw = F.col("_bw2") / 2.0
+    ww = m - bb - bw
+    pp = F.lit(float(p)) if p is not None else F.col("_n1") / n
+    qq = 1.0 - pp
+    e_bb = m * pp * pp
+    e_ww = m * qq * qq
+    e_bw = 2.0 * m * pp * qq
+    t = F.col("_t")
+    join_pairs = m * (m - 1.0) / 2.0
+    e_bw_sq = (
+        2.0 * m * pp * qq
+        + 2.0 * (t * pp * qq + (join_pairs - t) * 4.0 * pp * pp * qq * qq)
+    )
+    var_bw = e_bw_sq - e_bw * e_bw
+    ok = (m > 0) & (var_bw > 0)
+    return glob.select(
+        n.cast("long").alias("n"),
+        F.col("_n1").cast("long").alias("n1"),
+        m.cast("long").alias("joins"),
+        bb.cast("long").alias("bb"),
+        bw.cast("long").alias("bw"),
+        ww.cast("long").alias("ww"),
+        pp.alias("p"),
+        F.when(m > 0, e_bb).alias("e_bb"),
+        F.when(m > 0, e_bw).alias("e_bw"),
+        F.when(m > 0, e_ww).alias("e_ww"),
+        F.when(ok, var_bw).alias("var_bw"),
+        F.when(ok, (bw - e_bw) / F.sqrt(var_bw)).alias("z_bw"),
+    )
+
+
+def centrography(
+    points: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Centrographic summary of a point population (the ESRI "Measuring
+    Geographic Distributions" toolbox: Mean Center, Standard Distance,
+    Standard Deviational Ellipse — Yuill 1971).  ONE row:
+
+    ``(n, w_sum, mean_x, mean_y, std_distance, sigma_x, sigma_y,
+    theta)``
+
+    - ``mean_x/y``      = weighted mean center;
+    - ``std_distance``  = sqrt(Sxx + Syy) with Sxx/Syy/Sxy the weighted
+      POPULATION central second moments — the radius of the standard
+      distance circle;
+    - ``sigma_x/y``     = sqrt(2 * lambda_1/2) of the 2x2 moment matrix
+      (the ESRI sqrt(2) convention, so the ellipse covers ~63% of a
+      bivariate normal); ``sigma_y`` is the minor axis;
+    - ``theta``         = 0.5 * atan2(2 Sxy, Sxx - Syy), the major-axis
+      orientation in radians from +x, in (-pi/2, pi/2].
+
+    Moments use the one-pass identity sum(w x^2)/W - mean^2 — exact
+    enough on coordinate ranges (|x| <= 360), and the SAME expression
+    an ANSI oracle replays; outputs should be cast float32 by callers
+    comparing cross-engine (sum merge order differs at the 16th digit).
+
+    Plan: ONE scalar aggregate (6 sums), driver-free closed forms.
+    This is the cheapest statistic in the module — a single reduce."""
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = points.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(w).alias("_w"),
+        F.sum(w * x).alias("_wx"),
+        F.sum(w * y).alias("_wy"),
+        F.sum(w * x * x).alias("_wxx"),
+        F.sum(w * y * y).alias("_wyy"),
+        F.sum(w * x * y).alias("_wxy"),
+    )
+    ws = F.col("_w")
+    mx = F.col("_wx") / ws
+    my = F.col("_wy") / ws
+    sxx = F.col("_wxx") / ws - mx * mx
+    syy = F.col("_wyy") / ws - my * my
+    sxy = F.col("_wxy") / ws - mx * my
+    tr = sxx + syy
+    det_rad = F.sqrt(
+        (sxx - syy) * (sxx - syy) / 4.0 + sxy * sxy
+    )
+    lam1 = tr / 2.0 + det_rad
+    lam2 = tr / 2.0 - det_rad
+    ok = ws > 0
+    return agg.select(
+        F.col("n"),
+        ws.alias("w_sum"),
+        F.when(ok, mx).alias("mean_x"),
+        F.when(ok, my).alias("mean_y"),
+        F.when(ok, F.sqrt(F.greatest(tr, F.lit(0.0)))).alias("std_distance"),
+        F.when(ok, F.sqrt(2.0 * F.greatest(lam1, F.lit(0.0)))).alias("sigma_x"),
+        F.when(ok, F.sqrt(2.0 * F.greatest(lam2, F.lit(0.0)))).alias("sigma_y"),
+        F.when(ok, F.atan2(2.0 * sxy, sxx - syy) / 2.0).alias("theta"),
+    )
