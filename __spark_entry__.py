@@ -3291,6 +3291,41 @@ def q_centrography(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1])
 
 
+def q_geoparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toponym extraction + resolution (functions/geoparse.py): each
+    document's text is augmented with a synthetic travel sentence
+    mentioning one gazetteer place (every 3rd doc also mentions that
+    place's country, exercising the context boost), then the pure-
+    Catalyst pipeline tokenizes, candidate-joins the broadcast
+    gazetteer, and resolves ambiguous names by (boost, population,
+    -place_id).  The oracle replays gazetteer construction, the
+    tokenizer, and the resolution rule verbatim in SQL."""
+    from xarray_spatial_spark.functions import geoparse as gp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    gaz = gp.make_gazetteer(spark, 200)
+    m = gaz.select(
+        F.col("place_id").alias("pid"), F.col("name").alias("mname"),
+        F.col("country").alias("mcountry"))
+    aug = docs.join(F.broadcast(m), docs.doc_id % 200 == m.pid).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" travel to "), F.col("mname"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" in "), F.col("mcountry")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    res = gp.resolve_toponyms(aug, gaz)
+    return res.select(
+        "doc_id", "name", "place_id", "country", "population",
+        "boosted", "n_mentions",
+        F.col("lat").cast("float").alias("lat"),
+        F.col("lon").cast("float").alias("lon"),
+    )
+
+
 def q_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordinary kriging of per-doc n_chars onto the z3 occupied-tile
     centers under a variogram fitted from the data itself
@@ -3452,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "getis_ord": q_getis_ord,
         "join_counts": q_join_counts,
         "centrography": q_centrography,
+        "geoparse": q_geoparse,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -5507,6 +5543,55 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             {_centro_select('weighted', 'aw')}
         """,
+        # geoparse: gazetteer construction, tokenizer, and the
+        # (boost, population, -place_id) resolution rule replayed
+        # verbatim; lat/lon float32 both sides
+        "geoparse": f"""
+            WITH gaz AS ({_gazetteer_cte()}),
+            docs2 AS (
+              SELECT d.doc_id,
+                     d.text || ' travel to ' || g.name ||
+                     CASE WHEN d.doc_id % 3 = 0 THEN ' in ' || g.country
+                          ELSE '' END AS text
+              FROM documents d JOIN gaz g ON d.doc_id % 200 = g.place_id
+            ),
+            toks AS (
+              SELECT doc_id, t.tok
+              FROM docs2, UNNEST(string_split_regex(lower(text),
+                                                    '[^a-z]+')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            mentions AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n_mentions
+              FROM toks WHERE tok IN (SELECT name FROM gaz)
+              GROUP BY doc_id, tok
+            ),
+            cmention AS (
+              SELECT DISTINCT doc_id, tok AS country FROM toks
+              WHERE tok IN (SELECT DISTINCT country FROM gaz)
+            ),
+            cand AS (
+              SELECT m.doc_id, m.tok AS name, m.n_mentions, g.place_id,
+                     g.country, g.population, g.lat, g.lon,
+                     CASE WHEN c.country IS NOT NULL THEN 1 ELSE 0 END
+                       AS boosted
+              FROM mentions m
+              JOIN gaz g ON g.name = m.tok
+              LEFT JOIN cmention c
+                ON c.doc_id = m.doc_id AND c.country = g.country
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY doc_id, name
+                  ORDER BY boosted DESC, population DESC, place_id ASC
+                ) AS rn
+              FROM cand
+            )
+            SELECT doc_id, name, place_id, country, population,
+                   boosted, n_mentions,
+                   CAST(lat AS REAL) AS lat, CAST(lon AS REAL) AS lon
+            FROM ranked WHERE rn = 1
+        """,
         # spacetime: Mann-Kendall per z3 cell over daily event counts —
         # S / tie groups are exact integers, slope median interpolates
         # identical doubles; z/slope float32 belt-and-braces
@@ -6371,6 +6456,13 @@ def _gopher_oracle() -> str:
           CAST(length(k.c4t) AS BIGINT) AS c4_len
         FROM r JOIN c4k k ON k.doc_id = r.doc_id
     """
+
+
+def _gazetteer_cte(n: int = 200) -> str:
+    """The synthetic gazetteer's SQL twin (functions/geoparse.py)."""
+    from xarray_spatial_spark.functions.geoparse import gazetteer_sql
+
+    return gazetteer_sql(n)
 
 
 def _traps_oracle(threshold: int = 40) -> str:

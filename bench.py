@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "getis_ord",
     "join_counts",
     "centrography",
+    "geoparse",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
