@@ -3326,6 +3326,41 @@ def q_geoparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial k-anonymity (functions/privacy.py): geocoded documents
+    -> bottom-up quadtree coarsening from z6 with k=5; published cells
+    all hold >= 5 docs, the zoom-0 residue below k is emitted as
+    zoom=-1.  The oracle unrolls the identical merge rule, one CTE per
+    zoom level (pure integer arithmetic both engines)."""
+    from xarray_spatial_spark.functions import privacy
+
+    return privacy.anonymize_cells(
+        _docs(spark, sf_dir).select("lon", "lat"),
+        k=5, max_zoom=6, include_suppressed=True,
+    )
+
+
+def _kanon_oracle(k: int = 5, max_zoom: int = 6) -> str:
+    """Unrolled bottom-up merge: c{z} = below-threshold counts rolled
+    to zoom z; p{z} = cells published at z."""
+    parts = [
+        f"c{max_zoom} AS (SELECT {_sql_tile_x(max_zoom)} AS tile_x, "
+        f"{_sql_tile_y(max_zoom)} AS tile_y, "
+        f"CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2)"
+    ]
+    sel = []
+    for z in range(max_zoom, 0, -1):
+        sel.append(
+            f"SELECT tile_x, tile_y, {z} AS zoom, n FROM c{z} WHERE n >= {k}")
+        parts.append(
+            f"c{z - 1} AS (SELECT tile_x // 2 AS tile_x, "
+            f"tile_y // 2 AS tile_y, CAST(sum(n) AS BIGINT) AS n "
+            f"FROM c{z} WHERE n < {k} GROUP BY 1, 2)")
+    sel.append(f"SELECT tile_x, tile_y, 0 AS zoom, n FROM c0 WHERE n >= {k}")
+    sel.append(f"SELECT tile_x, tile_y, -1 AS zoom, n FROM c0 WHERE n < {k}")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
 def q_krige(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordinary kriging of per-doc n_chars onto the z3 occupied-tile
     centers under a variogram fitted from the data itself
@@ -3488,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_counts": q_join_counts,
         "centrography": q_centrography,
         "geoparse": q_geoparse,
+        "kanon": q_kanon,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -5592,6 +5628,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(lat AS REAL) AS lat, CAST(lon AS REAL) AS lon
             FROM ranked WHERE rn = 1
         """,
+        # kanon: the bottom-up k-anonymity merge rule unrolled one CTE
+        # per zoom level — integer counts, bit-exact
+        "kanon": _kanon_oracle(),
         # spacetime: Mann-Kendall per z3 cell over daily event counts —
         # S / tie groups are exact integers, slope median interpolates
         # identical doubles; z/slope float32 belt-and-braces

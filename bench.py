@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "join_counts",
     "centrography",
     "geoparse",
+    "kanon",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
