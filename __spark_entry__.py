@@ -3340,6 +3340,37 @@ def q_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_od_gravity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink geography (functions/linkgeo.py): a deterministic
+    web-graph (src=doc_id, dst=(doc_id*37+11)%499 — every dst exists
+    at all SFs) over geocoded pages -> od_matrix at z4 (per-cell-pair
+    flows + great-circle distance between cell centers) joined back to
+    the origin/destination marginal masses — every distributed stage
+    of gravity_fit short of the driver-side 4x4 OLS solve (which is
+    numpy-lstsq-pinned in tests/test_linkgeo.py).  dist_m float32
+    (trig last-ulp)."""
+    from xarray_spatial_spark.functions import linkgeo
+
+    d = _docs(spark, sf_dir)
+    locs = d.select("doc_id", "lon", "lat")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 37 + 11) % 499).alias("dst"),
+    )
+    od = linkgeo.od_matrix(edges, locs, zoom=4, id_col="doc_id")
+    o = od.groupBy("src_x", "src_y").agg(F.sum("flow").alias("o_mass"))
+    dm = od.groupBy("dst_x", "dst_y").agg(F.sum("flow").alias("d_mass"))
+    return (
+        od.join(o, ["src_x", "src_y"])
+        .join(dm, ["dst_x", "dst_y"])
+        .select(
+            "src_x", "src_y", "dst_x", "dst_y", "flow",
+            F.col("dist_m").cast("float").alias("dist_m"),
+            "o_mass", "d_mass",
+        )
+    )
+
+
 def _kanon_oracle(k: int = 5, max_zoom: int = 6) -> str:
     """Unrolled bottom-up merge: c{z} = below-threshold counts rolled
     to zoom z; p{z} = cells published at z."""
@@ -3524,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centrography": q_centrography,
         "geoparse": q_geoparse,
         "kanon": q_kanon,
+        "od_gravity": q_od_gravity,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -5631,6 +5663,47 @@ def oracle_sql() -> dict[str, str]:
         # kanon: the bottom-up k-anonymity merge rule unrolled one CTE
         # per zoom level — integer counts, bit-exact
         "kanon": _kanon_oracle(),
+        # od_gravity: OD flows + haversine between z4 tile centers,
+        # mirroring linkgeo.od_matrix operation-for-operation (radians
+        # per endpoint, sinh via exp pair); dist float32
+        "od_gravity": f"""
+            WITH loc AS (
+              SELECT doc_id, {_sql_tile_x(4)} AS x, {_sql_tile_y(4)} AS y
+              FROM documents
+            ),
+            od AS (
+              SELECT ls.x AS src_x, ls.y AS src_y,
+                     ld.x AS dst_x, ld.y AS dst_y,
+                     count(*) AS flow
+              FROM documents d
+              JOIN loc ls ON d.doc_id = ls.doc_id
+              JOIN loc ld ON (d.doc_id * 37 + 11) % 499 = ld.doc_id
+              GROUP BY 1, 2, 3, 4
+            ),
+            ctr AS (
+              SELECT *,
+                radians((src_x + 0.5) / 16.0 * 360.0 - 180.0) AS lon1,
+                radians((dst_x + 0.5) / 16.0 * 360.0 - 180.0) AS lon2,
+                radians(degrees(atan((exp(pi() * (1.0 - 2.0 * (src_y + 0.5) / 16.0))
+                  - exp(-(pi() * (1.0 - 2.0 * (src_y + 0.5) / 16.0)))) / 2.0))) AS lat1,
+                radians(degrees(atan((exp(pi() * (1.0 - 2.0 * (dst_y + 0.5) / 16.0))
+                  - exp(-(pi() * (1.0 - 2.0 * (dst_y + 0.5) / 16.0)))) / 2.0))) AS lat2
+              FROM od
+            ),
+            o AS (SELECT src_x, src_y, CAST(sum(flow) AS BIGINT) AS o_mass
+                  FROM od GROUP BY 1, 2),
+            dm AS (SELECT dst_x, dst_y, CAST(sum(flow) AS BIGINT) AS d_mass
+                   FROM od GROUP BY 1, 2)
+            SELECT c.src_x, c.src_y, c.dst_x, c.dst_y, c.flow,
+              CAST(2.0 * 6378137.0 * asin(sqrt(
+                pow(sin((lat2 - lat1) / 2), 2)
+                + cos(lat1) * cos(lat2) * pow(sin((lon2 - lon1) / 2), 2)
+              )) AS REAL) AS dist_m,
+              o.o_mass, dm.d_mass
+            FROM ctr c
+            JOIN o USING (src_x, src_y)
+            JOIN dm USING (dst_x, dst_y)
+        """,
         # spacetime: Mann-Kendall per z3 cell over daily event counts —
         # S / tie groups are exact integers, slope median interpolates
         # identical doubles; z/slope float32 belt-and-braces
