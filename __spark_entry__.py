@@ -3472,6 +3472,171 @@ def q_spacetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- vector-geometry tier (operators/geometry.py) -------------------------
+#
+# Deterministic star rings over documents, built with NO trig: each
+# doc_id contributes one vertex whose direction comes from an
+# exact-rational square-perimeter parametrization and whose radius is a
+# hash in [0.5, 2.0), around a geocoded per-geometry center.  Every
+# float op (mult/add/div of exactly-representable-ish doubles) is the
+# IDENTICAL expression in Spark and DuckDB, so vertex coordinates are
+# bit-exact in both engines; only per-ring SUM order differs (float32 /
+# round ship, the spatial_autocorr convention).
+
+VEC_GEOMS = 61
+_VEC_U_MULT = 40503
+_VEC_R_MULT = 69069
+
+
+def _vector_vertices(
+    spark: SparkSession, sf_dir: str, scale: float = 1.0
+) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    g = F.col("doc_id") % VEC_GEOMS
+    u = ((F.col("doc_id") * _VEC_U_MULT) % 360000) / F.lit(360000.0)
+    p = F.lit(4.0) * u
+    side = F.floor(p).cast("int")
+    sx = (
+        F.when(side == 0, F.lit(-1.0) + F.lit(2.0) * p)
+        .when(side == 1, F.lit(1.0))
+        .when(side == 2, F.lit(1.0) - F.lit(2.0) * (p - F.lit(2.0)))
+        .otherwise(F.lit(-1.0))
+    )
+    sy = (
+        F.when(side == 0, F.lit(-1.0))
+        .when(side == 1, F.lit(-1.0) + F.lit(2.0) * (p - F.lit(1.0)))
+        .when(side == 2, F.lit(1.0))
+        .otherwise(F.lit(1.0) - F.lit(2.0) * (p - F.lit(3.0)))
+    )
+    r = ((F.col("doc_id") * _VEC_R_MULT) % 15000) / F.lit(10000.0) + F.lit(0.5)
+    if scale != 1.0:  # identity multiply skipped so the scale-1 oracles
+        r = r * F.lit(scale)  # stay textually minimal
+    return d.select(
+        g.alias("geom_id"),
+        u.alias("u"),
+        (geocode_lon(g) + r * sx).alias("x"),
+        (geocode_lat(g) + r * sy).alias("y"),
+    )
+
+
+def _vector_rings(
+    spark: SparkSession, sf_dir: str, scale: float = 1.0
+) -> DataFrame:
+    from xarray_spatial_spark.operators import geometry as geo
+
+    return geo.rings_from_points(
+        _vector_vertices(spark, sf_dir, scale), "geom_id", "u", "x", "y"
+    )
+
+
+def q_vector_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring metrics THROUGH the codec chain: rings -> WKT -> parse ->
+    WKB -> parse -> Catalyst shoelace folds.  Both codecs format floats
+    shortest-round-trip, so if either ever loses a bit the areas stop
+    matching the oracle's direct LEAD-window shoelace (the round-trip
+    is inside the hash-compared path, not alongside it)."""
+    from xarray_spatial_spark.operators import geometry as geo
+
+    rings = _vector_rings(spark, sf_dir)
+    chain = geo.from_wkb(geo.to_wkb(geo.from_wkt(geo.to_wkt(rings))))
+    return chain.select(
+        "geom_id",
+        F.size("xs").alias("n_vertices"),
+        geo.ring_area().cast("float").alias("area"),
+        geo.ring_perimeter().cast("float").alias("perimeter"),
+        geo.ring_centroid_x().cast("float").alias("cx"),
+        geo.ring_centroid_y().cast("float").alias("cy"),
+    )
+
+
+def q_hull_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed convex hull (hull-of-hulls) over ALL geocoded doc
+    points, then per-direction support values over 16 integer
+    directions.  The oracle computes the same maxima over the RAW
+    point set — equal iff the hull retained every directional extreme.
+    Real dot-value gaps on the 1e-4 geocode lattice are >= 1e-4, so
+    float32 absorbs the only fp hazard (sub-ulp collinear ties)."""
+    from xarray_spatial_spark.operators.geometry import convex_hull
+
+    d = _docs(spark, sf_dir).select(
+        F.col("lon").alias("x"), F.col("lat").alias("y")
+    )
+    hull = convex_hull(d)
+    dirs = spark.createDataFrame(
+        [(i, dx, dy) for i, (dx, dy) in enumerate(HULL_DIRS)],
+        "dir_id int, dx int, dy int",
+    )
+    return (
+        hull.crossJoin(F.broadcast(dirs))
+        .groupBy("dir_id", "dx", "dy")
+        .agg(
+            F.max(F.col("dx") * F.col("x") + F.col("dy") * F.col("y"))
+            .cast("float")
+            .alias("max_dot")
+        )
+    )
+
+
+HULL_DIRS = [
+    (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1),
+    (2, 1), (1, 2), (-1, 2), (-2, 1), (-2, -1), (-1, -2), (1, -2), (2, -1),
+]
+
+
+def q_clip_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sutherland-Hodgman overlay of the star rings onto 1-degree tiles
+    (operators/geometry.clip_to_tiles), checked by CONSERVATION: the
+    per-tile clipped areas of each ring must sum back to its shoelace
+    area (exact for concave rings too — bridge edges cancel).  The
+    ratio rounds at 1e-6 (clip intersections carry ~1e-12 rounding);
+    the oracle's side is the constant 1.0 plus the direct shoelace."""
+    from xarray_spatial_spark.operators import geometry as geo
+
+    rings = _vector_rings(spark, sf_dir)
+    clipped = geo.clip_to_tiles(rings, tile_size=1.0)
+    tot = clipped.groupBy("geom_id").agg(F.sum("area").alias("clip_area"))
+    base = rings.select("geom_id", geo.ring_area().alias("area"))
+    return base.join(tot, "geom_id").select(
+        "geom_id",
+        F.round(F.col("clip_area") / F.col("area"), 6).alias("conservation"),
+        F.col("area").cast("float").alias("area_f32"),
+    )
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-bucketed point-in-polygon join WITHOUT broadcast
+    (operators/geometry.pip_join): star rings scaled 8x so ~1/3 of the
+    geocoded docs land inside one, bucketed with the points onto
+    4-degree tiles, shuffle equi-join on the tile key, division-free
+    ray-cast in pure Catalyst (zero Python, zero broadcast — the scale
+    path when the polygon table itself is huge).  Oracle: the identical
+    cross-multiplied crossing test as a SQL join.  Integer crossing
+    parity on bit-exact inputs — ids exact, nothing to round."""
+    from xarray_spatial_spark.operators.geometry import pip_join
+
+    rings = _vector_rings(spark, sf_dir, scale=8.0)
+    pts = _docs(spark, sf_dir).select(
+        "doc_id", F.col("lon").alias("x"), F.col("lat").alias("y")
+    )
+    return pip_join(pts, rings, tile_size=4.0)
+
+
+def q_simplify_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker over the star rings (eps=0.05 deg) — fully
+    deterministic but DP recursion has no SQL twin; kernel is pinned
+    against a recursive reference implementation in
+    tests/test_geometry.py.  Returns per-ring kept-vertex count and
+    the simplified shoelace area."""
+    from xarray_spatial_spark.operators import geometry as geo
+
+    simp = geo.simplify_dp(_vector_rings(spark, sf_dir), epsilon=0.05)
+    return simp.select(
+        "geom_id",
+        F.size("xs").alias("n_kept"),
+        geo.ring_area().cast("float").alias("area_simplified"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness run evaluates the first
     50 entries.  Every oracle-backed query (an ``oracle_sql()`` key)
@@ -3556,6 +3721,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparse": q_geoparse,
         "kanon": q_kanon,
         "od_gravity": q_od_gravity,
+        "vector_metrics": q_vector_metrics,
+        "hull_extremes": q_hull_extremes,
+        "clip_tiles": q_clip_tiles,
+        "spatial_join": q_spatial_join,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -3591,6 +3760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traps": q_traps,
         "spatial_part": q_spatial_part,
         "krige": q_krige,
+        "simplify_rings": q_simplify_rings,
     }
 
 
@@ -3734,6 +3904,56 @@ def _bm25_sql(k: int) -> str:
                    rank
             FROM r WHERE rank <= {k}
         """
+
+
+# Shared star-ring CTE chain for the vector-geometry oracles: verts ->
+# pts (bit-exact mirror of _vector_vertices: identical float exprs) ->
+# ordered (ring order = (u, x, y), the rings_from_points sort key) ->
+# edges (wraparound via rn join).  Ends at edges(geom_id, x1, y1, x2, y2).
+def _sql_vec_edges(scale: str | None = None) -> str:
+    r = f"((doc_id * {_VEC_R_MULT}) % 15000) / 10000.0 + 0.5"
+    if scale is not None:  # mirror of _vector_vertices' conditional scale
+        r = f"({r}) * {scale}"
+    return f"""
+            verts AS (
+              SELECT doc_id % {VEC_GEOMS} AS geom_id,
+                     ((doc_id * {_VEC_U_MULT}) % 360000) / 360000.0 AS u,
+                     {r} AS r
+              FROM documents
+            ),
+            pts AS (
+              SELECT geom_id, u,
+                ((((geom_id) * 2246822519) % 3600000) / 10000.0 - 180.0)
+                  + r * (CASE CAST(floor(4.0 * u) AS INT)
+                      WHEN 0 THEN -1.0 + 2.0 * (4.0 * u)
+                      WHEN 1 THEN 1.0
+                      WHEN 2 THEN 1.0 - 2.0 * ((4.0 * u) - 2.0)
+                      ELSE -1.0 END) AS x,
+                ((((geom_id) * 2654435761) % 1700000) / 10000.0 - 85.0)
+                  + r * (CASE CAST(floor(4.0 * u) AS INT)
+                      WHEN 0 THEN -1.0
+                      WHEN 1 THEN -1.0 + 2.0 * ((4.0 * u) - 1.0)
+                      WHEN 2 THEN 1.0
+                      ELSE 1.0 - 2.0 * ((4.0 * u) - 3.0) END) AS y
+              FROM verts
+            ),
+            ordered AS (
+              SELECT geom_id, x, y,
+                row_number() OVER (PARTITION BY geom_id
+                                   ORDER BY u, x, y) AS rn,
+                count(*) OVER (PARTITION BY geom_id) AS n
+              FROM pts
+            ),
+            edges AS (
+              SELECT a.geom_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+              FROM ordered a
+              JOIN ordered b ON a.geom_id = b.geom_id
+               AND b.rn = CASE WHEN a.rn = a.n THEN 1 ELSE a.rn + 1 END
+            )
+"""
+
+
+_SQL_VEC_EDGES = _sql_vec_edges()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6464,6 +6684,86 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "traps": _traps_oracle(),
+        # vector_metrics: direct LEAD-window shoelace/centroid/perimeter
+        # over the bit-exact star-ring vertices — the Spark side pushes
+        # the SAME rings through WKT -> WKB round-trips first, so any
+        # lost bit in either codec breaks the hash.  Sum order differs
+        # (sequential fold vs parallel SUM) -> float32 ship.
+        "vector_metrics": f"""
+            WITH {_SQL_VEC_EDGES},
+            agg AS (
+              SELECT geom_id,
+                CAST(count(*) AS INT) AS n_vertices,
+                0.5 * sum(x1 * y2 - x2 * y1) AS area_d,
+                sum(sqrt((x2 - x1) * (x2 - x1)
+                         + (y2 - y1) * (y2 - y1))) AS perim_d,
+                sum((x1 + x2) * (x1 * y2 - x2 * y1)) AS cxn,
+                sum((y1 + y2) * (x1 * y2 - x2 * y1)) AS cyn
+              FROM edges GROUP BY geom_id
+            )
+            SELECT geom_id, n_vertices,
+              CAST(area_d AS REAL) AS area,
+              CAST(perim_d AS REAL) AS perimeter,
+              CAST(cxn / (6.0 * area_d) AS REAL) AS cx,
+              CAST(cyn / (6.0 * area_d) AS REAL) AS cy
+            FROM agg
+        """,
+        # hull_extremes: support values over the RAW points; the Spark
+        # side computes them from the distributed hull's vertices only.
+        # Dot-value gaps on the geocode lattice are >= 1e-4, so any
+        # hull omission shows; float32 absorbs sub-ulp collinear ties.
+        "hull_extremes": f"""
+            WITH dirs AS (
+              SELECT * FROM (VALUES
+                (0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
+                (4, -1, 0), (5, -1, -1), (6, 0, -1), (7, 1, -1),
+                (8, 2, 1), (9, 1, 2), (10, -1, 2), (11, -2, 1),
+                (12, -2, -1), (13, -1, -2), (14, 1, -2), (15, 2, -1)
+              ) AS t(dir_id, dx, dy)
+            ),
+            p AS (SELECT {SQL_LON} AS x, {SQL_LAT} AS y FROM documents)
+            SELECT CAST(dir_id AS INT) AS dir_id,
+                   CAST(dx AS INT) AS dx, CAST(dy AS INT) AS dy,
+                   CAST(max(dx * x + dy * y) AS REAL) AS max_dot
+            FROM dirs, p GROUP BY 1, 2, 3
+        """,
+        # spatial_join: brute-force SQL twin of the tile-bucketed PIP
+        # join — the identical division-free cross-multiplied crossing
+        # test over every (point, ring) pair; integer parity on
+        # bit-exact coordinates, so the match is exact, and any
+        # tile-bucketing bug (missed cover tile, double-counted pair)
+        # changes the row set
+        "spatial_join": f"""
+            WITH {_sql_vec_edges("8.0")},
+            p AS (SELECT doc_id, {SQL_LON} AS px, {SQL_LAT} AS py
+                  FROM documents),
+            cr AS (
+              SELECT p.doc_id, e.geom_id,
+                sum(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py))
+                      AND (CASE WHEN e.y2 > e.y1
+                           THEN (p.px - e.x1) * (e.y2 - e.y1)
+                                - (p.py - e.y1) * (e.x2 - e.x1) < 0
+                           ELSE (p.px - e.x1) * (e.y2 - e.y1)
+                                - (p.py - e.y1) * (e.x2 - e.x1) > 0 END)
+                    THEN 1 ELSE 0 END) AS crossings
+              FROM p CROSS JOIN edges e
+              GROUP BY 1, 2
+            )
+            SELECT doc_id, geom_id FROM cr WHERE crossings % 2 = 1
+        """,
+        # clip_tiles: conservation — per-tile Sutherland-Hodgman areas
+        # must sum back to the ring's shoelace area; clip intersection
+        # rounding is ~1e-12 rel, so round(ratio, 6) is exactly 1.0.
+        "clip_tiles": f"""
+            WITH {_SQL_VEC_EDGES},
+            agg AS (
+              SELECT geom_id, 0.5 * sum(x1 * y2 - x2 * y1) AS area_d
+              FROM edges GROUP BY geom_id
+            )
+            SELECT geom_id, 1.0 AS conservation,
+                   CAST(area_d AS REAL) AS area_f32
+            FROM agg
+        """,
     }
 
 

@@ -119,6 +119,10 @@ def test_oracle_keys_subset_of_queries():
         # OK parity, exactness-at-known and constant-field reproduction
         # are pytest-asserted (test_spatialstats.py)
         "krige",
+        # Douglas-Peucker recursion has no SQL twin; the kernel is
+        # pinned against a recursive reference implementation and the
+        # rings it runs on are oracle-backed in vector_metrics/clip_tiles
+        "simplify_rings",
     }
 
 
