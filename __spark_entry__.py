@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from xarray_spatial_spark import grid
 from xarray_spatial_spark.functions import text as tx
-from xarray_spatial_spark.functions import dedup, geoindex, similarity
+from xarray_spatial_spark.functions import dedup, geoindex, hexgrid, similarity
 from xarray_spatial_spark.functions.geo import geocode_lat, geocode_lon
 from xarray_spatial_spark.operators import (
     classify,
@@ -3621,6 +3621,56 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(pts, rings, tile_size=4.0)
 
 
+def q_hex_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal cell index (functions/hexgrid.py — the H3-analog):
+    three variants in one tagged union.  'doc' pins per-point axial
+    assignment (codegen cube rounding), the packed bigint cell id,
+    and the hex grid distance to the origin cell; 'cell' pins the
+    per-cell rollup plus the inverse map (cell -> center coords,
+    bit-exact doubles — products of integers with shared constants);
+    'smooth' pins hex focal smoothing (7-cell isotropic neighbourhood
+    via a literal-offset explode + co-partitioned join-back, ONE
+    cell-scale exchange).  The oracle replays the identical float
+    arithmetic (floor(v+0.5) rounding, CAST(… AS DOUBLE) literals so
+    DuckDB doesn't fall into DECIMAL) — every value is either an
+    exact integer or a bit-reproducible double, nothing rounded."""
+    hx = hexgrid
+    d = _docs(spark, sf_dir)
+    q, r = hx.hex_cell_cols(F.col("lon"), F.col("lat"), 7.0)
+    h = d.select("doc_id", q.alias("hq"), r.alias("hr")).withColumn(
+        "c", hx.hex_pack(F.col("hq"), F.col("hr"))
+    )
+    doc = h.select(
+        F.lit("doc").alias("variant"),
+        F.col("doc_id").cast("long").alias("k"),
+        F.col("c"),
+        hx.hex_distance(F.col("hq"), F.col("hr"), F.lit(0), F.lit(0))
+        .cast("double")
+        .alias("v1"),
+        F.lit(0.0).alias("v2"),
+    )
+    cells = h.groupBy("hq", "hr", "c").agg(F.count(F.lit(1)).alias("n"))
+    cx, cy = hx.hex_center_cols(F.col("hq"), F.col("hr"), 7.0)
+    cell = cells.select(
+        F.lit("cell").alias("variant"),
+        F.col("n").cast("long").alias("k"),
+        "c",
+        cx.alias("v1"),
+        cy.alias("v2"),
+    )
+    sm = hx.hex_smooth(
+        cells.select("hq", "hr", "c", F.col("n").cast("double").alias("value"))
+    )
+    smooth = sm.select(
+        F.lit("smooth").alias("variant"),
+        F.col("n_nb").cast("long").alias("k"),
+        "c",
+        F.col("smooth").alias("v1"),
+        F.lit(0.0).alias("v2"),
+    )
+    return doc.unionByName(cell).unionByName(smooth)
+
+
 def q_simplify_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker over the star rings (eps=0.05 deg) — fully
     deterministic but DP recursion has no SQL twin; kernel is pinned
@@ -3725,6 +3775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull_extremes": q_hull_extremes,
         "clip_tiles": q_clip_tiles,
         "spatial_join": q_spatial_join,
+        "hex_index": q_hex_index,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -3954,6 +4005,61 @@ def _sql_vec_edges(scale: str | None = None) -> str:
 
 
 _SQL_VEC_EDGES = _sql_vec_edges()
+
+
+def _hex_index_oracle() -> str:
+    """DuckDB twin of q_hex_index: axial assignment via
+    hexgrid.hex_cell_sql (identical double constants + floor(v+0.5)
+    cube rounding), the same bigint pack, hex distance as the even
+    integer (|q|+|r|+|q+r|)/2, per-cell rollup with hex_center_sql
+    centers, and 7-offset focal smoothing replayed as a literal-offset
+    join (avg over exact-integer doubles — order-independent)."""
+    hq, hr = hexgrid.hex_cell_sql(SQL_LON, SQL_LAT, 7.0)
+    cx, cy = hexgrid.hex_center_sql("hq", "hr", 7.0)
+    off = hexgrid._PACK_OFF
+    mul = hexgrid._PACK_MUL
+    dirs = ", ".join(f"({dq},{dr})" for dq, dr in [(0, 0), *hexgrid.HEX_DIRS])
+    return f"""
+        WITH h AS (
+          SELECT doc_id, {hq} AS hq, {hr} AS hr FROM documents
+        ),
+        hc AS (
+          SELECT doc_id, hq, hr,
+                 (hq + {off}) * {mul} + (hr + {off}) AS c
+          FROM h
+        ),
+        doc AS (
+          SELECT 'doc' AS variant, CAST(doc_id AS BIGINT) AS k, c,
+                 CAST(CAST((abs(hq) + abs(hr) + abs(hq + hr)) / 2
+                      AS BIGINT) AS DOUBLE) AS v1,
+                 CAST(0.0 AS DOUBLE) AS v2
+          FROM hc
+        ),
+        cells AS (
+          SELECT hq, hr, c, count(*) AS n FROM hc GROUP BY 1, 2, 3
+        ),
+        cell AS (
+          SELECT 'cell' AS variant, CAST(n AS BIGINT) AS k, c,
+                 {cx} AS v1, {cy} AS v2
+          FROM cells
+        ),
+        ofs(dq, dr) AS (VALUES {dirs}),
+        sm AS (
+          SELECT a.c AS c, avg(CAST(b.n AS DOUBLE)) AS smooth,
+                 count(*) AS n_nb
+          FROM cells a CROSS JOIN ofs JOIN cells b
+            ON b.hq = a.hq + ofs.dq AND b.hr = a.hr + ofs.dr
+          GROUP BY 1
+        ),
+        smooth AS (
+          SELECT 'smooth' AS variant, CAST(n_nb AS BIGINT) AS k, c,
+                 smooth AS v1, CAST(0.0 AS DOUBLE) AS v2
+          FROM sm
+        )
+        SELECT * FROM doc
+        UNION ALL SELECT * FROM cell
+        UNION ALL SELECT * FROM smooth
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6764,6 +6870,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(area_d AS REAL) AS area_f32
             FROM agg
         """,
+        # hex_index: the SQL twin replays hexgrid's EXACT float
+        # arithmetic (hex_cell_sql / hex_center_sql embed repr() of the
+        # same double constants, rounding is floor(v+0.5) in both
+        # engines) — every output is an exact integer or a
+        # bit-reproducible double (centers are integer x constant
+        # products; the smooth avg sums exact-integer doubles).
+        "hex_index": _hex_index_oracle(),
     }
 
 
