@@ -3671,6 +3671,29 @@ def q_hex_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.unionByName(cell).unionByName(smooth)
 
 
+def q_hex_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded kNN on the hex graph (hexgrid.hex_knn_join): docs
+    against the 5 broadcast cities, size 20 deg / ring 2 — the disk
+    cover guarantees exactness within 50 deg, and points with no city
+    in their 19-cell disk drop out in BOTH engines, so the oracle pins
+    the BOUNDED semantics (cell assignment, disk cover, join, ranking),
+    not just the distances.  Zero Python in the plan (pinned by
+    tests/test_hexgrid.py); one equi-join exchange."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    cities = spark.createDataFrame(
+        pd.DataFrame({"target_id": range(1, 6), "lon": CITY_LON, "lat": CITY_LAT}),
+        schema="target_id long, lon double, lat double",
+    )
+    return hexgrid.hex_knn_join(
+        d, cities, k=2, size=20.0, ring=2, point_id="doc_id"
+    ).select(
+        "doc_id", "target_id",
+        F.round("dist", 6).alias("dist"), "knn_rank",
+    )
+
+
 def q_simplify_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker over the star rings (eps=0.05 deg) — fully
     deterministic but DP recursion has no SQL twin; kernel is pinned
@@ -3776,6 +3799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_tiles": q_clip_tiles,
         "spatial_join": q_spatial_join,
         "hex_index": q_hex_index,
+        "hex_knn": q_hex_knn,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -4059,6 +4083,48 @@ def _hex_index_oracle() -> str:
         SELECT * FROM doc
         UNION ALL SELECT * FROM cell
         UNION ALL SELECT * FROM smooth
+    """
+
+
+def _hex_knn_oracle() -> str:
+    """DuckDB twin of q_hex_knn: replays the BOUNDED kNN — identical
+    hex assignment (hex_cell_sql, size 20), the same 19-cell ring-2
+    disk as a literal offset table, the same euclidean expression
+    order, row_number ranked by (dist, target_id).  Points whose disk
+    holds no city drop out in both engines."""
+    pq, pr = hexgrid.hex_cell_sql("lon", "lat", 20.0)
+    tq, tr = hexgrid.hex_cell_sql("clon", "clat", 20.0)
+    disk = ", ".join(
+        f"({int(dq)},{int(dr)})" for dq, dr in hexgrid.hex_disk_offsets(2)
+    )
+    cities = ", ".join(
+        f"({i + 1}, CAST({CITY_LON[i]!r} AS DOUBLE), "
+        f"CAST({CITY_LAT[i]!r} AS DOUBLE))" for i in range(5)
+    )
+    return f"""
+        WITH g AS (SELECT doc_id, {SQL_LON} AS lon, {SQL_LAT} AS lat
+                   FROM documents),
+        c(target_id, clon, clat) AS (VALUES {cities}),
+        tc AS (SELECT target_id, clon, clat, {tq} AS tq, {tr} AS tr
+               FROM c),
+        pc AS (SELECT doc_id, lon, lat, {pq} AS pq, {pr} AS pr FROM g),
+        ofs(dq, dr) AS (VALUES {disk}),
+        cand AS (
+          SELECT p.doc_id, t.target_id,
+                 sqrt((p.lon - t.clon) * (p.lon - t.clon)
+                    + (p.lat - t.clat) * (p.lat - t.clat)) AS dist
+          FROM pc p CROSS JOIN ofs JOIN tc t
+            ON t.tq = p.pq + ofs.dq AND t.tr = p.pr + ofs.dr
+        ),
+        rk AS (
+          SELECT doc_id, target_id, dist,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY dist ASC, target_id ASC) AS INT) AS knn_rank
+          FROM cand
+        )
+        SELECT doc_id, CAST(target_id AS BIGINT) AS target_id,
+               round(dist, 6) AS dist, knn_rank
+        FROM rk WHERE knn_rank <= 2
     """
 
 
@@ -6877,6 +6943,7 @@ def oracle_sql() -> dict[str, str]:
         # bit-reproducible double (centers are integer x constant
         # products; the smooth avg sums exact-integer doubles).
         "hex_index": _hex_index_oracle(),
+        "hex_knn": _hex_knn_oracle(),
     }
 
 

@@ -151,3 +151,74 @@ def test_hex_smooth_pure_jvm(spark):
                                "hq long, hr long, value double")
     plan = H.hex_smooth(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_hex_disk_offsets():
+    for r in range(4):
+        disk = H.hex_disk_offsets(r)
+        assert len(disk) == 1 + 3 * r * (r + 1)
+        for dq, dr in disk:
+            assert (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= r
+
+
+def _brute_knn(pts, tgt, k):
+    d = np.sqrt((pts[:, 0:1] - tgt[None, :, 0]) ** 2
+                + (pts[:, 1:2] - tgt[None, :, 1]) ** 2)
+    # tie-break toward smaller target id: argsort on (dist, id) via stable
+    order = np.argsort(d, axis=1, kind="stable")
+    return d, order[:, :k]
+
+
+def test_hex_knn_exact_when_ring_covers(spark):
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-10, 10, size=(300, 2))
+    tgt = rng.uniform(-10, 10, size=(40, 2))
+    pdf = pd.DataFrame({"doc_id": np.arange(300),
+                        "lon": pts[:, 0], "lat": pts[:, 1]})
+    tdf = pd.DataFrame({"target_id": np.arange(40),
+                        "lon": tgt[:, 0], "lat": tgt[:, 1]})
+    # size 4, ring 8 -> guaranteed radius 4*(1.5*8-0.5)=46 > extent diam
+    out = H.hex_knn_join(
+        spark.createDataFrame(pdf), spark.createDataFrame(tdf),
+        k=3, size=4.0, ring=8,
+    ).collect()
+    got = {}
+    for row in out:
+        got.setdefault(row.doc_id, {})[row.knn_rank] = (row.target_id, row.dist)
+    d, top = _brute_knn(pts, tgt, 3)
+    assert set(got) == set(range(300))
+    for i in range(300):
+        for rk in (1, 2, 3):
+            tid, dist = got[i][rk]
+            assert dist == pytest.approx(d[i, top[i, rk - 1]], rel=1e-12)
+            # same target unless a tie (then dist equality suffices)
+            assert tid == top[i, rk - 1] or dist == pytest.approx(
+                d[i, tid], rel=1e-12)
+
+
+def test_hex_knn_bounded_ring_guarantee(spark):
+    # ring=1 at size s guarantees exactness within radius s*(1.5-0.5)=s
+    rng = np.random.default_rng(12)
+    pts = rng.uniform(-20, 20, size=(400, 2))
+    tgt = rng.uniform(-20, 20, size=(600, 2))
+    s = 3.0
+    pdf = pd.DataFrame({"doc_id": np.arange(400),
+                        "lon": pts[:, 0], "lat": pts[:, 1]})
+    tdf = pd.DataFrame({"target_id": np.arange(600),
+                        "lon": tgt[:, 0], "lat": tgt[:, 1]})
+    out = {r.doc_id: r.dist for r in H.hex_knn_join(
+        spark.createDataFrame(pdf), spark.createDataFrame(tdf),
+        k=1, size=s, ring=1).collect()}
+    d, _ = _brute_knn(pts, tgt, 1)
+    dmin = d.min(axis=1)
+    for i in range(400):
+        if dmin[i] <= s:  # inside the guarantee radius -> must be exact
+            assert out[i] == pytest.approx(dmin[i], rel=1e-12)
+
+
+def test_hex_knn_pure_jvm_plan(spark):
+    p = spark.createDataFrame([(0, 1.0, 2.0)], "doc_id long, lon double, lat double")
+    t = spark.createDataFrame([(0, 1.5, 2.5)], "target_id long, lon double, lat double")
+    plan = H.hex_knn_join(p, t, k=1, size=2.0, ring=2)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

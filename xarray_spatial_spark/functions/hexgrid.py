@@ -88,6 +88,12 @@ def hex_distance(q1: Column, r1: Column, q2: Column, r2: Column) -> Column:
     return ((F.abs(dq) + F.abs(dr) + F.abs(dq + dr)) / F.lit(2)).cast("long")
 
 
+def hex_disk_offsets(r: int) -> np.ndarray:
+    """All 1 + 3r(r+1) axial offsets at hex-distance <= r (rings 0..r
+    concatenated) — the candidate-cell cover for bounded kNN."""
+    return np.concatenate([hex_ring_offsets(k) for k in range(r + 1)])
+
+
 def hex_ring_offsets(k: int) -> np.ndarray:
     """The 6k axial offsets at exactly hex-distance k (k=0 -> [(0,0)]);
     the expansion schedule for hex kNN, mirroring grid.ring."""
@@ -168,3 +174,91 @@ def hex_smooth(cells: DataFrame, value_col: str = "value") -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_nb"),
     )
     return cells.join(agg, ["hq", "hr"])
+
+
+# ---------------------------------------------------------------------------
+# bounded kNN on the hex graph (the expansion schedule hex_ring_offsets
+# exists for) — the proximity.knn_ring_join shape, but with ZERO Python:
+# hex assignment is codegen and the disk cover is a literal-offset
+# explode, so the whole plan is scan -> ONE equi-join -> window top-k.
+# ---------------------------------------------------------------------------
+
+def hex_knn_join(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    size: float = 1.0,
+    ring: int = 1,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    point_id: str = "doc_id",
+    target_id: str = "target_id",
+    metric: str = "EUCLIDEAN",
+    target_payload: str | None = None,
+) -> DataFrame:
+    """Bounded kNN: bucket targets by hex cell; explode each query
+    point to its hex-disk cells (hex distance <= ``ring``, a LITERAL
+    offset array — scan-stage, no Python anywhere in the plan); ONE
+    shuffle equi-join on the packed cell key; exact distance; window
+    top-k per point.
+
+    Exactness bound (centers of cells at hex grid distance h are
+    >= 1.5*size*h apart, each point within circumradius ``size`` of
+    its center): every target within Euclidean distance
+    ``size * (1.5 * ring - 0.5)`` of a point is inside its disk, so
+    the result is EXACT whenever the true k-th neighbour is within
+    that radius — pick ``size``/``ring`` from the expected search
+    radius, same contract as proximity.knn_ring_join.  Points whose
+    disk holds no targets are left out (caller widens the ring).
+    Candidate volume per point is 1 + 3*ring*(ring+1) cells —
+    bounded fan-out, never all-pairs; hot cells ride AQE skew-join
+    splitting like every cell join here."""
+    from .geo import distance_col
+
+    tq, tr = hex_cell_cols(F.col(x_col), F.col(y_col), size)
+    extra = [F.col(target_payload).alias("_tpay")] if target_payload else []
+    t = targets.select(
+        F.col(target_id),
+        F.col(x_col).alias("_tx"),
+        F.col(y_col).alias("_ty"),
+        hex_pack(tq, tr).alias("_tcell"),
+        *extra,
+    )
+    pq, pr = hex_cell_cols(F.col(x_col), F.col(y_col), size)
+    offs = F.array(*[
+        F.struct(F.lit(int(dq)).alias("dq"), F.lit(int(dr)).alias("dr"))
+        for dq, dr in hex_disk_offsets(ring)
+    ])
+    p = points.select(
+        F.col(point_id),
+        F.col(x_col).alias("_px"),
+        F.col(y_col).alias("_py"),
+        pq.alias("_pq"),
+        pr.alias("_pr"),
+        F.explode(offs).alias("_o"),
+    ).select(
+        point_id, "_px", "_py",
+        hex_pack(F.col("_pq") + F.col("_o.dq"),
+                 F.col("_pr") + F.col("_o.dr")).alias("_tcell"),
+    )
+    joined = p.join(t, "_tcell").withColumn(
+        "dist",
+        distance_col(F.col("_px"), F.col("_tx"),
+                     F.col("_py"), F.col("_ty"), metric),
+    )
+    # equidistant ties break toward the smallest payload (then id),
+    # matching knn_ring_join / nearest_broadcast
+    from pyspark.sql import Window
+
+    tie = [F.col("_tpay").asc()] if target_payload else []
+    w = Window.partitionBy(point_id).orderBy(
+        F.col("dist").asc(), *tie, F.col(target_id).asc()
+    )
+    keep = [point_id, target_id, "dist", "knn_rank"]
+    if target_payload:
+        keep.append("_tpay")
+    return (
+        joined.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(*keep)
+    )
