@@ -3710,6 +3710,49 @@ def q_simplify_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# iso levels of the z5 doc-count field, shared by q_contour and its
+# oracle — fractional so the strict-> corner test never sees a tie on
+# the integer-valued counts (divisors on crossing edges are nonzero).
+CONTOUR_LEVELS = (0.5, 4.5, 24.5)
+
+
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares iso-lines (operators/contour.py) of the z5
+    doc-count field, zero-densified over the full 32x32 zoom-5 grid so
+    the 0.5 level outlines the corpus "landmass".  Pure Catalyst: ONE
+    corner-scatter exchange, literal case table, codegen interpolation
+    — the oracle replays every expression verbatim; counts are
+    integer-derived doubles, so both engines divide identical bits."""
+    from xarray_spatial_spark.operators.contour import marching_squares
+
+    z = 5
+    n = 1 << z
+    counts = (
+        _doc_tiles(spark, sf_dir, z)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    grid = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).cast("int").alias("x"),
+            (F.col("id") / n).cast("int").alias("y"),
+        )
+        .join(
+            counts,
+            (F.col("x") == F.col("tile_x")) & (F.col("y") == F.col("tile_y")),
+            "left",
+        )
+        .select("x", "y", F.coalesce(F.col("v"), F.lit(0.0)).alias("value"))
+    )
+    segs = marching_squares(grid, CONTOUR_LEVELS)
+    return segs.select(
+        "level", "sx", "sy", "seg",
+        F.round("x1", 6).alias("x1"), F.round("y1", 6).alias("y1"),
+        F.round("x2", 6).alias("x2"), F.round("y2", 6).alias("y2"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness run evaluates the first
     50 entries.  Every oracle-backed query (an ``oracle_sql()`` key)
@@ -3800,6 +3843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "hex_index": q_hex_index,
         "hex_knn": q_hex_knn,
+        "contour": q_contour,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -6944,7 +6988,38 @@ def oracle_sql() -> dict[str, str]:
         # products; the smooth avg sums exact-integer doubles).
         "hex_index": _hex_index_oracle(),
         "hex_knn": _hex_knn_oracle(),
+        # contour: marching_squares_sql replays the Spark op verbatim
+        # (corner scatter, strict-> case index, literal case table,
+        # same-order interpolation) over the identical zero-densified
+        # z5 count grid — integer-derived doubles, identical division.
+        "contour": _contour_oracle(z5x, z5y),
     }
+
+
+def _contour_oracle(z5x: str, z5y: str) -> str:
+    """DuckDB twin of q_contour: the zero-densified 32x32 z5 count
+    grid fed through operators/contour.marching_squares_sql — the
+    module generates BOTH engines' expressions from one case table,
+    so the only thing this oracle adds is the grid construction and
+    the 6-dp rounding."""
+    from xarray_spatial_spark.operators.contour import marching_squares_sql
+
+    grid_sql = f"""
+        SELECT gx.x AS x, gy.y AS y, coalesce(c.v, 0.0) AS v
+        FROM (SELECT unnest(generate_series(0, 31)) AS x) gx
+        CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS y) gy
+        LEFT JOIN (SELECT {z5x} AS x, {z5y} AS y,
+                          CAST(count(*) AS DOUBLE) AS v
+                   FROM documents GROUP BY 1, 2) c
+          ON c.x = gx.x AND c.y = gy.y
+    """
+    inner = marching_squares_sql(grid_sql, CONTOUR_LEVELS, value_col="v")
+    return f"""
+        SELECT level, sx, sy, seg,
+               round(x1, 6) AS x1, round(y1, 6) AS y1,
+               round(x2, 6) AS x2, round(y2, 6) AS y2
+        FROM ({inner})
+    """
 
 
 def _gopher_m_sql(src: str) -> str:

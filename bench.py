@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "centrography",
     "geoparse",
     "kanon",
+    "contour",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
