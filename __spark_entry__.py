@@ -3716,15 +3716,10 @@ def q_simplify_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTOUR_LEVELS = (0.5, 4.5, 24.5)
 
 
-def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marching-squares iso-lines (operators/contour.py) of the z5
-    doc-count field, zero-densified over the full 32x32 zoom-5 grid so
-    the 0.5 level outlines the corpus "landmass".  Pure Catalyst: ONE
-    corner-scatter exchange, literal case table, codegen interpolation
-    — the oracle replays every expression verbatim; counts are
-    integer-derived doubles, so both engines divide identical bits."""
-    from xarray_spatial_spark.operators.contour import marching_squares
-
+def _z5_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 32x32 zoom-5 doc-count field, zero-densified — the shared
+    scalar field q_contour and q_flow operate on (integer-derived
+    doubles, so downstream divisions are bit-identical cross-engine)."""
     z = 5
     n = 1 << z
     counts = (
@@ -3732,7 +3727,7 @@ def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tile_x", "tile_y")
         .agg(F.count(F.lit(1)).cast("double").alias("v"))
     )
-    grid = (
+    return (
         spark.range(n * n)
         .select(
             (F.col("id") % n).cast("int").alias("x"),
@@ -3745,11 +3740,43 @@ def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("x", "y", F.coalesce(F.col("v"), F.lit(0.0)).alias("value"))
     )
-    segs = marching_squares(grid, CONTOUR_LEVELS)
+
+
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares iso-lines (operators/contour.py) of the z5
+    doc-count field, zero-densified over the full 32x32 zoom-5 grid so
+    the 0.5 level outlines the corpus "landmass".  Pure Catalyst: ONE
+    corner-scatter exchange, literal case table, codegen interpolation
+    — the oracle replays every expression verbatim; counts are
+    integer-derived doubles, so both engines divide identical bits."""
+    from xarray_spatial_spark.operators.contour import marching_squares
+
+    segs = marching_squares(_z5_dense_grid(spark, sf_dir), CONTOUR_LEVELS)
     return segs.select(
         "level", "sx", "sy", "seg",
         F.round("x1", 6).alias("x1"), F.round("y1", 6).alias("y1"),
         F.round("x2", 6).alias("x2"), F.round("y2", 6).alias("y2"),
+    )
+
+
+def q_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 hydrology (operators/hydrology.py) over the z5 doc-count
+    field read as terrain: per-cell steepest-descent direction (ESRI
+    codes, ties to the smallest code) and Kahn-peeled upstream-cell
+    accumulation.  The oracle replays the identical drop arithmetic
+    (same repr'd sqrt(2), same tie order) and closes the drainage
+    forest with a recursive CTE — counts are exact integers, so the
+    hash pins BOTH the argmax routing and the transitive closure."""
+    from xarray_spatial_spark.operators.hydrology import (
+        flow_accumulation,
+        flow_direction,
+    )
+
+    fd = flow_direction(_z5_dense_grid(spark, sf_dir))
+    acc = flow_accumulation(fd)
+    return (
+        fd.join(acc, ["x", "y"])
+        .select("x", "y", "direction", F.col("acc").cast("long").alias("acc"))
     )
 
 
@@ -3844,6 +3871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_index": q_hex_index,
         "hex_knn": q_hex_knn,
         "contour": q_contour,
+        "flow": q_flow,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -6993,7 +7021,74 @@ def oracle_sql() -> dict[str, str]:
         # same-order interpolation) over the identical zero-densified
         # z5 count grid — integer-derived doubles, identical division.
         "contour": _contour_oracle(z5x, z5y),
+        # flow: identical D8 drop arithmetic + tie order; accumulation
+        # closed by a recursive CTE over the same drainage forest.
+        "flow": _flow_oracle(z5x, z5y),
     }
+
+
+def _z5_grid_sql(z5x: str, z5y: str) -> str:
+    """DuckDB twin of _z5_dense_grid."""
+    return f"""
+        SELECT gx.x AS x, gy.y AS y, coalesce(c.v, 0.0) AS v
+        FROM (SELECT unnest(generate_series(0, 31)) AS x) gx
+        CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS y) gy
+        LEFT JOIN (SELECT {z5x} AS x, {z5y} AS y,
+                          CAST(count(*) AS DOUBLE) AS v
+                   FROM documents GROUP BY 1, 2) c
+          ON c.x = gx.x AND c.y = gy.y
+    """
+
+
+def _flow_oracle(z5x: str, z5y: str) -> str:
+    """DuckDB twin of q_flow: same D8 VALUES table (repr'd sqrt(2)),
+    same drop expression and (drop DESC, code ASC) tie order, edges
+    from the shared CASE ladder, accumulation = recursive closure of
+    the drainage forest (terminates: positive drop means the target is
+    strictly lower)."""
+    from xarray_spatial_spark.operators.hydrology import (
+        d8_case_sql,
+        d8_values_sql,
+    )
+
+    return f"""
+        WITH RECURSIVE g AS ({_z5_grid_sql(z5x, z5y)}),
+        n(code, dx, dy, dist) AS (VALUES {d8_values_sql()}),
+        d AS (
+          SELECT a.x, a.y, n.code, (a.v - b.v) / n.dist AS drop
+          FROM g a CROSS JOIN n
+          JOIN g b ON b.x = a.x + n.dx AND b.y = a.y + n.dy
+        ),
+        best AS (
+          SELECT x, y, code, drop,
+                 row_number() OVER (PARTITION BY x, y
+                                    ORDER BY drop DESC, code ASC) AS rn
+          FROM d
+        ),
+        dir AS (
+          SELECT g.x, g.y,
+                 coalesce(CASE WHEN b.drop > 0 THEN b.code ELSE 0 END,
+                          0) AS direction
+          FROM g LEFT JOIN best b ON b.x = g.x AND b.y = g.y AND b.rn = 1
+        ),
+        e AS (
+          SELECT x AS sx, y AS sy,
+                 x + {d8_case_sql(0)} AS tx,
+                 y + {d8_case_sql(1)} AS ty
+          FROM dir WHERE direction > 0
+        ),
+        reach(sx, sy, cx, cy) AS (
+          SELECT sx, sy, tx, ty FROM e
+          UNION ALL
+          SELECT r.sx, r.sy, e.tx, e.ty
+          FROM reach r JOIN e ON e.sx = r.cx AND e.sy = r.cy
+        ),
+        acc AS (SELECT cx AS x, cy AS y, count(*) AS a
+                FROM reach GROUP BY 1, 2)
+        SELECT dir.x, dir.y, dir.direction,
+               coalesce(acc.a, 0) AS acc
+        FROM dir LEFT JOIN acc ON acc.x = dir.x AND acc.y = dir.y
+    """
 
 
 def _contour_oracle(z5x: str, z5y: str) -> str:
@@ -7004,16 +7099,8 @@ def _contour_oracle(z5x: str, z5y: str) -> str:
     the 6-dp rounding."""
     from xarray_spatial_spark.operators.contour import marching_squares_sql
 
-    grid_sql = f"""
-        SELECT gx.x AS x, gy.y AS y, coalesce(c.v, 0.0) AS v
-        FROM (SELECT unnest(generate_series(0, 31)) AS x) gx
-        CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS y) gy
-        LEFT JOIN (SELECT {z5x} AS x, {z5y} AS y,
-                          CAST(count(*) AS DOUBLE) AS v
-                   FROM documents GROUP BY 1, 2) c
-          ON c.x = gx.x AND c.y = gy.y
-    """
-    inner = marching_squares_sql(grid_sql, CONTOUR_LEVELS, value_col="v")
+    inner = marching_squares_sql(
+        _z5_grid_sql(z5x, z5y), CONTOUR_LEVELS, value_col="v")
     return f"""
         SELECT level, sx, sy, seg,
                round(x1, 6) AS x1, round(y1, 6) AS y1,

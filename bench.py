@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "geoparse",
     "kanon",
     "contour",
+    "flow",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

@@ -1,0 +1,167 @@
+"""D8 hydrology: flow-direction parity vs a scalar-loop reference,
+accumulation parity vs a topological-order reference, goldens on
+constructed terrain, and the loop guards."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xarray_spatial_spark.operators.hydrology import (
+    D8,
+    flow_accumulation,
+    flow_direction,
+)
+
+
+def ref_direction(grid: np.ndarray) -> np.ndarray:
+    """Scalar-loop D8 with the module's conventions (strict positive
+    drop, smallest code on ties, NaN neighbors absent)."""
+    h, w = grid.shape
+    out = np.zeros((h, w), dtype=int)
+    for y in range(h):
+        for x in range(w):
+            if not np.isfinite(grid[y, x]):
+                out[y, x] = -1  # marker: cell absent
+                continue
+            cands = []
+            for code, dx, dy, dist in D8:
+                ny, nx = y + dy, x + dx
+                if not (0 <= ny < h and 0 <= nx < w):
+                    continue
+                if not np.isfinite(grid[ny, nx]):
+                    continue
+                drop = (grid[y, x] - grid[ny, nx]) / dist
+                if drop > 0:
+                    cands.append((drop, code))
+            if cands:
+                top = max(d for d, _ in cands)
+                out[y, x] = min(c for d, c in cands if d == top)
+    return out
+
+
+def ref_accumulation(grid: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+    """Topological-order upstream counts (self excluded)."""
+    h, w = grid.shape
+    delta = {code: (dx, dy) for code, dx, dy, _ in D8}
+    indeg = np.zeros((h, w), dtype=int)
+    downstream = {}
+    for y in range(h):
+        for x in range(w):
+            c = dirs[y, x]
+            if c > 0:
+                dx, dy = delta[c]
+                downstream[(x, y)] = (x + dx, y + dy)
+                indeg[y + dy, x + dx] += 1
+    acc = np.zeros((h, w), dtype=np.int64)
+    stack = [(x, y) for y in range(h) for x in range(w)
+             if dirs[y, x] >= 0 and indeg[y, x] == 0]
+    while stack:
+        x, y = stack.pop()
+        if (x, y) in downstream:
+            tx, ty = downstream[(x, y)]
+            acc[ty, tx] += acc[y, x] + 1
+            indeg[ty, tx] -= 1
+            if indeg[ty, tx] == 0:
+                stack.append((tx, ty))
+    return acc
+
+
+def grid_df(spark, grid: np.ndarray):
+    h, w = grid.shape
+    ys, xs = np.mgrid[0:h, 0:w]
+    pdf = pd.DataFrame({
+        "x": xs.ravel(), "y": ys.ravel(), "value": grid.ravel()
+    })
+    pdf = pdf[np.isfinite(pdf["value"].to_numpy())]
+    return spark.createDataFrame(pdf)
+
+
+def assert_direction_parity(spark, grid):
+    fd = flow_direction(grid_df(spark, grid))
+    got = {(r.x, r.y): r.direction for r in fd.collect()}
+    want = ref_direction(grid)
+    h, w = grid.shape
+    for y in range(h):
+        for x in range(w):
+            if want[y, x] < 0:
+                assert (x, y) not in got
+            else:
+                assert got[(x, y)] == want[y, x], (x, y)
+    return fd
+
+
+def test_direction_random_grid_parity(spark):
+    rng = np.random.default_rng(42)
+    grid = rng.integers(0, 20, size=(10, 12)).astype(float)
+    assert_direction_parity(spark, grid)
+
+
+def test_direction_tie_heavy_parity(spark):
+    # tiny value alphabet -> many exact drop ties -> smallest code
+    rng = np.random.default_rng(9)
+    grid = rng.integers(0, 3, size=(8, 8)).astype(float)
+    assert_direction_parity(spark, grid)
+
+
+def test_direction_tilted_plane_east(spark):
+    # z decreases with +x -> everyone drains due east (code 1):
+    # the diagonal drops divide by sqrt(2) so E wins outright
+    ys, xs = np.mgrid[0:5, 0:6]
+    grid = (100.0 - xs).astype(float)
+    fd = flow_direction(grid_df(spark, grid))
+    rows = {(r.x, r.y): r.direction for r in fd.collect()}
+    for (x, y), d in rows.items():
+        assert d == (0 if x == 5 else 1), (x, y, d)
+
+
+def test_direction_nan_hole(spark):
+    grid = np.array([[3.0, 3.0, 3.0], [3.0, np.nan, 1.0],
+                     [3.0, 3.0, 3.0]])
+    assert_direction_parity(spark, grid)
+
+
+def test_accumulation_random_parity(spark):
+    rng = np.random.default_rng(4)
+    # distinct values avoid flats -> deep-ish forests
+    grid = rng.permutation(90).astype(float).reshape(9, 10)
+    df = grid_df(spark, grid)
+    fd = flow_direction(df)
+    acc = flow_accumulation(fd)
+    got = {(r.x, r.y): r.acc for r in acc.collect()}
+    dirs = ref_direction(grid)
+    want = ref_accumulation(grid, dirs)
+    assert len(got) == 90
+    for (x, y), a in got.items():
+        assert a == want[y, x], (x, y, a, want[y, x])
+
+
+def test_accumulation_bowl_drains_to_center(spark):
+    h = w = 9
+    ys, xs = np.mgrid[0:h, 0:w]
+    grid = ((xs - 4) ** 2 + (ys - 4) ** 2).astype(float)
+    df = grid_df(spark, grid)
+    fd = flow_direction(df)
+    rows = {(r.x, r.y): r.direction for r in fd.collect()}
+    assert rows[(4, 4)] == 0  # the pit
+    acc = {(r.x, r.y): r.acc
+           for r in flow_accumulation(fd).collect()}
+    # strictly decreasing toward the pit from every side -> every
+    # other cell drains into the center
+    assert acc[(4, 4)] == h * w - 1
+    # corners receive nothing
+    assert acc[(0, 0)] == 0 and acc[(8, 8)] == 0
+
+
+def test_accumulation_depth_guard_raises(spark):
+    # a straight 6-cell staircase has drainage depth 5 > max_iters=2
+    grid = np.array([[5.0, 4.0, 3.0, 2.0, 1.0, 0.0]])
+    fd = flow_direction(grid_df(spark, grid))
+    with pytest.raises(ValueError, match="max_iters"):
+        flow_accumulation(fd, max_iters=2)
+
+
+def test_direction_plan_no_python(spark):
+    grid = np.arange(12, dtype=float).reshape(3, 4)
+    fd = flow_direction(grid_df(spark, grid))
+    plan = fd._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan

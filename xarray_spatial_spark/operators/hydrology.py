@@ -1,0 +1,215 @@
+"""D8 hydrology — flow direction + flow accumulation over long-form
+rasters.
+
+The classic terrain-hydrology pair (ESRI flow-direction encoding;
+O'Callaghan & Mark 1984) that completes the surface family the
+reference ships (slope/aspect/curvature/hillshade — xrspatial has no
+hydrology tier): where does each cell drain, and how much drains
+through it?
+
+``flow_direction`` — per cell, the steepest-descent neighbor among
+the 8 present neighbors, ESRI power-of-two codes::
+
+        32  64  128
+        16   c    1          drop = (z_c - z_n) / dist,
+         8   4    2          dist = 1 or sqrt(2)
+
+    direction = code of the max positive drop; ties break to the
+    SMALLEST code (deterministic — GDAL leaves ties implementation-
+    defined); pits/flats (no positive drop) and isolated cells get 0.
+    Missing / NaN neighbors are simply absent (NaN nodata, SURVEY
+    §1.2).  y grows southward (code 4 = +y), matching the repo's
+    tile-grid convention.
+
+    Plan: ONE literal-offset explode (each cell mails its elevation
+    to the 8 positions around it, tagged with the code the RECEIVER
+    uses to point back), an equi-join on the receiving cell, and a
+    struct-max aggregate — the join and the aggregate share the
+    (x, y) hash partitioning, so cells shuffle once at 8x and once
+    at 1x.  No Python, no window.
+
+``flow_accumulation`` — number of UPSTREAM cells whose drainage path
+    passes through each cell (self excluded; ESRI convention).  The
+    D8 out-edges form a functional forest (a positive drop means the
+    target is STRICTLY lower, so no cycles), and accumulation is
+    computed by Kahn peeling: each round finalizes every cell with no
+    remaining inbound edge and pushes ``acc + 1`` downstream.  Rounds
+    = longest drainage path; each round is a handful of cell-scale
+    exchanges with localCheckpoint lineage cuts (the graph.py loop
+    idiom).
+
+100-TB audit: both operators run over the aggregated cell grid
+(cells << docs; a z12 world grid is <= 16.7M cells at any corpus
+size).  flow_direction is two bounded exchanges; accumulation's round
+count is a property of the FIELD (drainage depth), not the corpus —
+on web-corpus count fields the relief is noise-dominated and paths
+are short.  The per-round ready set is found with an anti-join
+(never a collect); driver work per round is one count() scalar.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SQRT2 = 1.4142135623730951  # repr-exact in BOTH engines (hexgrid.py rule)
+
+# (code, dx, dy, dist) — ESRI D8, y southward
+D8 = (
+    (1, 1, 0, 1.0), (2, 1, 1, _SQRT2), (4, 0, 1, 1.0), (8, -1, 1, _SQRT2),
+    (16, -1, 0, 1.0), (32, -1, -1, _SQRT2), (64, 0, -1, 1.0),
+    (128, 1, -1, _SQRT2),
+)
+
+
+def _code_to(delta: int) -> Column:
+    """CASE ladder direction-code -> dx (delta=0) or dy (delta=1)."""
+    expr = F.lit(0)
+    for code, dx, dy, _ in D8:
+        expr = F.when(F.col("direction") == code, F.lit((dx, dy)[delta])) \
+            .otherwise(expr)
+    return expr
+
+
+def flow_direction(
+    cells: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str = "value",
+) -> DataFrame:
+    """``(x, y, value, direction)`` with the D8 code of the steepest
+    positive drop (0 = pit/flat/isolated)."""
+    base = cells.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+        F.col(value_col).cast("double").alias("value"),
+    ).where(F.col("value").isNotNull() & ~F.isnan("value"))
+
+    # each cell mails z to the 8 surrounding positions; the tag is the
+    # code the RECEIVER at (x - dx, y - dy) uses to point back here
+    offs = F.array(*[
+        F.struct(F.lit(code).alias("code"), F.lit(dx).alias("dx"),
+                 F.lit(dy).alias("dy"), F.lit(dist).alias("dist"))
+        for code, dx, dy, dist in D8
+    ])
+    msgs = (
+        base.withColumn("_o", F.explode(offs))
+        .select(
+            (F.col("x") - F.col("_o.dx")).alias("rx"),
+            (F.col("y") - F.col("_o.dy")).alias("ry"),
+            F.col("_o.code").alias("code"), F.col("_o.dist").alias("dist"),
+            F.col("value").alias("nz"),
+        )
+    )
+    best = (
+        msgs.join(base, (F.col("rx") == F.col("x"))
+                  & (F.col("ry") == F.col("y")))
+        .select(
+            "x", "y",
+            F.struct(
+                ((F.col("value") - F.col("nz")) / F.col("dist")).alias("d"),
+                (-F.col("code")).alias("nc"),
+            ).alias("_b"),
+        )
+        .groupBy("x", "y")
+        .agg(F.max("_b").alias("_b"))
+        .select(
+            "x", "y",
+            F.when(F.col("_b.d") > 0, -F.col("_b.nc"))
+            .otherwise(F.lit(0)).alias("direction"),
+        )
+    )
+    return (
+        base.join(best, ["x", "y"], "left")
+        .select("x", "y", "value",
+                F.coalesce("direction", F.lit(0)).alias("direction"))
+    )
+
+
+def flow_accumulation(
+    flowdir: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    dir_col: str = "direction",
+    max_iters: int = 256,
+) -> DataFrame:
+    """``(x, y, acc)``: upstream-cell count per cell (self excluded),
+    by Kahn peeling of the D8 forest.  Raises if the drainage depth
+    exceeds ``max_iters`` (impossible cycles aside, that means the
+    caller wants a larger budget)."""
+    fd = flowdir.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+        F.col(dir_col).alias("direction"),
+    )
+    edges = (
+        fd.where(F.col("direction") > 0)
+        .select(
+            F.col("x").alias("sx"), F.col("y").alias("sy"),
+            (F.col("x") + _code_to(0)).alias("tx"),
+            (F.col("y") + _code_to(1)).alias("ty"),
+        )
+        .localCheckpoint()
+    )
+    active = fd.select(
+        "x", "y", F.lit(0).cast("long").alias("acc")).localCheckpoint()
+    pending = edges
+    done: list[DataFrame] = []
+    for _ in range(max_iters):
+        targets = pending.select(
+            F.col("tx").alias("x"), F.col("ty").alias("y")).distinct()
+        ready = active.join(targets, ["x", "y"], "left_anti") \
+            .localCheckpoint()
+        if ready.isEmpty():
+            if active.isEmpty():
+                return _union_done(done, active)
+            raise ValueError(
+                "flow_accumulation: cycle in flow graph (corrupt "
+                "direction field — D8 over a real elevation cannot cycle)")
+        done.append(ready)
+        pushed = (
+            ready.join(pending, (F.col("x") == F.col("sx"))
+                       & (F.col("y") == F.col("sy")))
+            .groupBy(F.col("tx").alias("px"), F.col("ty").alias("py"))
+            .agg(F.sum(F.col("acc") + 1).alias("add"))
+        )
+        active = (
+            active.join(ready.select("x", "y"), ["x", "y"], "left_anti")
+            .join(pushed, (F.col("x") == F.col("px"))
+                  & (F.col("y") == F.col("py")), "left")
+            .select("x", "y",
+                    (F.col("acc") + F.coalesce("add", F.lit(0)))
+                    .alias("acc"))
+            .localCheckpoint()
+        )
+        if active.isEmpty():
+            return _union_done(done, active)
+        pending = pending.join(
+            ready.select(F.col("x").alias("sx"), F.col("y").alias("sy")),
+            ["sx", "sy"], "left_anti",
+        ).localCheckpoint()
+    raise ValueError(
+        f"flow_accumulation: drainage depth exceeds max_iters={max_iters}")
+
+
+def d8_values_sql() -> str:
+    """``(code, dx, dy, dist)`` VALUES rows for an ANSI-SQL twin —
+    dist literals via repr, so both engines divide identical bits."""
+    return ", ".join(
+        f"({code}, {dx}, {dy}, CAST({dist!r} AS DOUBLE))"
+        for code, dx, dy, dist in D8
+    )
+
+
+def d8_case_sql(delta: int, dir_col: str = "direction") -> str:
+    """CASE ladder ``direction -> dx`` (delta=0) / ``dy`` (delta=1)."""
+    arms = " ".join(
+        f"WHEN {code} THEN {(dx, dy)[delta]}" for code, dx, dy, _ in D8
+    )
+    return f"CASE {dir_col} {arms} ELSE 0 END"
+
+
+def _union_done(done: list[DataFrame], empty_like: DataFrame) -> DataFrame:
+    if not done:
+        return empty_like.select("x", "y", "acc")
+    return reduce(lambda a, b: a.unionByName(b), done)
