@@ -3780,6 +3780,56 @@ def q_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xyz_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy-map tile rendering end to end (sources/xyz_tiles.py):
+    the z10 doc-count field becomes an RGBA heatmap (pure-Catalyst
+    intensity ramp via viz.pack_rgba), renders to PNG tiles at tile
+    zooms 2..0 through the from-scratch encoder, and each row
+    SELF-CHECKS by decoding its own PNG (the codec tier's libpng-
+    validated decoder) and re-counting the opaque pixels against the
+    n_px the renderer reported.  Rows-only: PNG bytes have no SQL
+    twin; pixel-exact reassembly is pytest-pinned
+    (tests/test_xyz_tiles.py)."""
+    import pandas as pd
+
+    from xarray_spatial_spark.functions.viz import pack_rgba
+    from xarray_spatial_spark.sources.xyz_tiles import render_xyz_tiles
+
+    z = 10
+    cells = (
+        _doc_tiles(spark, sf_dir, z)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    inten = F.least(F.col("n") * F.lit(32), F.lit(255))
+    pixels = cells.select(
+        F.col("tile_x").alias("x"), F.col("tile_y").alias("y"),
+        pack_rgba(inten, F.lit(32), F.lit(255) - inten, F.lit(255))
+        .alias("rgba"),
+    )
+    tiles = render_xyz_tiles(pixels, pixel_zoom=z)
+
+    def _check(batches):
+        from xarray_spatial_spark.operators.multimodal import decode_png
+
+        for b in batches:
+            opaque = []
+            for png in b["png"]:
+                img = decode_png(bytes(png))
+                opaque.append(int((img[..., 3] > 0).sum()))
+            yield pd.DataFrame({
+                "z": b["z"], "tx": b["tx"], "ty": b["ty"],
+                "n_px": b["n_px"], "decoded_opaque": opaque,
+            })
+
+    out = tiles.mapInPandas(
+        _check, "z int, tx long, ty long, n_px long, decoded_opaque long")
+    return out.select(
+        "z", "tx", "ty", "n_px",
+        (F.col("decoded_opaque") == F.col("n_px")).cast("int").alias("ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness run evaluates the first
     50 entries.  Every oracle-backed query (an ``oracle_sql()`` key)
@@ -3908,6 +3958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_part": q_spatial_part,
         "krige": q_krige,
         "simplify_rings": q_simplify_rings,
+        "xyz_tiles": q_xyz_tiles,
     }
 
 

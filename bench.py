@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "kanon",
     "contour",
     "flow",
+    "xyz_tiles",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
