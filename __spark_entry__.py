@@ -3763,20 +3763,26 @@ def q_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 hydrology (operators/hydrology.py) over the z5 doc-count
     field read as terrain: per-cell steepest-descent direction (ESRI
     codes, ties to the smallest code) and Kahn-peeled upstream-cell
-    accumulation.  The oracle replays the identical drop arithmetic
-    (same repr'd sqrt(2), same tie order) and closes the drainage
-    forest with a recursive CTE — counts are exact integers, so the
-    hash pins BOTH the argmax routing and the transitive closure."""
+    accumulation, plus the watershed basin label (pointer-doubling to
+    the terminal pit).  The oracle replays the identical drop
+    arithmetic (same repr'd sqrt(2), same tie order) and closes the
+    drainage forest with recursive CTEs — everything is exact
+    integers, so the hash pins the argmax routing, the transitive
+    closure, AND the basin partition."""
     from xarray_spatial_spark.operators.hydrology import (
         flow_accumulation,
         flow_direction,
+        watershed,
     )
 
     fd = flow_direction(_z5_dense_grid(spark, sf_dir))
     acc = flow_accumulation(fd)
+    basins = watershed(fd)
     return (
         fd.join(acc, ["x", "y"])
-        .select("x", "y", "direction", F.col("acc").cast("long").alias("acc"))
+        .join(basins, ["x", "y"])
+        .select("x", "y", "direction", F.col("acc").cast("long").alias("acc"),
+                "basin_x", "basin_y")
     )
 
 
@@ -7135,10 +7141,25 @@ def _flow_oracle(z5x: str, z5y: str) -> str:
           FROM reach r JOIN e ON e.sx = r.cx AND e.sy = r.cy
         ),
         acc AS (SELECT cx AS x, cy AS y, count(*) AS a
-                FROM reach GROUP BY 1, 2)
+                FROM reach GROUP BY 1, 2),
+        walk(x0, y0, cx, cy) AS (
+          SELECT x, y, x, y FROM dir
+          UNION ALL
+          SELECT w.x0, w.y0,
+                 w.cx + {d8_case_sql(0, 'd.direction')},
+                 w.cy + {d8_case_sql(1, 'd.direction')}
+          FROM walk w JOIN dir d ON d.x = w.cx AND d.y = w.cy
+          WHERE d.direction > 0
+        ),
+        term AS (
+          SELECT w.x0 AS x, w.y0 AS y, w.cx AS basin_x, w.cy AS basin_y
+          FROM walk w JOIN dir d ON d.x = w.cx AND d.y = w.cy
+          WHERE d.direction = 0
+        )
         SELECT dir.x, dir.y, dir.direction,
-               coalesce(acc.a, 0) AS acc
+               coalesce(acc.a, 0) AS acc, term.basin_x, term.basin_y
         FROM dir LEFT JOIN acc ON acc.x = dir.x AND acc.y = dir.y
+        JOIN term ON term.x = dir.x AND term.y = dir.y
     """
 
 

@@ -160,6 +160,52 @@ def test_accumulation_depth_guard_raises(spark):
         flow_accumulation(fd, max_iters=2)
 
 
+def ref_watershed(dirs: np.ndarray) -> dict:
+    delta = {code: (dx, dy) for code, dx, dy, _ in D8}
+    h, w = dirs.shape
+    out = {}
+    for y in range(h):
+        for x in range(w):
+            if dirs[y, x] < 0:
+                continue
+            cx, cy = x, y
+            while dirs[cy, cx] > 0:
+                dx, dy = delta[dirs[cy, cx]]
+                cx, cy = cx + dx, cy + dy
+            out[(x, y)] = (cx, cy)
+    return out
+
+
+def test_watershed_random_parity(spark):
+    from xarray_spatial_spark.operators.hydrology import watershed
+
+    rng = np.random.default_rng(17)
+    grid = rng.permutation(72).astype(float).reshape(8, 9)
+    fd = flow_direction(grid_df(spark, grid))
+    got = {(r.x, r.y): (r.basin_x, r.basin_y)
+           for r in watershed(fd).collect()}
+    dirs = ref_direction(grid)
+    assert got == ref_watershed(dirs)
+
+
+def test_watershed_two_bowls(spark):
+    from xarray_spatial_spark.operators.hydrology import watershed
+
+    h, w = 7, 15
+    ys, xs = np.mgrid[0:h, 0:w]
+    # two pits at (3,3) and (11,3); ridge at x=7
+    za = (xs - 3) ** 2 + (ys - 3) ** 2
+    zb = (xs - 11) ** 2 + (ys - 3) ** 2
+    grid = np.minimum(za, zb).astype(float) + 1.0
+    fd = flow_direction(grid_df(spark, grid))
+    basins = {(r.x, r.y): (r.basin_x, r.basin_y)
+              for r in watershed(fd).collect()}
+    assert basins[(0, 0)] == (3, 3)
+    assert basins[(14, 6)] == (11, 3)
+    # every cell drains to one of the two pits
+    assert set(basins.values()) == {(3, 3), (11, 3)}
+
+
 def test_direction_plan_no_python(spark):
     grid = np.arange(12, dtype=float).reshape(3, 4)
     fd = flow_direction(grid_df(spark, grid))

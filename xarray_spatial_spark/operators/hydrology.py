@@ -192,6 +192,62 @@ def flow_accumulation(
         f"flow_accumulation: drainage depth exceeds max_iters={max_iters}")
 
 
+def watershed(
+    flowdir: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    dir_col: str = "direction",
+    max_iters: int = 64,
+) -> DataFrame:
+    """``(x, y, basin_x, basin_y)`` — every cell labeled by the
+    TERMINAL cell (pit / flat, ``direction = 0``) its D8 path drains
+    to: the drainage-basin partition (ESRI Watershed with every sink
+    as a pour point).
+
+    Pointer doubling on the functional forest: each round replaces
+    every cell's pointer with its pointer's pointer, so the followed
+    distance doubles — O(log drainage-depth) rounds (the CC /
+    regions.py shortcutting trick), each ONE self-join on the cell
+    key plus a changed-count aggregate.  Roots point to themselves,
+    so doubling is a no-op at the fixpoint and the changed count
+    hitting zero is an exact convergence test."""
+    fd = flowdir.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+        F.col(dir_col).alias("direction"),
+    )
+    ptr = fd.select(
+        "x", "y",
+        (F.col("x") + _code_to(0)).alias("nx"),
+        (F.col("y") + _code_to(1)).alias("ny"),
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        m = ptr.select(
+            F.col("x").alias("mx"), F.col("y").alias("my"),
+            F.col("nx").alias("mnx"), F.col("ny").alias("mny"),
+        )
+        stepped = (
+            ptr.join(m, (F.col("nx") == F.col("mx"))
+                     & (F.col("ny") == F.col("my")))
+            .select("x", "y",
+                    F.col("mnx").alias("nx2"), F.col("mny").alias("ny2"),
+                    "nx", "ny")
+            .localCheckpoint()
+        )
+        changed = stepped.where(
+            (F.col("nx2") != F.col("nx")) | (F.col("ny2") != F.col("ny"))
+        ).isEmpty()
+        ptr = stepped.select(
+            "x", "y", F.col("nx2").alias("nx"), F.col("ny2").alias("ny"))
+        if changed:
+            return ptr.select(
+                "x", "y",
+                F.col("nx").alias("basin_x"), F.col("ny").alias("basin_y"))
+    raise ValueError(
+        f"watershed: no convergence in max_iters={max_iters} doubling "
+        "rounds (drainage depth > 2^max_iters is impossible — corrupt "
+        "direction field)")
+
+
 def d8_values_sql() -> str:
     """``(code, dx, dy, dist)`` VALUES rows for an ANSI-SQL twin —
     dist literals via repr, so both engines divide identical bits."""
