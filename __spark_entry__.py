@@ -3786,6 +3786,36 @@ def q_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-network extraction: Strahler order computed over the
+    FULL z5 drainage field (operators/hydrology.strahler_order — Kahn
+    peeling with an associative (max, count-at-max) merge), then the
+    network reported at accumulation >= 1 — orders on the whole field,
+    display thresholded, the standard hydrology workflow (the noisy
+    web-count relief has drainage depth ~2, so thresholding BEFORE
+    ordering would disconnect every confluence).  Rows-only:
+    Strahler's per-node inflow aggregation has no recursive-SQL twin;
+    the operator is pinned against a recursive textbook reference
+    (tests/test_hydrology.py) and its inputs (direction, acc) are
+    oracle-backed in the `flow` slot."""
+    from xarray_spatial_spark.operators.hydrology import (
+        flow_accumulation,
+        flow_direction,
+        strahler_order,
+    )
+
+    fd = flow_direction(_z5_dense_grid(spark, sf_dir))
+    acc = flow_accumulation(fd)
+    so = strahler_order(fd.select("x", "y", "direction"))
+    return (
+        fd.join(acc, ["x", "y"]).join(so, ["x", "y"])
+        .where(F.col("acc") >= 1)
+        .select("x", "y", "direction",
+                F.col("acc").cast("long").alias("acc"),
+                F.col("order").cast("int").alias("strahler"))
+    )
+
+
 def q_xyz_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slippy-map tile rendering end to end (sources/xyz_tiles.py):
     the z10 doc-count field becomes an RGBA heatmap (pure-Catalyst
@@ -3965,6 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krige": q_krige,
         "simplify_rings": q_simplify_rings,
         "xyz_tiles": q_xyz_tiles,
+        "streams": q_streams,
     }
 
 

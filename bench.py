@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "contour",
     "flow",
     "xyz_tiles",
+    "streams",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

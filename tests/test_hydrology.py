@@ -206,6 +206,106 @@ def test_watershed_two_bowls(spark):
     assert set(basins.values()) == {(3, 3), (11, 3)}
 
 
+def ref_strahler(cells: set, dirs: dict) -> dict:
+    """Recursive textbook Strahler over explicit (cell -> downstream)
+    edges restricted to ``cells``."""
+    delta = {code: (dx, dy) for code, dx, dy, _ in D8}
+    inflows: dict = {c: [] for c in cells}
+    for (x, y), code in dirs.items():
+        if code > 0:
+            dx, dy = delta[code]
+            t = (x + dx, y + dy)
+            if t in cells:
+                inflows[t].append((x, y))
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def order(c):
+        ins = [order(u) for u in inflows[c]]
+        if not ins:
+            return 1
+        m = max(ins)
+        return m + 1 if ins.count(m) >= 2 else m
+    return {c: order(c) for c in cells}
+
+
+def dir_df(spark, dirs: dict):
+    pdf = pd.DataFrame(
+        [(x, y, d) for (x, y), d in dirs.items()],
+        columns=["x", "y", "direction"],
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_strahler_y_junction(spark):
+    from xarray_spatial_spark.operators.hydrology import strahler_order
+
+    # two headwaters (E-flowing) join at (2,1) which drains south,
+    # then a third order-1 stream joins at (2,3)
+    dirs = {
+        (0, 0): 2,   # SE -> (1,1)
+        (1, 1): 1,   # E  -> (2,1)
+        (0, 2): 128, # NE -> (1,1)? no: (1,1) already fed; route to (1,1)
+        (2, 1): 4,   # S  -> (2,2)
+        (2, 2): 4,   # S  -> (2,3)
+        (0, 3): 1,   # E  -> (1,3)
+        (1, 3): 1,   # E  -> (2,3)
+        (2, 3): 0,   # outlet
+    }
+    got = {(r.x, r.y): r.order
+           for r in strahler_order(dir_df(spark, dirs)).collect()}
+    want = ref_strahler(set(dirs), dirs)
+    assert got == want
+    assert got[(2, 1)] == 2     # two order-1 confluence
+    assert got[(2, 3)] == 2     # order-2 joined by order-1 stays 2
+    assert got[(1, 3)] == 1
+
+
+def test_strahler_two_seconds_make_third(spark):
+    from xarray_spatial_spark.operators.hydrology import strahler_order
+
+    dirs = {}
+    # branch A: two 1s -> 2 at (2,0), flows E to (4,0)
+    dirs[(0, 0)] = 1; dirs[(1, 0)] = 1
+    dirs[(1, 1)] = 128  # NE -> (2,0)
+    dirs[(2, 0)] = 1; dirs[(3, 0)] = 1
+    # branch B: two 1s -> 2 at (2,2), flows NE to (4,1)? route E then N
+    dirs[(0, 2)] = 1; dirs[(1, 2)] = 1
+    dirs[(1, 3)] = 128  # NE -> (2,2)
+    dirs[(2, 2)] = 1; dirs[(3, 2)] = 128  # NE -> (4,1)
+    # hmm: (4,0) fed by branch A; make B feed (4,0) too via (4,1) N
+    dirs[(4, 1)] = 64   # N -> (4,0)
+    dirs[(4, 0)] = 0
+    got = {(r.x, r.y): r.order
+           for r in strahler_order(dir_df(spark, dirs)).collect()}
+    want = ref_strahler(set(dirs), dirs)
+    assert got == want
+    assert want[(2, 0)] == 2 and want[(2, 2)] == 2
+    assert got[(4, 0)] == 3  # two order-2 streams meet
+
+
+def test_strahler_random_terrain_parity(spark):
+    from xarray_spatial_spark.operators.hydrology import strahler_order
+
+    rng = np.random.default_rng(23)
+    grid = rng.permutation(80).astype(float).reshape(8, 10)
+    fd = flow_direction(grid_df(spark, grid))
+    dirs = {(r.x, r.y): r.direction for r in fd.collect()}
+    got = {(r.x, r.y): r.order for r in strahler_order(fd).collect()}
+    assert got == ref_strahler(set(dirs), dirs)
+
+
+def test_strahler_subset_drops_exiting_edges(spark):
+    from xarray_spatial_spark.operators.hydrology import strahler_order
+
+    # a chain 0<-1<-2 where the middle cell is NOT in the subset:
+    # both remaining cells become independent headwaters
+    dirs = {(0, 0): 0, (2, 0): 16}  # (2,0) flows W to absent (1,0)
+    got = {(r.x, r.y): r.order
+           for r in strahler_order(dir_df(spark, dirs)).collect()}
+    assert got == {(0, 0): 1, (2, 0): 1}
+
+
 def test_direction_plan_no_python(spark):
     grid = np.arange(12, dtype=float).reshape(3, 4)
     fd = flow_direction(grid_df(spark, grid))

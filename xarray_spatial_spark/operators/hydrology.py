@@ -192,6 +192,118 @@ def flow_accumulation(
         f"flow_accumulation: drainage depth exceeds max_iters={max_iters}")
 
 
+def strahler_order(
+    flowdir: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    dir_col: str = "direction",
+    max_iters: int = 256,
+) -> DataFrame:
+    """``(x, y, order)`` — Strahler stream order over the D8 forest:
+    headwater cells (no inflow) are order 1; a cell fed by k inflows
+    whose maximum order is m has order m+1 if >= 2 inflows carry m,
+    else m.  Callers normally pass the STREAM subset (cells with
+    ``flow_accumulation >= threshold``); edges leaving the subset are
+    simply absent, matching ESRI's stream-raster convention.
+
+    Same Kahn peeling as :func:`flow_accumulation`, but the carried
+    state is ``(max_in, cnt_at_max)`` merged incrementally as inflow
+    batches finalize across rounds — the merge is associative and
+    commutative, so arrival order doesn't matter."""
+    fd = flowdir.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+        F.col(dir_col).alias("direction"),
+    )
+    present = fd.select("x", "y")
+    edges = (
+        fd.where(F.col("direction") > 0)
+        .select(
+            F.col("x").alias("sx"), F.col("y").alias("sy"),
+            (F.col("x") + _code_to(0)).alias("tx"),
+            (F.col("y") + _code_to(1)).alias("ty"),
+        )
+        # drop edges leaving the (possibly thresholded) subset
+        .join(present.select(F.col("x").alias("tx"), F.col("y").alias("ty")),
+              ["tx", "ty"], "left_semi")
+        .localCheckpoint()
+    )
+    active = fd.select(
+        "x", "y",
+        F.lit(0).cast("int").alias("mx_in"),
+        F.lit(0).cast("long").alias("cnt_mx"),
+    ).localCheckpoint()
+    pending = edges
+    done: list[DataFrame] = []
+
+    def _finish(parts: list[DataFrame], like: DataFrame) -> DataFrame:
+        if not parts:
+            out = like
+        else:
+            out = reduce(lambda a, b: a.unionByName(b), parts)
+        order = (
+            F.when(F.col("cnt_mx") >= 2, F.col("mx_in") + 1)
+            .otherwise(F.greatest(F.col("mx_in"), F.lit(1)))
+        )
+        return out.select("x", "y", order.alias("order"))
+
+    for _ in range(max_iters):
+        targets = pending.select(
+            F.col("tx").alias("x"), F.col("ty").alias("y")).distinct()
+        ready = active.join(targets, ["x", "y"], "left_anti") \
+            .localCheckpoint()
+        if ready.isEmpty():
+            if active.isEmpty():
+                return _finish(done, active)
+            raise ValueError("strahler_order: cycle in flow graph")
+        done.append(ready)
+        r_order = (
+            F.when(F.col("cnt_mx") >= 2, F.col("mx_in") + 1)
+            .otherwise(F.greatest(F.col("mx_in"), F.lit(1)))
+        )
+        # batch (max, count-at-max): the arriving orders are tiny per
+        # target (<= 8 inflows), counted exactly via a self-joined max
+        contrib = (
+            ready.select("x", "y", r_order.alias("o"))
+            .join(pending, (F.col("x") == F.col("sx"))
+                  & (F.col("y") == F.col("sy")))
+            .select(F.col("tx").alias("px"), F.col("ty").alias("py"),
+                    F.col("o"))
+        )
+        pushed = (
+            contrib.groupBy("px", "py", "o")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("px", "py")
+            .agg(F.max("o").alias("b_mx"),
+                 F.max_by("c", "o").alias("b_cnt"))
+        )
+        merged_mx = F.greatest(F.col("mx_in"),
+                               F.coalesce(F.col("b_mx"), F.lit(0)))
+        merged_cnt = (
+            F.when(F.coalesce(F.col("b_mx"), F.lit(0)) > F.col("mx_in"),
+                   F.coalesce(F.col("b_cnt"), F.lit(0)))
+            .when(F.coalesce(F.col("b_mx"), F.lit(0)) < F.col("mx_in"),
+                  F.col("cnt_mx"))
+            .otherwise(F.col("cnt_mx")
+                       + F.coalesce(F.col("b_cnt"), F.lit(0)))
+        )
+        active = (
+            active.join(ready.select("x", "y"), ["x", "y"], "left_anti")
+            .join(pushed, (F.col("x") == F.col("px"))
+                  & (F.col("y") == F.col("py")), "left")
+            .select("x", "y", merged_mx.alias("mx_in"),
+                    merged_cnt.alias("cnt_mx"))
+            .localCheckpoint()
+        )
+        if active.isEmpty():
+            return _finish(done, active)
+        pending = pending.join(
+            ready.select(F.col("x").alias("sx"), F.col("y").alias("sy")),
+            ["sx", "sy"], "left_anti",
+        ).localCheckpoint()
+    raise ValueError(
+        f"strahler_order: depth exceeds max_iters={max_iters}")
+
+
 def watershed(
     flowdir: DataFrame,
     x_col: str = "x",
