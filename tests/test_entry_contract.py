@@ -123,6 +123,16 @@ def test_oracle_keys_subset_of_queries():
         # pinned against a recursive reference implementation and the
         # rings it runs on are oracle-backed in vector_metrics/clip_tiles
         "simplify_rings",
+        # PNG tile bytes have no SQL twin; every row self-checks through
+        # decode_png and pixel-exact reassembly is pytest-asserted
+        # (test_xyz_tiles.py); the heatmap field is oracle-backed (kde/
+        # contour share its construction)
+        "xyz_tiles",
+        # Strahler's per-node inflow aggregation has no recursive-SQL
+        # twin; pinned against a recursive textbook reference
+        # (test_hydrology.py); direction + accumulation inputs are
+        # oracle-backed in the flow slot
+        "streams",
     }
 
 
