@@ -3775,7 +3775,10 @@ def q_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         watershed,
     )
 
-    fd = flow_direction(_z5_dense_grid(spark, sf_dir))
+    # one checkpoint: the doc-scale grid groupBy runs ONCE, not once
+    # per consumer (acc, watershed, and the final join each iterate or
+    # re-read fd — uncheckpointed, the 2M-doc scan re-executed 4x)
+    fd = flow_direction(_z5_dense_grid(spark, sf_dir)).localCheckpoint()
     acc = flow_accumulation(fd)
     basins = watershed(fd)
     return (
@@ -3804,7 +3807,8 @@ def q_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
         strahler_order,
     )
 
-    fd = flow_direction(_z5_dense_grid(spark, sf_dir))
+    # checkpoint: acc and the Strahler loop both consume fd (see q_flow)
+    fd = flow_direction(_z5_dense_grid(spark, sf_dir)).localCheckpoint()
     acc = flow_accumulation(fd)
     so = strahler_order(fd.select("x", "y", "direction"))
     return (
