@@ -3759,6 +3759,31 @@ def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LANDFORM_EPS = 100000.0
+
+
+def q_landform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPI landform classification (operators/spatialstats.tpi_landform)
+    over the OCCUPIED z4 char-sum grid — irregular neighborhoods and
+    genuinely isolated cells exercise the full class ladder.  The
+    oracle replays the one-mail-pass disk mean + adjacent max-drop and
+    the Weiss ladder verbatim; tpi and sd round to 6 dp before
+    thresholding in BOTH engines (the perplexity_buckets convention),
+    and the char-sum field is integer-derived, so the disk means are
+    exact."""
+    from xarray_spatial_spark.operators import spatialstats as sps
+
+    z = 4
+    cells = (
+        _doc_tiles(spark, sf_dir, z)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.sum("n_chars").cast("double").alias("value"))
+    )
+    out = sps.tpi_landform(cells, radius=2, flat_eps=LANDFORM_EPS)
+    return out.select(
+        "x", "y", "value", "tpi", "max_drop", "landform")
+
+
 def q_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 hydrology (operators/hydrology.py) over the z5 doc-count
     field read as terrain: per-cell steepest-descent direction (ESRI
@@ -3962,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_knn": q_hex_knn,
         "contour": q_contour,
         "flow": q_flow,
+        "landform": q_landform,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -7116,6 +7142,9 @@ def oracle_sql() -> dict[str, str]:
         # flow: identical D8 drop arithmetic + tie order; accumulation
         # closed by a recursive CTE over the same drainage forest.
         "flow": _flow_oracle(z5x, z5y),
+        # landform: one-mail-pass TPI + Weiss ladder replayed verbatim;
+        # 6-dp rounding before thresholds on both engines.
+        "landform": _landform_oracle(z4x, z4y),
     }
 
 
@@ -7195,6 +7224,51 @@ def _flow_oracle(z5x: str, z5y: str) -> str:
                coalesce(acc.a, 0) AS acc, term.basin_x, term.basin_y
         FROM dir LEFT JOIN acc ON acc.x = dir.x AND acc.y = dir.y
         JOIN term ON term.x = dir.x AND term.y = dir.y
+    """
+
+
+def _landform_oracle(z4x: str, z4y: str) -> str:
+    """DuckDB twin of q_landform (radius 2, LANDFORM_EPS gate)."""
+    offs = ", ".join(
+        f"({dx}, {dy}, {1 if max(abs(dx), abs(dy)) <= 1 else 0})"
+        for dx in range(-2, 3) for dy in range(-2, 3)
+        if (dx, dy) != (0, 0)
+    )
+    eps = repr(LANDFORM_EPS)
+    return f"""
+        WITH c AS (
+          SELECT {z4x} AS x, {z4y} AS y,
+                 CAST(sum(n_chars) AS DOUBLE) AS v
+          FROM documents GROUP BY 1, 2
+        ),
+        o(dx, dy, adj) AS (VALUES {offs}),
+        nb AS (
+          SELECT s.x + o.dx AS x, s.y + o.dy AS y,
+                 avg(s.v) AS nb_mean,
+                 max(CASE WHEN o.adj = 1 THEN s.v END) AS adj_max,
+                 min(CASE WHEN o.adj = 1 THEN s.v END) AS adj_min
+          FROM c s CROSS JOIN o
+          GROUP BY 1, 2
+        ),
+        sc AS (
+          SELECT c.x, c.y, c.v,
+                 round(c.v - nb.nb_mean, 6) AS tpi,
+                 greatest(abs(c.v - coalesce(nb.adj_max, c.v)),
+                          abs(c.v - coalesce(nb.adj_min, c.v))) AS max_drop
+          FROM c LEFT JOIN nb ON nb.x = c.x AND nb.y = c.y
+        ),
+        sd AS (SELECT round(stddev_pop(tpi), 6) AS sd FROM sc)
+        SELECT sc.x, sc.y, sc.v AS value, sc.tpi, sc.max_drop,
+               CASE WHEN sc.tpi IS NULL THEN 'isolated'
+                    WHEN sd.sd = 0 THEN 'flat'
+                    WHEN sc.tpi / sd.sd > 1.0 THEN 'ridge'
+                    WHEN sc.tpi / sd.sd > 0.5 THEN 'upper_slope'
+                    WHEN sc.tpi / sd.sd >= -0.5 THEN
+                         CASE WHEN sc.max_drop > {eps} THEN 'mid_slope'
+                              ELSE 'flat' END
+                    WHEN sc.tpi / sd.sd >= -1.0 THEN 'lower_slope'
+                    ELSE 'valley' END AS landform
+        FROM sc, sd
     """
 
 

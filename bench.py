@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "flow",
     "xyz_tiles",
     "streams",
+    "landform",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

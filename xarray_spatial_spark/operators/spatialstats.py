@@ -1216,3 +1216,96 @@ def centrography(
         F.when(ok, F.sqrt(2.0 * F.greatest(lam2, F.lit(0.0)))).alias("sigma_y"),
         F.when(ok, F.atan2(2.0 * sxy, sxx - syy) / 2.0).alias("theta"),
     )
+
+
+def tpi_landform(
+    cells: DataFrame,
+    x_col: str = "tile_x",
+    y_col: str = "tile_y",
+    value_col: str = "value",
+    radius: int = 2,
+    flat_eps: float = 1.0,
+) -> DataFrame:
+    """Topographic Position Index + Weiss (2001) 6-class landform per
+    occupied cell:
+
+    ``(x, y, value, tpi, max_drop, landform)``
+
+    - ``tpi``      = z - mean(z over PRESENT neighbors within
+      Chebyshev ``radius``, self excluded) — positive above the
+      neighborhood, negative below;
+    - ``max_drop`` = max |z - z_n| over the 8 ADJACENT present
+      neighbors (the slope proxy gating 'flat' vs 'mid_slope');
+    - ``landform`` classes on the TPI z-score t = tpi / sd(tpi):
+      ridge (t > 1), upper_slope (0.5 < t <= 1), mid_slope
+      (|t| <= 0.5, max_drop > flat_eps), flat (|t| <= 0.5,
+      max_drop <= flat_eps), lower_slope (-1 <= t < -0.5),
+      valley (t < -1); cells with NO neighbor in the disk are
+      'isolated' (tpi NULL).
+
+    Plan: ONE literal-offset mail pass emits both statistics (each
+    cell explodes to its (2r+1)^2 - 1 disk positions, tagged adj for
+    the |dx|,|dy| <= 1 ring), one receiver aggregate computes the
+    disk mean AND the adjacent max-|drop| together, the global
+    sd(tpi) rides a 1-row broadcast attach — two cell-scale
+    exchanges + a scalar, no Python, no window.
+
+    Cross-engine determinism (the perplexity_buckets convention):
+    ``tpi`` and ``sd`` round to 6 dp BEFORE the threshold ladder in
+    both this plan and the SQL twin, so a 16th-digit aggregation-
+    order wobble cannot flip a class across engines.  On integer-
+    derived fields the disk mean is exact (integer sum / count).
+    """
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    base = cells.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+        F.col(value_col).cast("double").alias("value"),
+    ).where(F.col("value").isNotNull() & ~F.isnan("value"))
+
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(1 if max(abs(dx), abs(dy)) <= 1 else 0).alias("adj"))
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+        if (dx, dy) != (0, 0)
+    ])
+    nb = (
+        base.withColumn("_o", F.explode(offs))
+        .select(
+            (F.col("x") + F.col("_o.dx")).alias("rx"),
+            (F.col("y") + F.col("_o.dy")).alias("ry"),
+            F.col("_o.adj").alias("adj"),
+            F.col("value").alias("nz"),
+        )
+        .groupBy(F.col("rx").alias("x"), F.col("ry").alias("y"))
+        .agg(
+            F.avg("nz").alias("_nb_mean"),
+            F.max(F.when(F.col("adj") == 1, F.col("nz"))).alias("_adj_max"),
+            F.min(F.when(F.col("adj") == 1, F.col("nz"))).alias("_adj_min"),
+        )
+    )
+    j = base.join(nb, ["x", "y"], "left")
+    tpi = F.round(F.col("value") - F.col("_nb_mean"), 6)
+    max_drop = F.greatest(
+        F.abs(F.col("value") - F.coalesce("_adj_max", F.col("value"))),
+        F.abs(F.col("value") - F.coalesce("_adj_min", F.col("value"))),
+    )
+    scored = j.select(
+        "x", "y", "value", tpi.alias("tpi"), max_drop.alias("max_drop"))
+    sd = scored.agg(F.round(F.stddev_pop("tpi"), 6).alias("_sd"))
+    out = scored.crossJoin(F.broadcast(sd))
+    t = F.col("tpi") / F.col("_sd")
+    cls = (
+        F.when(F.col("tpi").isNull(), F.lit("isolated"))
+        .when(F.col("_sd") == 0, F.lit("flat"))
+        .when(t > 1.0, F.lit("ridge"))
+        .when(t > 0.5, F.lit("upper_slope"))
+        .when(t >= -0.5,
+              F.when(F.col("max_drop") > F.lit(float(flat_eps)),
+                     F.lit("mid_slope")).otherwise(F.lit("flat")))
+        .when(t >= -1.0, F.lit("lower_slope"))
+        .otherwise(F.lit("valley"))
+    )
+    return out.select(
+        "x", "y", "value", "tpi", "max_drop", cls.alias("landform"))
