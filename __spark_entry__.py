@@ -3759,6 +3759,63 @@ def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-set compact/uncompact (operators/tiling.compact_cells —
+    the H3 ``compact`` / S2 ``CellUnion::Normalize`` verb): the
+    occupied z6 doc-tile set compacts into the minimal
+    mixed-resolution covering (complete sibling quadruples cascade
+    into parents), and the 'restore' variant uncompacts the result
+    back to z6 — which must reproduce the original set EXACTLY, so
+    the tagged union pins both directions in one hash.  The DuckDB
+    twin replays the cascade as six unrolled CTE levels on
+    (x, y)-pair arithmetic (x // 2 is the sibling key — the same
+    bits the Morton parent shift inspects)."""
+    from xarray_spatial_spark.operators.tiling import (
+        compact_cells,
+        uncompact_cells,
+    )
+
+    z = 6
+    tiles = _doc_tiles(spark, sf_dir, z).select("tile_x", "tile_y").distinct()
+    cells = tiles.select(
+        grid.cell_from_tiles_col(
+            F.col("tile_x"), F.col("tile_y"), z).alias("cell"))
+    comp = compact_cells(cells)
+    zc, xc, yc = grid.cell_decode_cols(F.col("cell"))
+    compact_rows = comp.select(
+        F.lit("compact").alias("variant"), zc.alias("zoom"),
+        xc.alias("tile_x"), yc.alias("tile_y"))
+    restored = uncompact_cells(comp, z)
+    restore_rows = restored.select(
+        F.lit("restore").alias("variant"), zc.alias("zoom"),
+        xc.alias("tile_x"), yc.alias("tile_y"))
+    return compact_rows.unionByName(restore_rows)
+
+
+def _compact_oracle(z6x: str, z6y: str) -> str:
+    """DuckDB twin of q_compact: six unrolled quad-merge levels; the
+    'restore' variant is the original z6 set by the round-trip
+    identity."""
+    sql = f"WITH lvl6 AS (SELECT DISTINCT {z6x} AS x, {z6y} AS y FROM documents)"
+    for z in range(6, 0, -1):
+        sql += f""",
+        q{z} AS (SELECT x // 2 AS px, y // 2 AS py FROM lvl{z}
+                 GROUP BY 1, 2 HAVING count(*) = 4),
+        keep{z} AS (SELECT l.x, l.y FROM lvl{z} l
+                    LEFT JOIN q{z} ON q{z}.px = l.x // 2
+                                  AND q{z}.py = l.y // 2
+                    WHERE q{z}.px IS NULL),
+        lvl{z - 1} AS (SELECT px AS x, py AS y FROM q{z})"""
+    keeps = " UNION ALL ".join(
+        f"SELECT 'compact' AS variant, {z} AS zoom, x AS tile_x, y AS tile_y "
+        f"FROM keep{z}" for z in range(6, 0, -1))
+    return f"""{sql}
+        {keeps}
+        UNION ALL SELECT 'compact', 0, x, y FROM lvl0
+        UNION ALL SELECT 'restore', 6, x, y FROM lvl6
+    """
+
+
 LANDFORM_EPS = 100000.0
 
 
@@ -3988,6 +4045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour": q_contour,
         "flow": q_flow,
         "landform": q_landform,
+        "compact": q_compact,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -7145,6 +7203,9 @@ def oracle_sql() -> dict[str, str]:
         # landform: one-mail-pass TPI + Weiss ladder replayed verbatim;
         # 6-dp rounding before thresholds on both engines.
         "landform": _landform_oracle(z4x, z4y),
+        # compact: six unrolled quad-merge levels + round-trip restore;
+        # pure integer arithmetic, bit-exact by construction.
+        "compact": _compact_oracle(_sql_tile_x(6), _sql_tile_y(6)),
     }
 
 

@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "xyz_tiles",
     "streams",
     "landform",
+    "compact",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

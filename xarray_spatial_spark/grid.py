@@ -253,16 +253,48 @@ def _part1by1_col(v: Column) -> Column:
     return v
 
 
+def _compact1by1_col(v: Column) -> Column:
+    """Column-expression inverse interleave — mirror of numpy
+    `_compact1by1`; codegen'd bit ops, no Python."""
+    v = v.bitwiseAND(F.lit(0x5555555555555555))
+    v = (v.bitwiseOR(F.shiftrightunsigned(v, 1))).bitwiseAND(
+        F.lit(0x3333333333333333))
+    v = (v.bitwiseOR(F.shiftrightunsigned(v, 2))).bitwiseAND(
+        F.lit(0x0F0F0F0F0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftrightunsigned(v, 4))).bitwiseAND(
+        F.lit(0x00FF00FF00FF00FF))
+    v = (v.bitwiseOR(F.shiftrightunsigned(v, 8))).bitwiseAND(
+        F.lit(0x0000FFFF0000FFFF))
+    v = (v.bitwiseOR(F.shiftrightunsigned(v, 16))).bitwiseAND(
+        F.lit(0x000000000FFFFFFF))
+    return v
+
+
+def cell_decode_cols(cell: Column) -> tuple[Column, Column, Column]:
+    """JVM-native unpack of a cell id -> (zoom, tile_x, tile_y) —
+    the Column twin of numpy ``decode`` (same bit layout)."""
+    zoom = F.shiftrightunsigned(cell, _ZOOM_SHIFT)
+    m = cell.bitwiseAND(F.lit((1 << _ZOOM_SHIFT) - 1))
+    xt = _compact1by1_col(m)
+    yt = _compact1by1_col(F.shiftrightunsigned(m, 1))
+    return zoom.cast("int"), xt.cast("long"), yt.cast("long")
+
+
+def cell_from_tiles_col(xt: Column, yt: Column, zoom: int) -> Column:
+    """Pack (tile_x, tile_y, zoom) Columns into the int64 cell id —
+    codegen twin of numpy ``encode``."""
+    if not 0 <= zoom <= MAX_ZOOM:
+        raise ValueError(f"zoom must be in [0, {MAX_ZOOM}]")
+    m = _part1by1_col(xt).bitwiseOR(F.shiftleft(_part1by1_col(yt), 1))
+    return F.lit(zoom << _ZOOM_SHIFT).bitwiseOR(m)
+
+
 def cell_col(lon: Column, lat: Column, zoom: int) -> Column:
     """Fully JVM-native packed cell id — identical bits to numpy
     ``cell_of`` but whole-stage-codegen (the production hot path;
     the pandas-UDF path in operators/tiling.py is the parity twin)."""
-    if not 0 <= zoom <= MAX_ZOOM:
-        raise ValueError(f"zoom must be in [0, {MAX_ZOOM}]")
-    xt = tile_x_col(lon, zoom)
-    yt = tile_y_col(lat, zoom)
-    m = _part1by1_col(xt).bitwiseOR(F.shiftleft(_part1by1_col(yt), 1))
-    return F.lit(zoom << _ZOOM_SHIFT).bitwiseOR(m)
+    return cell_from_tiles_col(
+        tile_x_col(lon, zoom), tile_y_col(lat, zoom), zoom)
 
 
 def parent_col(cell: Column, cell_zoom: int, parent_zoom: int) -> Column:

@@ -320,3 +320,108 @@ def s2_focal(
         .join(agg, F.col(cell_col) == F.col("_t"))
         .select(cell_col, expr.alias(f"focal_{stat}"))
     )
+
+
+def compact_cells(
+    cells: DataFrame,
+    cell_col: str = "cell",
+    min_zoom: int = 0,
+) -> DataFrame:
+    """Minimal mixed-resolution covering of a cell set — the H3
+    ``compact`` / S2 ``CellUnion::Normalize`` verb for the Morton
+    grid ids: (1) cells contained in a coarser cell ALSO present are
+    dropped (containment normalization), then (2) complete sibling
+    QUADRUPLES merge into their parent, cascading down to
+    ``min_zoom``.  Coverage is exactly preserved; output ids carry
+    their own zoom (grid.encode bit layout), so the result is a valid
+    shuffle/join key set at any mixture of resolutions.
+
+    Plan: the zoom roster is one ≤29-row collect; each cascade level
+    is a cell-scale groupBy-on-parent + anti-join (map-side combine
+    bounds hot parents), localCheckpoint per level (graph.py loop
+    idiom).  Levels run max_zoom→min_zoom once — a newly merged
+    parent participates in the NEXT level's quadruple check, so one
+    sweep is complete (children always merge strictly before their
+    parent could).  No Python; the parent is two bit ops."""
+    cur = cells.select(F.col(cell_col).alias("cell")).distinct() \
+        .localCheckpoint()
+    zoom_of = F.shiftrightunsigned(F.col("cell"), grid._ZOOM_SHIFT) \
+        .cast("int")
+    zs = sorted(r[0] for r in cur.select(zoom_of.alias("z"))
+                .distinct().collect())
+    if not zs:
+        return cur
+    if len(zs) > 1:
+        # containment normalization: drop any cell one of whose
+        # ancestors AT A PRESENT COARSER ZOOM is also in the set
+        anc = F.array(*[
+            F.when(zoom_of == za, grid.parent_col(F.col("cell"), za, zp))
+            for za in zs for zp in zs if zp < za
+        ])
+        cand = (
+            cur.select("cell", F.explode(anc).alias("_anc"))
+            .where(F.col("_anc").isNotNull())
+        )
+        covered = cand.join(
+            cur.select(F.col("cell").alias("_anc")), "_anc", "left_semi"
+        ).select("cell").distinct()
+        cur = cur.join(covered, "cell", "left_anti").localCheckpoint()
+    for z in range(max(zs), min_zoom, -1):
+        lvl = cur.where(zoom_of == z)
+        rest = cur.where(zoom_of != z)
+        par = grid.parent_col(F.col("cell"), z, z - 1)
+        quads = (
+            lvl.groupBy(par.alias("_p"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") == 4)
+            .select(F.col("_p").alias("cell"))
+        )
+        keep = lvl.join(
+            quads.select(F.col("cell").alias("_p")),
+            par == F.col("_p"), "left_anti",
+        )
+        cur = rest.unionByName(keep).unionByName(quads).localCheckpoint()
+    return cur
+
+
+def uncompact_cells(
+    cells: DataFrame,
+    zoom: int,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Inverse of :func:`compact_cells`: expand every cell to its
+    complete descendant set at ``zoom`` (cells already at ``zoom``
+    pass through; finer cells are an error).  Pure Catalyst: per
+    present coarser zoom z the 4^(zoom-z) children enumerate as ONE
+    ``sequence`` explode with literal shifts — no Python."""
+    src = cells.select(F.col(cell_col).alias("cell")).distinct()
+    zoom_of = F.shiftrightunsigned(F.col("cell"), grid._ZOOM_SHIFT) \
+        .cast("int")
+    zs = sorted(r[0] for r in src.select(zoom_of.alias("z"))
+                .distinct().collect())
+    if any(z > zoom for z in zs):
+        raise ValueError(
+            f"uncompact_cells: set contains cells finer than zoom {zoom}")
+    parts = []
+    for z in zs:
+        lvl = src.where(zoom_of == z)
+        k = zoom - z
+        if k == 0:
+            parts.append(lvl)
+            continue
+        m = F.col("cell").bitwiseAND(F.lit((1 << grid._ZOOM_SHIFT) - 1))
+        child = (
+            F.lit(zoom << grid._ZOOM_SHIFT)
+            .bitwiseOR(F.shiftleft(m, 2 * k))
+            .bitwiseOR(F.col("_q"))
+        )
+        parts.append(
+            lvl.select(F.explode(
+                F.sequence(F.lit(0), F.lit(4 ** k - 1))).alias("_q"),
+                F.col("cell"))
+            .select(child.alias("cell"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
