@@ -3816,6 +3816,78 @@ def _compact_oracle(z6x: str, z6y: str) -> str:
     """
 
 
+def q_s2_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compact verb on the GENUINE S2 index
+    (operators/tiling.s2_compact_cells — sentinel-bit parent/level
+    ops from s2.py).  Input cells are built by integer arithmetic
+    (face = doc_id % 4, position = Knuth-hashed doc_id//4 in a
+    4^3 slot space with every 7th q dropped — 63/64 slots and 15/16
+    complete quadruples per face at sf0.01, so the cascade genuinely
+    mixes merged and unmerged levels; a multiplicative hash MOD a
+    power of two over consecutive q is a three-distance lattice with
+    NO 4-run, the trap the first cut of this query fell into) so
+    the DuckDB twin replays cell construction AND the eight unrolled
+    quad-merge levels in exact BIGINT arithmetic — the sentinel
+    parent is ``(id // 2L) * 2L + L`` for the coarser level's lsb L,
+    no bit operators needed.  The 'restore' variant uncompacts back
+    to level 8 and must reproduce the input set exactly."""
+    from xarray_spatial_spark.operators.tiling import (
+        s2_compact_cells,
+        s2_uncompact_cells,
+    )
+
+    L = 8
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    q = (F.col("doc_id") / 4).cast("long")
+    cell = (
+        (F.col("doc_id") % 4) * F.lit(1 << 61)
+        + ((q * F.lit(2654435761)) % F.lit(4 ** 3))
+        * F.lit(1 << (61 - 2 * L))
+        + F.lit(1 << (60 - 2 * L))
+    )
+    cells = (
+        d.where(q % 7 != 0)
+        .select(cell.cast("long").alias("cell")).distinct()
+    )
+    comp = s2_compact_cells(cells)
+    out = comp.select(F.lit("compact").alias("variant"), "cell")
+    restored = s2_uncompact_cells(comp, L).select(
+        F.lit("restore").alias("variant"), "cell")
+    return out.unionByName(restored)
+
+
+def _s2_compact_oracle() -> str:
+    """DuckDB twin of q_s2_compact: integer cell construction + eight
+    unrolled sentinel quad-merge levels."""
+    L = 8
+    sql = (
+        "WITH lvl8 AS (SELECT DISTINCT"
+        f" (doc_id % 4) * {1 << 61}"
+        f" + (((doc_id // 4) * 2654435761) % {4 ** 3}) * {1 << (61 - 2 * L)}"
+        f" + {1 << (60 - 2 * L)} AS cell FROM documents"
+        " WHERE (doc_id // 4) % 7 != 0)"
+    )
+    for lev in range(L, 0, -1):
+        lsb = 1 << (2 * (30 - (lev - 1)))   # coarser level's sentinel
+        two = 2 * lsb
+        par = f"(cell // {two}) * {two} + {lsb}"
+        sql += f""",
+        q{lev} AS (SELECT {par} AS p FROM lvl{lev}
+                   GROUP BY 1 HAVING count(*) = 4),
+        keep{lev} AS (SELECT l.cell FROM lvl{lev} l
+                      LEFT JOIN q{lev} ON q{lev}.p = {par.replace('cell', 'l.cell')}
+                      WHERE q{lev}.p IS NULL),
+        lvl{lev - 1} AS (SELECT p AS cell FROM q{lev})"""
+    keeps = " UNION ALL ".join(
+        f"SELECT 'compact' AS variant, cell FROM keep{lev}"
+        for lev in range(L, 0, -1))
+    return f"""{sql}
+        {keeps}
+        UNION ALL SELECT 'compact', cell FROM lvl0
+        UNION ALL SELECT 'restore', cell FROM lvl8
+    """
+
+
 LANDFORM_EPS = 100000.0
 
 
@@ -4046,6 +4118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow": q_flow,
         "landform": q_landform,
         "compact": q_compact,
+        "s2_compact": q_s2_compact,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -7206,6 +7279,9 @@ def oracle_sql() -> dict[str, str]:
         # compact: six unrolled quad-merge levels + round-trip restore;
         # pure integer arithmetic, bit-exact by construction.
         "compact": _compact_oracle(_sql_tile_x(6), _sql_tile_y(6)),
+        # s2_compact: integer cell construction + sentinel quad merges
+        # in exact BIGINT arithmetic + round-trip restore.
+        "s2_compact": _s2_compact_oracle(),
     }
 
 

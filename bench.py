@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "streams",
     "landform",
     "compact",
+    "s2_compact",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

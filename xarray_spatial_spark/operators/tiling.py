@@ -425,3 +425,98 @@ def uncompact_cells(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def s2_compact_cells(
+    cells: DataFrame,
+    cell_col: str = "cell",
+    min_level: int = 0,
+) -> DataFrame:
+    """S2 ``CellUnion::Normalize`` on the genuine S2 index (s2.py):
+    the same verb as :func:`compact_cells`, over sentinel-bit cell
+    ids — containment normalization (descendants of present ancestors
+    drop), then complete sibling quadruples cascade into parents down
+    to ``min_level``.  Parent/level are pure bit ops
+    (s2.parent_col / s2.level_col), so the whole cascade is codegen;
+    one cell-scale groupBy + anti-join per level."""
+    from xarray_spatial_spark import s2
+
+    cur = cells.select(F.col(cell_col).alias("cell")).distinct() \
+        .localCheckpoint()
+    lvl_of = s2.level_col(F.col("cell"))
+    ls = sorted(r[0] for r in cur.select(lvl_of.alias("l"))
+                .distinct().collect())
+    if not ls:
+        return cur
+    if len(ls) > 1:
+        anc = F.array(*[
+            F.when(lvl_of == la, s2.parent_col(F.col("cell"), lp))
+            for la in ls for lp in ls if lp < la
+        ])
+        covered = (
+            cur.select("cell", F.explode(anc).alias("_anc"))
+            .where(F.col("_anc").isNotNull())
+            .join(cur.select(F.col("cell").alias("_anc")), "_anc",
+                  "left_semi")
+            .select("cell").distinct()
+        )
+        cur = cur.join(covered, "cell", "left_anti").localCheckpoint()
+    for lev in range(max(ls), min_level, -1):
+        lvl = cur.where(lvl_of == lev)
+        rest = cur.where(lvl_of != lev)
+        par = s2.parent_col(F.col("cell"), lev - 1)
+        quads = (
+            lvl.groupBy(par.alias("_p"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") == 4)
+            .select(F.col("_p").alias("cell"))
+        )
+        keep = lvl.join(
+            quads.select(F.col("cell").alias("_p")),
+            par == F.col("_p"), "left_anti",
+        )
+        cur = rest.unionByName(keep).unionByName(quads).localCheckpoint()
+    return cur
+
+
+def s2_uncompact_cells(
+    cells: DataFrame,
+    level: int,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Inverse: every cell expands to its complete descendant set at
+    ``level`` — ids at level t inside a cell are the arithmetic
+    sequence ``range_min + (lsb_t - 1) + k * 2 * lsb_t`` (children
+    tile the parent's contiguous id range), one ``sequence`` explode
+    per present coarser level, pure Catalyst."""
+    from xarray_spatial_spark import s2
+
+    src = cells.select(F.col(cell_col).alias("cell")).distinct()
+    lvl_of = s2.level_col(F.col("cell"))
+    ls = sorted(r[0] for r in src.select(lvl_of.alias("l"))
+                .distinct().collect())
+    if any(lv > level for lv in ls):
+        raise ValueError(
+            f"s2_uncompact_cells: set contains cells finer than "
+            f"level {level}")
+    lsb_t = 1 << (2 * (s2.MAX_LEVEL - level))
+    parts = []
+    for lv in ls:
+        lvl = src.where(lvl_of == lv)
+        if lv == level:
+            parts.append(lvl)
+            continue
+        k = 4 ** (level - lv)
+        lsb = F.col("cell").bitwiseAND(-F.col("cell"))
+        rmin = F.col("cell") - (lsb - F.lit(1))
+        child = rmin + F.lit(lsb_t - 1) + F.col("_q") * F.lit(2 * lsb_t)
+        parts.append(
+            lvl.select(F.explode(
+                F.sequence(F.lit(0), F.lit(k - 1))).alias("_q"),
+                F.col("cell"))
+            .select(child.cast("long").alias("cell"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -718,6 +718,14 @@ def range_cols(cell: Column) -> tuple[Column, Column]:
     ).alias("s2_range_max")
 
 
+def level_col(cell: Column) -> Column:
+    """Catalyst-native level: 30 - ctz(id)/2.  The lsb is an exact
+    power of two <= 2^60, so the double log2 is exact after round."""
+    lsb = cell.bitwiseAND(-cell)
+    ctz = F.round(F.log2(lsb.cast("double"))).cast("int")
+    return (F.lit(MAX_LEVEL) - ctz / F.lit(2)).cast("int")
+
+
 def unsigned_order_col(cell: Column) -> Column:
     """Monotonic remap so SIGNED ordering equals unsigned id ordering
     (faces 4/5 store negative bit patterns): flip the sign bit."""
