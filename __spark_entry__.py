@@ -3888,6 +3888,118 @@ def _s2_compact_oracle() -> str:
     """
 
 
+def q_basin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→hydrology→zonal COMPOSITION: watershed basins of the z5
+    doc-count field become the ZONES of a zonal.stats pass over the
+    same field — per drainage basin, cell count / total docs / max
+    elevation / max accumulation (the outlet's upstream count).  One
+    operator family's output is another's zone raster, the exact
+    composition contract SURVEY §1.3 promises; the oracle replays the
+    drainage walk (recursive CTE) and the aggregate in one statement.
+    Exact integers end to end."""
+    from xarray_spatial_spark.operators import zonal
+    from xarray_spatial_spark.operators.hydrology import (
+        flow_accumulation,
+        flow_direction,
+        watershed,
+    )
+
+    fd = flow_direction(_z5_dense_grid(spark, sf_dir)).localCheckpoint()
+    basins = watershed(fd)
+    acc = flow_accumulation(fd)
+    zv = (
+        fd.join(basins, ["x", "y"]).join(acc, ["x", "y"])
+        .select(
+            (F.col("basin_x") * 1000 + F.col("basin_y")).alias("zone"),
+            F.col("value"), F.col("acc"),
+        )
+    )
+    out = zonal.stats(
+        zv,
+        stats_funcs={
+            "n_cells": F.count(F.lit(1)),
+            "sum_docs": F.sum("value"),
+            "max_docs": F.max("value"),
+            "max_acc": F.max("acc"),
+        },
+    )
+    return out.select(
+        F.col("zone").cast("long").alias("zone"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("sum_docs").cast("long").alias("sum_docs"),
+        F.col("max_docs").cast("long").alias("max_docs"),
+        F.col("max_acc").cast("long").alias("max_acc"),
+    )
+
+
+def _basin_stats_oracle(z5x: str, z5y: str) -> str:
+    """DuckDB twin of q_basin_stats: the flow oracle's direction +
+    walk CTEs feeding one GROUP BY on the basin key."""
+    from xarray_spatial_spark.operators.hydrology import (
+        d8_case_sql,
+        d8_values_sql,
+    )
+
+    return f"""
+        WITH RECURSIVE g AS ({_z5_grid_sql(z5x, z5y)}),
+        n(code, dx, dy, dist) AS (VALUES {d8_values_sql()}),
+        d AS (
+          SELECT a.x, a.y, n.code, (a.v - b.v) / n.dist AS drop
+          FROM g a CROSS JOIN n
+          JOIN g b ON b.x = a.x + n.dx AND b.y = a.y + n.dy
+        ),
+        best AS (
+          SELECT x, y, code, drop,
+                 row_number() OVER (PARTITION BY x, y
+                                    ORDER BY drop DESC, code ASC) AS rn
+          FROM d
+        ),
+        dir AS (
+          SELECT g.x, g.y, g.v,
+                 coalesce(CASE WHEN b.drop > 0 THEN b.code ELSE 0 END,
+                          0) AS direction
+          FROM g LEFT JOIN best b ON b.x = g.x AND b.y = g.y AND b.rn = 1
+        ),
+        e AS (
+          SELECT x AS sx, y AS sy,
+                 x + {d8_case_sql(0)} AS tx,
+                 y + {d8_case_sql(1)} AS ty
+          FROM dir WHERE direction > 0
+        ),
+        reach(sx, sy, cx, cy) AS (
+          SELECT sx, sy, tx, ty FROM e
+          UNION ALL
+          SELECT r.sx, r.sy, e.tx, e.ty
+          FROM reach r JOIN e ON e.sx = r.cx AND e.sy = r.cy
+        ),
+        acc AS (SELECT cx AS x, cy AS y, count(*) AS a
+                FROM reach GROUP BY 1, 2),
+        walk(x0, y0, cx, cy) AS (
+          SELECT x, y, x, y FROM dir
+          UNION ALL
+          SELECT w.x0, w.y0,
+                 w.cx + {d8_case_sql(0, 'd.direction')},
+                 w.cy + {d8_case_sql(1, 'd.direction')}
+          FROM walk w JOIN dir d ON d.x = w.cx AND d.y = w.cy
+          WHERE d.direction > 0
+        ),
+        term AS (
+          SELECT w.x0 AS x, w.y0 AS y, w.cx AS bx, w.cy AS by
+          FROM walk w JOIN dir d ON d.x = w.cx AND d.y = w.cy
+          WHERE d.direction = 0
+        )
+        SELECT term.bx * 1000 + term.by AS zone,
+               count(*) AS n_cells,
+               CAST(sum(dir.v) AS BIGINT) AS sum_docs,
+               CAST(max(dir.v) AS BIGINT) AS max_docs,
+               max(coalesce(acc.a, 0)) AS max_acc
+        FROM dir
+        JOIN term ON term.x = dir.x AND term.y = dir.y
+        LEFT JOIN acc ON acc.x = dir.x AND acc.y = dir.y
+        GROUP BY 1
+    """
+
+
 LANDFORM_EPS = 100000.0
 
 
@@ -4119,6 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landform": q_landform,
         "compact": q_compact,
         "s2_compact": q_s2_compact,
+        "basin_stats": q_basin_stats,
         # --- rows-only (no SQL twin; deterministic projections above) ---
         "knn_ring": q_knn_ring,
         "minhash_pairs": q_minhash_pairs,
@@ -7282,6 +7395,9 @@ def oracle_sql() -> dict[str, str]:
         # s2_compact: integer cell construction + sentinel quad merges
         # in exact BIGINT arithmetic + round-trip restore.
         "s2_compact": _s2_compact_oracle(),
+        # basin_stats: the flow CTEs feeding one GROUP BY on the basin
+        # key — hydrology output as zonal zones, exact integers.
+        "basin_stats": _basin_stats_oracle(z5x, z5y),
     }
 
 

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "landform",
     "compact",
     "s2_compact",
+    "basin_stats",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)
