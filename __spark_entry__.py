@@ -4086,6 +4086,24 @@ def q_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planchon-Darboux depression filling
+    (operators/hydrology.fill_depressions) of the z5 doc-count field
+    — the standard DEM preprocessing before flow routing; interior
+    depressions rise exactly to their pour points.  Rows-only: the
+    fixpoint is min-over-paths-of-path-max, which has no bounded SQL
+    twin; the operator is pinned against a scalar-loop PD reference
+    (tests/test_hydrology.py) and its input field is oracle-backed
+    (contour/flow share the construction)."""
+    from xarray_spatial_spark.operators.hydrology import fill_depressions
+
+    out = fill_depressions(_z5_dense_grid(spark, sf_dir))
+    return out.select(
+        "x", "y", "value", "filled",
+        (F.col("filled") > F.col("value")).cast("int").alias("raised"),
+    )
+
+
 def q_xyz_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slippy-map tile rendering end to end (sources/xyz_tiles.py):
     the z10 doc-count field becomes an RGBA heatmap (pure-Catalyst
@@ -4270,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_rings": q_simplify_rings,
         "xyz_tiles": q_xyz_tiles,
         "streams": q_streams,
+        "fill": q_fill,
     }
 
 

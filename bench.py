@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "compact",
     "s2_compact",
     "basin_stats",
+    "fill",
 ]
 
 TILE_RASTER = 8192  # 67M cells, float32 dense tiles (stored, untimed)

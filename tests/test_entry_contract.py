@@ -133,6 +133,10 @@ def test_oracle_keys_subset_of_queries():
         # (test_hydrology.py); direction + accumulation inputs are
         # oracle-backed in the flow slot
         "streams",
+        # PD filling's fixpoint (min over escape paths of path-max)
+        # has no bounded SQL twin; scalar-loop reference parity in
+        # test_hydrology.py; the input field is oracle-backed
+        "fill",
     }
 
 

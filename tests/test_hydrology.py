@@ -311,3 +311,106 @@ def test_direction_plan_no_python(spark):
     fd = flow_direction(grid_df(spark, grid))
     plan = fd._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Depression filling (Planchon-Darboux)
+# ---------------------------------------------------------------------------
+
+
+def ref_fill(grid: np.ndarray) -> np.ndarray:
+    """Scalar-loop PD reference: W=z on border, inf inside, iterate
+    W = max(z, min(W, min over present neighbors))."""
+    h, w = grid.shape
+    W = np.where(np.isfinite(grid), np.inf, np.nan)
+    present = np.isfinite(grid)
+    for y in range(h):
+        for x in range(w):
+            if not present[y, x]:
+                continue
+            nbs = [(x + dx, y + dy) for _, dx, dy, _ in D8
+                   if 0 <= x + dx < w and 0 <= y + dy < h
+                   and present[y + dy, x + dx]]
+            if len(nbs) < 8:
+                W[y, x] = grid[y, x]
+    changed = True
+    while changed:
+        changed = False
+        for y in range(h):
+            for x in range(w):
+                if not present[y, x] or W[y, x] == grid[y, x]:
+                    continue
+                nmin = min((W[ny, nx] for nx, ny in
+                            [(x + dx, y + dy) for _, dx, dy, _ in D8
+                             if 0 <= x + dx < w and 0 <= y + dy < h
+                             and present[y + dy, x + dx]]),
+                           default=np.inf)
+                nw = max(grid[y, x], min(W[y, x], nmin))
+                if nw < W[y, x]:
+                    W[y, x] = nw
+                    changed = True
+    return W
+
+
+def test_fill_bowl_rises_to_rim(spark):
+    from xarray_spatial_spark.operators.hydrology import fill_depressions
+
+    # a 7x7 bowl inside a flat plateau at 10: the interior fills to
+    # the rim's lowest pour point (10), the rim itself is untouched
+    grid = np.full((9, 9), 10.0)
+    ys, xs = np.mgrid[0:9, 0:9]
+    bowl = 2.0 + ((xs - 4) ** 2 + (ys - 4) ** 2) / 4.0
+    inner = (np.abs(xs - 4) <= 2) & (np.abs(ys - 4) <= 2)
+    grid[inner] = bowl[inner]
+    out = {(r.x, r.y): r.filled
+           for r in fill_depressions(grid_df(spark, grid)).collect()}
+    for y in range(9):
+        for x in range(9):
+            assert out[(x, y)] == 10.0, (x, y, out[(x, y)])
+
+
+def test_fill_parity_random(spark):
+    from xarray_spatial_spark.operators.hydrology import fill_depressions
+
+    rng = np.random.default_rng(13)
+    grid = rng.integers(0, 30, size=(10, 11)).astype(float)
+    out = {(r.x, r.y): r.filled
+           for r in fill_depressions(grid_df(spark, grid)).collect()}
+    want = ref_fill(grid)
+    for (x, y), v in out.items():
+        assert v == want[y, x], (x, y, v, want[y, x])
+
+
+def test_fill_pit_free_after(spark):
+    from xarray_spatial_spark.operators.hydrology import fill_depressions
+
+    rng = np.random.default_rng(21)
+    grid = rng.integers(0, 50, size=(12, 12)).astype(float)
+    filled = fill_depressions(grid_df(spark, grid))
+    fd = flow_direction(filled.select(
+        "x", "y", filled.filled.alias("value")))
+    pits = [(r.x, r.y) for r in fd.collect() if r.direction == 0]
+    # every remaining pit must be able to drain off-grid: it sits on
+    # the border OR on a filled flat connected to the border (flats
+    # have direction 0 under strict-drop D8 — the standard residue
+    # PD leaves; no pit may be a strict interior local minimum)
+    out = {(r.x, r.y): r.filled for r in filled.collect()}
+    for (x, y) in pits:
+        if x in (0, 11) or y in (0, 11):
+            continue
+        v = out[(x, y)]
+        nbs = [out[(x + dx, y + dy)] for _, dx, dy, _ in D8
+               if (x + dx, y + dy) in out]
+        assert min(nbs) <= v, (x, y)  # not a strict minimum
+
+
+def test_fill_monotone_and_slope_preserving(spark):
+    from xarray_spatial_spark.operators.hydrology import fill_depressions
+
+    # pit-free tilted plane: fill is the identity
+    ys, xs = np.mgrid[0:6, 0:8]
+    grid = (xs + 2.0 * ys).astype(float)
+    out = {(r.x, r.y): r.filled
+           for r in fill_depressions(grid_df(spark, grid)).collect()}
+    for (x, y), v in out.items():
+        assert v == grid[y, x]
