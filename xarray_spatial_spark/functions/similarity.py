@@ -256,15 +256,51 @@ def ivf_topk(
         .select(F.col("_tmp_id").alias(query_id),
                 F.explode("buckets").alias("bucket"), "_qvec")
     )
-    joined = corpus_b.join(queries_b, "bucket")
-    dot = F.aggregate(
-        F.zip_with(vec_col, "_qvec", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda a, v: a + v,
+    # score per bucket with ONE cogrouped Arrow pass: the bucket's
+    # corpus block and its probing queries meet as numpy matrices and
+    # the dot products run through BLAS instead of a per-pair Catalyst
+    # fold over the joined rows (the old join materialized
+    # |bucket| x |probes| rows each paying an O(dim) interpreted
+    # lambda — the suite's slowest slot).  Per-bucket top-k is safe:
+    # (cosine desc, id asc) is a total order, so every global top-k
+    # row is inside its bucket's top-k.  The matmul is chunked over
+    # corpus rows so peak memory is O(chunk x queries), not
+    # O(bucket x queries).
+    def _score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf) or not len(qpdf):
+            return pd.DataFrame({query_id: [], id_col: [], "cosine": []}).astype(
+                {query_id: np.int64, id_col: np.int64, "cosine": np.float64}
+            )
+        qv = np.stack(qpdf["_qvec"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qv, axis=1)
+        qn[qn == 0] = 1.0
+        qids = qpdf[query_id].to_numpy()
+        cids_all = cpdf[id_col].to_numpy()
+        out_q, out_i, out_c = [], [], []
+        for lo in range(0, len(cpdf), 32768):
+            blk = cpdf.iloc[lo: lo + 32768]
+            cv = np.stack(blk[vec_col].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(cv, axis=1)
+            cn[cn == 0] = 1.0
+            sims = (cv @ qv.T) / (cn[:, None] * qn[None, :])
+            cids = cids_all[lo: lo + 32768]
+            kk = min(k, len(blk))
+            for j in range(sims.shape[1]):
+                order = np.lexsort((cids, -sims[:, j]))[:kk]
+                out_q.append(np.full(kk, qids[j]))
+                out_i.append(cids[order])
+                out_c.append(sims[order, j])
+        return pd.DataFrame({
+            query_id: np.concatenate(out_q),
+            id_col: np.concatenate(out_i),
+            "cosine": np.concatenate(out_c),
+        })
+
+    scored = (
+        corpus_b.groupBy("bucket")
+        .cogroup(queries_b.groupBy("bucket"))
+        .applyInPandas(_score, schema=f"{query_id} long, {id_col} long, cosine double")
     )
-    nv = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, v: a + v * v))
-    nq = F.sqrt(F.aggregate(F.col("_qvec"), F.lit(0.0), lambda a, v: a + v * v))
-    scored = joined.withColumn("cosine", dot / (nv * nq))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
