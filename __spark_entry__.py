@@ -867,10 +867,18 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" edited")).alias("text"),
     )
+    from xarray_spatial_spark.sources import parquet_row_count
+
+    # results are layout-invariant (pigeonhole recall holds for any
+    # banding), so let the cost model pick the layout from the exact
+    # doc count — read driver-side from the parquet footer (no job).
+    # The old pinned n_blocks=5 minimal layout has 12-13-bit keys,
+    # whose random collisions go quadratic in corpus size (35 s at
+    # sf1.0 vs ~4 s planned).
+    n = parquet_row_count(f"{sf_dir}/documents.parquet")
     return (
-        # n_blocks pinned to the classic minimal layout: results are
-        # layout-invariant, and pinning skips the planner's count job
-        dedup.simhash_near_duplicates(d.union(edited), max_hamming=4, n_blocks=5)
+        dedup.simhash_near_duplicates(
+            d.union(edited), max_hamming=4, n_docs=n + (n + 24) // 25)
         .select("id_a", "id_b", "hamming")
     )
 

@@ -326,7 +326,9 @@ def minhash_signatures_fast(
                 sigs.append(sig.astype(np.int64))
             yield pd.DataFrame({id_col: ids, "sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(
+    from xarray_spatial_spark.functions.spread import spread
+
+    return spread(df.select(id_col, text_col)).mapInPandas(
         _op, schema=f"{id_col} long, sig array<long>"
     )
 
@@ -481,7 +483,9 @@ def simhash(
                 hashes[nonempty] = vals.astype(np.int64)
             yield pd.DataFrame({id_col: out_ids, "simhash": hashes})
 
-    return df.select(id_col, text_col).mapInPandas(_op, schema=schema)
+    from xarray_spatial_spark.functions.spread import spread
+
+    return spread(df.select(id_col, text_col)).mapInPandas(_op, schema=schema)
 
 
 def _fnv1a64(s: str) -> np.uint64:
