@@ -25,6 +25,7 @@ from xarray_spatial_spark import grid
 from xarray_spatial_spark.functions import text as tx
 from xarray_spatial_spark.functions import dedup, geoindex, hexgrid, similarity
 from xarray_spatial_spark.functions.geo import geocode_lat, geocode_lon
+from xarray_spatial_spark.functions.spread import spread as _spread
 from xarray_spatial_spark.operators import (
     classify,
     focal,
@@ -469,7 +470,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ninth ASCII doc gets a cp1252-mangled suffix; `moji_fixed` must
     equal the clean text the oracle constructs directly, and clean
     rows must pass through the repair untouched."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     t = F.col("text")
     plant = (F.col("doc_id") % 9 == 0) & t.rlike(_ASCII_RE)
     planted = F.when(plant, F.concat(t, F.lit(" " + _MOJI_BAD))).otherwise(t)
@@ -491,7 +492,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix, not the whole document, so the scan cost per doc is O(1)
     at 100 TB.  The oracle applies the identical substr, so the
     engines see the same truncated text."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return (
         d.select(
             tx.langid(F.substring(F.col("text"), 1, 1000)).alias("detected")
@@ -712,7 +713,7 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                     main_content)
     from xarray_spatial_spark.sources.documents import extract_text
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"))
     html = F.encode(
         F.concat(
             F.lit('<html><head><meta charset="utf-8"/></head><body><p>'),
@@ -816,7 +817,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the KN self-LM (functions/text.py:perplexity_buckets —
     CCNet's filtering step; exact-percentile thresholds broadcast, no
     global sort)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     sig = d.select(
         F.lit("signals").alias("variant"),
         "doc_id",
@@ -1035,7 +1036,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs sharing any word 8-gram with an
     eval set (every 97th doc, so self-overlap is guaranteed)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"))
     ev = d.filter(F.col("doc_id") % 97 == 3).select(
         F.col("doc_id").alias("qid"), "text"
     )
@@ -1240,7 +1241,7 @@ def _synth_url_expr() -> Column:
 
 def _url_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
-    return d.select(_synth_url_expr().alias("url"), "n_chars")
+    return _spread(d).select(_synth_url_expr().alias("url"), "n_chars")
 
 
 def q_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1318,7 +1319,7 @@ def q_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("mean_tokens"),
         F.lit(-1).cast("int").alias("max_tokens"),
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     ds = corpus.corpus_datasheet(docs).select(
         F.lit("datasheet").alias("variant"),
         F.lit("").alias("domain"),
@@ -1447,7 +1448,7 @@ def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Luhn-valid card (must become <CARD>), %8==7 a checksum-failing
     twin (must survive card redaction — only the phone pattern may
     touch it)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"))
     planted = d.withColumn(
         "text",
         F.when(F.col("doc_id") % 4 == 0,
@@ -1471,7 +1472,7 @@ def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality signals + keep flag per document
     (functions/text.py:gopher_signals/gopher_keep)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"))
     sig = d.select(
         "doc_id",
         "text",
@@ -1512,7 +1513,7 @@ def q_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage)."""
     from xarray_spatial_spark.functions import corpus
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"))
     # the synthetic corpus has no English function words, so the
     # stop-word gate would reject everything: plant a stop-rich lead
     # sentence on 2/3 of the docs (the rest exercise the reject path)
@@ -2199,7 +2200,7 @@ def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_spatial_spark.functions.corpus import stratified_sample
     from xarray_spatial_spark.functions.dsir import dsir_select
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
         "doc_id", "source", "n_chars"
     )
     strat = stratified_sample(d, k=25, strata_col="source").select(
@@ -2209,7 +2210,7 @@ def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("double").alias("metric"),
         F.col("sample_rank").cast("int").alias("rank"),
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
         "doc_id", "text")
     target = docs.filter(F.col("doc_id") % 11 == 0)
     sel = dsir_select(docs, target, k=40, n_buckets=2048, seed=7)
@@ -2225,7 +2226,7 @@ def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash, scan-stage, no shuffle); strata carries the side
     from xarray_spatial_spark.functions.corpus import host_disjoint_split
 
-    su = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    su = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
         "doc_id").withColumn("url", _synth_url_expr())
     sp = host_disjoint_split(su, eval_frac=0.3, seed=2).select(
         F.lit("split").alias("variant"),
@@ -2519,7 +2520,7 @@ def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_spatial_spark.functions.quality_model import (
         quality_model_score, train_quality_model)
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
         "doc_id", "text")
     # deterministic labels from an id pattern, text perturbed to match
     labeled = d.select(
@@ -2767,7 +2768,7 @@ def q_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from xarray_spatial_spark.functions import index as ix
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"))
     path = os.path.join(
         tempfile.gettempdir(), "xss_search_index", os.path.basename(sf_dir.rstrip("/"))
     )
@@ -2967,7 +2968,7 @@ def q_ip_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins BOTH conversion directions cross-engine."""
     from xarray_spatial_spark.functions.ip import geolocate_ipv4, long_to_ipv4
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     ips = docs.select(
         "doc_id",
         long_to_ipv4(
@@ -3310,7 +3311,7 @@ def q_geoparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer, and the resolution rule verbatim in SQL."""
     from xarray_spatial_spark.functions import geoparse as gp
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
         "doc_id", "text")
     gaz = gp.make_gazetteer(spark, 200)
     m = gaz.select(

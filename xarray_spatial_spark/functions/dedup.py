@@ -1138,7 +1138,11 @@ def duplicate_spans(
 
     from xarray_spatial_spark.functions.text import tokens
 
-    base = df.select(
+    from xarray_spatial_spark.functions.spread import spread
+
+    # window hashing is an O(tokens * k) HOF in the scan stage — see
+    # spread.py for why a single-row-group scan would serialize it
+    base = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).filter(F.size("_toks") >= k)
     wins = base.select(

@@ -624,8 +624,15 @@ def lm_cross_entropy(
     NULL.  ``score`` defaults to ``train`` (self-perplexity)."""
     from pyspark.sql import DataFrame  # noqa: F401  (doc typing)
 
+    from xarray_spatial_spark.functions.spread import spread
+
+    # tokenize/explode runs in the SCAN stage: a single-row-group
+    # input would run the whole count pass on one task (spread.py)
+    train = spread(train)
     if score is None:
         score = train
+    else:
+        score = spread(score)
     uni = (
         train.select(F.explode(tokens(F.col(text_col))).alias("w1"))
         .groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
@@ -714,9 +721,14 @@ def kn_cross_entropy(
     cascade expressions are identical, only the join shape changes
     (equality pytest-pinned).  Returns ``(id, n_grams,
     cross_entropy)``; docs with < 3 tokens score NULL."""
+    from xarray_spatial_spark.functions.spread import spread
+
     self_mode = score is None
+    train = spread(train)  # see lm_cross_entropy: scan-stage explode
     if score is None:
         score = train
+    else:
+        score = spread(score)
     if discount == "auto":
         D = None  # Ney estimate from trigram counts-of-counts, below
     else:
