@@ -354,6 +354,44 @@ def point_pairs(
     )
 
 
+def _halo_blocks(
+    points: DataFrame,
+    max_dist: float,
+    cols: list,
+):
+    """(left, right) frames keyed by the ``max_dist``-sized grid cell
+    for a cogrouped pair kernel: ``right`` holds each cell's own
+    points, ``left`` holds every point exploded onto its 3x3 neighbor
+    cells.  A cogrouped applyInPandas over (_cx, _cy) then sees, for
+    every cell, all points that can be within ``max_dist`` of its own
+    points — the same coverage as the pair equi-join, but the O(pairs)
+    distance work runs as numpy block matrices inside the kernel
+    instead of materializing pair rows through an exchange."""
+    md = float(max_dist)
+    keyed = points.select(*cols).withColumn(
+        "_cx", F.floor(F.col("_x") / F.lit(md))
+    ).withColumn("_cy", F.floor(F.col("_y") / F.lit(md)))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    left = keyed.withColumn("_o", F.explode(offs)).select(
+        *keyed.columns[:-2],
+        (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
+        (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
+    )
+    # the right side gets DISTINCT column names: both cogroup sides
+    # share the scan lineage, and Spark's attribute dedup on a
+    # self-cogroup with identical names silently hands the kernel a
+    # key-only frame for some groups (observed on Spark 4.1)
+    right = keyed.select(
+        *[F.col(c).alias("_r" + c.lstrip("_")) for c in keyed.columns[:-2]],
+        "_cx", "_cy",
+    )
+    return left, right
+
+
 def empirical_variogram(
     points: DataFrame,
     id_col: str = "id",
@@ -378,20 +416,71 @@ def empirical_variogram(
     grid equi-join), then ONE hash aggregate of pairs -> n_bins rows.
     When the value column is integer-derived, (v_i - v_j)^2 sums are
     exact in float64, so gamma is bit-identical across engines."""
+    import numpy as np
+    import pandas as pd
+
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     max_dist = float(bin_width) * n_bins
-    pairs = point_pairs(points, id_col, x_col, y_col, value_col, max_dist)
-    dv = F.col("v_a") - F.col("v_b")
-    bin_col = F.least(
-        F.floor(F.sqrt(F.col("d2")) / F.lit(float(bin_width))),
-        F.lit(n_bins - 1),
-    ).cast("int")
+    bw = float(bin_width)
+    md2 = max_dist * max_dist
+    cols = [
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        F.col(value_col).cast("double").alias("_v"),
+    ]
+    left, right = _halo_blocks(points, max_dist, cols)
+
+    # per-cell numpy kernel: the same pairs the 3x3 equi-join would
+    # materialize (id_a < id_b, 0 < d <= max_dist), but distances and
+    # (v_i - v_j)^2 run as chunked block matrices and only per-bin
+    # partials (count, sum) leave the kernel.  Sums of integer-derived
+    # values in float64 are exact below 2^53 regardless of order, so
+    # gamma is unchanged bit-for-bit.
+    def _kern(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"bin": np.array([], np.int32),
+                                 "_n": np.array([], np.int64),
+                                 "_s": np.array([], np.float64)})
+        rid = rpdf["_rid"].to_numpy()
+        rx = rpdf["_rx"].to_numpy()
+        ry = rpdf["_ry"].to_numpy()
+        rv = rpdf["_rv"].to_numpy()
+        cnt = np.zeros(n_bins, dtype=np.int64)
+        ssum = np.zeros(n_bins, dtype=np.float64)
+        for lo in range(0, len(lpdf), 4096):
+            blk = lpdf.iloc[lo: lo + 4096]
+            aid = blk["_id"].to_numpy()[:, None]
+            ax = blk["_x"].to_numpy()[:, None]
+            ay = blk["_y"].to_numpy()[:, None]
+            av = blk["_v"].to_numpy()[:, None]
+            dx = ax - rx[None, :]
+            dy = ay - ry[None, :]
+            d2 = dx * dx + dy * dy
+            m = (aid < rid[None, :]) & (d2 > 0) & (d2 <= md2)
+            if not m.any():
+                continue
+            b = np.minimum(
+                np.floor(np.sqrt(d2[m]) / bw), n_bins - 1
+            ).astype(np.int64)
+            dv = (av - rv[None, :])[m]
+            np.add.at(cnt, b, 1)
+            np.add.at(ssum, b, dv * dv)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"bin": nz.astype(np.int32),
+                             "_n": cnt[nz], "_s": ssum[nz]})
+
+    partials = (
+        left.groupBy("_cx", "_cy")
+        .cogroup(right.groupBy("_cx", "_cy"))
+        .applyInPandas(_kern, schema="bin int, _n long, _s double")
+    )
     return (
-        pairs.groupBy(bin_col.alias("bin"))
+        partials.groupBy("bin")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            (F.sum(dv * dv) / (2.0 * F.count(F.lit(1)))).alias("gamma"),
+            F.sum("_n").alias("n_pairs"),
+            (F.sum("_s") / (2.0 * F.sum("_n"))).alias("gamma"),
         )
         .select(
             "bin",
@@ -429,15 +518,48 @@ def ripley_k(
     a conditional count per radius (radii are literals) and a
     broadcast n attach.  Pair counts are integers, so K/L replay
     bit-identically in any engine."""
+    import numpy as np
+    import pandas as pd
+
     if not radii or any(r <= 0 for r in radii):
         raise ValueError("radii must be non-empty and positive")
     rs = sorted(float(r) for r in radii)
-    pairs = point_pairs(points, id_col, x_col, y_col, None, rs[-1])
-    counts = pairs.agg(*[
-        F.coalesce(
-            F.sum(F.when(F.col("d2") <= F.lit(r * r), 1)), F.lit(0)
-        ).alias(f"_c{i}")
-        for i, r in enumerate(rs)
+    cols = [
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ]
+    left, right = _halo_blocks(points, rs[-1], cols)
+    r2s = np.array([r * r for r in rs])
+
+    # per-cell numpy pair counting (see empirical_variogram): integer
+    # counts per literal radius leave the kernel, nothing else.
+    def _kern(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(len(rs), dtype=np.int64)
+        if len(lpdf) and len(rpdf):
+            rid = rpdf["_rid"].to_numpy()
+            rx = rpdf["_rx"].to_numpy()
+            ry = rpdf["_ry"].to_numpy()
+            for lo in range(0, len(lpdf), 4096):
+                blk = lpdf.iloc[lo: lo + 4096]
+                dx = blk["_x"].to_numpy()[:, None] - rx[None, :]
+                dy = blk["_y"].to_numpy()[:, None] - ry[None, :]
+                d2 = dx * dx + dy * dy
+                m = (blk["_id"].to_numpy()[:, None] < rid[None, :]) & (d2 > 0)
+                d2m = d2[m]
+                for i in range(len(rs)):
+                    out[i] += int((d2m <= r2s[i]).sum())
+        return pd.DataFrame({f"_c{i}": [out[i]] for i in range(len(rs))})
+
+    schema = ", ".join(f"_c{i} long" for i in range(len(rs)))
+    partials = (
+        left.groupBy("_cx", "_cy")
+        .cogroup(right.groupBy("_cx", "_cy"))
+        .applyInPandas(_kern, schema=schema)
+    )
+    counts = partials.agg(*[
+        F.coalesce(F.sum(f"_c{i}"), F.lit(0)).alias(f"_c{i}")
+        for i in range(len(rs))
     ])
     n_row = points.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     wide = counts.crossJoin(F.broadcast(n_row))
@@ -508,17 +630,36 @@ def cross_ripley_k(
         (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
         (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
     )
-    dx = F.col("_ax") - F.col("_bx")
-    dy = F.col("_ay") - F.col("_by")
-    d2 = dx * dx + dy * dy
-    pairs = a_x.join(b, ["_cx", "_cy"]).where(d2 <= F.lit(md * md)).select(
-        d2.alias("_d2")
+    import numpy as np
+    import pandas as pd
+
+    r2s = np.array([r * r for r in rs])
+
+    # per-cell numpy cross counting (see empirical_variogram's kernel):
+    # d = 0 counts, no id gate — every qualifying (a, b) exactly once.
+    def _kern(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(len(rs), dtype=np.int64)
+        if len(lpdf) and len(rpdf):
+            rx = rpdf["_bx"].to_numpy()
+            ry = rpdf["_by"].to_numpy()
+            for lo in range(0, len(lpdf), 4096):
+                blk = lpdf.iloc[lo: lo + 4096]
+                ddx = blk["_ax"].to_numpy()[:, None] - rx[None, :]
+                ddy = blk["_ay"].to_numpy()[:, None] - ry[None, :]
+                dd2 = (ddx * ddx + ddy * ddy).ravel()
+                for i in range(len(rs)):
+                    out[i] += int((dd2 <= r2s[i]).sum())
+        return pd.DataFrame({f"_c{i}": [out[i]] for i in range(len(rs))})
+
+    schema = ", ".join(f"_c{i} long" for i in range(len(rs)))
+    partials = (
+        a_x.groupBy("_cx", "_cy")
+        .cogroup(b.groupBy("_cx", "_cy"))
+        .applyInPandas(_kern, schema=schema)
     )
-    counts = pairs.agg(*[
-        F.coalesce(
-            F.sum(F.when(F.col("_d2") <= F.lit(r * r), 1)), F.lit(0)
-        ).alias(f"_c{i}")
-        for i, r in enumerate(rs)
+    counts = partials.agg(*[
+        F.coalesce(F.sum(f"_c{i}"), F.lit(0)).alias(f"_c{i}")
+        for i in range(len(rs))
     ])
     na = points_a.agg(F.count(F.lit(1)).cast("double").alias("_na"))
     nb = points_b.agg(F.count(F.lit(1)).cast("double").alias("_nb"))
