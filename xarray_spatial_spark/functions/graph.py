@@ -121,6 +121,13 @@ def pagerank(
     else:
         nodes = nodes.withColumn("_tp", F.lit(1.0))
     nodes = nodes.localCheckpoint()
+    # the rank table is (node, double) — when it comfortably fits the
+    # broadcast budget, broadcasting it into BOTH per-iteration joins
+    # removes two shuffles of the edge table per round (guide: pick
+    # the join strategy deliberately; the iteration shape is unchanged
+    # and at web scale the count gate keeps the shuffle plan)
+    small = nodes.count() <= 2_000_000
+    _b = F.broadcast if small else (lambda df: df)
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     e = edges.join(deg, src).select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), "_deg"
@@ -128,22 +135,24 @@ def pagerank(
     ranks = nodes.select("node", F.col("_tp").alias("rank"))
     for i in range(iters):
         contrib = (
-            e.join(ranks, e["_src"] == ranks["node"])
+            e.join(_b(ranks), e["_src"] == ranks["node"])
             .select(F.col("_dst").alias("node"),
                     (F.col("rank") / F.col("_deg")).alias("_c"))
             .groupBy("node")
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(_b(contrib), "node", "left").select(
             "node",
             (F.lit(1.0 - damping) * F.col("_tp")
              + F.lit(damping) * F.coalesce("_s", F.lit(0.0))).alias("rank"),
         )
         # eager localCheckpoint truncates the per-iteration plan, but
-        # every SECOND iteration suffices: a 2-join-deep plan analyzes
-        # fine (the driver blowup starts ~20 deep), and each eager
-        # checkpoint is a full job — this halves the job count
-        if i % 2 == 1 or i == iters - 1:
+        # every FOURTH iteration suffices: an 8-join-deep plan
+        # analyzes fine (the driver blowup starts ~20 deep), each
+        # eager checkpoint is a full job, and the LAST iteration is
+        # never checkpointed — the caller's action materializes it
+        # anyway, so a final checkpoint would compute the tail twice
+        if i % 4 == 3 and i != iters - 1:
             ranks = ranks.localCheckpoint()
     return ranks
 
@@ -186,6 +195,10 @@ def hits(
     )
     e = edges.select(F.col(src).alias("_src"),
                      F.col(dst).alias("_dst")).localCheckpoint()
+    # see pagerank: broadcast the small score table into the
+    # per-round joins, shuffle only the aggregated contributions
+    small = nodes.count() <= 2_000_000
+    _b = F.broadcast if small else (lambda df: df)
     scores = nodes.select("node", F.lit(1.0).alias("hub"),
                           F.lit(1.0).alias("authority"))
 
@@ -203,23 +216,24 @@ def hits(
 
     for i in range(iters):
         auth = (
-            e.join(scores.select("node", "hub"), e["_src"] == F.col("node"))
+            e.join(_b(scores.select("node", "hub")), e["_src"] == F.col("node"))
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum("hub").alias("_a"))
         )
-        scores = scores.drop("authority").join(auth, "node", "left").select(
+        scores = scores.drop("authority").join(_b(auth), "node", "left").select(
             "node", "hub", F.coalesce("_a", F.lit(0.0)).alias("authority"))
         hub = (
-            e.join(scores.select("node", "authority"),
+            e.join(_b(scores.select("node", "authority")),
                    e["_dst"] == F.col("node"))
             .groupBy(F.col("_src").alias("node"))
             .agg(F.sum("authority").alias("_h"))
         )
-        scores = scores.drop("hub").join(hub, "node", "left").select(
+        scores = scores.drop("hub").join(_b(hub), "node", "left").select(
             "node", F.coalesce("_h", F.lit(0.0)).alias("hub"), "authority")
         if (i + 1) % 16 == 0:
             scores = _l2_normalize(scores, ("hub", "authority"))
-        if i % 2 == 1 or i == iters - 1:
+        # see pagerank: truncate every 4th round, never the last
+        if i % 4 == 3 and i != iters - 1:
             scores = scores.localCheckpoint()
     return _l2_normalize(scores, ("hub", "authority"))
 

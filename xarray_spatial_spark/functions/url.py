@@ -258,10 +258,14 @@ def link_edges(
     anchors whose rel carries nofollow/ugc/sponsored
     (:func:`extract_followed_links`) — the edge set link-based
     ranking should see."""
+    from xarray_spatial_spark.functions.spread import spread
+
     src = F.col(url_col)
     extractor = extract_followed_links if followed_only else extract_links
     dst = F.explode(extractor(F.col(html_col), F.col(url_col)))
-    edges = df.select(src.alias("_src"), dst.alias("_dst"))
+    # anchor extraction is regex-heavy scan-stage work (spread.py)
+    edges = spread(df.select(url_col, html_col)).select(
+        src.alias("_src"), dst.alias("_dst"))
     if normalize:
         edges = edges.select(
             url_normalize(F.col("_src")).alias("src"),
