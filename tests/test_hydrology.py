@@ -414,3 +414,31 @@ def test_fill_monotone_and_slope_preserving(spark):
            for r in fill_depressions(grid_df(spark, grid)).collect()}
     for (x, y), v in out.items():
         assert v == grid[y, x]
+
+
+def test_accumulation_kahn_equals_doubling_random(spark):
+    from xarray_spatial_spark.operators.hydrology import (
+        _flow_accumulation_kahn,
+    )
+
+    rng = np.random.default_rng(11)
+    grid = rng.uniform(0, 100, size=(12, 12))
+    fd = flow_direction(grid_df(spark, grid)).localCheckpoint()
+    via_closure = {(r.x, r.y): r.acc
+                   for r in flow_accumulation(fd).collect()}
+    via_kahn = {(r.x, r.y): r.acc
+                for r in _flow_accumulation_kahn(
+                    fd.select("x", "y", "direction"), 10_000).collect()}
+    assert via_closure == via_kahn
+
+
+def test_accumulation_deep_chain_dispatches_to_kahn(spark):
+    # a 96-cell east-flowing chain: drainage depth 95, closure pairs
+    # ~96*95/2 = 4560 >> pair_budget * edges = 8 * 95, so the
+    # dispatcher must abandon doubling and finish through the Kahn
+    # path within a bounded pair volume; acc(i) = i exactly
+    n = 96
+    grid = np.arange(n, 0, -1, dtype=float).reshape(1, n)
+    fd = flow_direction(grid_df(spark, grid))
+    out = {(r.x, r.y): r.acc for r in flow_accumulation(fd).collect()}
+    assert out == {(x, 0): x for x in range(n)}

@@ -127,29 +127,98 @@ def flow_direction(
     )
 
 
+def _flow_accumulation_kahn(
+    fd: DataFrame, max_iters: int,
+) -> DataFrame:
+    """Kahn count-pushing accumulation: peel indegree-0 cells level by
+    level, each finalized cell pushing ``acc + 1`` to its downstream
+    neighbor.  One round PER drainage level, but total shuffled volume
+    is O(edges) — every edge carries exactly one (already aggregated)
+    count — which is what makes deep (DEM-shaped) fields tractable
+    where the closure materializes O(cells x depth) pairs."""
+    e = (
+        fd.where(F.col("direction") > 0)
+        .select(
+            "x", "y",
+            (F.col("x") + _code_to(0)).alias("tx"),
+            (F.col("y") + _code_to(1)).alias("ty"),
+        )
+        .localCheckpoint()
+    )
+    indeg = e.groupBy(
+        F.col("tx").alias("x"), F.col("ty").alias("y")
+    ).agg(F.count(F.lit(1)).alias("_in"))
+    nodes = (
+        fd.select("x", "y")
+        .join(indeg, ["x", "y"], "left")
+        .select("x", "y", F.lit(0).cast("long").alias("acc"),
+                F.coalesce("_in", F.lit(0)).alias("_in"))
+        .localCheckpoint()
+    )
+    done = None  # union of finalized (x, y, acc)
+    for it in range(max_iters):
+        frontier = nodes.where(F.col("_in") == 0).select("x", "y", "acc")
+        rest = nodes.where(F.col("_in") > 0)
+        done = frontier if done is None else done.unionByName(frontier)
+        if rest.isEmpty():
+            return done.select("x", "y", F.col("acc").cast("long")
+                               .alias("acc"))
+        push = (
+            frontier.join(e, ["x", "y"])
+            .groupBy(F.col("tx").alias("x"), F.col("ty").alias("y"))
+            .agg(F.sum(F.col("acc") + 1).alias("_add"),
+                 F.count(F.lit(1)).alias("_n"))
+        )
+        nodes = (
+            rest.join(push, ["x", "y"], "left")
+            .select(
+                "x", "y",
+                (F.col("acc") + F.coalesce("_add", F.lit(0))).alias("acc"),
+                (F.col("_in") - F.coalesce("_n", F.lit(0))).alias("_in"),
+            )
+            .localCheckpoint()
+        )
+        # compact the finalized union every 32 levels: each member is
+        # already a checkpointed block, so only PLAN width grows
+        # between compactions — a per-level eager checkpoint would
+        # re-materialize O(cells) rows per level (O(cells x depth)
+        # total), the exact volume this path exists to avoid
+        if it % 32 == 31:
+            done = done.localCheckpoint()
+    raise ValueError(
+        f"flow_accumulation: Kahn peeling not finished after max_iters="
+        f"{max_iters} levels (cycle in flow graph — D8 over a real "
+        "elevation cannot cycle)")
+
+
 def flow_accumulation(
     flowdir: DataFrame,
     x_col: str = "x",
     y_col: str = "y",
     dir_col: str = "direction",
     max_iters: int = 64,
+    pair_budget: float = 8.0,
 ) -> DataFrame:
     """``(x, y, acc)``: upstream-cell count per cell (self excluded) —
-    acc(c) = |{s : c lies on s's drainage path}|, computed as the
-    TRANSITIVE CLOSURE of the one-out-edge forest by pointer doubling:
-    round k holds every (source, ancestor-within-2^k-steps) pair, so
-    convergence takes O(log drainage-depth) rounds (2 jobs each)
-    instead of Kahn peeling's one round PER level (~5 jobs each; with
-    the entry's fd checkpoint the q_flow slot measured 4.6 s Kahn ->
-    3.1 s doubling at sf0.1 — fixed per-round stage overhead at toy
-    scale, the round REDUCTION is what matters on a cluster).
-    Closure volume is cells x depth pairs — the same rows the Kahn
-    variant shuffles SPREAD OVER depth rounds, paid here in log-depth
-    barriers, which is the better trade both locally (fixed per-job
-    overhead) and on a cluster (scheduling barriers).  The fixpoint
-    test is the monotone pair count (join-free convergence, the CC
-    idiom); a cycle (impossible for D8 over a real field) never
-    stabilizes and hits the ``max_iters`` raise."""
+    acc(c) = |{s : c lies on s's drainage path}| — DEPTH-ADAPTIVE:
+
+    Shallow fields (noise-dominated web count grids, drainage depth
+    2-4) run the TRANSITIVE CLOSURE by pointer doubling: round k holds
+    every (source, ancestor-within-2^k-steps) pair, so convergence is
+    O(log depth) rounds of 2 jobs.  The closure materializes
+    O(cells x depth) pairs — NOT the same volume as Kahn peeling,
+    which pushes one aggregated count per edge for O(edges) total; at
+    depth 2-4 the constant-factor trade favors the closure (fewer
+    barriers), on a DEM (depth O(grid width)) it is a scale-killer.
+
+    The dispatch needs no a-priori depth: doubling's own convergence
+    counter IS the pair count, so when the closure grows past
+    ``pair_budget`` x the edge count before stabilizing (depth >
+    ~pair_budget), the operator abandons it (having paid <= budgeted
+    volume) and restarts as Kahn count-pushing
+    (:func:`_flow_accumulation_kahn`) — one round per drainage level,
+    O(edges) total volume.  Both paths are exact; equality is
+    pytest-pinned on random and deep-synthetic fields."""
     fd = flowdir.select(
         F.col(x_col).alias("x"), F.col(y_col).alias("y"),
         F.col(dir_col).alias("direction"),
@@ -163,9 +232,12 @@ def flow_accumulation(
         )
         .localCheckpoint()
     )
-    prev = reach.count()
+    n_edges = reach.count()
+    budget = float(pair_budget) * max(n_edges, 1)
+    prev = n_edges
+    stable = prev == 0
     for _ in range(max_iters):
-        if prev == 0:
+        if stable or prev == 0:
             break
         hop = reach.select(
             F.col("sx").alias("hsx"), F.col("sy").alias("hsy"),
@@ -180,7 +252,13 @@ def flow_accumulation(
         reach = reach.unionByName(stepped).distinct().localCheckpoint()
         n = reach.count()
         if n == prev:
+            stable = True
             break
+        if n > budget:
+            # deep field: the closure is past its volume budget and
+            # still growing — switch to the O(edges) Kahn path
+            return _flow_accumulation_kahn(
+                fd, max_iters=max(max_iters, 1 << 20))
         prev = n
     else:
         raise ValueError(
@@ -221,15 +299,25 @@ def fill_depressions(
     is exact (no tolerance): a round that lowers nothing is the
     answer.
 
-    Plan per round: the same 8-offset literal mail pass as
-    flow_direction (ONE cell-scale exchange; the neighbor-min
-    aggregate and the join-back share the (x, y) partitioning) +
-    a changed-count scalar; localCheckpoint lineage cuts.  Round
-    count is the depth of the deepest nested depression in CELLS
-    (water-level steps propagate one ring per round) — a property of
-    the field, independent of corpus size.
+    Plan per round: cells explode onto their 3x3 TILE keys (tile =
+    ``tile`` cells square; expansion ~1 + 4/tile) and one grouped
+    Arrow kernel per tile iterates the monotone update to its LOCAL
+    fixpoint on a dense numpy array, halo water levels held fixed.
+    Water-level information therefore propagates a whole TILE per
+    round instead of one ring: round count is the pour-path length in
+    TILES (basin radius / tile), not in cells — the property that
+    keeps real DEM basins (radius O(grid width)) to a handful of
+    rounds where the ring-step fixpoint needed thousands.  Any
+    chaotic-relaxation order of the monotone update converges to the
+    SAME filled surface, and the fixpoint test stays exact (a round
+    that lowers nothing is the answer), so the tiling changes cost
+    only, never the result.
 
     Returns ``(x, y, value, filled)``."""
+    import numpy as np
+    import pandas as pd
+
+    T = 256  # tile edge in cells; bounds kernel memory at (T+2)^2 doubles
     base = cells.select(
         F.col(x_col).alias("x"), F.col(y_col).alias("y"),
         F.col(value_col).cast("double").alias("value"),
@@ -241,23 +329,19 @@ def fill_depressions(
         for _, dx, dy, _ in D8
     ])
 
-    def neighbor_min(w: DataFrame) -> DataFrame:
-        """(x, y, nmin) over PRESENT neighbors of each present cell."""
-        return (
-            w.withColumn("_o", F.explode(offs))
-            .select(
-                (F.col("x") + F.col("_o.dx")).alias("x"),
-                (F.col("y") + F.col("_o.dy")).alias("y"),
-                F.col("w").alias("_nw"),
-            )
-            .groupBy("x", "y")
-            .agg(F.min("_nw").alias("nmin"), F.count(F.lit(1)).alias("deg"))
+    # border seed (W <- z where any of the 8 neighbors is absent):
+    # one mail pass, as before — the loop below only LOWERS W
+    nbr = (
+        base.withColumn("_o", F.explode(offs))
+        .select(
+            (F.col("x") + F.col("_o.dx")).alias("x"),
+            (F.col("y") + F.col("_o.dy")).alias("y"),
         )
-
-    deg = neighbor_min(base.select("x", "y", F.col("value").alias("w"))) \
-        .select("x", "y", "deg")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
     w = (
-        base.join(deg, ["x", "y"], "left")
+        base.join(nbr, ["x", "y"], "left")
         .select(
             "x", "y", "value",
             F.when(F.coalesce("deg", F.lit(0)) < 8, F.col("value"))
@@ -265,21 +349,69 @@ def fill_depressions(
         )
         .localCheckpoint()
     )
+
+    toffs = F.array(*[
+        F.struct(F.lit(d).alias("dx"), F.lit(e).alias("dy"))
+        for d in (-1, 0, 1) for e in (-1, 0, 1)
+    ])
+
+    def _tile_fix(pdf: pd.DataFrame) -> pd.DataFrame:
+        # dense (T+2)^2 patch: own cells update, halo ring is a fixed
+        # boundary; iterate W <- max(z, min(W, min over present
+        # neighbors W)) to the LOCAL exact fixpoint
+        tx0 = int(pdf["_tx"].iloc[0]) * T
+        ty0 = int(pdf["_ty"].iloc[0]) * T
+        xs = pdf["x"].to_numpy(np.int64)
+        ys = pdf["y"].to_numpy(np.int64)
+        lx = xs - tx0 + 1
+        ly = ys - ty0 + 1
+        own = (lx >= 1) & (lx <= T) & (ly >= 1) & (ly <= T)
+        H = T + 2
+        W = np.full((H, H), np.inf)
+        Z = np.full((H, H), np.inf)
+        W[ly, lx] = pdf["w"].to_numpy()
+        Z[ly, lx] = pdf["value"].to_numpy()
+        # absent cells stay +inf in W -> they never win a neighbor min
+        # via Z below; mask them out of the neighbor field entirely
+        P = np.full((H, H), np.inf)
+        oy, ox = ly[own], lx[own]
+        while True:
+            P[1:-1, 1:-1] = np.inf
+            P[ly, lx] = W[ly, lx]
+            nm = np.minimum.reduce([
+                P[:-2, :-2], P[:-2, 1:-1], P[:-2, 2:],
+                P[1:-1, :-2], P[1:-1, 2:],
+                P[2:, :-2], P[2:, 1:-1], P[2:, 2:],
+            ])
+            newW = np.maximum(Z[1:-1, 1:-1],
+                              np.minimum(W[1:-1, 1:-1], nm))
+            # only own cells move; halo stays the caller's boundary
+            cur = W[oy, ox]
+            nxt = newW[oy - 1, ox - 1]
+            if np.array_equal(cur, nxt):
+                break
+            W[oy, ox] = nxt
+        return pd.DataFrame({
+            "x": xs[own], "y": ys[own], "value": Z[oy, ox],
+            "w": W[oy, ox], "_prev": pdf["w"].to_numpy()[own],
+        })
+
     for _ in range(max_iters):
-        nm = neighbor_min(w.select("x", "y", "w"))
-        w2 = (
-            w.join(nm.select("x", "y", "nmin"), ["x", "y"], "left")
+        tiled = (
+            w.withColumn("_o", F.explode(toffs))
             .select(
-                "x", "y", "value",
-                F.greatest(
-                    F.col("value"),
-                    F.least(F.col("w"),
-                            F.coalesce("nmin", F.lit(_HUGE))),
-                ).alias("w"),
-                F.col("w").alias("_prev"),
+                "x", "y", "value", "w",
+                F.floor((F.col("x") + F.col("_o.dx")) / F.lit(T))
+                .cast("long").alias("_tx"),
+                F.floor((F.col("y") + F.col("_o.dy")) / F.lit(T))
+                .cast("long").alias("_ty"),
             )
-            .localCheckpoint()
+            .distinct()
         )
+        w2 = tiled.groupBy("_tx", "_ty").applyInPandas(
+            _tile_fix,
+            schema="x long, y long, value double, w double, _prev double",
+        ).localCheckpoint()
         changed = w2.where(F.col("w") != F.col("_prev")).isEmpty()
         w = w2.select("x", "y", "value", "w")
         if changed:
@@ -306,7 +438,11 @@ def strahler_order(
     Same Kahn peeling as :func:`flow_accumulation`, but the carried
     state is ``(max_in, cnt_at_max)`` merged incrementally as inflow
     batches finalize across rounds — the merge is associative and
-    commutative, so arrival order doesn't matter."""
+    commutative, so arrival order doesn't matter.  Readiness is a
+    REMAINING-INDEGREE counter decremented as inflow batches arrive
+    (the :func:`_flow_accumulation_kahn` idiom) rather than an
+    anti-join against a shrinking pending-edge table: one state
+    checkpoint per level instead of three (ready/active/pending)."""
     fd = flowdir.select(
         F.col(x_col).alias("x"), F.col(y_col).alias("y"),
         F.col(dir_col).alias("direction"),
@@ -324,54 +460,45 @@ def strahler_order(
               ["tx", "ty"], "left_semi")
         .localCheckpoint()
     )
-    active = fd.select(
-        "x", "y",
-        F.lit(0).cast("int").alias("mx_in"),
-        F.lit(0).cast("long").alias("cnt_mx"),
-    ).localCheckpoint()
-    pending = edges
-    done: list[DataFrame] = []
-
-    def _finish(parts: list[DataFrame], like: DataFrame) -> DataFrame:
-        if not parts:
-            out = like
-        else:
-            out = reduce(lambda a, b: a.unionByName(b), parts)
-        order = (
-            F.when(F.col("cnt_mx") >= 2, F.col("mx_in") + 1)
-            .otherwise(F.greatest(F.col("mx_in"), F.lit(1)))
+    indeg = edges.groupBy(
+        F.col("tx").alias("x"), F.col("ty").alias("y")
+    ).agg(F.count(F.lit(1)).alias("_in"))
+    state = (
+        fd.select("x", "y")
+        .join(indeg, ["x", "y"], "left")
+        .select(
+            "x", "y",
+            F.lit(0).cast("int").alias("mx_in"),
+            F.lit(0).cast("long").alias("cnt_mx"),
+            F.coalesce("_in", F.lit(0)).alias("_in"),
         )
-        return out.select("x", "y", order.alias("order"))
+        .localCheckpoint()
+    )
+    done: list[DataFrame] = []
+    r_order = (
+        F.when(F.col("cnt_mx") >= 2, F.col("mx_in") + 1)
+        .otherwise(F.greatest(F.col("mx_in"), F.lit(1)))
+    )
 
     for _ in range(max_iters):
-        targets = pending.select(
-            F.col("tx").alias("x"), F.col("ty").alias("y"))
-        ready = active.join(targets, ["x", "y"], "left_anti") \
-            .localCheckpoint()
-        if ready.isEmpty():
-            if active.isEmpty():
-                return _finish(done, active)
-            raise ValueError("strahler_order: cycle in flow graph")
-        done.append(ready)
-        r_order = (
-            F.when(F.col("cnt_mx") >= 2, F.col("mx_in") + 1)
-            .otherwise(F.greatest(F.col("mx_in"), F.lit(1)))
-        )
-        # batch (max, count-at-max): the arriving orders are tiny per
-        # target (<= 8 inflows), counted exactly via a self-joined max
-        contrib = (
-            ready.select("x", "y", r_order.alias("o"))
-            .join(pending, (F.col("x") == F.col("sx"))
-                  & (F.col("y") == F.col("sy")))
-            .select(F.col("tx").alias("px"), F.col("ty").alias("py"),
-                    F.col("o"))
-        )
+        ready = state.where(F.col("_in") == 0)
+        rest = state.where(F.col("_in") > 0)
+        done.append(ready.select("x", "y", r_order.alias("order")))
+        if rest.isEmpty():
+            return reduce(lambda a, b: a.unionByName(b), done)
+        # batch (max, count-at-max, total): arriving orders per target
+        # are tiny (<= 8 inflows); count-at-max via the grouped max
         pushed = (
-            contrib.groupBy("px", "py", "o")
+            ready.select("x", "y", r_order.alias("o"))
+            .join(edges, (F.col("x") == F.col("sx"))
+                  & (F.col("y") == F.col("sy")))
+            .groupBy(F.col("tx").alias("px"), F.col("ty").alias("py"),
+                     F.col("o"))
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("px", "py")
             .agg(F.max("o").alias("b_mx"),
-                 F.max_by("c", "o").alias("b_cnt"))
+                 F.max_by("c", "o").alias("b_cnt"),
+                 F.sum("c").alias("b_tot"))
         )
         merged_mx = F.greatest(F.col("mx_in"),
                                F.coalesce(F.col("b_mx"), F.lit(0)))
@@ -383,18 +510,18 @@ def strahler_order(
             .otherwise(F.col("cnt_mx")
                        + F.coalesce(F.col("b_cnt"), F.lit(0)))
         )
-        active = (
-            active.join(ready.select("x", "y"), ["x", "y"], "left_anti")
-            .join(pushed, (F.col("x") == F.col("px"))
-                  & (F.col("y") == F.col("py")), "left")
+        nxt = (
+            rest.join(pushed, (F.col("x") == F.col("px"))
+                      & (F.col("y") == F.col("py")), "left")
             .select("x", "y", merged_mx.alias("mx_in"),
-                    merged_cnt.alias("cnt_mx"))
+                    merged_cnt.alias("cnt_mx"),
+                    (F.col("_in") - F.coalesce("b_tot", F.lit(0)))
+                    .alias("_in"))
             .localCheckpoint()
         )
-        pending = pending.join(
-            ready.select(F.col("x").alias("sx"), F.col("y").alias("sy")),
-            ["sx", "sy"], "left_anti",
-        ).localCheckpoint()
+        state = nxt
+    # a cycle (impossible for D8) leaves _in > 0 nodes that never
+    # become ready; it surfaces here as depth exhaustion
     raise ValueError(
         f"strahler_order: depth exceeds max_iters={max_iters}")
 
