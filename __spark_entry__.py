@@ -1638,13 +1638,17 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kneser-Ney trigram LM with continuation counts — the KenLM shape
     (functions/text.py:kn_cross_entropy)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    big = tx.lm_cross_entropy(d).select(
+    # both smoothers consume the SAME pre-tokenized frame (text.py
+    # _toks_of detects the array column), so the corpus is tokenized
+    # once instead of once per LM; results are expression-identical
+    d = d.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    big = tx.lm_cross_entropy(d, text_col="toks").select(
         F.lit("bigram").alias("variant"),
         "doc_id",
         F.col("n_bigrams").cast("long").alias("n_grams"),
         F.round("cross_entropy", 6).alias("cross_entropy"),
     )
-    kn = tx.kn_cross_entropy(d).select(
+    kn = tx.kn_cross_entropy(d, text_col="toks").select(
         F.lit("kn3").alias("variant"),
         "doc_id",
         F.col("n_grams").cast("long").alias("n_grams"),

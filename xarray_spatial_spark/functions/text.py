@@ -40,6 +40,33 @@ def tokens(text: Column) -> Column:
     )
 
 
+def _toks_of(df: "DataFrame", text_col: str) -> Column:
+    """``text_col`` as a token array: pre-tokenized array<string>
+    columns pass through untouched, strings get :func:`tokens`.  Lets
+    callers that feed several LM/gram passes tokenize the corpus ONCE
+    (q_lm_score shares one tokenized frame between both smoothers)."""
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(df.schema[text_col].dataType, ArrayType):
+        return F.col(text_col)
+    return tokens(F.col(text_col))
+
+
+def _bigrams_arr(toks: Column) -> Column:
+    """'w1 w2' bigram strings from an existing token array (the body
+    of :func:`bigrams`, split out so pre-tokenized callers skip the
+    re-tokenization)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
@@ -537,16 +564,7 @@ def bm25_topk(
 
 def bigrams(text: Column) -> Column:
     """Array of 'w1 w2' token bigrams ([] for < 2 tokens)."""
-    toks = tokens(text)
-    n = F.size(toks)
-    return F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return _bigrams_arr(tokens(text))
 
 
 def ngrams(text: Column, n: int) -> Column:
@@ -626,15 +644,22 @@ def lm_cross_entropy(
 
     from xarray_spatial_spark.functions.spread import spread
 
-    # tokenize/explode runs in the SCAN stage: a single-row-group
-    # input would run the whole count pass on one task (spread.py)
-    train = spread(train)
-    if score is None:
-        score = train
-    else:
-        score = spread(score)
+    # Tokenize ONCE into a persisted (id, toks) frame: the three gram
+    # passes (unigram counts, bigram counts, doc bigrams) used to each
+    # re-scan the text and re-run the tokenizer — at suite scale the
+    # repeated tokenize+scan was the dominant cost, not the counting.
+    # spread() (see spread.py) keeps a single-row-group input from
+    # serializing the explode passes on one task; the exchange carries
+    # only (id, toks).
+    self_mode = score is None
+    tk = spread(
+        train.select(F.col(id_col), _toks_of(train, text_col).alias("_toks"))
+    ).persist()
+    stk = tk if self_mode else spread(
+        score.select(F.col(id_col), _toks_of(score, text_col).alias("_toks"))
+    )
     uni = (
-        train.select(F.explode(tokens(F.col(text_col))).alias("w1"))
+        tk.select(F.explode("_toks").alias("w1"))
         .groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
         .persist()
     )
@@ -643,29 +668,43 @@ def lm_cross_entropy(
     # BUILD time (one fewer fixed-cost job; identical value)
     vocab_df = uni.agg(F.count(F.lit(1)).cast("double").alias("_V"))
     bi = (
-        train.select(F.explode(bigrams(F.col(text_col))).alias("gram"))
+        tk.select(F.explode(_bigrams_arr(F.col("_toks"))).alias("gram"))
         .groupBy("gram").agg(F.count(F.lit(1)).alias("_c12"))
     )
-    doc_bi = score.select(
-        F.col(id_col), F.explode(bigrams(F.col(text_col))).alias("gram")
-    ).withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
-    joined = (
-        doc_bi.join(bi, "gram", "left")
-        .join(uni, "w1", "left")
-        .crossJoin(F.broadcast(vocab_df))
-        .withColumn(
-            "_nll",
-            -F.log(
-                (F.coalesce("_c12", F.lit(0)) + F.lit(alpha))
-                / (F.coalesce("_c1", F.lit(0)) + F.lit(alpha) * F.col("_V"))
-            ),
-        )
+    doc_bi = stk.select(
+        F.col(id_col), F.explode(_bigrams_arr(F.col("_toks"))).alias("gram")
     )
+    nll = -F.log(
+        (F.coalesce("_c12", F.lit(0)) + F.lit(alpha))
+        / (F.coalesce("_c1", F.lit(0)) + F.lit(alpha) * F.col("_V"))
+    )
+    if self_mode:
+        # every scored gram is in `bi` and its w1 in `uni` (train ==
+        # score), so the lookups consolidate at LM (gram-type) scale
+        # and -ln P pre-computes there: the corpus pays ONE doc-scale
+        # equi-join that attaches a single double (identical
+        # expression, different stage — pytest pins equality with the
+        # cascade path)
+        lm = (
+            bi.withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+            .join(uni, "w1")
+            .crossJoin(F.broadcast(vocab_df))
+            .select("gram", nll.alias("_nll"))
+        )
+        joined = doc_bi.join(lm, "gram")
+    else:
+        joined = (
+            doc_bi.withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+            .join(bi, "gram", "left")
+            .join(uni, "w1", "left")
+            .crossJoin(F.broadcast(vocab_df))
+            .withColumn("_nll", nll)
+        )
     per_doc = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.avg("_nll").alias("cross_entropy"),
     )
-    ids = score.select(id_col).distinct()
+    ids = stk.select(id_col).distinct()
     return ids.join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
@@ -724,11 +763,6 @@ def kn_cross_entropy(
     from xarray_spatial_spark.functions.spread import spread
 
     self_mode = score is None
-    train = spread(train)  # see lm_cross_entropy: scan-stage explode
-    if score is None:
-        score = train
-    else:
-        score = spread(score)
     if discount == "auto":
         D = None  # Ney estimate from trigram counts-of-counts, below
     else:
@@ -736,7 +770,18 @@ def kn_cross_entropy(
         if not (0.0 < D < 1.0):
             raise ValueError(f"discount must be in (0, 1), got {discount}")
 
-    t_toks = train.select(tokens(F.col(text_col)).alias("toks"))
+    # Tokenize ONCE into a persisted (id, toks) frame — v_df,
+    # bi_types, tri and (in self mode) doc_tri each used to re-scan
+    # the text and re-run the tokenizer; the 4 redundant passes were
+    # the dominant suite-scale cost.  spread() keeps a single-row-
+    # group input from serializing the explode passes on one task.
+    tk = spread(
+        train.select(F.col(id_col), _toks_of(train, text_col).alias("_toks"))
+    ).persist()
+    stk = tk if self_mode else spread(
+        score.select(F.col(id_col), _toks_of(score, text_col).alias("_toks"))
+    )
+    t_toks = tk.select(F.col("_toks").alias("toks"))
     # vocab size V (1-row broadcast)
     v_df = (
         t_toks.select(F.explode("toks").alias("w"))
@@ -784,41 +829,16 @@ def kn_cross_entropy(
     )
 
     doc_tri = (
-        score.select(F.col(id_col), F.explode(
-            _gram_parts(tokens(F.col(text_col)), 3)).alias("g"))
+        stk.select(F.col(id_col), F.explode(
+            _gram_parts(F.col("_toks"), 3)).alias("g"))
         .select(id_col,
                 F.col("g").getItem(0).alias("w1"),
                 F.col("g").getItem(1).alias("w2"),
                 F.col("g").getItem(2).alias("w3"))
     )
-    if self_mode:
-        # every scored trigram exists in `tri`, so all five lookups
-        # consolidate into one trigram-keyed table at LM scale and the
-        # corpus pays a single doc-scale join (5.2 s -> the join count
-        # is the cost at suite scale; expressions below are unchanged)
-        lm = (
-            tri.join(ctx, ["w1", "w2"])
-            .join(mid, ["w2", "w3"])
-            .join(midw2, ["w2"])
-            .join(uni_cont, ["w3"])
-        )
-        j = (
-            doc_tri.join(lm, ["w1", "w2", "w3"])
-            .crossJoin(F.broadcast(uni_tot))
-            .crossJoin(F.broadcast(v_df))
-        )
-    else:
-        j = (
-            doc_tri.join(tri, ["w1", "w2", "w3"], "left")
-            .join(ctx, ["w1", "w2"], "left")
-            .join(mid, ["w2", "w3"], "left")
-            .join(midw2, ["w2"], "left")
-            .join(uni_cont, ["w3"], "left")
-            .crossJoin(F.broadcast(uni_tot))
-            .crossJoin(F.broadcast(v_df))
-        )
     if D is not None:
         dL = F.lit(D)
+        d_df = None
     else:
         d_df = tri.agg(
             F.sum((F.col("_c123") == 1).cast("double")).alias("_n1"),
@@ -835,8 +855,34 @@ def kn_cross_entropy(
                 F.lit(0.999),
             ).alias("_D")
         )
-        j = j.crossJoin(F.broadcast(d_df))
         dL = F.col("_D")
+    if self_mode:
+        # every scored trigram exists in `tri`, so all five lookups
+        # consolidate into one trigram-keyed table at LM scale; the
+        # KN cascade (p1/p2/p3 below) ALSO evaluates there, so the
+        # corpus pays a single doc-scale join that attaches one
+        # pre-computed -ln P3 double (identical expressions, different
+        # stage — pytest pins equality with the cascade path)
+        j = (
+            tri.join(ctx, ["w1", "w2"])
+            .join(mid, ["w2", "w3"])
+            .join(midw2, ["w2"])
+            .join(uni_cont, ["w3"])
+            .crossJoin(F.broadcast(uni_tot))
+            .crossJoin(F.broadcast(v_df))
+        )
+    else:
+        j = (
+            doc_tri.join(tri, ["w1", "w2", "w3"], "left")
+            .join(ctx, ["w1", "w2"], "left")
+            .join(mid, ["w2", "w3"], "left")
+            .join(midw2, ["w2"], "left")
+            .join(uni_cont, ["w3"], "left")
+            .crossJoin(F.broadcast(uni_tot))
+            .crossJoin(F.broadcast(v_df))
+        )
+    if d_df is not None:
+        j = j.crossJoin(F.broadcast(d_df))
     p1 = F.when(
         F.col("_n1all") > 0,
         F.greatest(F.coalesce("_n1w3", F.lit(0.0)) - dL, F.lit(0.0))
@@ -855,11 +901,16 @@ def kn_cross_entropy(
         / F.col("_c12")
         + dL * F.col("_f12") / F.col("_c12") * p2,
     ).otherwise(p2)
-    per_doc = j.withColumn("_nll", -F.log(p3)).groupBy(id_col).agg(
+    if self_mode:
+        lm_nll = j.select("w1", "w2", "w3", (-F.log(p3)).alias("_nll"))
+        scored = doc_tri.join(lm_nll, ["w1", "w2", "w3"])
+    else:
+        scored = j.withColumn("_nll", -F.log(p3))
+    per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.avg("_nll").alias("cross_entropy"),
     )
-    ids = score.select(id_col).distinct()
+    ids = stk.select(id_col).distinct()
     return ids.join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
