@@ -1141,7 +1141,10 @@ def duplicate_spans(
     from xarray_spatial_spark.functions.spread import spread
 
     # window hashing is an O(tokens * k) HOF in the scan stage — see
-    # spread.py for why a single-row-group scan would serialize it
+    # spread.py for why a single-row-group scan would serialize it.
+    # xxhash64 hashes the k-token slice DIRECTLY (hash expressions
+    # recurse into arrays): same equality semantics as hashing the
+    # joined string, without materializing ~k*word bytes per window.
     base = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).filter(F.size("_toks") >= k)
@@ -1150,14 +1153,13 @@ def duplicate_spans(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.size("_toks") - k),
-                lambda i: F.xxhash64(
-                    F.array_join(F.slice("_toks", i + 1, k), " ")
-                ),
+                lambda i: F.xxhash64(F.slice("_toks", i + 1, k)),
             )
         ).alias("_widx", "_h"),
     ).select(
         id_col, F.col("_widx").cast("long").alias("pos"), "_h"
-    )
+    ).persist()  # feeds the dup-stats aggregate AND the join probe:
+    # without it the whole O(tokens * k) hashing pass runs twice
 
     okey = F.col(id_col) * _POS_SHIFT + F.col("pos")
     stats = (
