@@ -729,23 +729,49 @@ def embedding_neardup_pairs(
                 }
             )
 
-    # both self-join sides consume the signature subtree
-    sigs = df.select(id_col, vec_col).mapInPandas(_sig, schema=schema).persist()
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig"),
-                    F.col("norm").alias("_na"), F.col("vec").alias("_va"))
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig"),
-                    F.col("norm").alias("_nb"), F.col("vec").alias("_vb"))
-    dot = F.aggregate(
-        F.zip_with("_va", "_vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        a.join(b, "sig")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot / (F.col("_na") * F.col("_nb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    sigs = df.select(id_col, vec_col).mapInPandas(_sig, schema=schema)
+
+    # Pair scoring runs INSIDE a per-bucket numpy kernel instead of a
+    # sig self-join whose every candidate row paid an O(dim)
+    # interpreted Catalyst fold (the ivf_topk lesson, guide §4.2).
+    # Numerics replicate the old fold bit-for-bit: products in
+    # float32 (zip_with on array<float>), then a strict left-to-right
+    # float64 accumulation (cumsum), so the emitted cosines — and the
+    # threshold decisions — are unchanged.
+    thr = float(threshold)
+
+    def _pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+        )
+        if n < 2:
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        vecs = np.stack(pdf["vec"].to_numpy())[order]          # float32
+        norms = pdf["norm"].to_numpy()[order]                  # float64
+        ia, ib = np.triu_indices(n, k=1)
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, len(ia), 65536):
+            ja, jb = ia[lo: lo + 65536], ib[lo: lo + 65536]
+            prod = vecs[ja] * vecs[jb]                         # float32 products
+            dots = np.cumsum(prod.astype(np.float64), axis=1)[:, -1]
+            cos = dots / (norms[ja] * norms[jb])
+            keep = cos >= thr
+            out_a.append(ids[ja[keep]])
+            out_b.append(ids[jb[keep]])
+            out_c.append(cos[keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c),
+        })
+
+    return sigs.groupBy("sig").applyInPandas(
+        _pairs, schema="id_a long, id_b long, cosine double"
     )
 
 
