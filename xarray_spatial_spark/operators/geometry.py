@@ -339,7 +339,10 @@ def convex_hull(
         if n <= max_candidates:
             break
         nxt = cand.repartition(max(2, cand.rdd.getNumPartitions() // 8)) \
-            .mapInPandas(hull_part, schema="x double, y double")
+            .mapInPandas(hull_part, schema="x double, y double").persist()
+        nxt.count()  # materialize BEFORE dropping cand: unpersisting
+        # the input first would recompute the upstream per-partition
+        # hull stage on every extra reduction round (ADVICE r6)
         cand.unpersist()
         cand = nxt
     else:
