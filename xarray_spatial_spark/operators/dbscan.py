@@ -153,7 +153,7 @@ def dbscan(
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
     ]
-    left, right = _halo_blocks(points, float(eps), cols)
+    left, right = _halo_blocks(points, float(eps), cols, mult=4)
 
     # ---- pass 1: exact degrees -> core flags ------------------------
     def _deg(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
@@ -187,7 +187,7 @@ def dbscan(
                         F.col("is_core").alias("_core"))
     pts_flagged = points.select(*cols).join(flags, "_id")
     fcols = [F.col(c) for c in ("_id", "_x", "_y", "_core")]
-    fleft, fright = _halo_blocks(pts_flagged, float(eps), fcols)
+    fleft, fright = _halo_blocks(pts_flagged, float(eps), fcols, mult=4)
 
     def _edges(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"kind": np.array([], np.int32),

@@ -358,16 +358,31 @@ def _halo_blocks(
     points: DataFrame,
     max_dist: float,
     cols: list,
+    mult: int = 1,
 ):
-    """(left, right) frames keyed by the ``max_dist``-sized grid cell
-    for a cogrouped pair kernel: ``right`` holds each cell's own
-    points, ``left`` holds every point exploded onto its 3x3 neighbor
-    cells.  A cogrouped applyInPandas over (_cx, _cy) then sees, for
-    every cell, all points that can be within ``max_dist`` of its own
-    points — the same coverage as the pair equi-join, but the O(pairs)
-    distance work runs as numpy block matrices inside the kernel
-    instead of materializing pair rows through an exchange."""
-    md = float(max_dist)
+    """(left, right) frames keyed by a grid cell of size
+    ``mult * max_dist`` for a cogrouped pair kernel: ``right`` holds
+    each cell's own points, ``left`` holds every point exploded onto
+    its 3x3 neighbor cells.  A cogrouped applyInPandas over
+    (_cx, _cy) then sees, for every cell, all points that can be
+    within ``max_dist`` of its own points — the same coverage as the
+    pair equi-join, but the O(pairs) distance work runs as numpy
+    block matrices inside the kernel instead of materializing pair
+    rows through an exchange.
+
+    ``mult`` trades per-group Python/Arrow invocation overhead
+    against in-kernel block size: any cell size >= max_dist keeps 3x3
+    coverage complete, and every kernel predicate (distance cutoffs,
+    id ordering) is cell-size-independent, so results are identical
+    for any mult >= 1.  Use mult > 1 ONLY when max_dist is small
+    relative to the point extent (dbscan's eps grid: sf0.1 spent 2x
+    its round-start time on per-group fixed cost over ~n single-point
+    groups; mult=4 cut it 9.6 -> 3.8 s with sf1.0 flat).  When
+    max_dist already covers a large domain fraction (variogram/ripley
+    radii), bigger cells inflate the halo block area ~mult^2 and the
+    kernel goes quadratic — measured 1.5 -> 40 s at sf1.0 — so the
+    statistics kernels stay at mult=1."""
+    md = float(max_dist) * max(1, int(mult))
     keyed = points.select(*cols).withColumn(
         "_cx", F.floor(F.col("_x") / F.lit(md))
     ).withColumn("_cy", F.floor(F.col("_y") / F.lit(md)))
